@@ -1,0 +1,23 @@
+"""raytracing_tpu — TPU-native batched geometrical ray tracing.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+neyuru/RayTracing (reference: /root/reference/RT_bench.py): Fermat
+equations-of-motion integration through heterogeneous and anisotropic 2-D
+media with 11 step-method pairings (MxSA/AnDF/HySA and the anisotropic
+momentum algorithm), four physics-oracle scenarios, DELTA_S convergence
+search, benchmarking, and wavefront visualization — re-architected as a
+vmapped ``lax.scan`` integrator over million-ray batches sharded across a
+TPU mesh.
+"""
+
+__version__ = "0.1.0"
+
+from raytracing_tpu.config import (  # noqa: F401
+    DELTA_S,
+    SIGMA,
+    ScenarioConfig,
+    scenario,
+)
+from raytracing_tpu.engine.trace import TraceResult, trace  # noqa: F401
+from raytracing_tpu.media.medium import AnalyticMedium, analytic_medium  # noqa: F401
+from raytracing_tpu.ops.registry import ALIASES, ANISO_OPS, OP_NAMES  # noqa: F401

@@ -1,0 +1,134 @@
+"""Device-evaluable spline medium with scipy RectBivariateSpline parity.
+
+The reference evaluates its media through FITPACK: a bilinear
+RectBivariateSpline for n and bicubic ones for each gradient component
+(RT_bench.py:455-458), three spline evaluations per integration step — the
+dominant cost of its hot loop (SURVEY.md §3.2).  FITPACK cannot run on TPU,
+so this module converts each fitted spline into *per-cell polynomial
+coefficient tables* once on host, after which device evaluation is a cell
+lookup plus a 4x4 tensor Horner — pure gathers and FMAs, vmappable and
+Pallas-friendly.
+
+Conversion is sampling-exact: within each grid cell the fitted spline *is* a
+bicubic polynomial, so sampling it on a 4x4 interior stencil and solving the
+(fixed, well-conditioned) tensor Vandermonde system recovers the exact
+polynomial regardless of FITPACK's knot conventions (not-a-knot boundaries
+etc.).  Parity with scipy is checked to ~1e-10 in tests/test_spline.py.
+
+Bilinear n needs no fitting at all: a kx=ky=1 interpolating spline *is*
+bilinear interpolation of the grid values, evaluated directly from Z.
+FITPACK clamps out-of-range queries to the grid boundary (fpbisp.f), and so
+does this evaluator.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from raytracing_tpu import config
+from raytracing_tpu.media import grid as _grid
+
+#: normalized in-cell sample offsets for the exact-fit stencil; strictly
+#: interior so every sample unambiguously belongs to its cell.
+_STENCIL = np.array([1.0, 3.0, 5.0, 7.0]) / 8.0
+#: inverse of the 4x4 Vandermonde at the stencil (u^a for a in 0..3).
+_VINV = np.linalg.inv(np.vander(_STENCIL, 4, increasing=True))
+
+
+def _spline_to_cells(spl, y, x):
+    """Per-cell coefficients C[iy, ix, a, b]: S = sum C u_y^a u_x^b.
+
+    u_* are cell-normalized offsets in [0, 1).  ``spl`` is a fitted
+    scipy RectBivariateSpline over (y, x).
+    """
+    hy, hx = y[1] - y[0], x[1] - x[0]
+    ncy, ncx = len(y) - 1, len(x) - 1
+    ys = (y[:-1, None] + _STENCIL[None, :] * hy).ravel()   # (ncy*4,)
+    xs = (x[:-1, None] + _STENCIL[None, :] * hx).ravel()   # (ncx*4,)
+    vals = spl(ys, xs, grid=True).reshape(ncy, 4, ncx, 4)
+    # Solve V C V^T = S for each cell: C = Vinv S Vinv^T.
+    c = np.einsum("pa,iajb,qb->ipjq", _VINV, vals, _VINV)
+    return np.ascontiguousarray(np.transpose(c, (0, 2, 1, 3)))  # (ncy,ncx,4,4)
+
+
+@struct.dataclass
+class GridMedium:
+    """Grid-sampled medium: bilinear n + bicubic gradient, device-evaluable.
+
+    Mirrors the reference's ``(z, grd)`` spline pair (RT_bench.py:435-464,
+    141-156) as flat coefficient tables.
+    """
+
+    Z: Any            # (ny, nx) index samples, bilinear-interpolated for n
+    cx: Any           # (ncy*ncx, 16) bicubic cells of dn/dx
+    cy: Any           # (ncy*ncx, 16) bicubic cells of dn/dy
+    x0: float = struct.field(pytree_node=False)
+    y0: float = struct.field(pytree_node=False)
+    inv_hx: float = struct.field(pytree_node=False)
+    inv_hy: float = struct.field(pytree_node=False)
+    nx: int = struct.field(pytree_node=False)
+    ny: int = struct.field(pytree_node=False)
+
+    def _cell(self, x, y):
+        """Clamped cell index and normalized in-cell offsets."""
+        fx = (x - self.x0) * self.inv_hx
+        fy = (y - self.y0) * self.inv_hy
+        # FITPACK clamps queries to the grid range (fpbisp.f); so do we.
+        fx = jnp.clip(fx, 0.0, float(self.nx - 1))
+        fy = jnp.clip(fy, 0.0, float(self.ny - 1))
+        ix = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, self.nx - 2)
+        iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, self.ny - 2)
+        return ix, iy, fx - ix, fy - iy
+
+    def n_and_grad(self, x, y):
+        ix, iy, ux, uy = self._cell(x, y)
+
+        # bilinear n from Z (== RectBivariateSpline kx=ky=1, RT_bench.py:455)
+        z00 = self.Z[iy, ix]
+        z01 = self.Z[iy, ix + 1]
+        z10 = self.Z[iy + 1, ix]
+        z11 = self.Z[iy + 1, ix + 1]
+        n = ((1 - uy) * ((1 - ux) * z00 + ux * z01)
+             + uy * ((1 - ux) * z10 + ux * z11))
+
+        # bicubic gradient components (RT_bench.py:456-458)
+        flat = iy * (self.nx - 1) + ix
+        px = jnp.stack([jnp.ones_like(ux), ux, ux * ux, ux * ux * ux], -1)
+        py = jnp.stack([jnp.ones_like(uy), uy, uy * uy, uy * uy * uy], -1)
+        shape = flat.shape + (4, 4)
+        gx = jnp.einsum("...ab,...a,...b->...",
+                        self.cx[flat].reshape(shape), py, px)
+        gy = jnp.einsum("...ab,...a,...b->...",
+                        self.cy[flat].reshape(shape), py, px)
+        return n, (gx, gy)
+
+    def n(self, x, y):
+        return self.n_and_grad(x, y)[0]
+
+
+def build_grid_medium(field: str, box, delta: float = config.DELTA,
+                      dtype=np.float32) -> GridMedium:
+    """Sample ``field`` on the padded grid and build device tables.
+
+    Reproduces the reference pipeline genZ -> np.gradient -> bicubic fit
+    (RT_bench.py:1587-1588) with the fit converted to per-cell polynomials.
+    """
+    from scipy.interpolate import RectBivariateSpline
+
+    x, y, Z = _grid.gen_grid(field, box, delta)
+    dndx, dndy = _grid.gradient_grids(Z, delta)
+    sx = RectBivariateSpline(y, x, dndx, kx=3, ky=3)
+    sy = RectBivariateSpline(y, x, dndy, kx=3, ky=3)
+    cx = _spline_to_cells(sx, y, x).reshape(-1, 16)
+    cy = _spline_to_cells(sy, y, x).reshape(-1, 16)
+    return GridMedium(
+        Z=jnp.asarray(Z, dtype), cx=jnp.asarray(cx, dtype),
+        cy=jnp.asarray(cy, dtype),
+        x0=float(x[0]), y0=float(y[0]),
+        inv_hx=float(1.0 / (x[1] - x[0])), inv_hy=float(1.0 / (y[1] - y[0])),
+        nx=len(x), ny=len(y),
+    )
