@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Headline benchmark: million-ray fisheye throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The workload is the BASELINE.json north-star configuration: a 1M-ray Maxwell
+fisheye batch integrated with op1 at the calibrated step (divisor 4587,
+RT_bench.py:1433) in float32, metrics-only mode (no trajectory history —
+O(rays) memory).  ``vs_baseline`` is measured throughput over the 1e9
+ray-steps/sec/chip target; the reference itself publishes no numbers
+(BASELINE.md).
+
+Env overrides: RT_BENCH_RAYS, RT_BENCH_TURNS, RT_BENCH_DIVISOR,
+RT_BENCH_TRIALS, RT_BENCH_ENGINE (jax|pallas).
+"""
+import json
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+import raytracing_tpu as rt
+from raytracing_tpu.bench.harness import benchmark
+from raytracing_tpu.engine import oracles
+
+NORTH_STAR = 1.0e9  # ray-steps/sec/chip (BASELINE.json)
+
+
+def main():
+    rays = int(os.environ.get("RT_BENCH_RAYS", 1_000_000))
+    n_turns = int(os.environ.get("RT_BENCH_TURNS", 1))
+    divisor = int(os.environ.get("RT_BENCH_DIVISOR", 4587))
+    trials = int(os.environ.get("RT_BENCH_TRIALS", 10))
+    engine = os.environ.get("RT_BENCH_ENGINE", "auto")
+
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    delta_s = 2.0 * np.pi / divisor
+    theta0 = np.full(rays, np.pi / 2.0, np.float32)
+    pos0 = np.stack([np.ones(rays), np.zeros(rays)], -1).astype(np.float32)
+
+    runner = None
+    if engine in ("auto", "pallas"):
+        try:
+            from raytracing_tpu.kernels.fisheye import make_fisheye_runner
+            runner = make_fisheye_runner(rays, divisor, n_turns)
+        except Exception as e:  # pallas path unavailable -> jax engine
+            if engine == "pallas":
+                raise
+            print(f"# pallas runner unavailable ({e}); using jax engine",
+                  file=sys.stderr)
+
+    if runner is None:
+        def runner():
+            res = rt.trace("op1", scen, med, delta_s=delta_s,
+                           divisor=divisor + 1, n_turns=n_turns,
+                           mode="metrics", dtype=np.float32,
+                           pos0=pos0, theta0=theta0)
+            # A tiny device->host transfer, not just block_until_ready: the
+            # axon tunnel's block can return before queued work drains, and
+            # a real readback is the only honest completion barrier.
+            np.asarray(res.final.pos[:1])
+            return res
+
+    steps = scen.max_size(delta_s, divisor + 1, n_turns) - 1
+    result = benchmark(lambda: runner(), rays * steps, trials=trials, warmup=2)
+
+    # Accuracy companion: closure error of the benchmark configuration.
+    res = runner()
+    final_pos = np.asarray(res.final.pos if hasattr(res, "final") else res)
+    closure = 100.0 * np.linalg.norm(final_pos[0] - np.array([1.0, 0.0])) / (2 * np.pi)
+
+    print(json.dumps({
+        "metric": "ray_steps_per_sec_per_chip",
+        "value": round(result.ray_steps_per_sec, 1),
+        "unit": "ray-steps/s",
+        "vs_baseline": round(result.ray_steps_per_sec / NORTH_STAR, 4),
+        "detail": {
+            "rays": rays, "steps": int(steps), "turns": n_turns,
+            "divisor": divisor, "seconds_per_run": round(result.seconds, 4),
+            "rounds": result.rounds, "closure_error_pct": float(closure),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

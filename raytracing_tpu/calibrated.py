@@ -1,0 +1,44 @@
+"""Calibrated DELTA_S tables (RT_bench.py:1408-1460).
+
+Per-algorithm step sizes measured offline by the reference author on a grid
+of SIGMA/3; these are the framework's accuracy/cost fixtures (SURVEY.md 2.13).
+"""
+from __future__ import annotations
+
+from raytracing_tpu.config import SIGMA
+
+#: interface / vert-heterogeneous scenarios: DELTA_S = SIGMA / divisor
+#: (RT_bench.py:1413-1430)
+INTERFACE_VERT_DIVISOR = {
+    "op1": 38.64, "op2": 38.37, "op3": 2.34, "op4": 2.53, "op5": 2.53,
+    "op6": 2.55, "op7": 30.05, "op8": 2.74, "op9": 2.74,
+}
+
+#: fisheye: number of unit-circle segments, benchmark set — steps matched to
+#: the interface scenario's calibrated lengths (RT_bench.py:1431-1450)
+FISHEYE_DIVISOR = {
+    "op1": 4587, "op2": 4556, "op3": 278, "op4": 300, "op5": 300,
+    "op6": 303, "op7": 3567, "op8": 325, "op9": 325,
+}
+
+#: fisheye: alternative set calibrated for <= 5 % closure error over N=10
+#: turns (RT_bench.py:1444 comment)
+FISHEYE_DIVISOR_N10 = {
+    "op1": 149, "op2": 169, "op3": 182, "op4": 179, "op5": 179,
+    "op6": 182, "op7": 191, "op8": 179, "op9": 179,
+}
+
+#: anisotropic scenario (RT_bench.py:1452-1455)
+ANISO_DIVISOR = {"op10": 2.53, "op11": 2.74}
+
+
+def calibrated(op_name: str, scenario_name: str, fisheye_set: str = "bench"):
+    """Return (delta_s, fisheye_divisor_or_None) for an op/scenario pair."""
+    if scenario_name == "fisheye":
+        table = FISHEYE_DIVISOR if fisheye_set == "bench" else FISHEYE_DIVISOR_N10
+        div = table[op_name]
+        import numpy as np
+        return 2.0 * np.pi / div, div
+    if scenario_name == "aniso":
+        return SIGMA / ANISO_DIVISOR[op_name], None
+    return SIGMA / INTERFACE_VERT_DIVISOR[op_name], None

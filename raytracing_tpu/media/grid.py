@@ -18,7 +18,9 @@ _SQRT2 = np.sqrt(2.0)
 # numpy twins of media.fields (host-side sampling must be float64 regardless
 # of the device x64 setting, so these do not go through jnp)
 def _interface_np(x, y):
-    return _SQRT2 - (_SQRT2 - 1.0) / (1.0 + np.exp(-y / config.THCK_PARAM))
+    # exp overflows harmlessly to inf deep below the interface (n -> sqrt(2))
+    with np.errstate(over="ignore"):
+        return _SQRT2 - (_SQRT2 - 1.0) / (1.0 + np.exp(-y / config.THCK_PARAM))
 
 
 def _fisheye_np(x, y):

@@ -1,0 +1,203 @@
+"""DELTA_S convergence search as one batched, mesh-shardable program.
+
+The reference sweeps step-size candidates by fanning ``search_delta`` out
+over a ProcessPoolExecutor, pickling the spline objects to every worker
+(RT_bench.py:1296-1318, 950-958).  TPU-native version: all candidates become
+*one* padded ``lax.scan`` — trajectory buffers sized for the longest
+candidate, each candidate carrying its own traced ``delta_s`` and
+``step_limit`` — vmapped over the candidate axis and (optionally) sharded
+over a device mesh's "sweep" axis.  One compile, no host round-trips, and
+the acceptance metrics reduce on device.
+
+The three per-scenario acceptance policies (``find_index``,
+RT_bench.py:1320-1375) stay on host: they are O(candidates) scalar logic.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracing_tpu import config
+from raytracing_tpu.engine import oracles
+from raytracing_tpu.engine.trace import _build_trace_fn, initial_state
+from raytracing_tpu.parallel import mesh as meshlib
+
+
+class SweepResult(NamedTuple):
+    scenario: str
+    op_name: str
+    divisors: np.ndarray          # candidate divisors, reference ordering
+    delta_s: np.ndarray           # candidate step sizes
+    metrics: dict[str, np.ndarray]  # per-candidate acceptance metrics
+    index: int | None             # accepted candidate, or None
+    divisor: float | None         # rounded selected divisor (RT_bench.py:1379-1383)
+    delta_s_selected: float | None
+
+
+def candidates(scen: config.ScenarioConfig):
+    """Candidate divisor grid per scenario (RT_bench.py:1302-1312).
+
+    Returns (divisors, delta_s, trace_divisors) — ``trace_divisors`` is what
+    sizes the fisheye buffer (the reference passes ``divisors + 1`` into
+    ``trazar``, RT_bench.py:1318).
+
+    Reference quirk kept deliberately: the vert/aniso grid uses DELTA_STEP
+    (0.01), not the DELTA_STEP_VERT constant defined for it — that constant
+    is dead code in the reference (RT_bench.py:95, 1311).
+    """
+    c = config
+    if scen.is_interface:
+        divisors = np.arange(c.DELTA_S_DIVISOR_UPPER_LIMIT,
+                             c.DELTA_S_DIVISOR_LOWER_LIMIT - c.DELTA_STEP,
+                             -c.DELTA_STEP)
+        return divisors, c.SIGMA / divisors, None
+    if scen.is_fisheye:
+        divisors = np.arange(c.DELTA_S_DIVISOR_FISHEYE_UPPER_LIMIT,
+                             c.DELTA_S_DIVISOR_FISHEYE_LOWER_LIMIT
+                             - c.DELTA_STEP_FISHEYE,
+                             -c.DELTA_STEP_FISHEYE)
+        return divisors, 2.0 * np.pi / divisors, divisors + 1
+    divisors = np.arange(c.DELTA_S_DIVISOR_VERT_UPPER_LIMIT,
+                         c.DELTA_S_DIVISOR_VERT_LOWER_LIMIT - 2 * c.DELTA_STEP,
+                         -c.DELTA_STEP)
+    return divisors, c.SIGMA / divisors, None
+
+
+# -- acceptance policies (host logic, RT_bench.py:1320-1375) ----------------
+def find_index_interface(errors, max_errors,
+                         max_dev=config.MAX_DEVIATION,
+                         max_single=config.MAX_DEVIATION_SINGLE_RAY):
+    """Largest step whose mean/max errors pass with all coarser ones passing
+    (RT_bench.py:1323-1332)."""
+    errors = list(errors)
+    max_errors = list(max_errors)
+    if not any(e > max_dev for e in errors) or not any(e < max_dev for e in errors):
+        return None
+    for i in reversed(range(len(errors))):
+        if errors[i] < max_dev and max_errors[i] < max_single:
+            if (all(e < max_dev for e in errors[:i])
+                    and all(e < max_single for e in max_errors[:i])):
+                return i
+    return None
+
+
+def find_index_fisheye(errors, max_dev=config.MAX_CLOSURE_ERROR_PCT):
+    """Last candidate before closure error crosses the threshold
+    (RT_bench.py:1339-1347)."""
+    errors = list(errors)
+    if not any(e > max_dev for e in errors) or not any(e < max_dev for e in errors):
+        return None
+    for i, e in enumerate(errors):
+        if e > max_dev:
+            return i - 1
+    return None
+
+
+def find_index_vert(errors, max_dev=config.MAX_MOMENTUM_CV_PCT):
+    """First CV crossing with all previous candidates passing
+    (RT_bench.py:1363-1373)."""
+    errors = list(errors)
+    if not any(e > max_dev for e in errors) or not any(e < max_dev for e in errors):
+        return None
+    for i in range(len(errors)):
+        if i > 1 and errors[i] > max_dev:
+            if all(e < max_dev for e in errors[:i - 1]):
+                return i - 1
+    return None
+
+
+# -- the sweep itself -------------------------------------------------------
+def _max_sizes(scen, delta_s, trace_divisors, n_turns):
+    if scen.is_fisheye:
+        return (n_turns * trace_divisors).astype(np.int64)
+    return np.ceil(scen.s_max / delta_s).astype(np.int64) + 1
+
+
+def run_candidates(op_name: str, scen: config.ScenarioConfig, medium,
+                   delta_s: np.ndarray, step_limits: np.ndarray,
+                   max_size: int, *, n_turns: int = config.N_TURNS,
+                   dtype=np.float32, chunk: int | None = None, mesh=None):
+    """Evaluate the scenario acceptance metric for every candidate.
+
+    Returns a dict of per-candidate arrays:
+    interface -> mean_err/max_err (deg); fisheye -> closure_pct;
+    vert/aniso -> cv_pct.
+    """
+    dtype = np.dtype(dtype)
+    mode = "history" if scen.is_interface else "metrics"
+    op, run, _ = _build_trace_fn(op_name, int(max_size), tuple(scen.box), mode,
+                                 scen.is_vert, dtype.name)
+    gamma = jnp.asarray(scen.gamma, dtype)
+    theta0 = jnp.asarray(scen.theta0, dtype)
+    st0 = initial_state(jnp.asarray(scen.pos0, dtype), theta0, medium, gamma,
+                        with_window=op.uses_window,
+                        with_momentum_stats=scen.is_vert,
+                        max_size=int(max_size))
+
+    def one(d, lim):
+        res = run(st0, medium, gamma, d, lim)
+        if scen.is_interface:
+            errs = oracles.snell_errors_deg(res, theta0)
+            return {"mean_err": jnp.mean(errs), "max_err": jnp.max(errs)}
+        if scen.is_fisheye:
+            # The reference reads the last buffer row (RT_bench.py:956);
+            # the final carry is that row since fisheye rays never exit.
+            return {"closure_pct": oracles.closure_error_pct(res)[0]}
+        cv = oracles.momentum_cv_pct_from_stats(res)
+        return {"cv_pct": oracles.scenario_average_cv_pct(cv)}
+
+    runner = jax.jit(jax.vmap(one))
+    n = len(delta_s)
+    if chunk is None:
+        chunk = n if not scen.is_interface else 16
+    outs = []
+    for lo in range(0, n, chunk):
+        d = jnp.asarray(delta_s[lo:lo + chunk], dtype)
+        lim = jnp.asarray(step_limits[lo:lo + chunk], jnp.int32)
+        if mesh is not None and d.shape[0] % mesh.devices.size == 0:
+            sh = meshlib.sweep_sharding(mesh)
+            d, lim = jax.device_put(d, sh), jax.device_put(lim, sh)
+        outs.append(jax.tree.map(np.asarray, runner(d, lim)))
+    return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+
+def delta_s_search(op_name: str, scen: config.ScenarioConfig, medium, *,
+                   n_turns: int = config.N_TURNS, dtype=np.float32,
+                   chunk: int | None = None, mesh=None) -> SweepResult:
+    """Full DELTA_S search: sweep + acceptance + selection.
+
+    Mirrors the reference flow RT_bench.py:1296-1406, returning the selected
+    step instead of mutating globals.  Raises nothing on failure: ``index``
+    is None when no candidate passes (the reference sys.exit()s,
+    RT_bench.py:1404-1406 — the caller decides that policy here).
+    """
+    divisors, delta_s, trace_divs = candidates(scen)
+    sizes = _max_sizes(scen, delta_s, trace_divs, n_turns)
+    max_size = int(sizes.max())
+    metrics = run_candidates(op_name, scen, medium, delta_s, sizes - 1,
+                             max_size, n_turns=n_turns, dtype=dtype,
+                             chunk=chunk, mesh=mesh)
+
+    if scen.is_interface:
+        index = find_index_interface(metrics["mean_err"], metrics["max_err"])
+    elif scen.is_fisheye:
+        index = find_index_fisheye(metrics["closure_pct"])
+    else:
+        index = find_index_vert(metrics["cv_pct"])
+
+    if index is None:
+        divisor = ds_sel = None
+    elif scen.is_fisheye:
+        divisor = float(round(divisors[index]))           # RT_bench.py:1379
+        ds_sel = 2.0 * math.pi / divisor
+    else:
+        divisor = float(round(divisors[index], 2))        # RT_bench.py:1383
+        ds_sel = config.SIGMA / divisor
+
+    return SweepResult(scenario=scen.name, op_name=op_name,
+                       divisors=divisors, delta_s=delta_s, metrics=metrics,
+                       index=index, divisor=divisor, delta_s_selected=ds_sel)

@@ -1,0 +1,118 @@
+"""Physics-oracle integration tests at the reference's calibrated steps.
+
+These are the reference's own acceptance criteria (SURVEY.md §4) run as a
+real test suite: Snell outbound angles (interface), closure (fisheye),
+momentum conservation (vert/aniso), at the calibrated DELTA_S values the
+reference ships (RT_bench.py:1408-1455).  float64 on CPU — the reference's
+precision regime.
+"""
+import numpy as np
+import pytest
+
+import raytracing_tpu as rt
+from raytracing_tpu import calibrated, config
+from raytracing_tpu.engine import oracles
+from raytracing_tpu.media.spline import build_grid_medium
+
+
+# -- interface: Snell / total-internal-reflection oracle --------------------
+@pytest.fixture(scope="module")
+def interface_grid_medium():
+    scen = rt.scenario("interface")
+    return build_grid_medium("interface", scen.box, dtype=np.float64)
+
+
+@pytest.mark.parametrize("op", ["op4", "op6", "op8"])
+def test_interface_snell_calibrated_grid_medium(op, interface_grid_medium):
+    """Full reference pipeline: sampled grid -> splines -> trace.
+
+    The calibrated DELTA_S table was measured on the spline-smoothed medium
+    (grid SIGMA/3, RT_bench.py:1413 comment); the thresholds hold there.
+    The raw analytic sigmoid is sharper and needs finer steps — covered by
+    the convergence test below.
+    """
+    scen = rt.scenario("interface")
+    ds, _ = calibrated.calibrated(op, "interface")
+    res = rt.trace(op, scen, interface_grid_medium, delta_s=ds, dtype=np.float64)
+    errs = np.asarray(oracles.snell_errors_deg(res, scen.theta0))
+    assert errs.mean() < config.MAX_DEVIATION, errs.mean()
+    assert errs.max() < config.MAX_DEVIATION_SINGLE_RAY, errs.max()
+
+
+def test_interface_snell_analytic_converges():
+    """On the un-smoothed analytic interface, halving DELTA_S shrinks the
+    Snell error; at the calibrated step errors stay within a loose envelope."""
+    scen = rt.scenario("interface")
+    med = rt.analytic_medium("interface")
+    ds, _ = calibrated.calibrated("op8", "interface")
+    errs = {}
+    for f in (1.0, 4.0):
+        res = rt.trace("op8", scen, med, delta_s=ds / f, dtype=np.float64)
+        errs[f] = np.asarray(oracles.snell_errors_deg(res, scen.theta0)).mean()
+    assert errs[4.0] < errs[1.0]
+    assert errs[1.0] < 0.5
+
+
+# -- fisheye: closure oracle ------------------------------------------------
+@pytest.mark.parametrize("op", [f"op{i}" for i in range(1, 10)])
+def test_fisheye_closure_calibrated_n10(op):
+    """<= 5 % closure over N=10 turns at the N10 calibrated divisor set."""
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    ds, div = calibrated.calibrated(op, "fisheye", fisheye_set="n10")
+    res = rt.trace(op, scen, med, delta_s=ds, divisor=div + 1, n_turns=10,
+                   dtype=np.float64,
+                   pos0=np.repeat(scen.pos0, 2, 0),
+                   theta0=np.repeat(scen.theta0, 2))
+    closure = float(oracles.closure_error_pct(res)[0])
+    assert closure < config.MAX_CLOSURE_ERROR_PCT, closure
+
+
+def test_fisheye_rms_vs_analytic_circle():
+    """North-star accuracy metric: RMS vs the analytic unit circle."""
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    div = 4587  # op1's benchmark-set divisor (RT_bench.py:1433)
+    ds = 2 * np.pi / div
+    res = rt.trace("op8", scen, med, delta_s=ds, divisor=div + 1, n_turns=1,
+                   dtype=np.float64,
+                   pos0=np.repeat(scen.pos0, 2, 0),
+                   theta0=np.repeat(scen.theta0, 2))
+    rms = oracles.fisheye_rms_error(res, ds)
+    assert rms < 1e-5, rms
+
+
+# -- vert / aniso: momentum-conservation oracle -----------------------------
+@pytest.mark.parametrize("op", ["op4", "op8"])
+def test_vert_momentum_cv_calibrated(op):
+    scen = rt.scenario("vert")
+    med = rt.analytic_medium("vert_heterogeneous")
+    ds, _ = calibrated.calibrated(op, "vert")
+    res = rt.trace(op, scen, med, delta_s=ds, mode="metrics", dtype=np.float64)
+    cv = oracles.momentum_cv_pct_from_stats(res)
+    avg = float(oracles.scenario_average_cv_pct(cv))
+    assert avg < config.MAX_MOMENTUM_CV_PCT, avg
+
+
+@pytest.mark.parametrize("op", ["op10", "op11"])
+def test_aniso_momentum_cv_calibrated(op):
+    scen = rt.scenario("aniso")
+    med = rt.analytic_medium("vert_heterogeneous")
+    ds, _ = calibrated.calibrated(op, "aniso")
+    res = rt.trace(op, scen, med, delta_s=ds, mode="metrics", dtype=np.float64)
+    cv = oracles.momentum_cv_pct_from_stats(res)
+    avg = float(oracles.scenario_average_cv_pct(cv))
+    assert avg < config.MAX_MOMENTUM_CV_PCT, avg
+
+
+def test_momentum_cv_history_equals_welford():
+    # Use a coarse step so the CV is real discretization signal, not the fp
+    # noise floor (at the calibrated step CV ~ 1e-6 %, where the two
+    # estimators measure different rounding noise).
+    scen = rt.scenario("vert")
+    med = rt.analytic_medium("vert_heterogeneous")
+    res = rt.trace("op2", scen, med, delta_s=config.SIGMA, dtype=np.float64)
+    cv_h = np.asarray(oracles.momentum_cv_pct_from_history(res))
+    cv_w = np.asarray(oracles.momentum_cv_pct_from_stats(res))
+    assert cv_h.mean() > 1e-4  # signal, not noise
+    np.testing.assert_allclose(cv_h, cv_w, rtol=1e-9)

@@ -1,0 +1,118 @@
+"""DELTA_S search: acceptance policies, batched candidate runs, sharding."""
+import jax
+import numpy as np
+import pytest
+
+import raytracing_tpu as rt
+from raytracing_tpu import config
+from raytracing_tpu.parallel import mesh as meshlib
+from raytracing_tpu.parallel import sweep as sw
+
+
+# -- find_index policies (pure host logic, RT_bench.py:1320-1375) -----------
+def test_find_index_interface():
+    f = sw.find_index_interface
+    # accepted: largest step (lowest i) passing with all coarser passing
+    assert f([0.1, 0.1, 0.3], [0.5, 0.5, 0.9]) == 1
+    # a coarser candidate's max_err failure blocks acceptance entirely
+    assert f([0.1, 0.1, 0.3], [0.9, 0.5, 0.9]) is None
+    # all passing or all failing -> None (RT_bench.py:1325)
+    assert f([0.1, 0.1], [0.5, 0.5]) is None
+    assert f([0.3, 0.4], [0.9, 0.9]) is None
+
+
+def test_find_index_interface_requires_prefix_pass():
+    # i=2 passes but i=0 fails the mean threshold -> no acceptance at 2.
+    assert sw.find_index_interface([0.3, 0.1, 0.1], [0.5, 0.5, 0.5]) is None
+
+
+def test_find_index_fisheye():
+    f = sw.find_index_fisheye
+    assert f([1.0, 2.0, 6.0, 7.0]) == 1
+    assert f([1.0, 1.0]) is None
+    assert f([6.0, 7.0]) is None
+
+
+def test_find_index_vert():
+    f = sw.find_index_vert
+    th = config.MAX_MOMENTUM_CV_PCT
+    errs = [th / 2, th / 2, th / 2, th * 2, th * 3]
+    assert f(errs) == 2
+    # crossing at i <= 1 is ignored (reference's i > 1 guard)
+    assert f([th * 2, th / 2, th / 2]) is None
+
+
+def test_candidate_grids_match_reference_rules():
+    div_i, ds_i, _ = sw.candidates(rt.scenario("interface"))
+    assert div_i[0] == pytest.approx(3.0) and div_i[-1] == pytest.approx(1.01)
+    np.testing.assert_allclose(ds_i, config.SIGMA / div_i)
+    div_f, ds_f, tdiv = sw.candidates(rt.scenario("fisheye"))
+    assert div_f[0] == 303 and div_f[-1] == 4
+    np.testing.assert_array_equal(tdiv, div_f + 1)
+    div_v, _, _ = sw.candidates(rt.scenario("vert"))
+    # reference uses DELTA_STEP (0.01) here, not DELTA_STEP_VERT (dead const)
+    assert div_v[0] == pytest.approx(2.0)
+    assert div_v[1] - div_v[0] == pytest.approx(-config.DELTA_STEP)
+
+
+# -- batched candidate evaluation -------------------------------------------
+def _fisheye_candidates():
+    divs = np.arange(60.0, 3.0, -1.0)
+    ds = 2 * np.pi / divs
+    sizes = (divs + 1).astype(np.int64)  # n_turns=1
+    return divs, ds, sizes
+
+
+def test_fisheye_candidate_sweep_monotone_and_selects():
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    divs, ds, sizes = _fisheye_candidates()
+    m = sw.run_candidates("op1", scen, med, ds, sizes - 1, int(sizes.max()),
+                          n_turns=1, dtype=np.float64)
+    closure = m["closure_pct"]
+    # finer steps -> smaller closure error at the coarse end of the range
+    assert closure[0] < closure[-1]
+    idx = sw.find_index_fisheye(closure)
+    assert idx is not None
+    assert closure[idx] < 5.0 < closure[idx + 1]
+
+
+def test_sweep_sharded_over_mesh_matches_single_device():
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    divs, ds, sizes = _fisheye_candidates()
+    divs, ds, sizes = divs[:56], ds[:56], sizes[:56]  # 56 = 8 devices * 7
+    single = sw.run_candidates("op1", scen, med, ds, sizes - 1,
+                               int(sizes.max()), n_turns=1, dtype=np.float64)
+    mesh = meshlib.make_mesh(8, sweep=8)
+    shard = sw.run_candidates("op1", scen, med, ds, sizes - 1,
+                              int(sizes.max()), n_turns=1, dtype=np.float64,
+                              mesh=mesh)
+    np.testing.assert_allclose(shard["closure_pct"], single["closure_pct"],
+                               rtol=1e-12)
+
+
+def test_vert_candidate_sweep_cv():
+    scen = rt.scenario("vert")
+    med = rt.analytic_medium("vert_heterogeneous")
+    divs = np.arange(3.0, 0.2, -0.2)
+    ds = config.SIGMA / divs
+    sizes = np.ceil(scen.s_max / ds).astype(np.int64) + 1
+    m = sw.run_candidates("op8", scen, med, ds, sizes - 1, int(sizes.max()),
+                          dtype=np.float64)
+    cv = m["cv_pct"]
+    assert np.all(np.isfinite(cv))
+    # op8's calibrated divisor is 2.74: CV must pass there and degrade for
+    # much coarser steps.
+    assert cv[0] < config.MAX_MOMENTUM_CV_PCT
+    assert cv[-1] > cv[0]
+
+
+def test_delta_s_search_end_to_end(monkeypatch):
+    monkeypatch.setattr(config, "DELTA_S_DIVISOR_FISHEYE_UPPER_LIMIT", 60.0)
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    res = sw.delta_s_search("op1", scen, med, n_turns=1, dtype=np.float64)
+    assert res.index is not None
+    assert res.divisor == 23.0
+    assert res.delta_s_selected == pytest.approx(2 * np.pi / 23.0)
