@@ -1,0 +1,257 @@
+"""CLI driver: the reference's interactive menus plus a flags front end.
+
+Interactive mode (no arguments) mirrors the reference's stdin flow
+(RT_bench.py:1550-1588, 1199-1294): scenario menu -> algorithm menu ->
+DELTA_S search / calibrated prompt -> results -> benchmark prompt -> plots.
+Non-interactive mode drives the same pipeline from argparse flags — the
+declarative front end the reference lacks (SURVEY.md 5.6).
+
+Usage:
+    python -m raytracing_tpu.cli                       # interactive
+    python -m raytracing_tpu.cli --scenario fisheye --op 6 --delta-s calibrated
+    python -m raytracing_tpu.cli --scenario vert --op 8 --benchmark --plot static
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from raytracing_tpu import config
+from raytracing_tpu.bench import harness
+from raytracing_tpu.calibrated import calibrated as calibrated_table
+from raytracing_tpu.engine import oracles
+from raytracing_tpu.engine.trace import trace
+from raytracing_tpu.media.medium import analytic_medium
+from raytracing_tpu.media.spline import build_grid_medium
+from raytracing_tpu.parallel.sweep import delta_s_search
+
+BOLD, BLUE, GREEN, RESET = "\033[1m", "\033[1;94m", "\033[92m", "\033[0m"
+
+SCENARIO_TITLES = [
+    "the sharp interface scenario",
+    "the fish-eye scenario",
+    "the isotropic vertically heterogeneous scenario",
+    "the anisotropic vertically heterogeneous scenario",
+]
+
+ISO_MESSAGES = [
+    " 1st order Taylor  + analytical 2-point momentum-impulse",
+    " 1st order Taylor  + d_theta/d_s Runge-Kutta (AnDF)",
+    " 2-point curvature + d_theta/d_s Runge-Kutta",
+    " 2-point curvature + analytical 2-point momentum-impulse",
+    " 2-point curvature + optimized  2-point momentum-impulse",
+    " 2nd order Taylor  + d_theta/d_s Runge-Kutta (HySA)",
+    " 2nd order Taylor  + 4-point difference method (MxSA)",
+    " 2nd order Taylor  + analytical 2-point momentum-impulse",
+    " 2nd order Taylor  + optimized  2-point momentum-impulse",
+]
+ANISO_MESSAGES = [
+    " 2-point curvature + optimized 2-point momentum-impulse",
+    " 2nd order Taylor  + optimized 2-point momentum-impulse",
+]
+
+
+def _menu(title: str, items: list[str], prompt: str, keys: list[str],
+          input_fn) -> str:
+    while True:
+        print(f"{BOLD}\n{title}{RESET}")
+        print("─" * max(len(title), 20))
+        for i, item in enumerate(items, 1):
+            print(f"• {BLUE}{i}.{RESET} {item}")
+        choice = input_fn(f"\n{GREEN}{prompt}{RESET} ").strip()
+        if choice in keys:
+            return choice
+        print(f"Invalid choice. Please choose {', '.join(keys[:-1])} or {keys[-1]}.")
+
+
+def _yes_no(prompt: str, input_fn) -> bool:
+    while True:
+        v = input_fn(f"\n{GREEN}{prompt} (Y/N):{RESET} ").strip().lower()
+        if v in ("y", "n"):
+            return v == "y"
+        print("Invalid input. Please enter 'Y' or 'N'.")
+
+
+def op_for_choice(scen_name: str, choice: str) -> str:
+    """Menu number -> op, matching RT_bench.py:1238-1291."""
+    if scen_name == "aniso":
+        return {"1": "op10", "2": "op11"}[choice]
+    return f"op{int(choice)}"
+
+
+def run_pipeline(scen, op_name: str, *, delta_s_mode: str = "calibrated",
+                 medium_kind: str = "grid", dtype=np.float32,
+                 n_turns: int = config.N_TURNS, do_benchmark: bool = False,
+                 bench_trials: int = 10, plot: str = "none",
+                 save_plot=None, save_video=None, printer=print):
+    """The reference's main() pipeline, flag-driven (RT_bench.py:961-1547)."""
+    medium = (build_grid_medium(scen.field, scen.box, dtype=dtype)
+              if medium_kind == "grid" else analytic_medium(scen.field))
+
+    divisor = None
+    if delta_s_mode == "search":
+        printer("\nFINDING SUITABLE DIVISOR...")
+        sr = delta_s_search(op_name, scen, medium, n_turns=n_turns, dtype=dtype)
+        if sr.index is None:
+            printer("\nNo suitable divisor was found. Try using another search "
+                    "interval (*_UPPER_LIMIT, *_LOWER_LIMIT). Exiting...")
+            return None
+        delta_s = sr.delta_s_selected
+        if scen.is_fisheye:
+            divisor = int(sr.divisor)
+            printer(f"Found best divisor! Using DELTA_S = 2*pi / {divisor:.0f}")
+        else:
+            printer(f"Found best divisor! Using DELTA_S = SIGMA / {sr.divisor:.2f}")
+    elif delta_s_mode == "calibrated":
+        delta_s, divisor = calibrated_table(op_name, scen.name)
+    else:  # default constants (RT_bench.py:79-84)
+        delta_s = config.DELTA_S
+        divisor = config.DELTA_S_DIVISOR_FISHEYE
+        if scen.is_fisheye:
+            delta_s = 2 * np.pi / divisor
+
+    t1 = time.perf_counter()
+    result = trace(op_name, scen, medium, delta_s=delta_s,
+                   divisor=(divisor + 1) if scen.is_fisheye else None,
+                   n_turns=n_turns, dtype=dtype)
+    np.asarray(result.final.pos[:1])
+    t2 = time.perf_counter()
+
+    printer("\nRESULTS")
+    if scen.is_fisheye:
+        printer(f"Closure error  {float(oracles.closure_error_pct(result)[0])} %")
+    elif scen.is_interface:
+        # per-ray Snell table, the reference's show=True run (RT_bench.py:1470)
+        errs = oracles.snell_report(result, scen.theta0, printer=printer)
+        printer(f"Average ray error:  {errs.mean()} degrees")
+    else:
+        cv = oracles.momentum_cv_pct_from_history(result)
+        printer(f"Average ray Coefficient of Variation:  "
+                f"{float(oracles.scenario_average_cv_pct(cv))}")
+    printer(f"Total travelled distance:  {float(np.sum(np.asarray(result.dist_sim)))}")
+
+    if do_benchmark:
+        printer(f"{BOLD}\nBenchmarking Process{RESET}")
+        printer("────────────────────")
+        printer(f"Benchmarking{ISO_MESSAGES[int(op_name[2:]) - 1] if not scen.is_aniso else ANISO_MESSAGES[int(op_name[2:]) - 10]}"
+                f" in {SCENARIO_TITLES[int(scen.key) - 1]}...")
+
+        def fn():
+            r = trace(op_name, scen, medium, delta_s=delta_s,
+                      divisor=(divisor + 1) if scen.is_fisheye else None,
+                      n_turns=n_turns, dtype=dtype, mode="metrics")
+            np.asarray(r.final.pos[:1])
+
+        steps = scen.max_size(delta_s, (divisor + 1) if scen.is_fisheye else None,
+                              n_turns) - 1
+        b = harness.benchmark(fn, scen.ray_count * steps, trials=bench_trials)
+        printer(f"\nCompletion time per scenario: {b.seconds} seconds.")
+        printer(f"Throughput: {b.ray_steps_per_sec:.3e} ray-steps/sec")
+
+    if plot != "none":
+        from raytracing_tpu.viz import plots
+        if plot == "movie" and scen.is_vert:
+            plots.animate_wavefronts(result, scen, save=save_video)
+        else:
+            fig, fronts = plots.plot_static(result, scen, save=save_plot)
+            if scen.is_vert:
+                plots.wavefront_report(result, printer=printer)
+                plots.plot_momentum(result, scen, delta_s=delta_s,
+                                    save=(save_plot + ".momentum.png")
+                                    if save_plot else None)
+    return result
+
+
+def interactive(input_fn=input):
+    """The reference's stdin flow (RT_bench.py:1550-1588)."""
+    from raytracing_tpu.config import scenario
+
+    key = _menu("Choose a Test Option",
+                ["Sharp changes in n(x,y)", "Gradual changes in n(x,y)",
+                 "Vertically heterogeneous - isotropic",
+                 "Vertically heterogeneous - anisotropic"],
+                "Enter the number of your choice:",
+                ["1", "2", "3", "4"], input_fn)
+    scen = scenario(key)
+    printer = print
+    if key == "4":
+        choice = _menu("Choose an Algorithm Option. (Methods for ray advancement + angle determination)",
+                       [f"Run{m}..." for m in ANISO_MESSAGES],
+                       "Enter the number of your choice:", ["1", "2"], input_fn)
+    else:
+        choice = _menu("Choose an Algorithm Option. (Methods for ray advancement + angle determination)",
+                       [f"Run{m}..." for m in ISO_MESSAGES],
+                       "Enter the number of your choice:",
+                       [str(i) for i in range(1, 10)], input_fn)
+    op_name = op_for_choice(scen.name, choice)
+
+    if _yes_no("Do you want to find an appropriate DELTA_S?", input_fn):
+        mode = "search"
+    elif _yes_no("Do you want to use the calibrated DELTA_S? If not, the "
+                 "default DELTA_S will be used.", input_fn):
+        mode = "calibrated"
+    else:
+        mode = "default"
+
+    do_bench = _yes_no("Do you want to proceed with the benchmark?", input_fn)
+    plot = "none"
+    save_video = None
+    if scen.is_vert:
+        while True:
+            v = input_fn(f"\n{GREEN}Do you want to make a static (enter 1) or "
+                         f"movie (enter 2) plot?: {RESET} ").strip()
+            if v in ("1", "2"):
+                plot = "static" if v == "1" else "movie"
+                break
+            print("Invalid input. Please enter 1 or 2.")
+        if plot == "movie" and _yes_no("Do you want to save a video?", input_fn):
+            save_video = "wavefront_propagation.mp4"
+    else:
+        plot = "static"
+
+    return run_pipeline(scen, op_name, delta_s_mode=mode,
+                        do_benchmark=do_bench, plot=plot,
+                        save_video=save_video, printer=printer)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="raytracing_tpu",
+                                description="TPU-native batched ray tracing")
+    p.add_argument("--scenario", choices=["interface", "fisheye", "vert",
+                                          "aniso", "1", "2", "3", "4"])
+    p.add_argument("--op", help="algorithm menu number (1-9 iso, 1-2 aniso) "
+                                "or op name/alias (op6, HySA, ...)")
+    p.add_argument("--delta-s", dest="delta_s_mode", default="calibrated",
+                   choices=["search", "calibrated", "default"])
+    p.add_argument("--medium", default="grid", choices=["grid", "analytic"])
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64"])
+    p.add_argument("--n-turns", type=int, default=config.N_TURNS)
+    p.add_argument("--benchmark", action="store_true")
+    p.add_argument("--bench-trials", type=int, default=10)
+    p.add_argument("--plot", default="none", choices=["none", "static", "movie"])
+    p.add_argument("--save-plot")
+    p.add_argument("--save-video")
+    args = p.parse_args(argv)
+
+    if args.scenario is None:
+        return interactive()
+
+    from raytracing_tpu.config import scenario
+    scen = scenario(args.scenario)
+    op_name = args.op or "1"
+    if op_name.isdigit():
+        op_name = op_for_choice(scen.name, op_name)
+    return run_pipeline(
+        scen, op_name, delta_s_mode=args.delta_s_mode,
+        medium_kind=args.medium, dtype=np.dtype(args.dtype),
+        n_turns=args.n_turns, do_benchmark=args.benchmark,
+        bench_trials=args.bench_trials, plot=args.plot,
+        save_plot=args.save_plot, save_video=args.save_video)
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() is not None else 1)

@@ -64,6 +64,41 @@ def snell_errors_deg(result: TraceResult, theta0):
     return jnp.abs(angsim - angreal)
 
 
+def format_num(num: float) -> str:
+    """Column-aligned number formatting of the per-ray Snell table
+    (RT_bench.py:929-943)."""
+    if num < 0:
+        return f"{num: >10.8f}" if abs(num) < 10 else f"{num: >10.7f}"
+    return f"{num: >10.9f}" if num < 10 else f"{num: >10.8f}"
+
+
+def snell_report(result: TraceResult, theta0, printer=print):
+    """Per-ray Snell table, the reference's ``show=True`` output
+    (RT_bench.py:921-945)."""
+    errs = np.asarray(snell_errors_deg(result, theta0))
+    theta0 = np.asarray(theta0)
+    deg = 180.0 / np.pi
+    refl = 90.0 - deg * theta0
+    with np.errstate(invalid="ignore"):  # arcsin>1 on the reflection branch
+        refr = deg * np.arcsin(np.sqrt(2.0) * np.sin(np.pi / 2.0 - theta0))
+    angreal = np.where(theta0 < np.pi / 4.0, refl,
+                       np.where(theta0 == np.pi / 4.0, 0.0, refr))
+    hist = np.asarray(result.history)
+    exit_step = np.asarray(result.exit_step)
+    for k in range(len(theta0)):
+        i = int(exit_step[k])
+        a, b = hist[i, k, 0], hist[i, k, 1]
+        # simulated angle from the tail slope, as in snell_errors_deg
+        i95, i90 = (19 * i) // 20, (9 * i) // 10
+        distx = hist[i95, k, 0] - hist[i90, k, 0]
+        disty = hist[i95, k, 1] - hist[i90, k, 1]
+        c = deg * np.arctan(np.abs(distx / disty))
+        printer(f"Coords: [ {format_num(a)} , {format_num(b)} ] | "
+                f"SimAng: {format_num(c)} | SnellAng: {format_num(angreal[k])} | "
+                f"Err: {format_num(errs[k])} | InitAng: {format_num(theta0[k] * deg)}")
+    return errs
+
+
 def momentum_cv_pct_from_history(result: TraceResult):
     """Per-ray coefficient of variation (%) of p_x over written history rows.
 

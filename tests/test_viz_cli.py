@@ -1,0 +1,74 @@
+"""Visualization analysis + CLI pipeline (headless, CPU)."""
+import dataclasses
+import io
+
+import numpy as np
+import pytest
+
+import raytracing_tpu as rt
+from raytracing_tpu.viz import plots
+
+
+@pytest.fixture(scope="module")
+def vert_result():
+    scen = dataclasses.replace(rt.scenario("vert"), s_max=6.0)
+    med = rt.analytic_medium("vert_heterogeneous")
+    return rt.trace("op8", scen, med, delta_s=0.01, dtype=np.float64), scen
+
+
+def test_wavefront_normals_match_ray_angles(vert_result):
+    """Physical cross-check the reference prints (RT_bench.py:1024-1039):
+    wavefront normals must agree with ray group angles."""
+    result, _ = vert_result
+    wf = plots.wavefront(result, 0.3)
+    assert wf is not None
+    assert wf.points.shape[0] > 5
+    # interior points: normal-vs-ray-angle agreement well under 0.05 rad
+    interior = wf.angle_diffs[2:-2]
+    assert np.median(interior) < 0.05, wf.angle_diffs
+
+
+def test_wavefront_none_when_too_early(vert_result):
+    result, _ = vert_result
+    assert plots.wavefront(result, 1e9) is None
+
+
+def test_plot_static_and_momentum(tmp_path, vert_result):
+    result, scen = vert_result
+    fig, fronts = plots.plot_static(result, scen,
+                                    save=str(tmp_path / "static.png"))
+    assert (tmp_path / "static.png").exists()
+    assert len(fronts) > 0
+    plots.plot_momentum(result, scen, delta_s=0.01,
+                        save=str(tmp_path / "mom.png"))
+    assert (tmp_path / "mom.png").exists()
+
+
+def test_cli_noninteractive_fisheye(capsys):
+    from raytracing_tpu import cli
+    res = cli.main(["--scenario", "fisheye", "--op", "1",
+                    "--delta-s", "default", "--medium", "analytic",
+                    "--dtype", "float64", "--n-turns", "1"])
+    assert res is not None
+    out = capsys.readouterr().out
+    assert "RESULTS" in out and "Closure error" in out
+
+
+def test_cli_interactive_flow(capsys, monkeypatch):
+    """Drive the reference's menu flow: scenario 2, algorithm 1, no search,
+    no calibrated (default), no benchmark."""
+    from raytracing_tpu import cli
+    import raytracing_tpu.config as cfg
+    answers = iter(["2", "1", "n", "n", "n"])
+    monkeypatch.setattr(cfg, "N_TURNS", 1)
+    res = cli.interactive(input_fn=lambda _: next(answers))
+    out = capsys.readouterr().out
+    assert "Choose a Test Option" in out
+    assert "Closure error" in out
+
+
+def test_cli_op_aliases():
+    from raytracing_tpu import cli
+    assert cli.op_for_choice("aniso", "1") == "op10"
+    assert cli.op_for_choice("aniso", "2") == "op11"
+    assert cli.op_for_choice("vert", "7") == "op7"
