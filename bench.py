@@ -30,7 +30,7 @@ NORTH_STAR = 1.0e9  # ray-steps/sec/chip (BASELINE.json)
 
 
 def main():
-    rays = int(os.environ.get("RT_BENCH_RAYS", 1_000_000))
+    rays = int(os.environ.get("RT_BENCH_RAYS", 1 << 20))  # 1M, block-aligned
     n_turns = int(os.environ.get("RT_BENCH_TURNS", 1))
     divisor = int(os.environ.get("RT_BENCH_DIVISOR", 4587))
     trials = int(os.environ.get("RT_BENCH_TRIALS", 10))

@@ -126,8 +126,11 @@ def make_fisheye_runner(rays: int, divisor: int, n_turns: int,
     steps = n_turns * (divisor + 1) - 1
     pad = (-rays) % block_rays
     n = rays + pad
-    pos0 = np.stack([np.ones(n), np.zeros(n)], -1).astype(np.float32)
-    theta0 = np.full(n, np.pi / 2.0, np.float32)
+    # Commit the launch batch to the device once: re-uploading 8 MB through
+    # the tunnel every run would dominate the measurement.
+    pos0 = jax.device_put(
+        np.stack([np.ones(n), np.zeros(n)], -1).astype(np.float32))
+    theta0 = jax.device_put(np.full(n, np.pi / 2.0, np.float32))
     ds = np.float32(2.0 * np.pi / divisor)
 
     def run():

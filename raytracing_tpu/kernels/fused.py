@@ -1,0 +1,202 @@
+"""Fused Pallas integrators: analytic fields x Taylor-family step methods.
+
+Generalizes the fisheye-op1 kernel to a factory over
+``field in {fisheye, vert_heterogeneous, interface}`` and
+``op in {op1, op2, op6, op8}`` (the 1st/2nd-order Taylor steppers paired
+with the analytic momentum-impulse and RK2 angle updates — op6 is HySA, the
+headline algorithm of the JASA paper; RT_bench.py:469-515, 602-624,
+652-674).  Ray-state tiles stay resident in VMEM across every integration
+step; per-step HBM traffic is zero.
+
+Design notes:
+
+* Angle-free carry: the unit tangent (ux, uy) replaces the angle.  The
+  momentum-impulse update becomes a normalization (rsqrt); the RK2 update
+  rotates the tangent by the angle increments — ``cos``/``sin`` of the small
+  increment only, never atan2.
+* Kahan-compensated position accumulation holds float32 trajectories to
+  ~1e-7 over thousands of steps.
+* Boundary exit (RT_bench.py:878-879) is a lane mask; finished rays freeze.
+  All four scenario boxes work; the fisheye never exits and the mask folds
+  away into ~6 cheap VPU ops.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracing_tpu.config import THCK_PARAM
+
+LANES = 128
+
+FUSED_FIELDS = ("fisheye", "vert_heterogeneous", "interface")
+FUSED_OPS = ("op1", "op2", "op6", "op8")
+
+_SQRT2 = 1.4142135623730951
+
+
+def _field_fn(field: str):
+    """n and its gradient, inlined into the kernel (media/fields.py twins)."""
+    if field == "fisheye":
+        def f(x, y):
+            n = 1.0 / (1.0 + x * x + y * y)
+            c = -2.0 * n * n
+            return n, c * x, c * y
+    elif field == "vert_heterogeneous":
+        def f(x, y):
+            n = 1.0 / (18.0 + 2.0 * y)
+            zero = jnp.zeros_like(x)
+            return n, zero, -2.0 * n * n
+    else:  # interface
+        def f(x, y):
+            sig = 1.0 / (1.0 + jnp.exp(-y / THCK_PARAM))
+            n = _SQRT2 - (_SQRT2 - 1.0) * sig
+            zero = jnp.zeros_like(x)
+            return n, zero, -(_SQRT2 - 1.0) * sig * (1.0 - sig) / THCK_PARAM
+    return f
+
+
+def _make_kernel(field: str, op: str, steps: int, box):
+    nag = _field_fn(field)
+    second_order = op in ("op6", "op8")
+    rk2 = op in ("op2", "op6")
+    # python floats fold into the kernel as literals (jnp scalars would be
+    # captured tracer constants, which pallas_call rejects)
+    limx_i, limx_s, limy_i, limy_s = [float(v) for v in box]
+
+    def kernel(x_ref, y_ref, ux_ref, uy_ref, zero_ref, ds_ref,
+               out_x_ref, out_y_ref, out_tt_ref, out_ds_ref, out_act_ref):
+        ds = ds_ref[0]
+        x, y = x_ref[...], y_ref[...]
+        ux, uy = ux_ref[...], uy_ref[...]
+        # Accumulator inits come from a loaded zeros buffer, not
+        # jnp.zeros_like: constant zeros get a replicated vector layout that
+        # Mosaic cannot reconcile with the loop-carried select results.
+        zero = zero_ref[...]
+        cx = zero
+        cy = zero
+        n, gx, gy = nag(x, y)
+        tt = zero
+        dsim = zero
+        active = zero + 1.0  # f32 mask: Mosaic can't carry i1 vectors in scf.for
+
+        def body(_, carry):
+            x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active = carry
+            # -- position advance ---------------------------------------
+            if second_order:
+                # transverse = grad - (grad.u)u ; r += u ds + transverse ds^2/2n
+                gdotu = gx * ux + gy * uy
+                half_fac = ds * ds * 0.5 / n
+                ddx = ux * ds + (gx - gdotu * ux) * half_fac
+                ddy = uy * ds + (gy - gdotu * uy) * half_fac
+            else:
+                ddx = ux * ds
+                ddy = uy * ds
+            dx = ddx - cx
+            nx2 = x + dx
+            cx2 = (nx2 - x) - dx
+            dy = ddy - cy
+            ny2 = y + dy
+            cy2 = (ny2 - y) - dy
+
+            n2, gx2, gy2 = nag(nx2, ny2)
+
+            # -- angle update -------------------------------------------
+            if rk2:
+                # tfinal_2o: k1/k2 angle increments; rotate the tangent.
+                k1 = ds * (ux * gy - uy * gx) / n
+                c1, s1 = jnp.cos(k1), jnp.sin(k1)
+                ux1 = ux * c1 - uy * s1
+                uy1 = ux * s1 + uy * c1
+                k2 = ds * (ux1 * gy2 - uy1 * gx2) / n2
+                half = (k1 + k2) * 0.5
+                ch, sh = jnp.cos(half), jnp.sin(half)
+                nux = ux * ch - uy * sh
+                nuy = ux * sh + uy * ch
+            else:
+                # theta_cost_t: normalized momentum + trapezoid impulse.
+                half = ds * 0.5
+                sx = n * ux + (gx + gx2) * half
+                sy = n * uy + (gy + gy2) * half
+                inv = jax.lax.rsqrt(sx * sx + sy * sy)
+                nux = sx * inv
+                nuy = sy * inv
+
+            # first-order steps move exactly ds; avoid materializing a
+            # replicated `dist` vector (Mosaic relayout bug in selects)
+            if second_order:
+                dist = jnp.sqrt(ddx * ddx + ddy * ddy)
+                ntt = tt + dist * (n + n2) * 0.5
+                ndsim = dsim + dist
+            else:
+                ntt = tt + ds * (n + n2) * 0.5
+                ndsim = dsim + ds
+
+            # -- boundary exit mask (strict, RT_bench.py:878) -----------
+            out = ((nx2 > limx_s) | (nx2 < limx_i)
+                   | (ny2 > limy_s) | (ny2 < limy_i))
+            keep = active > 0.5
+
+            def sel(new, old):
+                return jnp.where(keep, new, old)
+
+            nactive = jnp.where(out, zero, active)
+            return (sel(nx2, x), sel(ny2, y), sel(cx2, cx), sel(cy2, cy),
+                    sel(nux, ux), sel(nuy, uy), sel(n2, n), sel(gx2, gx),
+                    sel(gy2, gy), sel(ntt, tt), sel(ndsim, dsim), nactive)
+
+        x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active = jax.lax.fori_loop(
+            0, steps, body, (x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active))
+        out_x_ref[...] = x
+        out_y_ref[...] = y
+        out_tt_ref[...] = tt
+        out_ds_ref[...] = dsim
+        out_act_ref[...] = active
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("field", "op", "steps", "box",
+                                             "block_rays", "interpret"))
+def fused_trace_final(pos0, theta0, delta_s, *, field: str, op: str,
+                      steps: int, box, block_rays: int = 4096,
+                      interpret: bool = False):
+    """Run ``steps`` fused integration steps; return final
+    (pos, traveltime, dist_sim, active_mask)."""
+    if field not in FUSED_FIELDS:
+        raise ValueError(f"fused kernel supports fields {FUSED_FIELDS}, got {field!r}")
+    if op not in FUSED_OPS:
+        raise ValueError(f"fused kernel supports ops {FUSED_OPS}, got {op!r}")
+    r = pos0.shape[0]
+    if r % block_rays:
+        raise ValueError(f"rays {r} not a multiple of block {block_rays}")
+    rows = block_rays // LANES
+    shape2 = (r // LANES, LANES)
+    x = pos0[:, 0].reshape(shape2)
+    y = pos0[:, 1].reshape(shape2)
+    ux = jnp.cos(theta0).reshape(shape2)
+    uy = jnp.sin(theta0).reshape(shape2)
+    ds = jnp.asarray([delta_s], jnp.float32)
+
+    blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    zero = jnp.zeros(shape2, jnp.float32)
+    fx, fy, tt, dsim, act = pl.pallas_call(
+        _make_kernel(field, op, steps, box),
+        grid=(r // block_rays,),
+        in_specs=[blk, blk, blk, blk, blk,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[blk] * 5,
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 5,
+        cost_estimate=pl.CostEstimate(
+            flops=60 * r * steps, bytes_accessed=13 * 4 * r,
+            transcendentals=3 * r * steps),
+        interpret=interpret,
+    )(x, y, ux, uy, zero, ds)
+    pos = jnp.stack([fx.reshape(-1), fy.reshape(-1)], axis=-1)
+    return pos, tt.reshape(-1), dsim.reshape(-1), act.reshape(-1) > 0.5
