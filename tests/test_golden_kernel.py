@@ -1,0 +1,87 @@
+"""Fused golden-section kernels vs the jnp engine (interpret mode, CPU)."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import raytracing_tpu as rt
+from raytracing_tpu.kernels.golden import GOLDEN_OPS, golden_trace_final
+
+
+def _pad(scen, pad_to=128):
+    r0 = scen.ray_count
+    pad = (-r0) % pad_to
+    pos0 = np.concatenate([scen.pos0, np.tile(scen.pos0[-1:], (pad, 1))]).astype(np.float32)
+    theta0 = np.concatenate([scen.theta0, np.tile(scen.theta0[-1:], pad)]).astype(np.float32)
+    return r0, pos0, theta0
+
+
+@pytest.mark.parametrize("op", ["op10", "op11"])
+def test_golden_kernel_aniso_matches_engine(op):
+    scen = dataclasses.replace(rt.scenario("aniso"), s_max=1.5)
+    med = rt.analytic_medium("vert_heterogeneous")
+    ds = np.float32(0.02)
+    steps = scen.max_size(float(ds)) - 1
+    r0, pos0, theta0 = _pad(scen)
+
+    pos, ang, tt, dsim, act = golden_trace_final(
+        pos0, theta0, ds, np.float32(scen.gamma), field="vert_heterogeneous",
+        op=op, steps=steps, box=tuple(scen.box), block_rays=128, interpret=True)
+
+    res = rt.trace(op, scen, med, delta_s=float(ds), mode="metrics",
+                   dtype=np.float32, pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(pos)[:r0],
+                               np.asarray(res.final.pos)[:r0], atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ang)[:r0],
+                               np.asarray(res.final.angle)[:r0], atol=5e-3)
+    np.testing.assert_allclose(np.asarray(tt)[:r0],
+                               np.asarray(res.final.traveltime)[:r0], atol=5e-4)
+
+
+@pytest.mark.parametrize("op", ["op5", "op9"])
+def test_golden_kernel_iso_matches_engine(op):
+    scen = dataclasses.replace(rt.scenario("vert"), s_max=1.5)
+    med = rt.analytic_medium("vert_heterogeneous")
+    ds = np.float32(0.02)
+    steps = scen.max_size(float(ds)) - 1
+    r0, pos0, theta0 = _pad(scen)
+    pos, ang, tt, dsim, act = golden_trace_final(
+        pos0, theta0, ds, np.float32(1.0), field="vert_heterogeneous",
+        op=op, steps=steps, box=tuple(scen.box), block_rays=128, interpret=True)
+    res = rt.trace(op, scen, med, delta_s=float(ds), mode="metrics",
+                   dtype=np.float32, pos0=pos0, theta0=theta0)
+    # Endpoint rays (theta = 0, pi/2) sit on cost-function symmetries where
+    # float32 golden noise walks them differently per implementation — the
+    # reference's own CV metric excludes them too (RT_bench.py:1357).
+    np.testing.assert_allclose(np.asarray(pos)[1:r0 - 1],
+                               np.asarray(res.final.pos)[1:r0 - 1], atol=5e-4)
+
+
+def test_golden_kernel_momentum_conservation():
+    """The physics the method exists for: p_x conserved along each ray."""
+    scen = dataclasses.replace(rt.scenario("aniso"), s_max=2.0)
+    ds = np.float32(0.02)
+    steps = scen.max_size(float(ds)) - 1
+    r0, pos0, theta0 = _pad(scen)
+    pos, ang, tt, dsim, act = golden_trace_final(
+        pos0, theta0, ds, np.float32(scen.gamma), field="vert_heterogeneous",
+        op="op11", steps=steps, box=tuple(scen.box), block_rays=128,
+        interpret=True)
+    # compare final p_x against the launch p_x for interior rays
+    from tests_helpers import momenta_np
+    m0 = momenta_np(theta0[:r0], pos0[:r0], scen.gamma)
+    mf = momenta_np(np.asarray(ang)[:r0], np.asarray(pos)[:r0], scen.gamma)
+    rel = np.abs(mf[1:-1, 0] - m0[1:-1, 0]) / np.abs(m0[1:-1, 0])
+    # float32 golden argmin noise is ~sqrt(eps_f32) per step, a ~1 % random
+    # walk over 100 steps — identical to the jnp engine at float32.  The
+    # 0.05 % reference threshold is a float64 figure, covered by the CPU
+    # oracle tests (test_oracles.py).
+    assert np.median(rel) < 5e-2, rel
+
+
+def test_golden_kernel_rejects_unknown_op():
+    pos0 = np.zeros((128, 2), np.float32)
+    with pytest.raises(ValueError, match="golden kernel supports"):
+        golden_trace_final(pos0, np.zeros(128, np.float32), 0.1, 1.0,
+                           field="fisheye", op="op1", steps=2,
+                           box=(-1, 1, -1, 1), block_rays=128, interpret=True)
