@@ -25,14 +25,15 @@ from jax.experimental.pallas import tpu as pltpu
 from raytracing_tpu.config import DELTA_G, GOLD_RATIO, gold_tol, golden_iters
 from raytracing_tpu.kernels.fused import LANES, _field_fn
 
-GOLDEN_OPS = {"op5": ("curv", 1.0), "op9": ("t2", 1.0),
-              "op10": ("curv", None), "op11": ("t2", None)}
+GOLDEN_OPS = {"op5": ("curv", "golden"), "op9": ("t2", "golden"),
+              "op10": ("curv", "golden"), "op11": ("t2", "golden"),
+              "op10n": ("curv", "newton"), "op11n": ("t2", "newton")}
 
 
 def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                  curv_tol: float):
     nag = _field_fn(field)
-    stepper, _ = GOLDEN_OPS[op]
+    stepper, solver = GOLDEN_OPS[op]
     limx_i, limx_s, limy_i, limy_s = [float(v) for v in box]
     r = GOLD_RATIO
 
@@ -107,29 +108,42 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                 ry = mf_y - mi_y - (jy_i + cf * gy2) * half_ds
                 return rx * rx + ry * ry
 
-            a = ang - DELTA_G
-            b = ang + DELTA_G
-            c = b - (b - a) * r
-            d = a + (b - a) * r
-            fc = cost(c)
-            fd = cost(d)
+            if solver == "newton":
+                # Newton on d(cost)/dt via nested forward-mode jvp
+                # (ops/newton.py): quadratic convergence from the O(ds) seed.
+                def dcost(t):
+                    return jax.jvp(cost, (t,), (jnp.ones_like(t),))[1]
 
-            def gold_body(_, g):
-                a, b, c, d, fc, fd = g
-                left = fc < fd
-                a2 = jnp.where(left, a, c)
-                b2 = jnp.where(left, d, b)
-                c2 = b2 - (b2 - a2) * r
-                d2 = a2 + (b2 - a2) * r
-                fresh = jnp.where(left, c2, d2)
-                ff = cost(fresh)
-                fc2 = jnp.where(left, ff, fd)
-                fd2 = jnp.where(left, fc, ff)
-                return a2, b2, c2, d2, fc2, fd2
+                t_new = ang
+                for _ in range(3):
+                    d1, d2 = jax.jvp(dcost, (t_new,),
+                                     (jnp.ones_like(t_new),))
+                    safe = jnp.where(jnp.abs(d2) < 1e-12, 1e-12, jnp.abs(d2))
+                    t_new = t_new - jnp.clip(d1 / safe, -0.3, 0.3)
+            else:
+                a = ang - DELTA_G
+                b = ang + DELTA_G
+                c = b - (b - a) * r
+                d = a + (b - a) * r
+                fc = cost(c)
+                fd = cost(d)
 
-            a, b, c, d, fc, fd = jax.lax.fori_loop(
-                0, gold_iters_n, gold_body, (a, b, c, d, fc, fd))
-            t_new = (a + b) * 0.5
+                def gold_body(_, g):
+                    a, b, c, d, fc, fd = g
+                    left = fc < fd
+                    a2 = jnp.where(left, a, c)
+                    b2 = jnp.where(left, d, b)
+                    c2 = b2 - (b2 - a2) * r
+                    d2 = a2 + (b2 - a2) * r
+                    fresh = jnp.where(left, c2, d2)
+                    ff = cost(fresh)
+                    fc2 = jnp.where(left, ff, fd)
+                    fd2 = jnp.where(left, fc, ff)
+                    return a2, b2, c2, d2, fc2, fd2
+
+                a, b, c, d, fc, fd = jax.lax.fori_loop(
+                    0, gold_iters_n, gold_body, (a, b, c, d, fc, fd))
+                t_new = (a + b) * 0.5
             nang = jnp.where(significant, t_new, ang)
             nux, nuy = jnp.cos(nang), jnp.sin(nang)
 

@@ -122,12 +122,19 @@ _SPECS = {
     "op9": ("taylor2", "golden"),
     "op10": ("curv", "golden_aniso"),
     "op11": ("taylor2", "golden_aniso"),
+    # framework extensions (not in the reference): Newton refinement of the
+    # anisotropic momentum solve — see ops/newton.py
+    "op10n": ("curv", "newton_aniso"),
+    "op11n": ("taylor2", "newton_aniso"),
 }
 
 ALIASES = {"AnDF": "op2", "HySA": "op6", "MxSA": "op7"}
-OP_NAMES = tuple(_SPECS)
+#: the reference's 11 step methods
+OP_NAMES = tuple(n for n in _SPECS if not n.endswith("n"))
+#: extensions beyond the reference
+EXTENSION_OPS = tuple(n for n in _SPECS if n.endswith("n"))
 #: ops valid for anisotropic scenarios (reference menu RT_bench.py:1268-1294)
-ANISO_OPS = ("op10", "op11")
+ANISO_OPS = ("op10", "op11", "op10n", "op11n")
 
 
 def canonical(name: str) -> str:
@@ -172,6 +179,15 @@ def build_op(name: str, dtype=np.float32):
             f_angle = _golden_iso(pt, final_n, f_grad, delta_s, gold_iters)
         elif solver == "golden_aniso":
             f_angle = _golden_aniso(pt, final_n, f_grad, delta_s, gamma, gold_iters)
+        elif solver == "newton_aniso":
+            from raytracing_tpu.ops.newton import newton_minimize
+            ux, uy = pt.unitv[..., 0], pt.unitv[..., 1]
+            mi_x = moment(pt.n, pt.angle, gamma, ux, -(uy * uy))
+            mi_y = moment(pt.n, pt.angle, gamma, uy, ux * ux)
+            f_angle = newton_minimize(
+                lambda t: _aniso_cost(t, final_n, mi_x, mi_y, pt.coef,
+                                      pt.grad, f_grad, delta_s, gamma),
+                pt.angle)
         else:  # fd: 4-point backward difference with order ramp-up.
             # The reference primes the first two steps manually outside the
             # loop with 1st/2nd-order differences (RT_bench.py:833-864); here
