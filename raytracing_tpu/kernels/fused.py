@@ -35,7 +35,7 @@ from raytracing_tpu.config import THCK_PARAM
 LANES = 128
 
 FUSED_FIELDS = ("fisheye", "vert_heterogeneous", "interface")
-FUSED_OPS = ("op1", "op2", "op6", "op8")
+FUSED_OPS = ("op1", "op2", "op6", "op8", "op12")
 
 _SQRT2 = 1.4142135623730951
 
@@ -65,6 +65,7 @@ def _make_kernel(field: str, op: str, steps: int, box):
     nag = _field_fn(field)
     second_order = op in ("op6", "op8")
     rk2 = op in ("op2", "op6")
+    rk4 = op == "op12"
     # python floats fold into the kernel as literals (jnp scalars would be
     # captured tracer constants, which pallas_call rejects)
     limx_i, limx_s, limy_i, limy_s = [float(v) for v in box]
@@ -87,6 +88,53 @@ def _make_kernel(field: str, op: str, steps: int, box):
 
         def body(_, carry):
             x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active = carry
+            if rk4:
+                # joint RK4 (ops/registry.py op12) with the tangent carried
+                # as (cos t, sin t); intermediate angles are rotations of the
+                # tangent by the small k increments — no atan2 anywhere.
+                def rot(ax, ay, d):
+                    c, s = jnp.cos(d), jnp.sin(d)
+                    return ax * c - ay * s, ax * s + ay * c
+
+                h = ds
+                k1t = (ux * gy - uy * gx) / n
+                u1x, u1y = rot(ux, uy, 0.5 * h * k1t)
+                nb, gbx, gby = nag(x + 0.5 * h * ux, y + 0.5 * h * uy)
+                k2t = (u1x * gby - u1y * gbx) / nb
+                u2x, u2y = rot(ux, uy, 0.5 * h * k2t)
+                nc, gcx, gcy = nag(x + 0.5 * h * u1x, y + 0.5 * h * u1y)
+                k3t = (u2x * gcy - u2y * gcx) / nc
+                u3x, u3y = rot(ux, uy, h * k3t)
+                nd, gdx, gdy = nag(x + h * u2x, y + h * u2y)
+                k4t = (u3x * gdy - u3y * gdx) / nd
+                ddx = (h / 6.0) * (ux + 2 * u1x + 2 * u2x + u3x)
+                ddy = (h / 6.0) * (uy + 2 * u1y + 2 * u2y + u3y)
+                dth = (h / 6.0) * (k1t + 2 * k2t + 2 * k3t + k4t)
+                nux, nuy = rot(ux, uy, dth)
+
+                dx = ddx - cx
+                nx2 = x + dx
+                cx2 = (nx2 - x) - dx
+                dy = ddy - cy
+                ny2 = y + dy
+                cy2 = (ny2 - y) - dy
+                n2, gx2, gy2 = nag(nx2, ny2)
+                dist = jnp.sqrt(ddx * ddx + ddy * ddy)
+                ntt = tt + dist * (n + n2) * 0.5
+                ndsim = dsim + dist
+
+                out = ((nx2 > limx_s) | (nx2 < limx_i)
+                       | (ny2 > limy_s) | (ny2 < limy_i))
+                keep = active > 0.5
+
+                def sel(new, old):
+                    return jnp.where(keep, new, old)
+
+                nactive = jnp.where(out, zero, active)
+                return (sel(nx2, x), sel(ny2, y), sel(cx2, cx), sel(cy2, cy),
+                        sel(nux, ux), sel(nuy, uy), sel(n2, n), sel(gx2, gx),
+                        sel(gy2, gy), sel(ntt, tt), sel(ndsim, dsim), nactive)
+
             # -- position advance ---------------------------------------
             if second_order:
                 # transverse = grad - (grad.u)u ; r += u ds + transverse ds^2/2n

@@ -111,20 +111,35 @@ class GridMedium:
 
 
 def build_grid_medium(field: str, box, delta: float = config.DELTA,
-                      dtype=np.float32) -> GridMedium:
+                      dtype=np.float32, backend: str = "auto") -> GridMedium:
     """Sample ``field`` on the padded grid and build device tables.
 
     Reproduces the reference pipeline genZ -> np.gradient -> bicubic fit
     (RT_bench.py:1587-1588) with the fit converted to per-cell polynomials.
-    """
-    from scipy.interpolate import RectBivariateSpline
 
+    ``backend``: "native" uses the C++ not-a-knot builder
+    (raytracing_tpu/native) — same spline, no scipy; "scipy" forces the
+    FITPACK fit; "auto" prefers native when the host can build it.
+    """
     x, y, Z = _grid.gen_grid(field, box, delta)
-    dndx, dndy = _grid.gradient_grids(Z, delta)
-    sx = RectBivariateSpline(y, x, dndx, kx=3, ky=3)
-    sy = RectBivariateSpline(y, x, dndy, kx=3, ky=3)
-    cx = _spline_to_cells(sx, y, x).reshape(-1, 16)
-    cy = _spline_to_cells(sy, y, x).reshape(-1, 16)
+
+    if backend == "auto":
+        from raytracing_tpu import native
+        backend = "native" if native.available() else "scipy"
+
+    if backend == "native":
+        from raytracing_tpu import native
+        dndx, dndy = native.gradient2(Z, delta)
+        cx = native.bicubic_cells(dndx).reshape(-1, 16)
+        cy = native.bicubic_cells(dndy).reshape(-1, 16)
+    else:
+        from scipy.interpolate import RectBivariateSpline
+
+        dndx, dndy = _grid.gradient_grids(Z, delta)
+        sx = RectBivariateSpline(y, x, dndx, kx=3, ky=3)
+        sy = RectBivariateSpline(y, x, dndy, kx=3, ky=3)
+        cx = _spline_to_cells(sx, y, x).reshape(-1, 16)
+        cy = _spline_to_cells(sy, y, x).reshape(-1, 16)
     return GridMedium(
         Z=jnp.asarray(Z, dtype), cx=jnp.asarray(cx, dtype),
         cy=jnp.asarray(cy, dtype),

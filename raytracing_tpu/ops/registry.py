@@ -126,13 +126,17 @@ _SPECS = {
     # anisotropic momentum solve — see ops/newton.py
     "op10n": ("curv", "newton_aniso"),
     "op11n": ("taylor2", "newton_aniso"),
+    # classical RK4 on the joint (position, angle) ray ODE: global error
+    # O(delta_s^4) vs the reference's best O(delta_s^2) — the route to the
+    # 1e-6 RMS north-star accuracy (BASELINE.json) at practical step sizes
+    "op12": ("rk4", "joint"),
 }
 
 ALIASES = {"AnDF": "op2", "HySA": "op6", "MxSA": "op7"}
 #: the reference's 11 step methods
-OP_NAMES = tuple(n for n in _SPECS if not n.endswith("n"))
+OP_NAMES = tuple(f"op{i}" for i in range(1, 12))
 #: extensions beyond the reference
-EXTENSION_OPS = tuple(n for n in _SPECS if n.endswith("n"))
+EXTENSION_OPS = tuple(n for n in _SPECS if n not in OP_NAMES)
 #: ops valid for anisotropic scenarios (reference menu RT_bench.py:1268-1294)
 ANISO_OPS = ("op10", "op11", "op10n", "op11n")
 
@@ -157,6 +161,27 @@ def build_op(name: str, dtype=np.float32):
     gold_iters = config.golden_iters(dtype)
 
     def step(pt: RayPoint, step_idx, medium, gamma, delta_s) -> StepResult:
+        if stepper == "rk4":
+            # Joint RK4 on dr/ds = (cos t, sin t),
+            # dt/ds = (cos t * dn/dy - sin t * dn/dx)/n  — the same ODE the
+            # reference integrates with RK2 in tfinal_2o (RT_bench.py:374-391),
+            # two orders higher.
+            def f(pos, th):
+                n, (gx, gy) = medium.n_and_grad(pos[..., 0], pos[..., 1])
+                c, s = jnp.cos(th), jnp.sin(th)
+                dth = (c * gy - s * gx) / n
+                return jnp.stack([c, s], axis=-1), dth
+
+            h = delta_s
+            k1p, k1t = f(pt.pos, pt.angle)
+            k2p, k2t = f(pt.pos + 0.5 * h * k1p, pt.angle + 0.5 * h * k1t)
+            k3p, k3t = f(pt.pos + 0.5 * h * k2p, pt.angle + 0.5 * h * k2t)
+            k4p, k4t = f(pt.pos + h * k3p, pt.angle + h * k3t)
+            f_pos = pt.pos + (h / 6.0) * (k1p + 2 * k2p + 2 * k3p + k4p)
+            f_angle = pt.angle + (h / 6.0) * (k1t + 2 * k2t + 2 * k3t + k4t)
+            final_n, f_grad = _eval_medium(medium, f_pos)
+            return StepResult(pos=f_pos, angle=f_angle, n=final_n, grad=f_grad)
+
         # --- position advancement -------------------------------------
         if stepper == "taylor1":
             f_pos = S.first_order_taylor(pt.pos, pt.unitv, delta_s)

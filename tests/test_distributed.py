@@ -1,0 +1,63 @@
+"""Ray-batch sharding over the virtual 8-device CPU mesh."""
+import jax
+import numpy as np
+
+import raytracing_tpu as rt
+from raytracing_tpu.parallel.distributed import (
+    ray_batch_sharding, summarize_sharded, trace_sharded)
+from raytracing_tpu.parallel.mesh import make_mesh
+
+
+def _batch(r):
+    theta0 = np.full(r, np.pi / 2.0)
+    pos0 = np.stack([np.ones(r), np.zeros(r)], -1)
+    return pos0, theta0
+
+
+def test_trace_sharded_matches_single_device():
+    mesh = make_mesh(8)
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    div = 64
+    ds = 2 * np.pi / div
+    pos0, theta0 = _batch(64)
+    sharded = trace_sharded("op1", scen, med, delta_s=ds, mesh=mesh,
+                            pos0=pos0, theta0=theta0, divisor=div + 1,
+                            n_turns=1, dtype=np.float64)
+    single = rt.trace("op1", scen, med, delta_s=ds, divisor=div + 1,
+                      n_turns=1, mode="metrics", dtype=np.float64,
+                      pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(sharded.final.pos),
+                               np.asarray(single.final.pos), rtol=1e-12)
+    # the result really is distributed over all 8 devices
+    assert len(sharded.final.pos.sharding.device_set) == 8
+
+
+def test_summarize_reduces_on_device():
+    mesh = make_mesh(8)
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    div = 64
+    ds = 2 * np.pi / div
+    pos0, theta0 = _batch(64)
+    res = trace_sharded("op1", scen, med, delta_s=ds, mesh=mesh,
+                        pos0=pos0, theta0=theta0, divisor=div + 1,
+                        n_turns=1, dtype=np.float64)
+    s = summarize_sharded(res)
+    assert s.rays == 64
+    assert float(s.mean_closure_pct) < 1.0
+    assert float(s.total_distance) > 0
+
+
+def test_trace_sharded_rejects_indivisible_batch():
+    mesh = make_mesh(8)
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    pos0, theta0 = _batch(63)
+    try:
+        trace_sharded("op1", scen, med, delta_s=0.1, mesh=mesh,
+                      pos0=pos0, theta0=theta0, divisor=10, n_turns=1)
+    except ValueError as e:
+        assert "not divisible" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
