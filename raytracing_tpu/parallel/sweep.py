@@ -120,12 +120,17 @@ def _max_sizes(scen, delta_s, trace_divisors, n_turns):
 def run_candidates(op_name: str, scen: config.ScenarioConfig, medium,
                    delta_s: np.ndarray, step_limits: np.ndarray,
                    max_size: int, *, n_turns: int = config.N_TURNS,
-                   dtype=np.float32, chunk: int | None = None, mesh=None):
+                   dtype=np.float32, chunk: int | None = None, mesh=None,
+                   checkpoint: str | None = None):
     """Evaluate the scenario acceptance metric for every candidate.
 
     Returns a dict of per-candidate arrays:
     interface -> mean_err/max_err (deg); fisheye -> closure_pct;
     vert/aniso -> cv_pct.
+
+    ``checkpoint`` names an .npz file: each finished candidate chunk is
+    persisted there, and a rerun resumes at the first unfinished chunk —
+    the elastic-recovery layer the reference lacks (SURVEY.md 5.3-5.4).
     """
     dtype = np.dtype(dtype)
     mode = "history" if scen.is_interface else "metrics"
@@ -154,14 +159,28 @@ def run_candidates(op_name: str, scen: config.ScenarioConfig, medium,
     n = len(delta_s)
     if chunk is None:
         chunk = n if not scen.is_interface else 16
+
+    store = None
+    if checkpoint is not None:
+        from raytracing_tpu.utils.checkpoint import SweepCheckpoint
+        store = SweepCheckpoint(checkpoint, meta={
+            "op": op_name, "scenario": scen.name, "dtype": np.dtype(dtype).name,
+            "candidates": int(n), "chunk": int(chunk)})
+
     outs = []
-    for lo in range(0, n, chunk):
+    for ci, lo in enumerate(range(0, n, chunk)):
+        if store is not None and store.has_chunk(ci):
+            outs.append(store.chunk(ci))
+            continue
         d = jnp.asarray(delta_s[lo:lo + chunk], dtype)
         lim = jnp.asarray(step_limits[lo:lo + chunk], jnp.int32)
         if mesh is not None and d.shape[0] % mesh.devices.size == 0:
             sh = meshlib.sweep_sharding(mesh)
             d, lim = jax.device_put(d, sh), jax.device_put(lim, sh)
-        outs.append(jax.tree.map(np.asarray, runner(d, lim)))
+        out = jax.tree.map(np.asarray, runner(d, lim))
+        if store is not None:
+            store.add_chunk(ci, out)
+        outs.append(out)
     return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 
 

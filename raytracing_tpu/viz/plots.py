@@ -213,8 +213,16 @@ def animate_wavefronts(result: TraceResult, scen, *, frames: int = 45,
 
     ani = FuncAnimation(fig, update, frames=frames, blit=True)
     if save:
-        ani.save(save, writer="ffmpeg")
-    return ani
+        from matplotlib.animation import FFMpegWriter
+
+        if FFMpegWriter.isAvailable():
+            ani.save(save, writer="ffmpeg")  # RT_bench.py:1162
+        else:
+            # hosts without ffmpeg (like this image) fall back to a GIF
+            if save.endswith(".mp4"):
+                save = save[:-4] + ".gif"
+            ani.save(save, writer="pillow")
+    return ani, save if save else None
 
 
 def plot_momentum(result: TraceResult, scen, *, delta_s: float,

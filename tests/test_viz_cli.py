@@ -72,3 +72,14 @@ def test_cli_op_aliases():
     assert cli.op_for_choice("aniso", "1") == "op10"
     assert cli.op_for_choice("aniso", "2") == "op11"
     assert cli.op_for_choice("vert", "7") == "op7"
+
+
+def test_animate_wavefronts_saves_gif(tmp_path, vert_result):
+    result, scen = vert_result
+    from raytracing_tpu.viz import plots
+    ani, path = plots.animate_wavefronts(result, scen, frames=4,
+                                         save=str(tmp_path / "wf.mp4"))
+    # no ffmpeg in this image -> pillow fallback rewrites the extension
+    assert path.endswith(".gif") or path.endswith(".mp4")
+    import os
+    assert os.path.getsize(path) > 0
