@@ -35,7 +35,7 @@ from raytracing_tpu.config import THCK_PARAM
 LANES = 128
 
 FUSED_FIELDS = ("fisheye", "vert_heterogeneous", "interface")
-FUSED_OPS = ("op1", "op2", "op6", "op8", "op12")
+FUSED_OPS = ("op1", "op2", "op3", "op4", "op6", "op7", "op8", "op12")
 
 _SQRT2 = 1.4142135623730951
 
@@ -61,10 +61,12 @@ def _field_fn(field: str):
     return f
 
 
-def _make_kernel(field: str, op: str, steps: int, box):
+def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0):
     nag = _field_fn(field)
-    second_order = op in ("op6", "op8")
-    rk2 = op in ("op2", "op6")
+    second_order = op in ("op6", "op7", "op8")
+    curvature = op in ("op3", "op4")
+    rk2 = op in ("op2", "op3", "op6")
+    window = op == "op7"
     rk4 = op == "op12"
     # python floats fold into the kernel as literals (jnp scalars would be
     # captured tracer constants, which pallas_call rejects)
@@ -86,14 +88,25 @@ def _make_kernel(field: str, op: str, steps: int, box):
         dsim = zero
         active = zero + 1.0  # f32 mask: Mosaic can't carry i1 vectors in scf.for
 
-        def body(_, carry):
-            x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active = carry
+        def body(i, carry):
+            if window:
+                (x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active,
+                 wax, way, wbx, wby) = carry
+            else:
+                x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active = carry
             if rk4:
                 # joint RK4 (ops/registry.py op12) with the tangent carried
                 # as (cos t, sin t); intermediate angles are rotations of the
                 # tangent by the small k increments — no atan2 anywhere.
+                # Rotations use degree-5 small-angle polynomials: the
+                # increments are O(ds * curvature), so the d^5/120 truncation
+                # sits below float32 eps for any practical step — and chains
+                # of real sin/cos here sent the Mosaic compiler into a
+                # pathological (>40 min) compile.
                 def rot(ax, ay, d):
-                    c, s = jnp.cos(d), jnp.sin(d)
+                    d2 = d * d
+                    s = d * (1.0 - d2 * (1.0 / 6.0) * (1.0 - d2 * 0.05))
+                    c = 1.0 - d2 * 0.5 * (1.0 - d2 * (1.0 / 12.0))
                     return ax * c - ay * s, ax * s + ay * c
 
                 h = ds
@@ -142,9 +155,29 @@ def _make_kernel(field: str, op: str, steps: int, box):
                 half_fac = ds * ds * 0.5 / n
                 ddx = ux * ds + (gx - gdotu * ux) * half_fac
                 ddy = uy * ds + (gy - gdotu * uy) * half_fac
+                significant = None
+            elif curvature:
+                # arc step on the circle of curvature (RT_bench.py:335-365),
+                # chord via rotations of the tangent (ops/steppers.py)
+                gdotu = gx * ux + gy * uy
+                txx = gx - gdotu * ux
+                txy = gy - gdotu * uy
+                curv = jnp.sqrt(txx * txx + txy * txy) / n
+                significant = curv >= curv_tol
+                safe = jnp.where(significant, curv, 1.0)
+                d = curv * ds
+                sgn = jnp.where(gx * uy - gy * ux > 0, -1.0, 1.0)
+                halfd = sgn * d * 0.5
+                shh, chh = jnp.sin(halfd), jnp.cos(halfd)
+                coefc = 2.0 * shh * sgn / safe
+                arc_dx = (ux * chh - uy * shh) * coefc
+                arc_dy = (ux * shh + uy * chh) * coefc
+                ddx = jnp.where(significant, arc_dx, ux * ds)
+                ddy = jnp.where(significant, arc_dy, uy * ds)
             else:
                 ddx = ux * ds
                 ddy = uy * ds
+                significant = None
             dx = ddx - cx
             nx2 = x + dx
             cx2 = (nx2 - x) - dx
@@ -155,7 +188,25 @@ def _make_kernel(field: str, op: str, steps: int, box):
             n2, gx2, gy2 = nag(nx2, ny2)
 
             # -- angle update -------------------------------------------
-            if rk2:
+            if window:
+                # MxSA: backward difference over the 4-position window with
+                # the in-scan order ramp (ops/registry.py, RT_bench.py:833-
+                # 864, 370-372).  The reference takes atan2 of the
+                # combination vector then cos/sin — the tangent is just the
+                # normalized combination, so no atan2 here.
+                step_num = i + 1
+                is1 = step_num == 1
+                is2 = step_num == 2
+                ca = jnp.where(is1, 0.0, jnp.where(is2, 0.0, -2.0))
+                cb = jnp.where(is1, 0.0, jnp.where(is2, 1.0, 9.0))
+                cc = jnp.where(is1, -1.0, jnp.where(is2, -4.0, -18.0))
+                cd = jnp.where(is1, 1.0, jnp.where(is2, 3.0, 11.0))
+                vx = ca * wax + cb * wbx + cc * x + cd * nx2
+                vy = ca * way + cb * wby + cc * y + cd * ny2
+                inv = jax.lax.rsqrt(vx * vx + vy * vy)
+                nux = vx * inv
+                nuy = vy * inv
+            elif rk2:
                 # tfinal_2o: k1/k2 angle increments; rotate the tangent.
                 k1 = ds * (ux * gy - uy * gx) / n
                 c1, s1 = jnp.cos(k1), jnp.sin(k1)
@@ -175,9 +226,15 @@ def _make_kernel(field: str, op: str, steps: int, box):
                 nux = sx * inv
                 nuy = sy * inv
 
+            if significant is not None:
+                # curvature ops keep the old angle when curvature is
+                # negligible (RT_bench.py:538-541, 566-569)
+                nux = jnp.where(significant, nux, ux)
+                nuy = jnp.where(significant, nuy, uy)
+
             # first-order steps move exactly ds; avoid materializing a
             # replicated `dist` vector (Mosaic relayout bug in selects)
-            if second_order:
+            if second_order or curvature:
                 dist = jnp.sqrt(ddx * ddx + ddy * ddy)
                 ntt = tt + dist * (n + n2) * 0.5
                 ndsim = dsim + dist
@@ -194,12 +251,19 @@ def _make_kernel(field: str, op: str, steps: int, box):
                 return jnp.where(keep, new, old)
 
             nactive = jnp.where(out, zero, active)
-            return (sel(nx2, x), sel(ny2, y), sel(cx2, cx), sel(cy2, cy),
+            base = (sel(nx2, x), sel(ny2, y), sel(cx2, cx), sel(cy2, cy),
                     sel(nux, ux), sel(nuy, uy), sel(n2, n), sel(gx2, gx),
                     sel(gy2, gy), sel(ntt, tt), sel(ndsim, dsim), nactive)
+            if window:
+                base = base + (sel(wbx, wax), sel(wby, way),
+                               sel(x, wbx), sel(y, wby))
+            return base
 
-        x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active = jax.lax.fori_loop(
-            0, steps, body, (x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active))
+        carry0 = (x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active)
+        if window:
+            carry0 = carry0 + (x, y, x, y)  # p_{-2} = p_{-1} = p_0
+        final = jax.lax.fori_loop(0, steps, body, carry0)
+        x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active = final[:12]
         out_x_ref[...] = x
         out_y_ref[...] = y
         out_tt_ref[...] = tt
@@ -234,8 +298,9 @@ def fused_trace_final(pos0, theta0, delta_s, *, field: str, op: str,
     blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     zero = jnp.zeros(shape2, jnp.float32)
+    from raytracing_tpu.config import gold_tol
     fx, fy, tt, dsim, act = pl.pallas_call(
-        _make_kernel(field, op, steps, box),
+        _make_kernel(field, op, steps, box, gold_tol(np.float32)),
         grid=(r // block_rays,),
         in_specs=[blk, blk, blk, blk, blk,
                   pl.BlockSpec(memory_space=pltpu.SMEM)],

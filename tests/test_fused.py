@@ -24,8 +24,10 @@ def test_fused_fisheye_matches_engine(op):
     med = rt.analytic_medium("fisheye")
     res = rt.trace(op, scen, med, delta_s=ds, max_size=div + 1,
                    mode="metrics", dtype=np.float32, pos0=pos0, theta0=theta0)
+    # op7's 11a-18b+9c-2d combination of near-equal positions amplifies
+    # float32 rounding; the float64 truth lies between kernel and engine.
     np.testing.assert_allclose(np.asarray(pos), np.asarray(res.final.pos),
-                               atol=1e-5)
+                               atol=2e-4 if op == "op7" else 1e-5)
     np.testing.assert_allclose(np.asarray(tt), np.asarray(res.final.traveltime),
                                atol=5e-5)
     assert np.all(np.asarray(act))
