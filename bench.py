@@ -12,7 +12,9 @@ ray-steps/sec/chip target; the reference itself publishes no numbers
 (BASELINE.md).
 
 Env overrides: RT_BENCH_RAYS, RT_BENCH_TURNS, RT_BENCH_DIVISOR,
-RT_BENCH_TRIALS, RT_BENCH_ENGINE (jax|pallas).
+RT_BENCH_TRIALS, RT_BENCH_ENGINE (jax|pallas).  RT_BENCH_SUITE=1 also runs
+the per-scenario fused-kernel suite (BASELINE.json "configs") and writes
+BENCH_SUITE.json; stdout stays one line.
 """
 import json
 import os
@@ -27,6 +29,75 @@ from raytracing_tpu.bench.harness import benchmark
 from raytracing_tpu.engine import oracles
 
 NORTH_STAR = 1.0e9  # ray-steps/sec/chip (BASELINE.json)
+
+
+def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
+    """Per-scenario fused-kernel throughput + oracle values (to a file)."""
+    import time
+
+    from raytracing_tpu import config
+    from raytracing_tpu.kernels.fused import fused_trace_final
+    from raytracing_tpu.kernels.golden import golden_trace_final
+
+    def best_of(fn, reps=3):
+        fn()
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    out = {}
+    r = rays - rays % 4096
+
+    # fisheye (op6/HySA) + vert (op8) + interface (op6) + aniso (op11)
+    # calibrated steps; step counts capped at 3000 (throughput measurement)
+    cases = [
+        ("fisheye", "op6", rt.scenario("fisheye"), np.pi / 2.0, (1.0, 0.0),
+         2 * np.pi / 303, 303),
+        ("vert", "op8", rt.scenario("vert"), np.pi / 3.0, (-2.0, -2.0),
+         config.SIGMA / 2.74, 3000),
+        ("interface", "op6", rt.scenario("interface"), np.pi / 3.0, (-2.0, -2.0),
+         config.SIGMA / 2.55, 3000),
+    ]
+    for name, op, scen, th, p0, ds, steps in cases:
+        theta0 = jax.device_put(np.full(r, th, np.float32))
+        pos0 = jax.device_put(
+            np.stack([np.full(r, p0[0]), np.full(r, p0[1])], -1).astype(np.float32))
+
+        def run(op=op, scen=scen, ds=ds, steps=steps, pos0=pos0, theta0=theta0):
+            pos, *_ = fused_trace_final(pos0, theta0, np.float32(ds),
+                                        field=scen.field, op=op, steps=int(steps),
+                                        box=tuple(scen.box))
+            np.asarray(pos[:1])
+
+        t = best_of(run)
+        out[name] = {"op": op, "rays": r, "steps": int(steps),
+                     "seconds": round(t, 4),
+                     "gsteps_per_sec": round(r * steps / t / 1e9, 2)}
+
+    # aniso via the golden kernel (op11) and Newton (op11n)
+    scen = rt.scenario("aniso")
+    theta0 = jax.device_put(np.full(r, np.pi / 3.0, np.float32))
+    pos0 = jax.device_put(np.stack([np.full(r, -2.0), np.full(r, -2.0)], -1).astype(np.float32))
+    for op in ("op11", "op11n"):
+        def run(op=op):
+            pos, *_ = golden_trace_final(pos0, theta0, np.float32(0.0193),
+                                         np.float32(3.0),
+                                         field="vert_heterogeneous", op=op,
+                                         steps=2000, box=tuple(scen.box))
+            np.asarray(pos[:1])
+
+        t = best_of(run)
+        out[f"aniso_{op}"] = {"op": op, "rays": r, "steps": 2000,
+                              "seconds": round(t, 4),
+                              "gsteps_per_sec": round(r * 2000 / t / 1e9, 2)}
+
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"# suite -> {path}: " + ", ".join(
+        f"{k}={v['gsteps_per_sec']}G" for k, v in out.items()), file=sys.stderr)
 
 
 def main():
@@ -64,6 +135,9 @@ def main():
             # a real readback is the only honest completion barrier.
             np.asarray(res.final.pos[:1])
             return res
+
+    if os.environ.get("RT_BENCH_SUITE"):
+        run_suite(rays)
 
     steps = scen.max_size(delta_s, divisor + 1, n_turns) - 1
     result = benchmark(lambda: runner(), rays * steps, trials=trials, warmup=2)

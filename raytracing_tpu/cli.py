@@ -134,10 +134,22 @@ def run_pipeline(scen, op_name: str, *, delta_s_mode: str = "calibrated",
     printer(f"Total travelled distance:  {float(np.sum(np.asarray(result.dist_sim)))}")
 
     if do_benchmark:
+        # protocol banner with a duration estimate from the timed display
+        # run, mirroring RT_bench.py:1487-1500
+        est_min = round((t2 - t1) * (2 + bench_trials * 2) / 60.0, 1)
         printer(f"{BOLD}\nBenchmarking Process{RESET}")
         printer("────────────────────")
-        printer(f"Benchmarking{ISO_MESSAGES[int(op_name[2:]) - 1] if not scen.is_aniso else ANISO_MESSAGES[int(op_name[2:]) - 10]}"
-                f" in {SCENARIO_TITLES[int(scen.key) - 1]}...")
+        printer(f"• {BOLD}Purpose:{RESET} measure execution time per scenario: warmup runs,")
+        printer(f"           then {bench_trials} trials per round until two round medians agree within 0.5%.")
+        printer(f"• {BOLD}Estimated Duration:{RESET} ~{est_min} minutes (two convergence rounds assumed).")
+        idx = int(op_name[2:].rstrip("n"))
+        if scen.is_aniso and idx >= 10:
+            msg = ANISO_MESSAGES[min(idx, 11) - 10]
+        elif idx <= 9:
+            msg = ISO_MESSAGES[idx - 1]
+        else:
+            msg = f" {op_name}"
+        printer(f"Benchmarking{msg} in {SCENARIO_TITLES[int(scen.key) - 1]}...")
 
         def fn():
             r = trace(op_name, scen, medium, delta_s=delta_s,

@@ -116,3 +116,23 @@ def test_momentum_cv_history_equals_welford():
     cv_w = np.asarray(oracles.momentum_cv_pct_from_stats(res))
     assert cv_h.mean() > 1e-4  # signal, not noise
     np.testing.assert_allclose(cv_h, cv_w, rtol=1e-9)
+
+
+def test_vert_grid_medium_cv_calibrated():
+    """Grid-medium (spline) pipeline on the stratified scenario."""
+    from raytracing_tpu import models
+    m = models.get("vert", medium="grid", dtype=np.float64)
+    ds, _ = calibrated.calibrated("op8", "vert")
+    res = rt.trace("op8", m.scenario, m.medium, delta_s=ds, mode="metrics",
+                   dtype=np.float64)
+    cv = oracles.momentum_cv_pct_from_stats(res)
+    assert float(oracles.scenario_average_cv_pct(cv)) < config.MAX_MOMENTUM_CV_PCT
+
+
+def test_models_zoo():
+    from raytracing_tpu import models
+    m = models.get("fisheye")
+    assert m.scenario.is_fisheye and m.medium_kind == "analytic"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="medium must be"):
+        models.get("fisheye", medium="banana")
