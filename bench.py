@@ -139,6 +139,13 @@ def main():
     if os.environ.get("RT_BENCH_SUITE"):
         run_suite(rays)
 
+    if os.environ.get("RT_BENCH_PROFILE"):
+        # device trace of one run, viewable in XProf/TensorBoard
+        from raytracing_tpu.utils.profiling import device_trace
+        runner()  # compile outside the trace
+        with device_trace(os.environ["RT_BENCH_PROFILE"]):
+            runner()
+
     steps = scen.max_size(delta_s, divisor + 1, n_turns) - 1
     result = benchmark(lambda: runner(), rays * steps, trials=trials, warmup=2)
 

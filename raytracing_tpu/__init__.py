@@ -20,4 +20,15 @@ from raytracing_tpu.config import (  # noqa: F401
 )
 from raytracing_tpu.engine.trace import TraceResult, trace  # noqa: F401
 from raytracing_tpu.media.medium import AnalyticMedium, analytic_medium  # noqa: F401
-from raytracing_tpu.ops.registry import ALIASES, ANISO_OPS, OP_NAMES  # noqa: F401
+from raytracing_tpu.ops.registry import (  # noqa: F401
+    ALIASES,
+    ANISO_OPS,
+    EXTENSION_OPS,
+    OP_NAMES,
+)
+
+__all__ = [
+    "DELTA_S", "SIGMA", "ScenarioConfig", "scenario", "TraceResult", "trace",
+    "AnalyticMedium", "analytic_medium", "ALIASES", "ANISO_OPS",
+    "EXTENSION_OPS", "OP_NAMES",
+]

@@ -1,0 +1,85 @@
+"""fast_trace: one entry point for the fused-kernel production tier.
+
+Routes any step method to its Pallas kernel — ``kernels/fused.py`` for the
+Taylor/curvature/window families, ``kernels/golden.py`` for the golden/
+Newton families — and falls back to the scan engine for configurations the
+kernels don't cover (grid media, float64, history mode).  This is what a
+user reaches for when the job is "a million rays, final state only, as fast
+as the chip goes"; ``trace`` remains the reference-parity tier.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracing_tpu import config
+from raytracing_tpu.engine.trace import trace
+from raytracing_tpu.kernels.fused import FUSED_FIELDS, FUSED_OPS, fused_trace_final
+from raytracing_tpu.kernels.golden import GOLDEN_OPS, golden_trace_final
+from raytracing_tpu.media.medium import AnalyticMedium
+from raytracing_tpu.ops.registry import canonical
+
+
+class FastResult(NamedTuple):
+    pos: Any         # (R, 2) final positions
+    traveltime: Any  # (R,)
+    dist_sim: Any    # (R,)  (None on the golden path)
+    active: Any      # (R,) bool: still inside the box
+    engine: str      # "fused" | "golden" | "scan"
+
+
+def supports(op_name: str, medium) -> bool:
+    """True when a fused kernel covers this (op, medium) pairing."""
+    op = canonical(op_name)
+    return (isinstance(medium, AnalyticMedium)
+            and medium.field in FUSED_FIELDS
+            and (op in FUSED_OPS or op in GOLDEN_OPS))
+
+
+def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
+               delta_s, pos0, theta0, steps: int | None = None,
+               divisor: int | None = None, n_turns: int = config.N_TURNS,
+               block_rays: int = 4096, interpret: bool = False) -> FastResult:
+    """Metrics-only trace through the fastest available path.
+
+    ``pos0`` (R, 2) / ``theta0`` (R,) are padded to a block multiple
+    automatically (rays are independent; the padding is discarded).
+    """
+    op = canonical(op_name)
+    if steps is None:
+        steps = scen.max_size(float(delta_s), divisor, n_turns) - 1
+
+    if not supports(op, medium):
+        res = trace(op, scen, medium, delta_s=float(delta_s), divisor=divisor,
+                    n_turns=n_turns, mode="metrics", dtype=np.float32,
+                    max_size=steps + 1, pos0=pos0, theta0=theta0)
+        return FastResult(pos=res.final.pos, traveltime=res.final.traveltime,
+                          dist_sim=res.final.dist_sim,
+                          active=res.final.active, engine="scan")
+
+    r = len(theta0)
+    pad = (-r) % block_rays
+    pos0 = jnp.asarray(pos0, jnp.float32)
+    theta0 = jnp.asarray(theta0, jnp.float32)
+    if pad:
+        pos0 = jnp.concatenate([pos0, jnp.tile(pos0[-1:], (pad, 1))])
+        theta0 = jnp.concatenate([theta0, jnp.tile(theta0[-1:], pad)])
+
+    if op in GOLDEN_OPS:
+        pos, _ang, tt, dsim, act = golden_trace_final(
+            pos0, theta0, jnp.float32(delta_s), jnp.float32(scen.gamma),
+            field=scen.field, op=op, steps=int(steps), box=tuple(scen.box),
+            block_rays=block_rays, interpret=interpret)
+        eng = "golden"
+    else:
+        pos, tt, dsim, act = fused_trace_final(
+            pos0, theta0, jnp.float32(delta_s), field=scen.field, op=op,
+            steps=int(steps), box=tuple(scen.box), block_rays=block_rays,
+            interpret=interpret)
+        eng = "fused"
+    return FastResult(pos=pos[:r], traveltime=tt[:r],
+                      dist_sim=dsim[:r] if dsim is not None else None,
+                      active=act[:r], engine=eng)

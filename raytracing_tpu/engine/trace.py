@@ -35,7 +35,14 @@ from raytracing_tpu.ops.registry import RayPoint, build_op, canonical
 
 
 class TraceResult(NamedTuple):
-    """Everything ``trazar`` returned, restructured for batch access."""
+    """Everything ``trazar`` returned, restructured for batch access.
+
+    Deliberate divergence: the reference's per-ray ``compute_times``
+    (RT_bench.py:800, 882 — Python perf_counter brackets, with an off-by-one
+    storing ray 0's time in the last slot) has no meaning for a batch that
+    integrates in lockstep on an accelerator; wall-clock and throughput come
+    from :mod:`raytracing_tpu.bench.harness` / ``utils.profiling`` instead.
+    """
 
     final: RayState     # state after the last step
     exit_step: Any      # (R,) int32 — d_ray[2]

@@ -112,7 +112,7 @@ def wavefront_report(result: TraceResult,
     return fronts
 
 
-def _draw_medium(ax, fig, scen, use_tex: bool):
+def _draw_medium(ax, scen, use_tex: bool):
     """pcolormesh of n with the reference's horizontal colorbar
     (RT_bench.py:1136-1150)."""
     from matplotlib.ticker import FormatStrFormatter
@@ -171,7 +171,7 @@ def plot_static(result: TraceResult, scen, *, travel_times=None,
         ax.set_ylim([scen.box[2], scen.box[3]])
 
     ax.set_aspect("equal")
-    _draw_medium(ax, fig, scen, use_tex)
+    _draw_medium(ax, scen, use_tex)
     if scen.is_interface:
         ax.set_xticks(np.arange(scen.box[0], scen.box[1] + 2, 2))
         ax.set_yticks(np.arange(scen.box[2], scen.box[3] + 1, 1))

@@ -1,0 +1,49 @@
+"""fast_trace dispatch: routing, padding, fallback."""
+import dataclasses
+
+import numpy as np
+
+import raytracing_tpu as rt
+from raytracing_tpu.engine.fast import fast_trace, supports
+
+
+def _batch(r):
+    theta0 = np.full(r, np.pi / 2.0, np.float32)
+    pos0 = np.stack([np.ones(r), np.zeros(r)], -1).astype(np.float32)
+    return pos0, theta0
+
+
+def test_routes_and_pads():
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    pos0, theta0 = _batch(200)   # not a multiple of any block
+    out = fast_trace("op1", scen, med, delta_s=2 * np.pi / 64, steps=64,
+                     pos0=pos0, theta0=theta0, block_rays=128, interpret=True)
+    assert out.engine == "fused"
+    assert out.pos.shape == (200, 2)
+    ref = rt.trace("op1", scen, med, delta_s=2 * np.pi / 64, max_size=65,
+                   mode="metrics", dtype=np.float32, pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(out.pos),
+                               np.asarray(ref.final.pos), atol=1e-5)
+
+
+def test_routes_golden():
+    scen = dataclasses.replace(rt.scenario("aniso"), s_max=1.0)
+    med = rt.analytic_medium("vert_heterogeneous")
+    pos0 = np.tile(np.array([[-2.0, -2.0]], np.float32), (64, 1))
+    theta0 = np.linspace(0.1, 1.4, 64).astype(np.float32)
+    out = fast_trace("op11", scen, med, delta_s=0.02, pos0=pos0, theta0=theta0,
+                     block_rays=128, interpret=True)
+    assert out.engine == "golden"
+    assert out.pos.shape == (64, 2)
+
+
+def test_falls_back_to_scan_for_grid_medium():
+    from raytracing_tpu.models import get
+    m = get("fisheye", medium="grid")
+    assert not supports("op1", m.medium)
+    pos0, theta0 = _batch(8)
+    out = fast_trace("op1", m.scenario, m.medium, delta_s=2 * np.pi / 32,
+                     steps=32, pos0=pos0, theta0=theta0)
+    assert out.engine == "scan"
+    assert out.pos.shape == (8, 2)
