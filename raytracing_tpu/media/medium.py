@@ -44,3 +44,36 @@ def analytic_medium(field: str) -> AnalyticMedium:
     if field not in _fields.FIELDS:
         raise ValueError(f"unknown field {field!r}; have {sorted(_fields.FIELDS)}")
     return AnalyticMedium(field)
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True, eq=False)
+class CustomMedium:
+    """User-defined medium: any jnp-traceable n(x, y), gradient by autodiff.
+
+    The reference requires editing its source to add a medium
+    (RT_bench.py:104-116 plus the global `f` binding at 1567-1580); here any
+    elementwise function works, with the gradient supplied by forward-mode
+    autodiff — so it runs unmodified inside the scan engine on all backends.
+    A hand-written ``grad_fn(x, y) -> (dndx, dndy)`` can be supplied when
+    autodiff through the field is ill-conditioned (see the interface sigmoid
+    note in media/fields.py).
+    """
+
+    n_fn: object                 # callable (x, y) -> n, elementwise
+    grad_fn: object = None       # optional callable (x, y) -> (dndx, dndy)
+
+    def n_and_grad(self, x, y):
+        import jax.numpy as jnp
+
+        n = self.n_fn(x, y)
+        if self.grad_fn is not None:
+            return n, self.grad_fn(x, y)
+        ones = jnp.ones_like(x)
+        zeros = jnp.zeros_like(x)
+        _, dndx = jax.jvp(self.n_fn, (x, y), (ones, zeros))
+        _, dndy = jax.jvp(self.n_fn, (x, y), (zeros, ones))
+        return n, (dndx, dndy)
+
+    def n(self, x, y):
+        return self.n_fn(x, y)

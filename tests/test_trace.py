@@ -126,3 +126,20 @@ def test_metrics_mode_matches_history_mode():
                                np.asarray(hist.final.pos), atol=0)
     np.testing.assert_allclose(np.asarray(metr.final.traveltime),
                                np.asarray(hist.final.traveltime), atol=0)
+
+
+def test_custom_medium_matches_builtin():
+    """A user-defined fisheye via CustomMedium reproduces the builtin."""
+    import jax.numpy as jnp
+    from raytracing_tpu.media.medium import CustomMedium
+
+    custom = CustomMedium(n_fn=lambda x, y: 1.0 / (1.0 + x * x + y * y))
+    builtin = analytic_medium("fisheye")
+    scen = scenario("fisheye")
+    ds = 2 * np.pi / 50
+    kw = dict(delta_s=ds, max_size=51, dtype=np.float64,
+              pos0=np.repeat(scen.pos0, 2, 0), theta0=np.repeat(scen.theta0, 2))
+    a = trace("op6", scen, custom, **kw)
+    b = trace("op6", scen, builtin, **kw)
+    np.testing.assert_allclose(np.asarray(a.history), np.asarray(b.history),
+                               atol=1e-12)

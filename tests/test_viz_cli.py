@@ -83,3 +83,13 @@ def test_animate_wavefronts_saves_gif(tmp_path, vert_result):
     assert path.endswith(".gif") or path.endswith(".mp4")
     import os
     assert os.path.getsize(path) > 0
+
+
+def test_cli_interactive_vert_static(capsys, monkeypatch):
+    """Scenario 3 through the menus: calibrated step, static plot + report."""
+    from raytracing_tpu import cli
+    answers = iter(["3", "8", "n", "y", "n", "1"])
+    res = cli.interactive(input_fn=lambda _: next(answers))
+    out = capsys.readouterr().out
+    assert "Coefficient of Variation" in out
+    assert "Travel Time" in out  # wavefront report ran
