@@ -82,6 +82,51 @@ def op_for_choice(scen_name: str, choice: str) -> str:
     return f"op{int(choice)}"
 
 
+def run_batch(scen, op_name: str, rays: int, *, delta_s_mode: str,
+              medium_kind: str, n_turns: int, printer=print):
+    """Production path: a custom-size ray batch through the fused tier.
+
+    Launch fan: ``rays`` angles spread over the scenario's span, all from the
+    scenario's start position.  Reports throughput and the scenario metric.
+    """
+    import time
+
+    from raytracing_tpu.engine.fast import fast_trace
+
+    medium = (build_grid_medium(scen.field, scen.box)
+              if medium_kind == "grid" else analytic_medium(scen.field))
+    if delta_s_mode == "calibrated":
+        delta_s, divisor = calibrated_table(op_name.rstrip("n") if op_name != "op12" else "op8",
+                                            scen.name)
+    else:
+        divisor = config.DELTA_S_DIVISOR_FISHEYE
+        delta_s = 2 * np.pi / divisor if scen.is_fisheye else config.DELTA_S
+    if scen.is_fisheye:
+        theta0 = np.full(rays, np.pi / 2.0, np.float32)
+        pos0 = np.tile(np.array([[1.0, 0.0]], np.float32), (rays, 1))
+        steps = scen.max_size(delta_s, int(divisor) + 1, n_turns) - 1
+    else:
+        theta0 = np.linspace(scen.theta0[0], scen.theta0[-1], rays).astype(np.float32)
+        pos0 = np.tile(scen.pos0[:1].astype(np.float32), (rays, 1))
+        steps = scen.max_size(delta_s) - 1
+
+    out = fast_trace(op_name, scen, medium, delta_s=delta_s, steps=steps,
+                     pos0=pos0, theta0=theta0)
+    np.asarray(out.pos[:1])  # compile
+    t0 = time.perf_counter()
+    out = fast_trace(op_name, scen, medium, delta_s=delta_s, steps=steps,
+                     pos0=pos0, theta0=theta0)
+    np.asarray(out.pos[:1])
+    dt = time.perf_counter() - t0
+    printer(f"\n{rays} rays x {steps} steps via the {out.engine} engine: "
+            f"{dt:.3f}s  ({rays * steps / dt:.3e} ray-steps/s)")
+    if scen.is_fisheye:
+        closure = 100 * np.linalg.norm(np.asarray(out.pos[0]) - [1, 0]) / (2 * np.pi)
+        printer(f"Closure error  {closure} %")
+    printer(f"Escaped rays: {int(rays - np.asarray(out.active).sum())} / {rays}")
+    return out
+
+
 def run_pipeline(scen, op_name: str, *, delta_s_mode: str = "calibrated",
                  medium_kind: str = "grid", dtype=np.float32,
                  n_turns: int = config.N_TURNS, do_benchmark: bool = False,
@@ -244,6 +289,9 @@ def main(argv=None):
     p.add_argument("--n-turns", type=int, default=config.N_TURNS)
     p.add_argument("--benchmark", action="store_true")
     p.add_argument("--bench-trials", type=int, default=10)
+    p.add_argument("--rays", type=int,
+                   help="trace a custom-size batch through the fused tier "
+                        "instead of the scenario's reference fan")
     p.add_argument("--plot", default="none", choices=["none", "static", "movie"])
     p.add_argument("--save-plot")
     p.add_argument("--save-video")
@@ -257,6 +305,10 @@ def main(argv=None):
     op_name = args.op or "1"
     if op_name.isdigit():
         op_name = op_for_choice(scen.name, op_name)
+    if args.rays:
+        return run_batch(scen, op_name, args.rays,
+                         delta_s_mode=args.delta_s_mode,
+                         medium_kind=args.medium, n_turns=args.n_turns)
     return run_pipeline(
         scen, op_name, delta_s_mode=args.delta_s_mode,
         medium_kind=args.medium, dtype=np.dtype(args.dtype),

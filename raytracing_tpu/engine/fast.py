@@ -42,12 +42,17 @@ def supports(op_name: str, medium) -> bool:
 def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
                delta_s, pos0, theta0, steps: int | None = None,
                divisor: int | None = None, n_turns: int = config.N_TURNS,
-               block_rays: int = 4096, interpret: bool = False) -> FastResult:
+               block_rays: int = 4096,
+               interpret: bool | None = None) -> FastResult:
     """Metrics-only trace through the fastest available path.
 
     ``pos0`` (R, 2) / ``theta0`` (R,) are padded to a block multiple
     automatically (rays are independent; the padding is discarded).
+    ``interpret`` defaults to True on CPU backends, where Pallas TPU
+    kernels cannot lower natively.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     op = canonical(op_name)
     if steps is None:
         steps = scen.max_size(float(delta_s), divisor, n_turns) - 1

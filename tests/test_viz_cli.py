@@ -93,3 +93,12 @@ def test_cli_interactive_vert_static(capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "Coefficient of Variation" in out
     assert "Travel Time" in out  # wavefront report ran
+
+
+def test_cli_rays_batch_mode(capsys):
+    from raytracing_tpu import cli
+    out = cli.main(["--scenario", "fisheye", "--op", "6", "--rays", "256",
+                    "--medium", "analytic", "--n-turns", "1",
+                    "--delta-s", "default"])
+    text = capsys.readouterr().out
+    assert "ray-steps/s" in text and "Closure error" in text
