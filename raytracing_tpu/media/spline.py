@@ -110,6 +110,65 @@ class GridMedium:
         return self.n_and_grad(x, y)[0]
 
 
+@struct.dataclass
+class StratifiedGridMedium:
+    """1-D grid medium for x-independent fields (interface, vert).
+
+    The reference samples these onto the full 2-D grid and fits 2-D splines
+    (RT_bench.py:412-464) even though n varies only with y; the tensor-
+    product spline of an x-constant field *is* its 1-D y-spline, so a
+    (ny,) value table + (ny-1, 4) cubic cells reproduce the same medium with
+    ~nx times less memory and one cheap 1-D gather per evaluation.
+    """
+
+    Zy: Any          # (ny,) index samples along y
+    cy: Any          # (ny-1, 4) cubic cells of dn/dy (normalized offsets)
+    y0: float = struct.field(pytree_node=False)
+    inv_hy: float = struct.field(pytree_node=False)
+    ny: int = struct.field(pytree_node=False)
+
+    def n_and_grad(self, x, y):
+        fy = (y - self.y0) * self.inv_hy
+        fy = jnp.clip(fy, 0.0, float(self.ny - 1))
+        iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, self.ny - 2)
+        uy = fy - iy
+        n = (1 - uy) * self.Zy[iy] + uy * self.Zy[iy + 1]
+        c = self.cy[iy]
+        gy = c[..., 0] + uy * (c[..., 1] + uy * (c[..., 2] + uy * c[..., 3]))
+        return n, (jnp.zeros_like(gy), gy)
+
+    def n(self, x, y):
+        return self.n_and_grad(x, y)[0]
+
+
+def build_stratified_medium(field: str, box, delta: float = config.DELTA,
+                            dtype=np.float32) -> StratifiedGridMedium:
+    """1-D sampled medium for the x-independent fields.
+
+    Uses the same padded grid pitch and np.gradient edge handling as the 2-D
+    pipeline, just along a single column.
+    """
+    if field == "fisheye":
+        raise ValueError("fisheye varies in x; use build_grid_medium")
+    x, y, Z = _grid.gen_grid(field, box, delta)
+    col = Z[:, 0]
+    dndy = np.gradient(col, delta, edge_order=2)
+    from raytracing_tpu import native
+
+    if native.available():
+        cells = native.bicubic_cells(np.stack([dndy, dndy, dndy, dndy], -1))
+        cy = cells[:, 0, :, 0]  # x-constant: take any x-cell's y-coefficients
+    else:
+        from scipy.interpolate import CubicSpline
+
+        spl = CubicSpline(np.arange(len(y)), dndy, bc_type="not-a-knot")
+        # per-cell power-basis coefficients in the normalized offset
+        cy = np.stack([spl.c[3], spl.c[2], spl.c[1], spl.c[0]], axis=-1)
+    return StratifiedGridMedium(
+        Zy=jnp.asarray(col, dtype), cy=jnp.asarray(cy, dtype),
+        y0=float(y[0]), inv_hy=float(1.0 / (y[1] - y[0])), ny=len(y))
+
+
 def build_grid_medium(field: str, box, delta: float = config.DELTA,
                       dtype=np.float32, backend: str = "auto") -> GridMedium:
     """Sample ``field`` on the padded grid and build device tables.

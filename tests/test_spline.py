@@ -71,3 +71,40 @@ def test_grid_medium_approximates_analytic():
     np.testing.assert_allclose(np.asarray(n_g), np.asarray(n_a), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gy_g), np.asarray(gy_a),
                                rtol=1e-3, atol=1e-8)
+
+
+def test_stratified_medium_matches_2d_grid_medium():
+    from raytracing_tpu.media.spline import build_stratified_medium
+    box = BOX["vert_heterogeneous"]
+    m1 = build_stratified_medium("vert_heterogeneous", box, dtype=np.float64)
+    m2 = build_grid_medium("vert_heterogeneous", box, dtype=np.float64)
+    rng = np.random.default_rng(7)
+    qx = rng.uniform(box[0] - 1, box[1] + 1, 300)
+    qy = rng.uniform(box[2] - 1, box[3] + 1, 300)
+    n1, (gx1, gy1) = m1.n_and_grad(qx, qy)
+    n2, (gx2, gy2) = m2.n_and_grad(qx, qy)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n2),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gy1), np.asarray(gy2),
+                               rtol=1e-6, atol=1e-10)
+    assert np.all(np.asarray(gx1) == 0.0)
+
+
+def test_stratified_interface_meets_snell_oracle():
+    import raytracing_tpu as rt
+    from raytracing_tpu import calibrated, config as cfg
+    from raytracing_tpu.engine import oracles
+    from raytracing_tpu.media.spline import build_stratified_medium
+    scen = rt.scenario("interface")
+    med = build_stratified_medium("interface", scen.box, dtype=np.float64)
+    ds, _ = calibrated.calibrated("op6", "interface")
+    res = rt.trace("op6", scen, med, delta_s=ds, dtype=np.float64)
+    errs = np.asarray(oracles.snell_errors_deg(res, scen.theta0))
+    assert errs.mean() < cfg.MAX_DEVIATION
+    assert errs.max() < cfg.MAX_DEVIATION_SINGLE_RAY
+
+
+def test_stratified_rejects_fisheye():
+    from raytracing_tpu.media.spline import build_stratified_medium
+    with pytest.raises(ValueError, match="varies in x"):
+        build_stratified_medium("fisheye", BOX["fisheye"])
