@@ -102,3 +102,17 @@ def test_cli_rays_batch_mode(capsys):
                     "--delta-s", "default"])
     text = capsys.readouterr().out
     assert "ray-steps/s" in text and "Closure error" in text
+
+
+def test_cli_search_flow(capsys, monkeypatch):
+    """DELTA_S search through the CLI (narrowed candidate range)."""
+    import raytracing_tpu.config as cfg
+    from raytracing_tpu import cli
+    monkeypatch.setattr(cfg, "DELTA_S_DIVISOR_FISHEYE_UPPER_LIMIT", 40.0)
+    res = cli.main(["--scenario", "fisheye", "--op", "1", "--delta-s", "search",
+                    "--medium", "analytic", "--dtype", "float64",
+                    "--n-turns", "1"])
+    out = capsys.readouterr().out
+    assert "FINDING SUITABLE DIVISOR" in out
+    assert "Found best divisor!" in out
+    assert res is not None
