@@ -139,6 +139,17 @@ def main():
     if os.environ.get("RT_BENCH_SUITE"):
         run_suite(rays)
 
+    if os.environ.get("RT_BENCH_DF"):
+        # accuracy companion: double-word f32 RK4 (kernels/df.py) vs the
+        # analytic circle.  Heavier Mosaic compile; opt-in.
+        from raytracing_tpu.kernels.df import df_fisheye_trace
+        p = df_fisheye_trace(pos0[:4096], theta0[:4096],
+                             np.float32(delta_s), steps=divisor)
+        sarc = divisor * float(np.float32(delta_s))
+        err = float(np.linalg.norm(p[0] - [np.cos(sarc), np.sin(sarc)]))
+        print(f"# df32 kernel 1-turn error vs analytic: {err:.3e}",
+              file=sys.stderr)
+
     if os.environ.get("RT_BENCH_PROFILE"):
         # device trace of one run, viewable in XProf/TensorBoard
         from raytracing_tpu.utils.profiling import device_trace
