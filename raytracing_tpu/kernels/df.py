@@ -100,46 +100,58 @@ def _apply_rotation(uxh, uxl, uyh, uyl, dth_h, dth_l):
     return nxh, nxl, nyh, nyl
 
 
-def _df_rk4_kernel(steps: int, xh_ref, yh_ref, uxh_ref, uyh_ref, zero_ref,
-                   ds_ref, oxh, oxl, oyh, oyl):
+DF_FIELDS = ("fisheye", "vert_heterogeneous")
+
+
+def _df_rk4_kernel(field: str, steps: int, xh_ref, yh_ref, uxh_ref, uyh_ref,
+                   zero_ref, ds_ref, oxh, oxl, oyh, oyl):
     ds = ds_ref[0]
     h2 = ds * 0.5
     h6 = ds * (1.0 / 6.0)
     zero = zero_ref[...]
 
-    def df_k(pxh, pxl, pyh, pyl, vxh, vxl, vyh, vyl):
-        """Angle rate k = -2 n (v_x y - v_y x) at a df position/df tangent.
-
-        The fisheye-specific simplification (u x grad n)/n = -2 n (u_x y -
-        u_y x) removes the division; n = 1/(1 + r^2) is refined with one
-        Newton step so the whole rate is df-accurate.  f32 stage evaluations
-        were the dominant error: their rounding varies *smoothly* along the
-        trajectory, so it integrates linearly instead of as a random walk.
-        """
-        # cross = vx*y - vy*x  (df)
-        ah, al = _two_prod(vxh, pyh)
-        al = al + (vxh * pyl + vxl * pyh)
-        bh, bl = _two_prod(vyh, pxh)
-        bl = bl + (vyh * pxl + vyl * pxh)
-        ch, ce = _two_sum(ah, -bh)
-        cl = ce + (al - bl)
-        # d = 1 + x^2 + y^2  (df)
-        xxh, xxl = _two_prod(pxh, pxh)
-        xxl = xxl + 2.0 * pxh * pxl
-        yyh, yyl = _two_prod(pyh, pyh)
-        yyl = yyl + 2.0 * pyh * pyl
-        sh, se = _two_sum(xxh, yyh)
-        dh, de = _two_sum(1.0, sh)
-        dl = de + se + xxl + yyl
-        # n = 1/d with one df Newton refinement
+    def _df_recip(dh, dl):
+        """1/(dh + dl) as df via one Newton refinement of the f32 quotient."""
         n0 = 1.0 / dh
         th, tl = _two_prod(dh, n0)
         resid = ((1.0 - th) - tl) - dl * n0
-        nl = n0 * resid
-        # k = -2 (n0 + nl)(ch + cl)
-        kh, ke = _two_prod(-2.0 * n0, ch)
-        kl = ke + (-2.0) * (nl * ch + n0 * cl)
-        return kh, kl
+        return n0, n0 * resid
+
+    if field == "fisheye":
+        def df_k(pxh, pxl, pyh, pyl, vxh, vxl, vyh, vyl):
+            """Angle rate k = -2 n (v_x y - v_y x) at df position/tangent.
+
+            The fisheye simplification (u x grad n)/n = -2 n (u_x y - u_y x)
+            removes the division; n = 1/(1 + r^2) is Newton-refined so the
+            whole rate is df-accurate.  f32 stage evaluations were the
+            dominant error: their rounding varies *smoothly* along the
+            trajectory, so it integrates linearly, not as a random walk.
+            """
+            ah, al = _two_prod(vxh, pyh)
+            al = al + (vxh * pyl + vxl * pyh)
+            bh, bl = _two_prod(vyh, pxh)
+            bl = bl + (vyh * pxl + vyl * pxh)
+            ch, ce = _two_sum(ah, -bh)
+            cl = ce + (al - bl)
+            xxh, xxl = _two_prod(pxh, pxh)
+            xxl = xxl + 2.0 * pxh * pxl
+            yyh, yyl = _two_prod(pyh, pyh)
+            yyl = yyl + 2.0 * pyh * pyl
+            sh, se = _two_sum(xxh, yyh)
+            dh, de = _two_sum(1.0, sh)
+            dl = de + se + xxl + yyl
+            n0, nl = _df_recip(dh, dl)
+            kh, ke = _two_prod(-2.0 * n0, ch)
+            kl = ke + (-2.0) * (nl * ch + n0 * cl)
+            return kh, kl
+    else:  # vert_heterogeneous: n = 1/(18 + 2y), k = (u x g)/n = -2 n u_x
+        def df_k(pxh, pxl, pyh, pyl, vxh, vxl, vyh, vyl):
+            dh, de = _two_sum(18.0, 2.0 * pyh)   # 2*y exact in binary
+            dl = de + 2.0 * pyl
+            n0, nl = _df_recip(dh, dl)
+            kh, ke = _two_prod(-2.0 * n0, vxh)
+            kl = ke + (-2.0) * (nl * vxh + n0 * vxl)
+            return kh, kl
 
     def body(_, carry):
         xh, xl, yh, yl, uxh, uxl, uyh, uyl = carry
@@ -157,16 +169,19 @@ def _df_rk4_kernel(steps: int, xh_ref, yh_ref, uxh_ref, uyh_ref, zero_ref,
             myh, myl = _df_add_f(yh, yl + pye, pyh)
             return mxh, mxl, myh, myl
 
+        # Stage angles use the FULL k value (hi + lo): once the stage-tangent
+        # corrections ride in the low word, k's low word is c-sized, and
+        # dropping it from the stage rotations costs ~1e-8 per step.
         k1h, k1l = df_k(xh, xl, yh, yl, uxh, uxl, uyh, uyl)
-        c1x, c1y = corr(h2 * k1h)
+        c1x, c1y = corr(h2 * (k1h + k1l))
         m = midpoint(h2, ux, uy)
-        # stage tangents are u + c_i: cross is linear, so evaluate the df
-        # cross at u and add the (tiny, f32-exact-enough) c_i contribution.
+        # stage tangents are u + c_i: the angle rate is linear in the
+        # tangent, so evaluate at u and carry c_i in the low word.
         k2h, k2l = df_k(*m, uxh, uxl + c1x, uyh, uyl + c1y)
-        c2x, c2y = corr(h2 * k2h)
+        c2x, c2y = corr(h2 * (k2h + k2l))
         m = midpoint(h2, ux + c1x, uy + c1y)
         k3h, k3l = df_k(*m, uxh, uxl + c2x, uyh, uyl + c2y)
-        c3x, c3y = corr(ds * k3h)
+        c3x, c3y = corr(ds * (k3h + k3l))
         m = midpoint(ds, ux + c2x, uy + c2y)
         k4h, k4l = df_k(*m, uxh, uxl + c3x, uyh, uyl + c3y)
 
@@ -204,9 +219,12 @@ def _df_rk4_kernel(steps: int, xh_ref, yh_ref, uxh_ref, uyh_ref, zero_ref,
     oyl[...] = yl
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "block_rays", "interpret"))
-def _df_fisheye_core(pos0, theta0, delta_s, *, steps: int,
-                     block_rays: int = 4096, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("field", "steps", "block_rays",
+                                             "interpret"))
+def _df_core(pos0, theta0, delta_s, *, field: str, steps: int,
+             block_rays: int = 4096, interpret: bool = False):
+    if field not in DF_FIELDS:
+        raise ValueError(f"df kernel supports {DF_FIELDS}, got {field!r}")
     r = pos0.shape[0]
     if r % block_rays:
         raise ValueError(f"rays {r} not a multiple of block {block_rays}")
@@ -222,7 +240,7 @@ def _df_fisheye_core(pos0, theta0, delta_s, *, steps: int,
     blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     oxh, oxl, oyh, oyl = pl.pallas_call(
-        functools.partial(_df_rk4_kernel, steps),
+        functools.partial(_df_rk4_kernel, field, steps),
         grid=(r // block_rays,),
         in_specs=[blk] * 5 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[blk] * 4,
@@ -235,16 +253,24 @@ def _df_fisheye_core(pos0, theta0, delta_s, *, steps: int,
     return oxh, oxl, oyh, oyl
 
 
-def df_fisheye_trace(pos0, theta0, delta_s, *, steps: int,
-                     block_rays: int = 4096, interpret: bool = False):
-    """Double-word RK4 fisheye integration; returns float64 final positions
+def df_trace(pos0, theta0, delta_s, *, steps: int,
+             field: str = "fisheye", block_rays: int = 4096,
+             interpret: bool = False):
+    """Double-word RK4 integration; returns float64 final positions
     (hi + lo recombined on host)."""
-    oxh, oxl, oyh, oyl = _df_fisheye_core(
-        pos0, theta0, delta_s, steps=steps, block_rays=block_rays,
-        interpret=interpret)
+    oxh, oxl, oyh, oyl = _df_core(
+        pos0, theta0, delta_s, field=field, steps=steps,
+        block_rays=block_rays, interpret=interpret)
 
     def comb(h, l):
         return (np.asarray(h, np.float64).reshape(-1)
                 + np.asarray(l, np.float64).reshape(-1))
 
     return np.stack([comb(oxh, oxl), comb(oyh, oyl)], axis=-1)
+
+
+#: backwards-compatible alias
+def df_fisheye_trace(pos0, theta0, delta_s, *, steps, block_rays=4096,
+                     interpret=False):
+    return df_trace(pos0, theta0, delta_s, steps=steps, field="fisheye",
+                    block_rays=block_rays, interpret=interpret)

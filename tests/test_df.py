@@ -67,3 +67,35 @@ def test_df_beats_plain_f32_kernel():
     err_plain = np.linalg.norm(np.asarray(plain)[0] - truth)
     err_df = np.linalg.norm(_df(float(ds), div) - truth)
     assert err_df < err_plain / 3, (err_df, err_plain)
+
+
+def test_df_vert_matches_f64_rk4():
+    """df32 kernel on the stratified field (k = -2 n u_x)."""
+    from raytracing_tpu.kernels.df import df_trace
+    scen = rt.scenario("vert")
+    med = rt.analytic_medium("vert_heterogeneous")
+    # Keep rays well away from the n = 1/(18+2y) pole at y = -9 (the df
+    # kernel has no boundary mask; it is a precision path, not a search).
+    # The stratified flow amplifies perturbations near ray turning points,
+    # so both integrators must start from identical (f32-rounded) launch
+    # data; keep rays away from the n = 1/(18+2y) pole at y = -9.
+    ds = float(np.float32(0.0193))
+    steps = 500
+    theta0 = np.linspace(0.5, 1.3, 128).astype(np.float32).astype(np.float64)
+    pos0 = np.tile(np.array([[-2.0, -2.0]]), (128, 1))
+    pos = df_trace(pos0, theta0, np.float32(ds), steps=steps,
+                   field="vert_heterogeneous", block_rays=128, interpret=True)
+    import dataclasses
+    big = dataclasses.replace(scen, box=(-1e9, 1e9, -1e9, 1e9))  # no exits
+    res = rt.trace("op12", big, med, delta_s=ds, max_size=steps + 1,
+                   mode="metrics", dtype=np.float64,
+                   pos0=pos0, theta0=theta0)
+    err = np.linalg.norm(pos - np.asarray(res.final.pos), axis=1)
+    assert err.max() < 1e-6, err.max()
+
+
+def test_df_rejects_unknown_field():
+    from raytracing_tpu.kernels.df import df_trace
+    with pytest.raises(ValueError, match="df kernel supports"):
+        df_trace(np.zeros((128, 2)), np.zeros(128), 0.01, steps=2,
+                 field="interface", block_rays=128, interpret=True)
