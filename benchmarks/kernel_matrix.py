@@ -1,0 +1,75 @@
+"""Regenerate the ARCHITECTURE.md kernel-throughput table on real hardware.
+
+Run:  python benchmarks/kernel_matrix.py  (TPU host; ~3 min after compiles)
+Writes benchmarks/kernel_matrix.json.
+"""
+import json
+import time
+
+import numpy as np
+import jax
+
+import raytracing_tpu as rt
+from raytracing_tpu.kernels.df import df_trace
+from raytracing_tpu.kernels.fisheye import make_fisheye_runner
+from raytracing_tpu.kernels.fused import fused_trace_final
+from raytracing_tpu.kernels.golden import golden_trace_final
+
+R = 1 << 20
+DIV = 4587
+
+
+def best_of(fn, reps=3):
+    fn()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    scen = rt.scenario("fisheye")
+    theta0 = jax.device_put(np.full(R, np.pi / 2, np.float32))
+    pos0 = jax.device_put(
+        np.stack([np.ones(R), np.zeros(R)], -1).astype(np.float32))
+    ds = np.float32(2 * np.pi / DIV)
+    out = {}
+
+    spec = make_fisheye_runner(R, DIV, 1)
+    t = best_of(spec)
+    out["specialized_op1"] = round(R * DIV / t / 1e9, 2)
+
+    for op in ["op1", "op2", "op3", "op4", "op6", "op7", "op8"]:
+        def run(op=op):
+            p, *_ = fused_trace_final(pos0, theta0, ds, field="fisheye",
+                                      op=op, steps=DIV, box=tuple(scen.box))
+            np.asarray(p[:1])
+        out[f"fused_{op}"] = round(R * DIV / best_of(run) / 1e9, 2)
+
+    aniso = rt.scenario("aniso")
+    vth = jax.device_put(np.random.default_rng(0)
+                         .uniform(0.05, 1.5, R).astype(np.float32))
+    vpos = jax.device_put(
+        np.stack([np.full(R, -2.0), np.full(R, -2.0)], -1).astype(np.float32))
+    for op in ["op5", "op9", "op10", "op11", "op10n", "op11n"]:
+        def run(op=op):
+            p, *_ = golden_trace_final(vpos, vth, np.float32(0.0193),
+                                       np.float32(3.0),
+                                       field="vert_heterogeneous", op=op,
+                                       steps=2000, box=tuple(aniso.box))
+            np.asarray(p[:1])
+        out[f"golden_{op}"] = round(R * 2000 / best_of(run) / 1e9, 2)
+
+    def run_df():
+        df_trace(pos0, theta0, ds, steps=DIV)
+    out["df32_rk4"] = round(R * DIV / best_of(run_df) / 1e9, 2)
+
+    with open("benchmarks/kernel_matrix.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,4 +1,4 @@
-"""Double-word float32 RK4 fisheye kernel: f64-grade trajectories on f32 VPUs.
+"""Double-word float32 RK4 kernels: f64-grade trajectories on f32 VPUs.
 
 TPUs have no native float64, and a plain float32 integrator's tangent update
 injects ~eps_f32 of direction noise per step — a random walk that floors
