@@ -96,8 +96,13 @@ def run_batch(scen, op_name: str, rays: int, *, delta_s_mode: str,
     medium = (build_grid_medium(scen.field, scen.box)
               if medium_kind == "grid" else analytic_medium(scen.field))
     if delta_s_mode == "calibrated":
-        delta_s, divisor = calibrated_table(op_name.rstrip("n") if op_name != "op12" else "op8",
-                                            scen.name)
+        # extension ops borrow their base op's calibrated step; fall back to
+        # op8's when the scenario table has no entry for the base
+        base = "op8" if op_name == "op12" else op_name.rstrip("n")
+        try:
+            delta_s, divisor = calibrated_table(base, scen.name)
+        except KeyError:
+            delta_s, divisor = calibrated_table("op8", scen.name)
     else:
         divisor = config.DELTA_S_DIVISOR_FISHEYE
         delta_s = 2 * np.pi / divisor if scen.is_fisheye else config.DELTA_S
