@@ -1,0 +1,82 @@
+"""Chunk-streamed trajectory history (SURVEY.md 5.7).
+
+Full histories scale as rays x steps x 7 floats — at a million rays and
+thousands of steps that exceeds HBM.  The reference never hits this (it
+plots at most 43 rays); the TPU build streams instead: the integrator runs
+in fixed-size scan segments, the carry rides on device between segments, and
+each segment's history rows land on host before the next segment runs.
+Peak device memory is O(rays x chunk).
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracing_tpu import config
+from raytracing_tpu.engine.trace import _build_trace_fn, _outside, initial_state
+from raytracing_tpu.ops.registry import canonical
+
+
+def stream_history(op_name: str, scen: config.ScenarioConfig, medium, *,
+                   delta_s: float, divisor: int | None = None,
+                   n_turns: int = config.N_TURNS, chunk: int = 512,
+                   dtype=np.float32, pos0=None, theta0=None
+                   ) -> Iterator[np.ndarray]:
+    """Yield history chunks of shape (<=chunk, R, 6) on host.
+
+    Concatenating all chunks equals ``trace(..., mode="history")``'s
+    history array (row 0 included once, at the start of the first chunk).
+    """
+    op_name = canonical(op_name)
+    if op_name == "op7":
+        # op7's backward-difference order ramp keys off the scan index,
+        # which restarts per segment; stream the other ten ops.
+        raise ValueError("op7's priming ramp is incompatible with segment "
+                         "restarts; use trace(mode='history') for MxSA")
+    dtype = np.dtype(dtype)
+    max_size = scen.max_size(delta_s, divisor, n_turns)
+    if pos0 is None:
+        pos0 = scen.pos0
+    if theta0 is None:
+        theta0 = scen.theta0
+    pos0 = jnp.asarray(pos0, dtype=dtype)
+    theta0 = jnp.asarray(theta0, dtype=dtype)
+
+    op, _, run_jit = _build_trace_fn(op_name, chunk + 1, tuple(scen.box),
+                                     "history", scen.is_vert, dtype.name)
+    gamma = jnp.asarray(scen.gamma, dtype)
+    ds = jnp.asarray(delta_s, dtype)
+    st = initial_state(pos0, theta0, medium, gamma,
+                       with_window=op.uses_window,
+                       with_momentum_stats=scen.is_vert,
+                       max_size=max_size)
+    # the chunked runs manage exit_step/limits globally
+    st = st._replace(exit_step=jnp.full_like(st.exit_step, max_size - 1))
+
+    done = 0  # steps completed
+    total_steps = max_size - 1
+    first = True
+    while done < total_steps:
+        seg = min(chunk, total_steps - done)
+        # The segment's scan indices restart at 1; op7's order ramp must not
+        # re-prime, so offset the window-op step index by pushing the scan
+        # through its own indices — the window carry preserves continuity,
+        # and for segments after the first the ramp is already past 3.
+        res = run_jit(st, medium, gamma, ds, jnp.int32(seg))
+        hist = np.asarray(res.history)  # (chunk+1, R, 6)
+        if first:
+            yield hist[: seg + 1]
+            first = False
+        else:
+            yield hist[1: seg + 1]
+        st = res.final
+        # The segment's step limit deactivated every surviving ray; rays
+        # that actually left the box have a strictly out-of-box frozen
+        # position, so "inside the box" re-arms exactly the survivors.
+        st = st._replace(
+            active=~_outside(st.pos, scen.box),
+            exit_step=jnp.full_like(st.exit_step, max_size - 1))
+        done += seg

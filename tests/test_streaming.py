@@ -1,0 +1,42 @@
+"""Chunk-streamed history equals one-shot history."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import raytracing_tpu as rt
+from raytracing_tpu.engine.streaming import stream_history
+
+
+def test_streamed_equals_oneshot_fisheye():
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    div = 100
+    ds = 2 * np.pi / div
+    pos0 = np.repeat(scen.pos0, 2, 0)
+    theta0 = np.repeat(scen.theta0, 2)
+    chunks = list(stream_history("op6", scen, med, delta_s=ds, divisor=div + 1,
+                                 n_turns=1, chunk=17, dtype=np.float64,
+                                 pos0=pos0, theta0=theta0))
+    streamed = np.concatenate(chunks, axis=0)
+    ref = rt.trace("op6", scen, med, delta_s=ds, divisor=div + 1, n_turns=1,
+                   dtype=np.float64, pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(streamed, np.asarray(ref.history), atol=0)
+
+
+def test_streamed_equals_oneshot_vert_with_exits():
+    scen = dataclasses.replace(rt.scenario("vert"),
+                               box=(-2.0, -1.0, -2.5, -1.5), s_max=3.0)
+    med = rt.analytic_medium("vert_heterogeneous")
+    chunks = list(stream_history("op8", scen, med, delta_s=0.05, chunk=13,
+                                 dtype=np.float64))
+    streamed = np.concatenate(chunks, axis=0)
+    ref = rt.trace("op8", scen, med, delta_s=0.05, dtype=np.float64)
+    np.testing.assert_allclose(streamed, np.asarray(ref.history), atol=0)
+
+
+def test_streaming_rejects_op7():
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    with pytest.raises(ValueError, match="priming ramp"):
+        list(stream_history("op7", scen, med, delta_s=0.1, divisor=10))
