@@ -1,0 +1,137 @@
+"""Minimal production serving layer: ray tracing over HTTP.
+
+The reference is an interactive stdin script; a production deployment wants
+a long-lived process with warm compiled kernels answering requests.  This is
+a dependency-free (stdlib http.server) JSON API over the fused-kernel tier:
+
+    GET  /healthz            -> {"status": "ok", "device": ...}
+    GET  /v1/models          -> scenarios, ops, extensions
+    POST /v1/trace           -> {"scenario", "op", "rays", "n_turns", ...}
+                                => final-state metrics + throughput
+
+Compiled executables are cached by (op, field, steps, block) through the
+jit caches underneath ``fast_trace``, so the first request per
+configuration pays compilation and subsequent ones run at kernel speed.
+
+    python -m raytracing_tpu.serve --port 8080
+"""
+from __future__ import annotations
+
+import json
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+import jax
+
+import raytracing_tpu as rt
+from raytracing_tpu import config
+from raytracing_tpu.calibrated import calibrated as calibrated_table
+from raytracing_tpu.engine.fast import fast_trace
+from raytracing_tpu.ops.registry import EXTENSION_OPS, OP_NAMES, canonical
+
+
+def _trace_request(body: dict) -> dict:
+    scen = config.scenario(str(body.get("scenario", "fisheye")))
+    op = canonical(str(body.get("op", "op6")))
+    rays = int(body.get("rays", 1024))
+    if not 1 <= rays <= 16_777_216:
+        raise ValueError(f"rays must be in [1, 16777216], got {rays}")
+    n_turns = int(body.get("n_turns", 1))
+
+    if "delta_s" in body:
+        delta_s = float(body["delta_s"])
+        divisor = int(body.get("divisor", round(2 * np.pi / delta_s))) if scen.is_fisheye else None
+    else:
+        base = "op8" if op in ("op12",) else op.rstrip("n")
+        try:
+            delta_s, divisor = calibrated_table(base, scen.name)
+        except KeyError:
+            delta_s, divisor = calibrated_table("op8", scen.name)
+
+    if scen.is_fisheye:
+        theta0 = np.full(rays, np.pi / 2.0, np.float32)
+        pos0 = np.tile(np.array([[1.0, 0.0]], np.float32), (rays, 1))
+        steps = scen.max_size(delta_s, int(divisor) + 1, n_turns) - 1
+    else:
+        theta0 = np.linspace(scen.theta0[0], scen.theta0[-1], rays).astype(np.float32)
+        pos0 = np.tile(scen.pos0[:1].astype(np.float32), (rays, 1))
+        steps = scen.max_size(delta_s) - 1
+
+    medium = rt.analytic_medium(scen.field)
+    t0 = time.perf_counter()
+    out = fast_trace(op, scen, medium, delta_s=delta_s, steps=steps,
+                     pos0=pos0, theta0=theta0)
+    pos = np.asarray(out.pos)
+    dt = time.perf_counter() - t0
+
+    resp = {
+        "scenario": scen.name, "op": op, "rays": rays, "steps": int(steps),
+        "delta_s": float(delta_s), "engine": out.engine,
+        "seconds": round(dt, 4),
+        "ray_steps_per_sec": round(rays * steps / dt, 1),
+        "escaped_rays": int(rays - np.asarray(out.active).sum()),
+        "mean_final_pos": [float(v) for v in pos.mean(0)],
+    }
+    if scen.is_fisheye:
+        resp["closure_error_pct"] = float(
+            100 * np.linalg.norm(pos[0] - [1, 0]) / (2 * np.pi))
+    return resp
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def _send(self, code: int, payload: dict):
+        data = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._send(200, {"status": "ok",
+                             "device": str(jax.devices()[0]),
+                             "version": rt.__version__})
+        elif self.path == "/v1/models":
+            self._send(200, {"scenarios": list(config.SCENARIO_NAMES),
+                             "ops": list(OP_NAMES),
+                             "extensions": list(EXTENSION_OPS)})
+        else:
+            self._send(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):
+        if self.path != "/v1/trace":
+            self._send(404, {"error": f"unknown path {self.path}"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
+            self._send(200, _trace_request(body))
+        except (ValueError, KeyError, json.JSONDecodeError) as e:
+            self._send(400, {"error": str(e)})
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+
+def create_server(host: str = "127.0.0.1", port: int = 8080) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer((host, port), _Handler)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="raytracing_tpu serving endpoint")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    args = p.parse_args(argv)
+    srv = create_server(args.host, args.port)
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(device: {jax.devices()[0]})")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

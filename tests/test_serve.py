@@ -1,0 +1,64 @@
+"""Serving endpoint: health, models, trace, error paths."""
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from raytracing_tpu.serve import create_server
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = create_server("127.0.0.1", 0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, body):
+    req = urllib.request.Request(url, data=json.dumps(body).encode(),
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(server):
+    code, body = _get(server + "/healthz")
+    assert code == 200 and body["status"] == "ok"
+
+
+def test_models(server):
+    code, body = _get(server + "/v1/models")
+    assert code == 200
+    assert "fisheye" in body["scenarios"] and "op6" in body["ops"]
+    assert "op12" in body["extensions"]
+
+
+def test_trace_fisheye(server):
+    code, body = _post(server + "/v1/trace",
+                       {"scenario": "fisheye", "op": "op6", "rays": 256,
+                        "delta_s": 2 * 3.141592653589793 / 64, "divisor": 64})
+    assert code == 200, body
+    assert body["engine"] in ("fused", "golden", "scan")
+    assert body["closure_error_pct"] < 5.0
+    assert body["ray_steps_per_sec"] > 0
+
+
+def test_trace_bad_request(server):
+    code, body = _post(server + "/v1/trace", {"scenario": "warp"})
+    assert code == 400 and "warp" in body["error"]
+    code, body = _post(server + "/v1/trace", {"rays": -5})
+    assert code == 400
+    code, body = _post(server + "/v1/nope", {})
+    assert code == 404
