@@ -76,6 +76,10 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
         out[name] = {"op": op, "rays": r, "steps": int(steps),
                      "seconds": round(t, 4),
                      "gsteps_per_sec": round(r * steps / t / 1e9, 2)}
+        if name != "fisheye":
+            # interface/vert rays leave the box mid-run; frozen lanes still
+            # execute, so this is lane throughput, not live-ray throughput
+            out[name]["note"] = "lane throughput; includes masked lanes after boundary exit"
 
     # aniso via the golden kernel (op11) and Newton (op11n)
     scen = rt.scenario("aniso")

@@ -116,3 +116,17 @@ def test_delta_s_search_end_to_end(monkeypatch):
     assert res.index is not None
     assert res.divisor == 23.0
     assert res.delta_s_selected == pytest.approx(2 * np.pi / 23.0)
+
+
+def test_interface_candidate_sweep_metric_path():
+    """The history-mode interface sweep metric (mean/max Snell error)."""
+    scen = rt.scenario("interface")
+    med = rt.analytic_medium("interface")
+    divs = np.array([3.0, 2.5, 2.0])
+    ds = config.SIGMA / divs
+    sizes = np.ceil(scen.s_max / ds).astype(np.int64) + 1
+    m = sw.run_candidates("op6", scen, med, ds, sizes - 1, int(sizes.max()),
+                          dtype=np.float64, chunk=3)
+    assert set(m) == {"mean_err", "max_err"}
+    assert np.all(np.isfinite(m["mean_err"]))
+    assert np.all(m["max_err"] >= m["mean_err"])
