@@ -186,7 +186,8 @@ def run_candidates(op_name: str, scen: config.ScenarioConfig, medium,
 
 def delta_s_search(op_name: str, scen: config.ScenarioConfig, medium, *,
                    n_turns: int = config.N_TURNS, dtype=np.float32,
-                   chunk: int | None = None, mesh=None) -> SweepResult:
+                   chunk: int | None = None, mesh=None,
+                   checkpoint: str | None = None) -> SweepResult:
     """Full DELTA_S search: sweep + acceptance + selection.
 
     Mirrors the reference flow RT_bench.py:1296-1406, returning the selected
@@ -199,7 +200,7 @@ def delta_s_search(op_name: str, scen: config.ScenarioConfig, medium, *,
     max_size = int(sizes.max())
     metrics = run_candidates(op_name, scen, medium, delta_s, sizes - 1,
                              max_size, n_turns=n_turns, dtype=dtype,
-                             chunk=chunk, mesh=mesh)
+                             chunk=chunk, mesh=mesh, checkpoint=checkpoint)
 
     if scen.is_interface:
         index = find_index_interface(metrics["mean_err"], metrics["max_err"])
