@@ -130,3 +130,14 @@ def test_interface_candidate_sweep_metric_path():
     assert set(m) == {"mean_err", "max_err"}
     assert np.all(np.isfinite(m["mean_err"]))
     assert np.all(m["max_err"] >= m["mean_err"])
+
+
+@pytest.mark.parametrize("op,expected", [("op4", 179), ("op8", 179)])
+def test_search_reproduces_reference_calibration(op, expected):
+    """The full N=10 search lands within a few percent of the reference's
+    offline-calibrated fisheye divisors (RT_bench.py:1432-1449)."""
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    res = sw.delta_s_search(op, scen, med, n_turns=10, dtype=np.float64)
+    assert res.index is not None
+    assert abs(res.divisor - expected) / expected < 0.05, res.divisor
