@@ -75,6 +75,7 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0):
     def kernel(x_ref, y_ref, ux_ref, uy_ref, zero_ref, ds_ref,
                out_x_ref, out_y_ref, out_tt_ref, out_ds_ref, out_act_ref):
         ds = ds_ref[0]
+        limit = ds_ref[1]  # effective step count (traced); rays freeze after
         x, y = x_ref[...], y_ref[...]
         ux, uy = ux_ref[...], uy_ref[...]
         # Accumulator inits come from a loaded zeros buffer, not
@@ -89,6 +90,7 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0):
         active = zero + 1.0  # f32 mask: Mosaic can't carry i1 vectors in scf.for
 
         def body(i, carry):
+            in_limit = i.astype(jnp.float32) < limit
             if window:
                 (x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active,
                  wax, way, wbx, wby) = carry
@@ -138,7 +140,7 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0):
 
                 out = ((nx2 > limx_s) | (nx2 < limx_i)
                        | (ny2 > limy_s) | (ny2 < limy_i))
-                keep = active > 0.5
+                keep = (active > 0.5) & in_limit
 
                 def sel(new, old):
                     return jnp.where(keep, new, old)
@@ -245,7 +247,7 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0):
             # -- boundary exit mask (strict, RT_bench.py:878) -----------
             out = ((nx2 > limx_s) | (nx2 < limx_i)
                    | (ny2 > limy_s) | (ny2 < limy_i))
-            keep = active > 0.5
+            keep = (active > 0.5) & in_limit
 
             def sel(new, old):
                 return jnp.where(keep, new, old)
@@ -277,9 +279,14 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0):
                                              "block_rays", "interpret"))
 def fused_trace_final(pos0, theta0, delta_s, *, field: str, op: str,
                       steps: int, box, block_rays: int = 4096,
-                      interpret: bool = False):
+                      interpret: bool = False, step_limit=None):
     """Run ``steps`` fused integration steps; return final
-    (pos, traveltime, dist_sim, active_mask)."""
+    (pos, traveltime, dist_sim, active_mask).
+
+    ``step_limit`` (traced scalar, default ``steps``) freezes every ray
+    after that many steps — the padded-scan trick that lets ONE compiled
+    kernel serve a whole DELTA_S candidate sweep (engine/trace.py's
+    ``step_limit``, SURVEY.md §7.5), at kernel speed."""
     if field not in FUSED_FIELDS:
         raise ValueError(f"fused kernel supports fields {FUSED_FIELDS}, got {field!r}")
     if op not in FUSED_OPS:
@@ -293,7 +300,10 @@ def fused_trace_final(pos0, theta0, delta_s, *, field: str, op: str,
     y = pos0[:, 1].reshape(shape2)
     ux = jnp.cos(theta0).reshape(shape2)
     uy = jnp.sin(theta0).reshape(shape2)
-    ds = jnp.asarray([delta_s], jnp.float32)
+    if step_limit is None:
+        step_limit = steps
+    ds = jnp.stack([jnp.asarray(delta_s, jnp.float32),
+                    jnp.asarray(step_limit, jnp.float32)])
 
     blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)

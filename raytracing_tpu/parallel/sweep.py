@@ -110,6 +110,39 @@ def find_index_vert(errors, max_dev=config.MAX_MOMENTUM_CV_PCT):
     return None
 
 
+def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
+                         delta_s: np.ndarray, step_limits: np.ndarray,
+                         max_steps: int, *, rays: int = 4096,
+                         block_rays: int = 4096, interpret: bool | None = None):
+    """Fisheye candidate sweep through ONE compiled fused kernel.
+
+    The kernel compiles once at ``max_steps`` with a traced per-run step
+    limit; each candidate is a kernel launch at full fused throughput
+    (~10-40 G ray-steps/s) instead of the scan engine's ~1.5 G.  Returns
+    {"closure_pct": per-candidate}.
+    """
+    import jax as _jax
+
+    from raytracing_tpu.kernels.fused import fused_trace_final
+
+    if not scen.is_fisheye:
+        raise ValueError("fused sweep currently supports the fisheye scenario")
+    if interpret is None:
+        interpret = _jax.default_backend() == "cpu"
+    theta0 = _jax.device_put(np.full(rays, np.pi / 2.0, np.float32))
+    pos0 = _jax.device_put(
+        np.tile(np.array([[1.0, 0.0]], np.float32), (rays, 1)))
+    out = np.empty(len(delta_s))
+    for i, (ds, lim) in enumerate(zip(delta_s, step_limits)):
+        pos, *_ = fused_trace_final(
+            pos0, theta0, np.float32(ds), field="fisheye", op=op_name,
+            steps=int(max_steps), box=tuple(scen.box), block_rays=block_rays,
+            interpret=interpret, step_limit=np.float32(lim))
+        p = np.asarray(pos[0])
+        out[i] = 100.0 * np.linalg.norm(p - [1.0, 0.0]) / (2.0 * np.pi)
+    return {"closure_pct": out}
+
+
 # -- the sweep itself -------------------------------------------------------
 def _max_sizes(scen, delta_s, trace_divisors, n_turns):
     if scen.is_fisheye:

@@ -141,3 +141,20 @@ def test_search_reproduces_reference_calibration(op, expected):
     res = sw.delta_s_search(op, scen, med, n_turns=10, dtype=np.float64)
     assert res.index is not None
     assert abs(res.divisor - expected) / expected < 0.05, res.divisor
+
+
+def test_fused_sweep_matches_engine_sweep():
+    """One compiled fused kernel with traced step limits reproduces the
+    scan-engine candidate sweep."""
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    divs = np.arange(40.0, 20.0, -2.0)
+    ds = 2 * np.pi / divs
+    sizes = (divs + 1).astype(np.int64)  # n_turns=1, reference's div+1 sizing
+    engine = sw.run_candidates("op6", scen, med, ds, sizes - 1,
+                               int(sizes.max()), n_turns=1, dtype=np.float32)
+    fused = sw.run_candidates_fused("op6", scen, ds, sizes - 1,
+                                    int(sizes.max()) - 1, rays=128,
+                                    block_rays=128)
+    np.testing.assert_allclose(fused["closure_pct"], engine["closure_pct"],
+                               atol=1e-3)
