@@ -154,7 +154,7 @@ def run_candidates(op_name: str, scen: config.ScenarioConfig, medium,
                    delta_s: np.ndarray, step_limits: np.ndarray,
                    max_size: int, *, n_turns: int = config.N_TURNS,
                    dtype=np.float32, chunk: int | None = None, mesh=None,
-                   checkpoint: str | None = None):
+                   checkpoint: str | None = None, pos0=None, theta0=None):
     """Evaluate the scenario acceptance metric for every candidate.
 
     Returns a dict of per-candidate arrays:
@@ -164,14 +164,17 @@ def run_candidates(op_name: str, scen: config.ScenarioConfig, medium,
     ``checkpoint`` names an .npz file: each finished candidate chunk is
     persisted there, and a rerun resumes at the first unfinished chunk —
     the elastic-recovery layer the reference lacks (SURVEY.md 5.3-5.4).
+    ``pos0``/``theta0`` override the scenario's reference launch fan for
+    large custom batches (shard them with ``mesh``'s rays axis upstream).
     """
     dtype = np.dtype(dtype)
     mode = "history" if scen.is_interface else "metrics"
     op, run, _ = _build_trace_fn(op_name, int(max_size), tuple(scen.box), mode,
                                  scen.is_vert, dtype.name)
     gamma = jnp.asarray(scen.gamma, dtype)
-    theta0 = jnp.asarray(scen.theta0, dtype)
-    st0 = initial_state(jnp.asarray(scen.pos0, dtype), theta0, medium, gamma,
+    theta0 = jnp.asarray(scen.theta0 if theta0 is None else theta0, dtype)
+    st0 = initial_state(jnp.asarray(scen.pos0 if pos0 is None else pos0, dtype),
+                        theta0, medium, gamma,
                         with_window=op.uses_window,
                         with_momentum_stats=scen.is_vert,
                         max_size=int(max_size))

@@ -158,3 +158,19 @@ def test_fused_sweep_matches_engine_sweep():
                                     block_rays=128)
     np.testing.assert_allclose(fused["closure_pct"], engine["closure_pct"],
                                atol=1e-3)
+
+
+def test_sweep_custom_ray_batch():
+    """Candidate sweep over a custom (larger) launch batch."""
+    scen = rt.scenario("vert")
+    med = rt.analytic_medium("vert_heterogeneous")
+    divs = np.array([3.0, 2.0])
+    ds = config.SIGMA / divs
+    sizes = np.ceil(scen.s_max / ds).astype(np.int64) + 1
+    r = 200
+    theta0 = np.linspace(0.0, np.pi / 2, r)
+    pos0 = np.tile(np.array([[-2.0, -2.0]]), (r, 1))
+    m = sw.run_candidates("op8", scen, med, ds, sizes - 1, int(sizes.max()),
+                          dtype=np.float64, pos0=pos0, theta0=theta0)
+    assert m["cv_pct"].shape == (2,)
+    assert np.all(np.isfinite(m["cv_pct"]))
