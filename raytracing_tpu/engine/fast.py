@@ -88,3 +88,49 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
     return FastResult(pos=pos[:r], traveltime=tt[:r],
                       dist_sim=dsim[:r] if dsim is not None else None,
                       active=act[:r], engine=eng)
+
+
+def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
+                       delta_s, pos0, theta0, mesh, steps: int,
+                       block_rays: int = 4096,
+                       interpret: bool | None = None) -> FastResult:
+    """Fused-kernel tracing with the ray batch sharded across ``mesh``.
+
+    Each device runs the Pallas kernel on its local shard under
+    ``shard_map`` — the multi-chip production path (kernels x mesh).  The
+    batch must divide by (device count x block_rays).
+    """
+    import functools
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    op = canonical(op_name)
+    if not (supports(op, medium) and op in FUSED_OPS):
+        raise ValueError(f"fast_trace_sharded needs a fused-kernel op/medium; "
+                         f"got {op!r} on {type(medium).__name__}")
+    n_dev = mesh.devices.size
+    r = len(theta0)
+    if r % (n_dev * block_rays):
+        raise ValueError(f"ray count {r} must divide by devices*block "
+                         f"({n_dev}*{block_rays})")
+    axes = mesh.axis_names
+    pos0 = jax.device_put(jnp.asarray(pos0, jnp.float32),
+                          jax.NamedSharding(mesh, P(axes)))
+    theta0 = jax.device_put(jnp.asarray(theta0, jnp.float32),
+                            jax.NamedSharding(mesh, P(axes)))
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(axes), P(axes)), out_specs=P(axes),
+                       check_vma=False)  # pallas out_shapes carry no vma
+    def run(p, t):
+        return fused_trace_final(p, t, jnp.float32(delta_s), field=scen.field,
+                                 op=op, steps=int(steps), box=tuple(scen.box),
+                                 block_rays=block_rays, interpret=interpret)
+
+    pos, tt, dsim, act = run(pos0, theta0)
+    return FastResult(pos=pos, traveltime=tt, dist_sim=dsim, active=act,
+                      engine="fused-sharded")

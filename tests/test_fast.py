@@ -2,6 +2,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 
 import raytracing_tpu as rt
 from raytracing_tpu.engine.fast import fast_trace, supports
@@ -47,3 +48,37 @@ def test_falls_back_to_scan_for_grid_medium():
                      steps=32, pos0=pos0, theta0=theta0)
     assert out.engine == "scan"
     assert out.pos.shape == (8, 2)
+
+
+def test_fast_trace_sharded_matches_single():
+    from raytracing_tpu.engine.fast import fast_trace_sharded
+    from raytracing_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    r = 8 * 128
+    pos0, theta0 = _batch(r)
+    out = fast_trace_sharded("op6", scen, med, delta_s=2 * np.pi / 64,
+                             steps=64, pos0=pos0, theta0=theta0, mesh=mesh,
+                             block_rays=128)
+    assert out.engine == "fused-sharded"
+    assert len(out.pos.sharding.device_set) == 8
+    single = fast_trace("op6", scen, med, delta_s=2 * np.pi / 64, steps=64,
+                        pos0=pos0, theta0=theta0, block_rays=128,
+                        interpret=True)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(single.pos),
+                               atol=1e-6)
+
+
+def test_fast_trace_sharded_rejects_bad_batch():
+    from raytracing_tpu.engine.fast import fast_trace_sharded
+    from raytracing_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    pos0, theta0 = _batch(100)
+    with pytest.raises(ValueError, match="must divide"):
+        fast_trace_sharded("op6", scen, med, delta_s=0.1, steps=4,
+                           pos0=pos0, theta0=theta0, mesh=mesh, block_rays=128)
