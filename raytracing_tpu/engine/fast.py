@@ -42,18 +42,48 @@ def supports(op_name: str, medium) -> bool:
 def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
                delta_s, pos0, theta0, steps: int | None = None,
                divisor: int | None = None, n_turns: int = config.N_TURNS,
-               block_rays: int = 4096,
-               interpret: bool | None = None) -> FastResult:
+               block_rays: int = 4096, interpret: bool | None = None,
+               precision: str = "standard") -> FastResult:
     """Metrics-only trace through the fastest available path.
 
     ``pos0`` (R, 2) / ``theta0`` (R,) are padded to a block multiple
     automatically (rays are independent; the padding is discarded).
     ``interpret`` defaults to True on CPU backends, where Pallas TPU
     kernels cannot lower natively.
+
+    ``precision="high"`` routes to the double-word float32 RK4 kernel
+    (kernels/df.py — ~1e-7/turn trajectories in pure f32; requires op12 and
+    a df-supported analytic field; no boundary mask or traveltime).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     op = canonical(op_name)
+
+    if precision == "high":
+        from raytracing_tpu.kernels.df import DF_FIELDS, df_trace
+
+        if op != "op12":
+            raise ValueError("precision='high' uses the df32 RK4 kernel; "
+                             f"pass op12 (got {op!r})")
+        if not (isinstance(medium, AnalyticMedium)
+                and medium.field in DF_FIELDS):
+            raise ValueError(f"df32 kernel supports analytic {DF_FIELDS}")
+        if steps is None:
+            steps = scen.max_size(float(delta_s), divisor, n_turns) - 1
+        r = len(theta0)
+        pad = (-r) % block_rays
+        pos0 = jnp.asarray(pos0, jnp.float32)
+        theta0 = jnp.asarray(theta0, jnp.float32)
+        if pad:
+            pos0 = jnp.concatenate([pos0, jnp.tile(pos0[-1:], (pad, 1))])
+            theta0 = jnp.concatenate([theta0, jnp.tile(theta0[-1:], pad)])
+        pos = df_trace(pos0, theta0, jnp.float32(delta_s), steps=int(steps),
+                       field=medium.field, block_rays=block_rays,
+                       interpret=interpret)
+        return FastResult(pos=pos[:r], traveltime=None, dist_sim=None,
+                          active=np.ones(r, bool), engine="df32")
+    if precision != "standard":
+        raise ValueError(f"precision must be 'standard' or 'high', got {precision!r}")
     if steps is None:
         steps = scen.max_size(float(delta_s), divisor, n_turns) - 1
 

@@ -82,3 +82,22 @@ def test_fast_trace_sharded_rejects_bad_batch():
     with pytest.raises(ValueError, match="must divide"):
         fast_trace_sharded("op6", scen, med, delta_s=0.1, steps=4,
                            pos0=pos0, theta0=theta0, mesh=mesh, block_rays=128)
+
+
+def test_fast_trace_high_precision():
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    pos0, theta0 = _batch(200)
+    out = fast_trace("op12", scen, med, delta_s=2 * np.pi / 300, steps=300,
+                     pos0=pos0, theta0=theta0, block_rays=128,
+                     precision="high")
+    assert out.engine == "df32"
+    # ~1e-7 closure in pure f32 (truncation ~1e-9 at this divisor)
+    closure = np.linalg.norm(np.asarray(out.pos)[0] - [1, 0])
+    assert closure < 1e-6, closure
+    with pytest.raises(ValueError, match="df32 RK4"):
+        fast_trace("op6", scen, med, delta_s=0.1, steps=4, pos0=pos0,
+                   theta0=theta0, precision="high")
+    with pytest.raises(ValueError, match="precision must be"):
+        fast_trace("op12", scen, med, delta_s=0.1, steps=4, pos0=pos0,
+                   theta0=theta0, precision="banana")
