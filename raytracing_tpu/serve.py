@@ -60,9 +60,10 @@ def _trace_request(body: dict) -> dict:
         steps = scen.max_size(delta_s) - 1
 
     medium = rt.analytic_medium(scen.field)
+    precision = str(body.get("precision", "standard"))
     t0 = time.perf_counter()
     out = fast_trace(op, scen, medium, delta_s=delta_s, steps=steps,
-                     pos0=pos0, theta0=theta0)
+                     pos0=pos0, theta0=theta0, precision=precision)
     pos = np.asarray(out.pos)
     dt = time.perf_counter() - t0
 

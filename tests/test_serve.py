@@ -62,3 +62,13 @@ def test_trace_bad_request(server):
     assert code == 400
     code, body = _post(server + "/v1/nope", {})
     assert code == 404
+
+
+def test_trace_high_precision(server):
+    code, body = _post(server + "/v1/trace",
+                       {"scenario": "fisheye", "op": "op12", "rays": 128,
+                        "delta_s": 2 * 3.141592653589793 / 200,
+                        "divisor": 200, "precision": "high"})
+    assert code == 200, body
+    assert body["engine"] == "df32"
+    assert body["closure_error_pct"] < 1e-4

@@ -116,3 +116,12 @@ def test_cli_search_flow(capsys, monkeypatch):
     assert "FINDING SUITABLE DIVISOR" in out
     assert "Found best divisor!" in out
     assert res is not None
+
+
+def test_cli_aniso_flow(capsys):
+    from raytracing_tpu import cli
+    res = cli.main(["--scenario", "aniso", "--op", "2", "--delta-s", "default",
+                    "--medium", "analytic", "--dtype", "float64"])
+    out = capsys.readouterr().out
+    assert res is not None
+    assert "Coefficient of Variation" in out
