@@ -61,3 +61,18 @@ def test_trace_sharded_rejects_indivisible_batch():
         assert "not divisible" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_mesh_sharding_helpers():
+    from raytracing_tpu.parallel.mesh import (
+        candidate_ray_sharding, ray_sharding, replicated, sweep_sharding)
+    mesh = make_mesh(8)
+    import jax.numpy as jnp
+    a = jax.device_put(np.zeros((4, 16)), candidate_ray_sharding(mesh))
+    assert len(a.sharding.device_set) == 8
+    b = jax.device_put(np.zeros(16), ray_sharding(mesh))
+    assert len(b.sharding.device_set) in (4, 8)  # rays axis extent
+    c = jax.device_put(np.zeros(4), replicated(mesh))
+    assert c.sharding.is_fully_replicated
+    d = jax.device_put(np.zeros(8), sweep_sharding(mesh))
+    assert not d.sharding.is_fully_replicated
