@@ -93,8 +93,7 @@ def run_batch(scen, op_name: str, rays: int, *, delta_s_mode: str,
 
     from raytracing_tpu.engine.fast import fast_trace
 
-    medium = (build_grid_medium(scen.field, scen.box)
-              if medium_kind == "grid" else analytic_medium(scen.field))
+    medium = build_medium(scen, medium_kind)
     if delta_s_mode == "calibrated":
         # extension ops borrow their base op's calibrated step; fall back to
         # op8's when the scenario table has no entry for the base
@@ -132,14 +131,28 @@ def run_batch(scen, op_name: str, rays: int, *, delta_s_mode: str,
     return out
 
 
+def build_medium(scen, medium_kind: str = "auto", dtype=np.float32):
+    """Medium per CLI choice.  "auto" = the cheapest sampled-grid
+    representation with reference physics: 1-D stratified tables for the
+    x-independent fields (identical to the 2-D spline medium to ~1e-9,
+    tests/test_spline.py), the full 2-D grid for the fisheye."""
+    if medium_kind == "analytic":
+        return analytic_medium(scen.field)
+    if medium_kind == "auto":
+        medium_kind = "grid" if scen.is_fisheye else "stratified"
+    if medium_kind == "stratified":
+        from raytracing_tpu.media.spline import build_stratified_medium
+        return build_stratified_medium(scen.field, scen.box, dtype=dtype)
+    return build_grid_medium(scen.field, scen.box, dtype=dtype)
+
+
 def run_pipeline(scen, op_name: str, *, delta_s_mode: str = "calibrated",
-                 medium_kind: str = "grid", dtype=np.float32,
+                 medium_kind: str = "auto", dtype=np.float32,
                  n_turns: int = config.N_TURNS, do_benchmark: bool = False,
                  bench_trials: int = 10, plot: str = "none",
                  save_plot=None, save_video=None, printer=print):
     """The reference's main() pipeline, flag-driven (RT_bench.py:961-1547)."""
-    medium = (build_grid_medium(scen.field, scen.box, dtype=dtype)
-              if medium_kind == "grid" else analytic_medium(scen.field))
+    medium = build_medium(scen, medium_kind, dtype)
 
     divisor = None
     if delta_s_mode == "search":
@@ -288,7 +301,8 @@ def main(argv=None):
                                 "or op name/alias (op6, HySA, ...)")
     p.add_argument("--delta-s", dest="delta_s_mode", default="calibrated",
                    choices=["search", "calibrated", "default"])
-    p.add_argument("--medium", default="grid", choices=["grid", "analytic"])
+    p.add_argument("--medium", default="auto",
+                   choices=["auto", "grid", "stratified", "analytic"])
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "float64"])
     p.add_argument("--n-turns", type=int, default=config.N_TURNS)
