@@ -76,3 +76,24 @@ def test_mesh_sharding_helpers():
     assert c.sharding.is_fully_replicated
     d = jax.device_put(np.zeros(8), sweep_sharding(mesh))
     assert not d.sharding.is_fully_replicated
+
+
+def test_slice_mesh_topology():
+    """3-axis (slice, sweep, rays) mesh: the multi-slice DCN layout."""
+    mesh = make_mesh(8, slices=2)
+    assert mesh.axis_names == ("slice", "sweep", "rays")
+    assert mesh.shape["slice"] == 2
+    assert mesh.devices.size == 8
+    # candidates sharded over (slice, sweep) jointly
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    a = jax.device_put(np.zeros(8), NamedSharding(mesh, P(("slice", "sweep"))))
+    assert len(a.sharding.device_set) == 8
+
+
+def test_slice_mesh_rejects_indivisible():
+    try:
+        make_mesh(8, slices=3)
+    except ValueError as e:
+        assert "slices" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
