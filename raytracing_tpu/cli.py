@@ -169,7 +169,13 @@ def run_pipeline(scen, op_name: str, *, delta_s_mode: str = "calibrated",
         else:
             printer(f"Found best divisor! Using DELTA_S = SIGMA / {sr.divisor:.2f}")
     elif delta_s_mode == "calibrated":
-        delta_s, divisor = calibrated_table(op_name, scen.name)
+        # extension ops borrow their base op's calibrated step; combos the
+        # table lacks fall back to op8's entry (same policy as run_batch)
+        base = "op8" if op_name == "op12" else op_name.rstrip("n")
+        try:
+            delta_s, divisor = calibrated_table(base, scen.name)
+        except KeyError:
+            delta_s, divisor = calibrated_table("op8", scen.name)
     else:  # default constants (RT_bench.py:79-84)
         delta_s = config.DELTA_S
         divisor = config.DELTA_S_DIVISOR_FISHEYE

@@ -145,7 +145,10 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0):
                 def sel(new, old):
                     return jnp.where(keep, new, old)
 
-                nactive = jnp.where(out, zero, active)
+                # deactivation gated on the step being applied: a ray frozen
+                # by the traced step_limit must not be exited by a phantom
+                # step (matches engine/trace.py's `st.active & ~out`)
+                nactive = jnp.where(keep & out, zero, active)
                 return (sel(nx2, x), sel(ny2, y), sel(cx2, cx), sel(cy2, cy),
                         sel(nux, ux), sel(nuy, uy), sel(n2, n), sel(gx2, gx),
                         sel(gy2, gy), sel(ntt, tt), sel(ndsim, dsim), nactive)
@@ -252,7 +255,9 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0):
             def sel(new, old):
                 return jnp.where(keep, new, old)
 
-            nactive = jnp.where(out, zero, active)
+            # gated on `keep`: a limit-frozen ray's phantom step must not
+            # flip its activity (engine/trace.py `st.active & ~out`)
+            nactive = jnp.where(keep & out, zero, active)
             base = (sel(nx2, x), sel(ny2, y), sel(cx2, cx), sel(cy2, cy),
                     sel(nux, ux), sel(nuy, uy), sel(n2, n), sel(gx2, gx),
                     sel(gy2, gy), sel(ntt, tt), sel(ndsim, dsim), nactive)

@@ -159,7 +159,8 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
             def sel(new, old):
                 return jnp.where(keep, new, old)
 
-            nactive = jnp.where(out, zero, active)
+            # gated on `keep` so a frozen ray's phantom step can't exit it
+            nactive = jnp.where(keep & out, zero, active)
             return (sel(nx2, x), sel(ny2, y), sel(cx2, cx), sel(cy2, cy),
                     sel(nang, ang), sel(nux, ux), sel(nuy, uy), sel(n2, n),
                     sel(gx2, gx), sel(gy2, gy), sel(ntt, tt),

@@ -14,8 +14,8 @@ from __future__ import annotations
 
 import ctypes
 import os
+import stat
 import subprocess
-import tempfile
 
 import numpy as np
 
@@ -23,18 +23,40 @@ _SRC = os.path.join(os.path.dirname(__file__), "spline_builder.cpp")
 _LIB_CACHE: list = []
 
 
+def _cache_dir() -> str:
+    """Per-user 0700 cache dir — never a shared world-writable location.
+
+    Loading code from a predictable path under /tmp lets another local user
+    pre-plant a matching .so; cache under XDG_CACHE_HOME/~/.cache instead
+    and verify ownership+permissions before any CDLL.
+    """
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    d = os.path.join(base, "raytracing_tpu", "native")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid() or (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)):
+        raise RuntimeError(
+            f"refusing native cache dir {d}: not owned by uid {os.getuid()} "
+            f"or group/world writable (mode {oct(st.st_mode)})")
+    return d
+
+
 def _build_library() -> str:
     """Compile spline_builder.cpp to a shared object (cached per source mtime)."""
-    cache_dir = os.path.join(tempfile.gettempdir(), "raytracing_tpu_native")
-    os.makedirs(cache_dir, exist_ok=True)
     tag = int(os.path.getmtime(_SRC))
-    so = os.path.join(cache_dir, f"spline_builder_{tag}.so")
+    so = os.path.join(_cache_dir(), f"spline_builder_{tag}.so")
     if not os.path.exists(so):
         tmp = so + f".{os.getpid()}.tmp"
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", tmp],
             check=True, capture_output=True)
         os.replace(tmp, so)
+    st = os.stat(so)
+    if st.st_uid != os.getuid() or (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)):
+        raise RuntimeError(
+            f"refusing native library {so}: not owned by uid {os.getuid()} "
+            f"or group/world writable (mode {oct(st.st_mode)})")
     return so
 
 

@@ -32,17 +32,32 @@ from raytracing_tpu.engine.fast import fast_trace
 from raytracing_tpu.ops.registry import EXTENSION_OPS, OP_NAMES, canonical
 
 
+# Serving-side resource bounds.  ``steps`` is a static kernel trip count:
+# each new value compiles a fresh executable, and huge trip counts both
+# blow the compile budget and request unbounded VMEM — so every derived
+# step count is capped, not just ``rays``.
+MAX_RAYS = 16_777_216
+MAX_STEPS = 2_000_000
+MAX_TURNS = 1_000
+
+
 def _trace_request(body: dict) -> dict:
     scen = config.scenario(str(body.get("scenario", "fisheye")))
     op = canonical(str(body.get("op", "op6")))
     rays = int(body.get("rays", 1024))
-    if not 1 <= rays <= 16_777_216:
-        raise ValueError(f"rays must be in [1, 16777216], got {rays}")
+    if not 1 <= rays <= MAX_RAYS:
+        raise ValueError(f"rays must be in [1, {MAX_RAYS}], got {rays}")
     n_turns = int(body.get("n_turns", 1))
+    if not 1 <= n_turns <= MAX_TURNS:
+        raise ValueError(f"n_turns must be in [1, {MAX_TURNS}], got {n_turns}")
 
     if "delta_s" in body:
         delta_s = float(body["delta_s"])
+        if not (np.isfinite(delta_s) and delta_s > 0):
+            raise ValueError(f"delta_s must be finite and > 0, got {delta_s}")
         divisor = int(body.get("divisor", round(2 * np.pi / delta_s))) if scen.is_fisheye else None
+        if divisor is not None and not 1 <= divisor <= MAX_STEPS:
+            raise ValueError(f"divisor must be in [1, {MAX_STEPS}], got {divisor}")
     else:
         base = "op8" if op in ("op12",) else op.rstrip("n")
         try:
@@ -58,6 +73,10 @@ def _trace_request(body: dict) -> dict:
         theta0 = np.linspace(scen.theta0[0], scen.theta0[-1], rays).astype(np.float32)
         pos0 = np.tile(scen.pos0[:1].astype(np.float32), (rays, 1))
         steps = scen.max_size(delta_s) - 1
+    if not 1 <= steps <= MAX_STEPS:
+        raise ValueError(
+            f"configuration implies {steps} integration steps "
+            f"(bounds: [1, {MAX_STEPS}]); raise delta_s or lower n_turns")
 
     medium = rt.analytic_medium(scen.field)
     precision = str(body.get("precision", "standard"))
@@ -110,7 +129,8 @@ class _Handler(BaseHTTPRequestHandler):
             n = int(self.headers.get("Content-Length", 0))
             body = json.loads(self.rfile.read(n) or b"{}")
             self._send(200, _trace_request(body))
-        except (ValueError, KeyError, json.JSONDecodeError) as e:
+        except (ValueError, KeyError, TypeError, OverflowError,
+                ZeroDivisionError, json.JSONDecodeError) as e:
             self._send(400, {"error": str(e)})
 
     def log_message(self, fmt, *args):  # quiet by default

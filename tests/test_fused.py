@@ -93,3 +93,23 @@ def test_fused_rejects_unsupported():
         fused_trace_final(pos0, theta0, 0.1, field="warp", op="op1",
                           steps=3, box=(-1, 1, -1, 1), block_rays=128,
                           interpret=True)
+
+
+def test_step_limit_freeze_does_not_phantom_exit():
+    """A ray frozen by the traced step_limit must stay active even when its
+    phantom (masked) next step would cross the box boundary."""
+    import jax.numpy as jnp
+    from raytracing_tpu.kernels.fused import fused_trace_final
+
+    r = 128
+    pos0 = np.tile(np.array([[17.0, 1.0]], np.float32), (r, 1))
+    theta0 = np.zeros(r, np.float32)  # heading +x toward the x=20 wall
+    ds = 2.0
+    box = (-2.0, 20.0, -2.0, 4.0)
+    pos, _tt, _dsim, act = fused_trace_final(
+        pos0, theta0, jnp.float32(ds), field="interface", op="op1",
+        steps=4, box=box, block_rays=128, interpret=True,
+        step_limit=jnp.float32(1.0))
+    # frozen at x=19 (inside); phantom step to x=21 must not deactivate
+    np.testing.assert_allclose(np.asarray(pos)[:, 0], 19.0, atol=1e-3)
+    assert bool(np.all(np.asarray(act)))

@@ -72,3 +72,27 @@ def test_trace_high_precision(server):
     assert code == 200, body
     assert body["engine"] == "df32"
     assert body["closure_error_pct"] < 1e-4
+
+
+def test_trace_hostile_payloads_rejected(server):
+    """Resource-exhaustion vectors must 400, not hang or kill the thread."""
+    # delta_s = 0 -> round(inf) previously OverflowError'd the handler thread
+    code, body = _post(server + "/v1/trace",
+                       {"scenario": "fisheye", "op": "op1", "delta_s": 0.0})
+    assert code == 400 and "delta_s" in body["error"]
+    # tiny delta_s -> unbounded step count
+    code, body = _post(server + "/v1/trace",
+                       {"scenario": "interface", "op": "op1", "delta_s": 1e-9})
+    assert code == 400 and "steps" in body["error"]
+    # NaN / negative delta_s
+    for ds in (float("nan"), -1.0):
+        code, body = _post(server + "/v1/trace",
+                           {"scenario": "interface", "op": "op1", "delta_s": ds})
+        assert code == 400
+    # unbounded n_turns
+    code, body = _post(server + "/v1/trace",
+                       {"scenario": "fisheye", "op": "op1", "n_turns": 10**9})
+    assert code == 400 and "n_turns" in body["error"]
+    # non-numeric rays -> TypeError/ValueError path
+    code, body = _post(server + "/v1/trace", {"rays": "many"})
+    assert code == 400

@@ -125,3 +125,14 @@ def test_cli_aniso_flow(capsys):
     out = capsys.readouterr().out
     assert res is not None
     assert "Coefficient of Variation" in out
+
+
+def test_cli_calibrated_fallback_extension_ops(capsys):
+    """run_pipeline('calibrated') must not KeyError on ops absent from the
+    calibrated table (op12 borrows op8's entry; combos fall back to op8)."""
+    from raytracing_tpu import cli, config
+    scen = config.scenario("fisheye")
+    res = cli.run_pipeline(scen, "op12", delta_s_mode="calibrated",
+                           medium_kind="analytic", n_turns=1,
+                           printer=lambda *a, **k: None)
+    assert res is not None
