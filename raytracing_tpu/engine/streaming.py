@@ -31,11 +31,6 @@ def stream_history(op_name: str, scen: config.ScenarioConfig, medium, *,
     history array (row 0 included once, at the start of the first chunk).
     """
     op_name = canonical(op_name)
-    if op_name == "op7":
-        # op7's backward-difference order ramp keys off the scan index,
-        # which restarts per segment; stream the other ten ops.
-        raise ValueError("op7's priming ramp is incompatible with segment "
-                         "restarts; use trace(mode='history') for MxSA")
     dtype = np.dtype(dtype)
     max_size = scen.max_size(delta_s, divisor, n_turns)
     if pos0 is None:
@@ -61,11 +56,12 @@ def stream_history(op_name: str, scen: config.ScenarioConfig, medium, *,
     first = True
     while done < total_steps:
         seg = min(chunk, total_steps - done)
-        # The segment's scan indices restart at 1; op7's order ramp must not
-        # re-prime, so offset the window-op step index by pushing the scan
-        # through its own indices — the window carry preserves continuity,
-        # and for segments after the first the ramp is already past 3.
-        res = run_jit(st, medium, gamma, ds, jnp.int32(seg))
+        # step_offset globalizes the scan indices: op7's order ramp (which
+        # keys off the step number, ops/registry.py) sees step done+1 .. and
+        # never re-primes, and exit_step records global indices.  step_limit
+        # is global too, so the segment freezes after `seg` applied steps.
+        res = run_jit(st, medium, gamma, ds, jnp.int32(done + seg),
+                      jnp.int32(done))
         hist = np.asarray(res.history)  # (chunk+1, R, 6)
         if first:
             yield hist[: seg + 1]

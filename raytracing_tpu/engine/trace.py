@@ -97,10 +97,13 @@ def _build_trace_fn(op_name: str, max_size: int, box, mode: str,
     op = build_op(op_name, dtype)
     history = mode == "history"
 
-    def run(st0: RayState, medium, gamma, delta_s, step_limit):
+    def run(st0: RayState, medium, gamma, delta_s, step_limit, step_offset=0):
         # medium/gamma/delta_s/step_limit are traced operands, not
         # compile-time constants, so one compiled program serves every step
-        # size / gamma (the DELTA_S sweep vmaps over them).
+        # size / gamma (the DELTA_S sweep vmaps over them).  ``step_offset``
+        # makes the scan's step indices global for chunked/segmented runs
+        # (engine/streaming.py) — op7's order ramp and exit_step then survive
+        # segment restarts; the default 0 folds away.
 
         def body(st: RayState, i):
             pt = RayPoint(pos=st.pos, angle=st.angle, unitv=st.unitv, n=st.n,
@@ -156,7 +159,7 @@ def _build_trace_fn(op_name: str, max_size: int, box, mode: str,
         # In a padded scan the effective last row is step_limit, not
         # max_size - 1; rays that never exit the box report it as exit_step.
         st0 = st0._replace(exit_step=jnp.minimum(st0.exit_step, step_limit))
-        steps = jnp.arange(1, max_size, dtype=jnp.int32)
+        steps = jnp.arange(1, max_size, dtype=jnp.int32) + step_offset
         final, ys = jax.lax.scan(body, st0, steps)
         if history:
             srows, nrows = ys
