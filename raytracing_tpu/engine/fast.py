@@ -16,10 +16,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from raytracing_tpu import config
-from raytracing_tpu.engine.trace import trace
-from raytracing_tpu.kernels.fused import FUSED_FIELDS, FUSED_OPS, fused_trace_final
+from raytracing_tpu.engine.trace import _outside, trace
+from raytracing_tpu.kernels.fused import (
+    FUSED_FIELDS, FUSED_OPS, fused_trace_final, fused_trace_final_strat)
 from raytracing_tpu.kernels.golden import GOLDEN_OPS, golden_trace_final
 from raytracing_tpu.media.medium import AnalyticMedium
+from raytracing_tpu.media.spline import StratifiedGridMedium
 from raytracing_tpu.ops.registry import canonical
 
 
@@ -34,6 +36,8 @@ class FastResult(NamedTuple):
 def supports(op_name: str, medium) -> bool:
     """True when a fused kernel covers this (op, medium) pairing."""
     op = canonical(op_name)
+    if isinstance(medium, StratifiedGridMedium):
+        return op in FUSED_OPS
     return (isinstance(medium, AnalyticMedium)
             and medium.field in FUSED_FIELDS
             and (op in FUSED_OPS or op in GOLDEN_OPS))
@@ -91,9 +95,13 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
         res = trace(op, scen, medium, delta_s=float(delta_s), divisor=divisor,
                     n_turns=n_turns, mode="metrics", dtype=np.float32,
                     max_size=steps + 1, pos0=pos0, theta0=theta0)
+        # FastResult.active means "still inside the box"; the scan engine's
+        # final.active means "still integrating" (False once the padded scan
+        # completes), so derive the box mask from the frozen positions.
         return FastResult(pos=res.final.pos, traveltime=res.final.traveltime,
                           dist_sim=res.final.dist_sim,
-                          active=res.final.active, engine="scan")
+                          active=~_outside(res.final.pos, tuple(scen.box)),
+                          engine="scan")
 
     r = len(theta0)
     pad = (-r) % block_rays
@@ -103,17 +111,25 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
         pos0 = jnp.concatenate([pos0, jnp.tile(pos0[-1:], (pad, 1))])
         theta0 = jnp.concatenate([theta0, jnp.tile(theta0[-1:], pad)])
 
-    if op in GOLDEN_OPS:
+    if isinstance(medium, StratifiedGridMedium):
+        f = fused_trace_final_strat(
+            pos0, theta0, jnp.float32(delta_s), medium, op=op,
+            steps=int(steps), box=tuple(scen.box), block_rays=block_rays,
+            interpret=interpret)
+        pos, tt, dsim, act = f.pos, f.traveltime, f.dist_sim, f.active
+        eng = "fused-strat"
+    elif op in GOLDEN_OPS:
         pos, _ang, tt, dsim, act = golden_trace_final(
             pos0, theta0, jnp.float32(delta_s), jnp.float32(scen.gamma),
             field=scen.field, op=op, steps=int(steps), box=tuple(scen.box),
             block_rays=block_rays, interpret=interpret)
         eng = "golden"
     else:
-        pos, tt, dsim, act = fused_trace_final(
+        f = fused_trace_final(
             pos0, theta0, jnp.float32(delta_s), field=scen.field, op=op,
             steps=int(steps), box=tuple(scen.box), block_rays=block_rays,
             interpret=interpret)
+        pos, tt, dsim, act = f.pos, f.traveltime, f.dist_sim, f.active
         eng = "fused"
     return FastResult(pos=pos[:r], traveltime=tt[:r],
                       dist_sim=dsim[:r] if dsim is not None else None,
@@ -161,6 +177,6 @@ def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
                                  op=op, steps=int(steps), box=tuple(scen.box),
                                  block_rays=block_rays, interpret=interpret)
 
-    pos, tt, dsim, act = run(pos0, theta0)
-    return FastResult(pos=pos, traveltime=tt, dist_sim=dsim, active=act,
-                      engine="fused-sharded")
+    f = run(pos0, theta0)
+    return FastResult(pos=f.pos, traveltime=f.traveltime, dist_sim=f.dist_sim,
+                      active=f.active, engine="fused-sharded")

@@ -23,6 +23,7 @@ Design notes:
 from __future__ import annotations
 
 import functools
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -61,8 +62,52 @@ def _field_fn(field: str):
     return f
 
 
-def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0):
-    nag = _field_fn(field)
+def _strat_nag(tables, y0: float, inv_hy: float, ny: int):
+    """n/grad evaluator gathering from VMEM-resident 1-D cell tables.
+
+    Mirrors media/spline.StratifiedGridMedium.n_and_grad: bilinear n from the
+    sampled column, cubic dn/dy from per-cell coefficients (the reference's
+    FITPACK pair, RT_bench.py:455-458, collapsed to 1-D for x-independent
+    fields).  Gathers lower to Mosaic's ``tpu.dynamic_gather``, which spans at
+    most one vreg (128 lanes) along the gather axis — so each channel lives as
+    128-entry lane chunks replicated over sublanes, gathered per chunk along
+    axis 1 and combined with a chunk-id select.  ``tables`` is the
+    (6, NCH, rows, 128) VMEM value; channels: Zy[i], Zy[i+1], cy[i, 0..3].
+    """
+    nch = tables.shape[1]
+
+    def nag(x, y):
+        fy = jnp.clip((y - y0) * inv_hy, 0.0, float(ny - 1))
+        iy = jnp.minimum(jnp.floor(fy), float(ny - 2))
+        uy = fy - iy
+        ii = iy.astype(jnp.int32)
+        local = jnp.bitwise_and(ii, jnp.int32(LANES - 1))      # ii % 128
+        chunk = jnp.right_shift(ii, jnp.int32(7))              # ii // 128
+        vals = [jnp.zeros_like(y) for _ in range(6)]
+        for k in range(nch):
+            hit = chunk == k
+            for c in range(6):
+                g = jnp.take_along_axis(tables[c, k], local, axis=1)
+                vals[c] = jnp.where(hit, g, vals[c])
+        zlo, zhi, c0, c1, c2, c3 = vals
+        n = (1.0 - uy) * zlo + uy * zhi
+        gy = c0 + uy * (c1 + uy * (c2 + uy * c3))
+        return n, jnp.zeros_like(x), gy
+
+    return nag
+
+
+def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
+                 strat=None, stats: bool = False):
+    """Build the fused step kernel.
+
+    ``stats`` adds a Welford tracker of the horizontal momentum m_x = n*u_x
+    to the carry (count/mean/M2) — the on-device momentum-conservation
+    oracle for the stratified scenarios (RT_bench.py:957-958, 1352-1360) at
+    kernel speed.  Isotropic only (gamma == 1), which is exactly the fused
+    op set's domain.
+    """
+    nag = None if strat is not None else _field_fn(field)
     second_order = op in ("op6", "op7", "op8")
     curvature = op in ("op3", "op4")
     rk2 = op in ("op2", "op3", "op6")
@@ -72,8 +117,9 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0):
     # captured tracer constants, which pallas_call rejects)
     limx_i, limx_s, limy_i, limy_s = [float(v) for v in box]
 
-    def kernel(x_ref, y_ref, ux_ref, uy_ref, zero_ref, ds_ref,
-               out_x_ref, out_y_ref, out_tt_ref, out_ds_ref, out_act_ref):
+    def kernel_impl(nag, x_ref, y_ref, ux_ref, uy_ref, zero_ref, ds_ref,
+                    out_x_ref, out_y_ref, out_ux_ref, out_uy_ref,
+                    out_tt_ref, out_ds_ref, out_act_ref, *stat_refs):
         ds = ds_ref[0]
         limit = ds_ref[1]  # effective step count (traced); rays freeze after
         x, y = x_ref[...], y_ref[...]
@@ -91,11 +137,15 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0):
 
         def body(i, carry):
             in_limit = i.astype(jnp.float32) < limit
+            x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active = carry[:12]
+            rest = carry[12:]
+            if stats:
+                cnt, mean, m2 = rest[:3]
+                rest = rest[3:]
             if window:
-                (x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active,
-                 wax, way, wbx, wby) = carry
-            else:
-                x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active = carry
+                wax, way, wbx, wby = rest
+
+            # -- position advance ---------------------------------------
             if rk4:
                 # joint RK4 (ops/registry.py op12) with the tangent carried
                 # as (cos t, sin t); intermediate angles are rotations of the
@@ -125,36 +175,9 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0):
                 ddx = (h / 6.0) * (ux + 2 * u1x + 2 * u2x + u3x)
                 ddy = (h / 6.0) * (uy + 2 * u1y + 2 * u2y + u3y)
                 dth = (h / 6.0) * (k1t + 2 * k2t + 2 * k3t + k4t)
-                nux, nuy = rot(ux, uy, dth)
-
-                dx = ddx - cx
-                nx2 = x + dx
-                cx2 = (nx2 - x) - dx
-                dy = ddy - cy
-                ny2 = y + dy
-                cy2 = (ny2 - y) - dy
-                n2, gx2, gy2 = nag(nx2, ny2)
-                dist = jnp.sqrt(ddx * ddx + ddy * ddy)
-                ntt = tt + dist * (n + n2) * 0.5
-                ndsim = dsim + dist
-
-                out = ((nx2 > limx_s) | (nx2 < limx_i)
-                       | (ny2 > limy_s) | (ny2 < limy_i))
-                keep = (active > 0.5) & in_limit
-
-                def sel(new, old):
-                    return jnp.where(keep, new, old)
-
-                # deactivation gated on the step being applied: a ray frozen
-                # by the traced step_limit must not be exited by a phantom
-                # step (matches engine/trace.py's `st.active & ~out`)
-                nactive = jnp.where(keep & out, zero, active)
-                return (sel(nx2, x), sel(ny2, y), sel(cx2, cx), sel(cy2, cy),
-                        sel(nux, ux), sel(nuy, uy), sel(n2, n), sel(gx2, gx),
-                        sel(gy2, gy), sel(ntt, tt), sel(ndsim, dsim), nactive)
-
-            # -- position advance ---------------------------------------
-            if second_order:
+                rk4_ux, rk4_uy = rot(ux, uy, dth)
+                significant = None
+            elif second_order:
                 # transverse = grad - (grad.u)u ; r += u ds + transverse ds^2/2n
                 gdotu = gx * ux + gy * uy
                 half_fac = ds * ds * 0.5 / n
@@ -193,7 +216,9 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0):
             n2, gx2, gy2 = nag(nx2, ny2)
 
             # -- angle update -------------------------------------------
-            if window:
+            if rk4:
+                nux, nuy = rk4_ux, rk4_uy
+            elif window:
                 # MxSA: backward difference over the 4-position window with
                 # the in-scan order ramp (ops/registry.py, RT_bench.py:833-
                 # 864, 370-372).  The reference takes atan2 of the
@@ -239,7 +264,7 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0):
 
             # first-order steps move exactly ds; avoid materializing a
             # replicated `dist` vector (Mosaic relayout bug in selects)
-            if second_order or curvature:
+            if second_order or curvature or rk4:
                 dist = jnp.sqrt(ddx * ddx + ddy * ddy)
                 ntt = tt + dist * (n + n2) * 0.5
                 ndsim = dsim + dist
@@ -261,37 +286,120 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0):
             base = (sel(nx2, x), sel(ny2, y), sel(cx2, cx), sel(cy2, cy),
                     sel(nux, ux), sel(nuy, uy), sel(n2, n), sel(gx2, gx),
                     sel(gy2, gy), sel(ntt, tt), sel(ndsim, dsim), nactive)
+            if stats:
+                # Welford over the post-step momentum m_x = n2 * nux — same
+                # accumulation the scan carry keeps (engine/trace.py body)
+                mx2 = n2 * nux
+                cnt2 = cnt + 1.0
+                delta = mx2 - mean
+                mean2 = mean + delta / cnt2
+                m22 = m2 + delta * (mx2 - mean2)
+                base = base + (sel(cnt2, cnt), sel(mean2, mean), sel(m22, m2))
             if window:
                 base = base + (sel(wbx, wax), sel(wby, way),
                                sel(x, wbx), sel(y, wby))
             return base
 
         carry0 = (x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active)
+        if stats:
+            carry0 = carry0 + (zero + 1.0, n * ux, zero)  # row 0 included
         if window:
             carry0 = carry0 + (x, y, x, y)  # p_{-2} = p_{-1} = p_0
         final = jax.lax.fori_loop(0, steps, body, carry0)
         x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active = final[:12]
         out_x_ref[...] = x
         out_y_ref[...] = y
+        out_ux_ref[...] = ux
+        out_uy_ref[...] = uy
         out_tt_ref[...] = tt
         out_ds_ref[...] = dsim
         out_act_ref[...] = active
+        if stats:
+            out_cnt_ref, out_mean_ref, out_m2_ref = stat_refs
+            out_cnt_ref[...] = final[12]
+            out_mean_ref[...] = final[13]
+            out_m2_ref[...] = final[14]
+
+    if strat is None:
+        def kernel(*refs):
+            kernel_impl(nag, *refs)
+    else:
+        y0, inv_hy, ny = strat
+
+        def kernel(tables_ref, *refs):
+            kernel_impl(_strat_nag(tables_ref[...], y0, inv_hy, ny), *refs)
 
     return kernel
 
 
+class FusedFinal(NamedTuple):
+    """Final-state bundle of a fused kernel run (all arrays length R)."""
+
+    pos: Any          # (R, 2) final positions
+    tangent: Any      # (R, 2) final unit tangent (cos/sin of the exit angle)
+    traveltime: Any   # (R,)
+    dist_sim: Any     # (R,)
+    active: Any       # (R,) bool: never left the box
+    mom_count: Any = None  # Welford m_x stats (with_stats=True only)
+    mom_mean: Any = None
+    mom_m2: Any = None
+
+
+def _call_kernel(kernel, tables, x, y, ux, uy, ds, *, steps, r, rows,
+                 block_rays, nch, with_stats, interpret):
+    shape2 = (r // LANES, LANES)
+    blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    n_out = 10 if with_stats else 7
+    in_specs = [blk, blk, blk, blk, blk,
+                pl.BlockSpec(memory_space=pltpu.SMEM)]
+    args = (x, y, ux, uy, jnp.zeros(shape2, jnp.float32), ds)
+    if tables is not None:
+        in_specs = [pl.BlockSpec((6, nch, rows, LANES),
+                                 lambda i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)] + in_specs
+        args = (tables,) + args
+    outs = pl.pallas_call(
+        kernel,
+        grid=(r // block_rays,),
+        in_specs=in_specs,
+        out_specs=[blk] * n_out,
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * n_out,
+        cost_estimate=pl.CostEstimate(
+            flops=(60 + 30 * (nch or 0)) * r * steps,
+            bytes_accessed=16 * 4 * r,
+            transcendentals=3 * r * steps),
+        interpret=interpret,
+    )(*args)
+    fx, fy, fux, fuy, tt, dsim, act = outs[:7]
+    res = FusedFinal(
+        pos=jnp.stack([fx.reshape(-1), fy.reshape(-1)], axis=-1),
+        tangent=jnp.stack([fux.reshape(-1), fuy.reshape(-1)], axis=-1),
+        traveltime=tt.reshape(-1), dist_sim=dsim.reshape(-1),
+        active=act.reshape(-1) > 0.5)
+    if with_stats:
+        cnt, mean, m2 = outs[7:]
+        res = res._replace(mom_count=cnt.reshape(-1),
+                           mom_mean=mean.reshape(-1),
+                           mom_m2=m2.reshape(-1))
+    return res
+
+
 @functools.partial(jax.jit, static_argnames=("field", "op", "steps", "box",
-                                             "block_rays", "interpret"))
+                                             "block_rays", "interpret",
+                                             "with_stats"))
 def fused_trace_final(pos0, theta0, delta_s, *, field: str, op: str,
                       steps: int, box, block_rays: int = 4096,
-                      interpret: bool = False, step_limit=None):
-    """Run ``steps`` fused integration steps; return final
-    (pos, traveltime, dist_sim, active_mask).
+                      interpret: bool = False, step_limit=None,
+                      with_stats: bool = False) -> FusedFinal:
+    """Run ``steps`` fused integration steps; return a :class:`FusedFinal`.
 
     ``step_limit`` (traced scalar, default ``steps``) freezes every ray
     after that many steps — the padded-scan trick that lets ONE compiled
     kernel serve a whole DELTA_S candidate sweep (engine/trace.py's
-    ``step_limit``, SURVEY.md §7.5), at kernel speed."""
+    ``step_limit``, SURVEY.md §7.5), at kernel speed.  ``with_stats`` adds
+    the Welford momentum-conservation tracker (RT_bench.py:957-958) to the
+    carry for on-device CV oracles."""
     if field not in FUSED_FIELDS:
         raise ValueError(f"fused kernel supports fields {FUSED_FIELDS}, got {field!r}")
     if op not in FUSED_OPS:
@@ -309,22 +417,64 @@ def fused_trace_final(pos0, theta0, delta_s, *, field: str, op: str,
         step_limit = steps
     ds = jnp.stack([jnp.asarray(delta_s, jnp.float32),
                     jnp.asarray(step_limit, jnp.float32)])
-
-    blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM)
-    zero = jnp.zeros(shape2, jnp.float32)
     from raytracing_tpu.config import gold_tol
-    fx, fy, tt, dsim, act = pl.pallas_call(
-        _make_kernel(field, op, steps, box, gold_tol(np.float32)),
-        grid=(r // block_rays,),
-        in_specs=[blk, blk, blk, blk, blk,
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[blk] * 5,
-        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 5,
-        cost_estimate=pl.CostEstimate(
-            flops=60 * r * steps, bytes_accessed=13 * 4 * r,
-            transcendentals=3 * r * steps),
-        interpret=interpret,
-    )(x, y, ux, uy, zero, ds)
-    pos = jnp.stack([fx.reshape(-1), fy.reshape(-1)], axis=-1)
-    return pos, tt.reshape(-1), dsim.reshape(-1), act.reshape(-1) > 0.5
+    kernel = _make_kernel(field, op, steps, box, gold_tol(np.float32),
+                          stats=with_stats)
+    return _call_kernel(kernel, None, x, y, ux, uy, ds, steps=steps, r=r,
+                        rows=rows, block_rays=block_rays, nch=0,
+                        with_stats=with_stats, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("op", "steps", "box",
+                                             "block_rays", "interpret",
+                                             "with_stats"))
+def fused_trace_final_strat(pos0, theta0, delta_s, medium, *, op: str,
+                            steps: int, box, block_rays: int = 4096,
+                            interpret: bool = False, step_limit=None,
+                            with_stats: bool = False) -> FusedFinal:
+    """Fused integration through a sampled stratified medium.
+
+    The TPU-viable production path for the reference's grid/spline media on
+    x-independent fields (interface / vert): the 1-D cell tables of a
+    ``media.spline.StratifiedGridMedium`` ride in VMEM as lane chunks and the
+    kernel gathers n / dn/dy per step with ``tpu.dynamic_gather`` — the
+    Pallas-tier replacement for the three FITPACK evaluations per step that
+    dominate the reference's hot loop (RT_bench.py:435-464, 141-156).
+    """
+    if op not in FUSED_OPS:
+        raise ValueError(f"fused kernel supports ops {FUSED_OPS}, got {op!r}")
+    r = pos0.shape[0]
+    if r % block_rays:
+        raise ValueError(f"rays {r} not a multiple of block {block_rays}")
+    rows = block_rays // LANES
+    shape2 = (r // LANES, LANES)
+    x = jnp.asarray(pos0[:, 0], jnp.float32).reshape(shape2)
+    y = jnp.asarray(pos0[:, 1], jnp.float32).reshape(shape2)
+    ux = jnp.cos(theta0).astype(jnp.float32).reshape(shape2)
+    uy = jnp.sin(theta0).astype(jnp.float32).reshape(shape2)
+    if step_limit is None:
+        step_limit = steps
+    ds = jnp.stack([jnp.asarray(delta_s, jnp.float32),
+                    jnp.asarray(step_limit, jnp.float32)])
+
+    # channel tables -> (6, NCH, rows, 128) lane chunks replicated over rows
+    ny = medium.ny
+    nch = -(-ny // LANES)
+    T = nch * LANES
+    zy = jnp.asarray(medium.Zy, jnp.float32)
+    cy = jnp.asarray(medium.cy, jnp.float32)
+    zlo = jnp.pad(zy, (0, T - ny), mode="edge")
+    zhi = jnp.pad(zy[1:], (0, T - ny + 1), mode="edge")
+    cpad = jnp.pad(cy, ((0, T - ny + 1), (0, 0)))
+    tables = jnp.stack([zlo, zhi, cpad[:, 0], cpad[:, 1], cpad[:, 2],
+                        cpad[:, 3]])
+    tables = jnp.broadcast_to(tables.reshape(6, nch, 1, LANES),
+                              (6, nch, rows, LANES))
+
+    from raytracing_tpu.config import gold_tol
+    strat = (float(medium.y0), float(medium.inv_hy), int(ny))
+    kernel = _make_kernel("stratified", op, steps, box, gold_tol(np.float32),
+                          strat=strat, stats=with_stats)
+    return _call_kernel(kernel, tables, x, y, ux, uy, ds, steps=steps, r=r,
+                        rows=rows, block_rays=block_rays, nch=nch,
+                        with_stats=with_stats, interpret=interpret)

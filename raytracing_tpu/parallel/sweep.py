@@ -112,35 +112,97 @@ def find_index_vert(errors, max_dev=config.MAX_MOMENTUM_CV_PCT):
 
 def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
                          delta_s: np.ndarray, step_limits: np.ndarray,
-                         max_steps: int, *, rays: int = 4096,
+                         max_steps: int, *, medium=None, rays: int | None = None,
                          block_rays: int = 4096, interpret: bool | None = None):
-    """Fisheye candidate sweep through ONE compiled fused kernel.
+    """Candidate sweep through ONE compiled fused kernel — any scenario.
 
     The kernel compiles once at ``max_steps`` with a traced per-run step
     limit; each candidate is a kernel launch at full fused throughput
-    (~10-40 G ray-steps/s) instead of the scan engine's ~1.5 G.  Returns
-    {"closure_pct": per-candidate}.
+    (10-40 G ray-steps/s analytic, ~4 G table-gather) instead of the scan
+    engine's ~1.5 G.  ``medium``: pass a ``StratifiedGridMedium`` to sweep on
+    the reference-faithful sampled medium (RT_bench.py:435-464); None uses
+    the analytic field.
+
+    Per-scenario metrics (the reference's search_delta, RT_bench.py:950-958):
+
+    * fisheye -> ``closure_pct`` from ray 0's final position;
+    * interface -> ``mean_err``/``max_err`` (deg) — measured outbound angle
+      taken from the *final frozen tangent* instead of the history-tail
+      secant (RT_bench.py:910-916): past the interface the ray is straight,
+      so secant == tangent to f32 precision (the scan tier keeps the exact
+      tail-secant computation; divergence logged in docs/PARITY.md);
+    * vert/aniso -> ``cv_pct`` from the in-kernel Welford momentum tracker.
     """
     import jax as _jax
 
-    from raytracing_tpu.kernels.fused import fused_trace_final
+    from raytracing_tpu.kernels.fused import (fused_trace_final,
+                                              fused_trace_final_strat)
+    from raytracing_tpu.media.spline import StratifiedGridMedium
 
-    if not scen.is_fisheye:
-        raise ValueError("fused sweep currently supports the fisheye scenario")
     if interpret is None:
         interpret = _jax.default_backend() == "cpu"
-    theta0 = _jax.device_put(np.full(rays, np.pi / 2.0, np.float32))
-    pos0 = _jax.device_put(
-        np.tile(np.array([[1.0, 0.0]], np.float32), (rays, 1)))
-    out = np.empty(len(delta_s))
+    use_strat = isinstance(medium, StratifiedGridMedium)
+    deg = 180.0 / np.pi
+
+    if scen.is_fisheye:
+        r = rays or block_rays
+        fan = np.full(r, np.pi / 2.0, np.float32)
+        pos0 = np.tile(np.array([[1.0, 0.0]], np.float32), (r, 1))
+        nf = r
+    else:
+        fan = np.asarray(scen.theta0, np.float32)
+        nf = len(fan)
+        r = rays or block_rays
+        if r < nf:
+            raise ValueError(f"rays {r} < scenario fan {nf}")
+        fan = np.concatenate([fan, np.full(r - nf, fan[-1], np.float32)])
+        pos0 = np.tile(scen.pos0[:1].astype(np.float32), (r, 1))
+    if r % block_rays:
+        raise ValueError(f"rays {r} not a multiple of block {block_rays}")
+    theta0 = _jax.device_put(fan)
+    pos0 = _jax.device_put(pos0)
+
+    if scen.is_interface:
+        # expected outbound angle per launch angle (RT_bench.py:902-908)
+        with np.errstate(invalid="ignore"):
+            refr = deg * np.arcsin(np.sqrt(2.0) * np.sin(np.pi / 2 - fan[:nf]))
+        angreal = np.where(fan[:nf] < np.pi / 4, 90.0 - deg * fan[:nf],
+                           np.where(fan[:nf] == np.pi / 4, 0.0, refr))
+
+    with_stats = scen.is_vert
+    out = {k: np.empty(len(delta_s)) for k in (
+        ("mean_err", "max_err") if scen.is_interface else
+        ("closure_pct",) if scen.is_fisheye else ("cv_pct",))}
     for i, (ds, lim) in enumerate(zip(delta_s, step_limits)):
-        pos, *_ = fused_trace_final(
-            pos0, theta0, np.float32(ds), field="fisheye", op=op_name,
-            steps=int(max_steps), box=tuple(scen.box), block_rays=block_rays,
-            interpret=interpret, step_limit=np.float32(lim))
-        p = np.asarray(pos[0])
-        out[i] = 100.0 * np.linalg.norm(p - [1.0, 0.0]) / (2.0 * np.pi)
-    return {"closure_pct": out}
+        if use_strat:
+            f = fused_trace_final_strat(
+                pos0, theta0, np.float32(ds), medium, op=op_name,
+                steps=int(max_steps), box=tuple(scen.box),
+                block_rays=block_rays, interpret=interpret,
+                step_limit=np.float32(lim), with_stats=with_stats)
+        else:
+            f = fused_trace_final(
+                pos0, theta0, np.float32(ds), field=scen.field, op=op_name,
+                steps=int(max_steps), box=tuple(scen.box),
+                block_rays=block_rays, interpret=interpret,
+                step_limit=np.float32(lim), with_stats=with_stats)
+        if scen.is_fisheye:
+            p = np.asarray(f.pos[0])
+            out["closure_pct"][i] = (100.0 * np.linalg.norm(p - [1.0, 0.0])
+                                     / (2.0 * np.pi))
+        elif scen.is_interface:
+            tang = np.asarray(f.tangent[:nf])
+            angsim = deg * np.arctan(np.abs(tang[:, 0] / tang[:, 1]))
+            errs = np.abs(angsim - angreal)
+            out["mean_err"][i] = errs.mean()
+            out["max_err"][i] = errs.max()
+        else:
+            cnt = np.asarray(f.mom_count[:nf])
+            mean = np.asarray(f.mom_mean[:nf])
+            m2 = np.asarray(f.mom_m2[:nf])
+            cv = 100.0 * np.sqrt(m2 / cnt) / mean
+            out["cv_pct"][i] = float(np.mean(cv[1:-1]))
+    return out
 
 
 # -- the sweep itself -------------------------------------------------------
@@ -220,23 +282,70 @@ def run_candidates(op_name: str, scen: config.ScenarioConfig, medium,
     return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 
 
+def fused_sweep_supported(op_name: str, scen: config.ScenarioConfig,
+                          medium) -> bool:
+    """True when the kernel-speed sweep covers this configuration."""
+    from raytracing_tpu.kernels.fused import FUSED_FIELDS, FUSED_OPS
+    from raytracing_tpu.media.medium import AnalyticMedium
+    from raytracing_tpu.media.spline import StratifiedGridMedium
+
+    if op_name not in FUSED_OPS:
+        return False
+    if scen.is_aniso:
+        # aniso sweeps run op10/op11 (golden kernels); the fused Welford
+        # tracker is isotropic-only
+        return False
+    if isinstance(medium, StratifiedGridMedium):
+        return not scen.is_fisheye
+    return isinstance(medium, AnalyticMedium) and scen.field in FUSED_FIELDS
+
+
 def delta_s_search(op_name: str, scen: config.ScenarioConfig, medium, *,
                    n_turns: int = config.N_TURNS, dtype=np.float32,
                    chunk: int | None = None, mesh=None,
-                   checkpoint: str | None = None) -> SweepResult:
+                   checkpoint: str | None = None, engine: str = "auto",
+                   rays: int | None = None,
+                   block_rays: int = 4096) -> SweepResult:
     """Full DELTA_S search: sweep + acceptance + selection.
 
     Mirrors the reference flow RT_bench.py:1296-1406, returning the selected
     step instead of mutating globals.  Raises nothing on failure: ``index``
     is None when no candidate passes (the reference sys.exit()s,
     RT_bench.py:1404-1406 — the caller decides that policy here).
+
+    ``engine``: "scan" runs every candidate through the reference-parity
+    scan engine; "fused" through the Pallas kernels (10-40x faster; requires
+    a fused-covered op/medium); "auto" picks fused when supported.
     """
+    from raytracing_tpu.ops.registry import canonical
+
+    op_c = canonical(op_name)
+    if engine == "auto":
+        # fused kernels only lower natively on TPU; Pallas interpret mode on
+        # CPU is far slower than the scan engine, so auto never picks it there
+        engine = ("fused" if (jax.default_backend() != "cpu"
+                              and fused_sweep_supported(op_c, scen, medium))
+                  else "scan")
+    if engine not in ("scan", "fused"):
+        raise ValueError(f"engine must be scan/fused/auto, got {engine!r}")
+
     divisors, delta_s, trace_divs = candidates(scen)
     sizes = _max_sizes(scen, delta_s, trace_divs, n_turns)
     max_size = int(sizes.max())
-    metrics = run_candidates(op_name, scen, medium, delta_s, sizes - 1,
-                             max_size, n_turns=n_turns, dtype=dtype,
-                             chunk=chunk, mesh=mesh, checkpoint=checkpoint)
+    if engine == "fused":
+        if not fused_sweep_supported(op_c, scen, medium):
+            raise ValueError(f"fused sweep does not cover {op_c!r} on "
+                             f"{type(medium).__name__} ({scen.name})")
+        from raytracing_tpu.media.spline import StratifiedGridMedium
+
+        med = medium if isinstance(medium, StratifiedGridMedium) else None
+        metrics = run_candidates_fused(
+            op_c, scen, delta_s, sizes - 1, max_size - 1, medium=med,
+            rays=rays, block_rays=block_rays)
+    else:
+        metrics = run_candidates(op_name, scen, medium, delta_s, sizes - 1,
+                                 max_size, n_turns=n_turns, dtype=dtype,
+                                 chunk=chunk, mesh=mesh, checkpoint=checkpoint)
 
     if scen.is_interface:
         index = find_index_interface(metrics["mean_err"], metrics["max_err"])

@@ -41,7 +41,7 @@ def test_rk4_fused_kernel_matches_engine():
     R = 256
     theta0 = np.full(R, np.pi / 2.0, np.float32)
     pos0 = np.stack([np.ones(R), np.zeros(R)], -1).astype(np.float32)
-    pos, tt, dsim, act = fused_trace_final(
+    pos, _tang, tt, dsim, act, *_ = fused_trace_final(
         pos0, theta0, ds, field="fisheye", op="op12", steps=div,
         box=tuple(scen.box), block_rays=256, interpret=True)
     med = rt.analytic_medium("fisheye")

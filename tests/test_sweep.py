@@ -174,3 +174,65 @@ def test_sweep_custom_ray_batch():
                           dtype=np.float64, pos0=pos0, theta0=theta0)
     assert m["cv_pct"].shape == (2,)
     assert np.all(np.isfinite(m["cv_pct"]))
+
+
+def test_fused_sweep_interface_matches_scan_metrics():
+    """Kernel-speed interface sweep: tangent-based Snell errors agree with
+    the scan tier's history-secant errors at accepted-candidate scales."""
+    import raytracing_tpu as rt
+    from raytracing_tpu.parallel.sweep import run_candidates, run_candidates_fused
+    scen = rt.scenario("interface")
+    med = rt.analytic_medium("interface")
+    ds = np.asarray([config.SIGMA / 2.8, config.SIGMA / 2.0], np.float64)
+    sizes = np.ceil(scen.s_max / ds).astype(np.int64) + 1
+    fused = run_candidates_fused("op8", scen, ds, sizes - 1,
+                                 int(sizes.max()) - 1, block_rays=128,
+                                 rays=128)
+    scan = run_candidates("op8", scen, med, ds, sizes - 1, int(sizes.max()))
+    np.testing.assert_allclose(fused["mean_err"], scan["mean_err"], atol=0.02)
+    np.testing.assert_allclose(fused["max_err"], scan["max_err"], atol=0.05)
+
+
+def test_fused_sweep_vert_cv_matches_scan():
+    import raytracing_tpu as rt
+    from raytracing_tpu.parallel.sweep import run_candidates, run_candidates_fused
+    scen = rt.scenario("vert")
+    med = rt.analytic_medium("vert_heterogeneous")
+    ds = np.asarray([config.SIGMA / 0.5, config.SIGMA / 0.2], np.float64)
+    sizes = np.ceil(scen.s_max / ds).astype(np.int64) + 1
+    fused = run_candidates_fused("op8", scen, ds, sizes - 1,
+                                 int(sizes.max()) - 1, block_rays=128,
+                                 rays=128)
+    scan = run_candidates("op8", scen, med, ds, sizes - 1, int(sizes.max()))
+    # scan tier computes CV at f32 too; agreement well under the 0.05 %
+    # acceptance threshold is what matters
+    np.testing.assert_allclose(fused["cv_pct"], scan["cv_pct"], atol=5e-3)
+
+
+def test_fused_sweep_stratified_medium():
+    """The sweep runs on the reference-faithful sampled medium at kernel tier."""
+    import raytracing_tpu as rt
+    from raytracing_tpu.media.spline import build_stratified_medium
+    from raytracing_tpu.parallel.sweep import run_candidates_fused
+    scen = rt.scenario("interface")
+    med = build_stratified_medium("interface", scen.box, dtype=np.float32)
+    ds = np.asarray([config.SIGMA / 2.8], np.float64)
+    sizes = np.ceil(scen.s_max / ds).astype(np.int64) + 1
+    out = run_candidates_fused("op8", scen, ds, sizes - 1,
+                               int(sizes.max()) - 1, medium=med,
+                               block_rays=128, rays=128)
+    assert out["mean_err"][0] < 0.2  # the calibrated-step oracle bound
+
+
+def test_fused_sweep_supported_matrix():
+    import raytracing_tpu as rt
+    from raytracing_tpu.media.spline import build_stratified_medium
+    from raytracing_tpu.parallel.sweep import fused_sweep_supported
+    iface = rt.scenario("interface")
+    assert fused_sweep_supported("op8", iface, rt.analytic_medium("interface"))
+    assert fused_sweep_supported(
+        "op8", iface, build_stratified_medium("interface", iface.box))
+    assert not fused_sweep_supported("op5", iface, rt.analytic_medium("interface"))
+    aniso = rt.scenario("aniso")
+    assert not fused_sweep_supported("op8", aniso,
+                                     rt.analytic_medium("vert_heterogeneous"))
