@@ -37,7 +37,7 @@ def supports(op_name: str, medium) -> bool:
     """True when a fused kernel covers this (op, medium) pairing."""
     op = canonical(op_name)
     if isinstance(medium, StratifiedGridMedium):
-        return op in FUSED_OPS
+        return op in FUSED_OPS or op in GOLDEN_OPS
     return (isinstance(medium, AnalyticMedium)
             and medium.field in FUSED_FIELDS
             and (op in FUSED_OPS or op in GOLDEN_OPS))
@@ -111,7 +111,14 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
         pos0 = jnp.concatenate([pos0, jnp.tile(pos0[-1:], (pad, 1))])
         theta0 = jnp.concatenate([theta0, jnp.tile(theta0[-1:], pad)])
 
-    if isinstance(medium, StratifiedGridMedium):
+    if isinstance(medium, StratifiedGridMedium) and op in GOLDEN_OPS:
+        g = golden_trace_final(
+            pos0, theta0, jnp.float32(delta_s), jnp.float32(scen.gamma),
+            field=scen.field, op=op, steps=int(steps), box=tuple(scen.box),
+            block_rays=block_rays, interpret=interpret, medium=medium)
+        pos, tt, dsim, act = g.pos, g.traveltime, g.dist_sim, g.active
+        eng = "golden-strat"
+    elif isinstance(medium, StratifiedGridMedium):
         f = fused_trace_final_strat(
             pos0, theta0, jnp.float32(delta_s), medium, op=op,
             steps=int(steps), box=tuple(scen.box), block_rays=block_rays,
@@ -119,10 +126,11 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
         pos, tt, dsim, act = f.pos, f.traveltime, f.dist_sim, f.active
         eng = "fused-strat"
     elif op in GOLDEN_OPS:
-        pos, _ang, tt, dsim, act = golden_trace_final(
+        g = golden_trace_final(
             pos0, theta0, jnp.float32(delta_s), jnp.float32(scen.gamma),
             field=scen.field, op=op, steps=int(steps), box=tuple(scen.box),
             block_rays=block_rays, interpret=interpret)
+        pos, tt, dsim, act = g.pos, g.traveltime, g.dist_sim, g.active
         eng = "golden"
     else:
         f = fused_trace_final(

@@ -4,17 +4,34 @@
 Each integration step runs a complete branchless golden-section minimization
 of the momentum-impulse cost (RT_bench.py:573-600, 676-764) *inside* the
 Pallas kernel: bracket state lives in registers, one cost evaluation per
-iteration (16 at float32 tolerance), everything on the VPU.  The reference
-pays ~70 scipy-free Python cost evaluations per ray per step on a CPU; here
-a million rays step together.
+iteration, everything on the VPU.  The reference pays ~70 scipy-free Python
+cost evaluations per ray per step on a CPU; here a million rays step
+together.
+
+Transcendental-free golden loop: the bracket always starts at theta +- pi/2
+(DELTA_G, RT_bench.py:64), so the bracket length after k shrinks is the
+*compile-time constant* pi * r^k — every probe angle is the previous probe
+rotated by a constant.  The kernel therefore carries probe *unit vectors*
+and applies constant rotations (4 mul + 2 add) instead of cos/sin per cost
+evaluation; the probed angle sequence is identical to the reference's to
+f32 rounding.  The angles themselves ride along as cheap +-constant updates
+for the final midpoint.
 
 The isotropic cost is exactly the gamma=1 limit of the anisotropic momentum
 cost (moments reduce to n*(cos t, sin t)), so op5/op9 are op10/op11 with
-gamma=1 — one kernel family, four ops.
+gamma=1 — one kernel family, four ops (+ the op10n/op11n Newton extensions).
+
+Like ``fused.py``, the kernels optionally gather n / dn/dy from a
+``StratifiedGridMedium``'s VMEM tables (the reference's sampled production
+medium) and carry a Welford tracker of the anisotropic horizontal momentum
+m_x (RT_bench.py:957-958) for on-device CV oracles — which is what lets the
+DELTA_S sweep run the aniso scenario at kernel speed.
 """
 from __future__ import annotations
 
 import functools
+import math
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -23,25 +40,47 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from raytracing_tpu.config import DELTA_G, GOLD_RATIO, gold_tol, golden_iters
-from raytracing_tpu.kernels.fused import LANES, _field_fn
+from raytracing_tpu.kernels.fused import LANES, _field_fn, _strat_nag
 
 GOLDEN_OPS = {"op5": ("curv", "golden"), "op9": ("t2", "golden"),
               "op10": ("curv", "golden"), "op11": ("t2", "golden"),
               "op10n": ("curv", "newton"), "op11n": ("t2", "newton")}
 
 
+def _golden_offsets(iters: int):
+    """Per-iteration constants of the golden bracket schedule.
+
+    Returns (c0_off, d0_off, deltas): the initial probe offsets from the
+    launch angle and the fresh-probe rotation magnitude per iteration,
+    delta_k = L0 * r^(k+2) with L0 = 2*DELTA_G.
+    """
+    r = GOLD_RATIO
+    L0 = 2.0 * DELTA_G
+    c0 = DELTA_G - L0 * r          # c = b - L*r, relative to ang
+    d0 = -DELTA_G + L0 * r         # d = a + L*r
+    deltas = [L0 * r ** (k + 2) for k in range(iters)]
+    return c0, d0, deltas
+
+
 def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
-                 curv_tol: float):
-    nag = _field_fn(field)
+                 curv_tol: float, strat=None, stats: bool = False):
+    nag_analytic = None if strat is not None else _field_fn(field)
     stepper, solver = GOLDEN_OPS[op]
+    # op5/op9 are the gamma == 1 limit: the anisotropy factor folds to 1 at
+    # build time, deleting the per-iteration sqrt and divides from the cost
+    iso = op in ("op5", "op9")
     limx_i, limx_s, limy_i, limy_s = [float(v) for v in box]
     r = GOLD_RATIO
+    c0_off, d0_off, _ = _golden_offsets(gold_iters_n)
+    cos_c0, sin_c0 = math.cos(c0_off), math.sin(c0_off)
+    cos_d0, sin_d0 = math.cos(d0_off), math.sin(d0_off)
 
-    def kernel(x_ref, y_ref, ang_ref, zero_ref, scal_ref,
-               out_x_ref, out_y_ref, out_ang_ref, out_tt_ref, out_ds_ref,
-               out_act_ref):
+    def kernel_impl(nag, x_ref, y_ref, ang_ref, zero_ref, scal_ref,
+                    out_x_ref, out_y_ref, out_ang_ref, out_tt_ref,
+                    out_ds_ref, out_act_ref, *stat_refs):
         ds = scal_ref[0]
         gamma = scal_ref[1]
+        limit = scal_ref[2]  # traced step count; rays freeze after
         g2m1 = gamma * gamma - 1.0
         x, y = x_ref[...], y_ref[...]
         ang = ang_ref[...]
@@ -55,10 +94,20 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
         active = zero + 1.0
 
         def coef_of(ct, st):
+            if iso:
+                return jnp.ones_like(ct)
             return jnp.sqrt((gamma * st) ** 2 + ct * ct)
 
-        def body(_, carry):
-            x, y, cx, cy, ang, ux, uy, n, gx, gy, tt, dsim, active = carry
+        def mom_x(nv, cf, ct, st):
+            if iso:
+                return nv * ct
+            return nv * cf * ct * (1.0 - st * st * g2m1 / (cf * cf))
+
+        def body(i, carry):
+            in_limit = i.astype(jnp.float32) < limit
+            x, y, cx, cy, ang, ux, uy, n, gx, gy, tt, dsim, active = carry[:13]
+            if stats:
+                cnt, mean, m2 = carry[13:]
             # ---- position advance -------------------------------------
             gdotu = gx * ux + gy * uy
             txx = gx - gdotu * ux      # transverse gradient
@@ -93,22 +142,40 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
 
             # ---- golden search on the momentum cost -------------------
             coef_i = coef_of(ux, uy)
-            mi_x = n * coef_i * ux * (1.0 - uy * uy * g2m1 / (coef_i * coef_i))
-            mi_y = n * coef_i * uy * (1.0 + ux * ux * g2m1 / (coef_i * coef_i))
-            jx_i = coef_i * gx
-            jy_i = coef_i * gy
             half_ds = ds * 0.5
+            if iso:
+                mi_x = n * ux
+                mi_y = n * uy
+                # constants of the residual, hoisted out of the loop
+                kx = mi_x + (gx + gx2) * half_ds
+                ky = mi_y + (gy + gy2) * half_ds
 
-            def cost(t):
-                ct, st = jnp.cos(t), jnp.sin(t)
-                cf = coef_of(ct, st)
-                mf_x = n2 * cf * ct * (1.0 - st * st * g2m1 / (cf * cf))
-                mf_y = n2 * cf * st * (1.0 + ct * ct * g2m1 / (cf * cf))
-                rx = mf_x - mi_x - (jx_i + cf * gx2) * half_ds
-                ry = mf_y - mi_y - (jy_i + cf * gy2) * half_ds
-                return rx * rx + ry * ry
+                def cost_uv(ct, st):
+                    rx = n2 * ct - kx
+                    ry = n2 * st - ky
+                    return rx * rx + ry * ry
+            else:
+                mi_x = n * coef_i * ux * (1.0 - uy * uy * g2m1
+                                          / (coef_i * coef_i))
+                mi_y = n * coef_i * uy * (1.0 + ux * ux * g2m1
+                                          / (coef_i * coef_i))
+                jx_i = coef_i * gx
+                jy_i = coef_i * gy
+
+                def cost_uv(ct, st):
+                    # one rsqrt; cf and 1/cf from it, no divides
+                    inv = jax.lax.rsqrt((gamma * st) ** 2 + ct * ct)
+                    cf = ((gamma * st) ** 2 + ct * ct) * inv
+                    mf_x = n2 * ct * (cf - st * st * g2m1 * inv)
+                    mf_y = n2 * st * (cf + ct * ct * g2m1 * inv)
+                    rx = mf_x - mi_x - (jx_i + cf * gx2) * half_ds
+                    ry = mf_y - mi_y - (jy_i + cf * gy2) * half_ds
+                    return rx * rx + ry * ry
 
             if solver == "newton":
+                def cost(t):
+                    return cost_uv(jnp.cos(t), jnp.sin(t))
+
                 # Newton on d(cost)/dt via nested forward-mode jvp
                 # (ops/newton.py): quadratic convergence from the O(ds) seed.
                 def dcost(t):
@@ -121,29 +188,49 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                     safe = jnp.where(jnp.abs(d2) < 1e-12, 1e-12, jnp.abs(d2))
                     t_new = t_new - jnp.clip(d1 / safe, -0.3, 0.3)
             else:
-                a = ang - DELTA_G
-                b = ang + DELTA_G
-                c = b - (b - a) * r
-                d = a + (b - a) * r
-                fc = cost(c)
-                fd = cost(d)
+                # Transcendental-free golden schedule (module docstring):
+                # probe unit vectors advance by the compile-time constant
+                # rotations in scal_ref[2:]; probe/endpoint angles advance by
+                # +-constants for the final midpoint.
+                a_ang = ang - DELTA_G
+                b_ang = ang + DELTA_G
+                # initial probes as constant rotations of the tangent
+                pc = ux * cos_c0 - uy * sin_c0   # cos(c), c = ang + c0_off
+                ps = ux * sin_c0 + uy * cos_c0
+                qc = ux * cos_d0 - uy * sin_d0   # cos(d)
+                qs = ux * sin_d0 + uy * cos_d0
+                fc = cost_uv(pc, ps)
+                fd = cost_uv(qc, qs)
 
-                def gold_body(_, g):
-                    a, b, c, d, fc, fd = g
+                def gold_body(k, g):
+                    a_ang, b_ang, pc, ps, qc, qs, fc, fd = g
+                    cth = scal_ref[3 + 2 * k]       # cos(delta_k)
+                    sth = scal_ref[4 + 2 * k]       # sin(delta_k)
                     left = fc < fd
-                    a2 = jnp.where(left, a, c)
-                    b2 = jnp.where(left, d, b)
-                    c2 = b2 - (b2 - a2) * r
-                    d2 = a2 + (b2 - a2) * r
-                    fresh = jnp.where(left, c2, d2)
-                    ff = cost(fresh)
+                    # surviving probe becomes the other side's probe; the
+                    # fresh probe is the old far probe rotated by -+delta_k
+                    sth_s = jnp.where(left, -sth, sth)
+                    base_c = jnp.where(left, qc, pc)
+                    base_s = jnp.where(left, qs, ps)
+                    fresh_c = base_c * cth - base_s * sth_s
+                    fresh_s = base_c * sth_s + base_s * cth
+                    ff = cost_uv(fresh_c, fresh_s)
+                    pc2 = jnp.where(left, fresh_c, qc)
+                    ps2 = jnp.where(left, fresh_s, qs)
+                    qc2 = jnp.where(left, pc, fresh_c)
+                    qs2 = jnp.where(left, ps, fresh_s)
                     fc2 = jnp.where(left, ff, fd)
                     fd2 = jnp.where(left, fc, ff)
-                    return a2, b2, c2, d2, fc2, fd2
+                    # endpoint angles: left keeps a, pulls b in; right mirror
+                    dk = scal_ref[3 + 2 * gold_iters_n + k]  # delta_k itself
+                    a2 = jnp.where(left, a_ang, a_ang + dk)
+                    b2 = jnp.where(left, b_ang - dk, b_ang)
+                    return a2, b2, pc2, ps2, qc2, qs2, fc2, fd2
 
-                a, b, c, d, fc, fd = jax.lax.fori_loop(
-                    0, gold_iters_n, gold_body, (a, b, c, d, fc, fd))
-                t_new = (a + b) * 0.5
+                a_ang, b_ang, *_rest = jax.lax.fori_loop(
+                    0, gold_iters_n, gold_body,
+                    (a_ang, b_ang, pc, ps, qc, qs, fc, fd))
+                t_new = (a_ang + b_ang) * 0.5
             nang = jnp.where(significant, t_new, ang)
             nux, nuy = jnp.cos(nang), jnp.sin(nang)
 
@@ -154,41 +241,90 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
 
             out = ((nx2 > limx_s) | (nx2 < limx_i)
                    | (ny2 > limy_s) | (ny2 < limy_i))
-            keep = active > 0.5
+            keep = (active > 0.5) & in_limit
 
             def sel(new, old):
                 return jnp.where(keep, new, old)
 
             # gated on `keep` so a frozen ray's phantom step can't exit it
             nactive = jnp.where(keep & out, zero, active)
-            return (sel(nx2, x), sel(ny2, y), sel(cx2, cx), sel(cy2, cy),
+            base = (sel(nx2, x), sel(ny2, y), sel(cx2, cx), sel(cy2, cy),
                     sel(nang, ang), sel(nux, ux), sel(nuy, uy), sel(n2, n),
                     sel(gx2, gx), sel(gy2, gy), sel(ntt, tt),
                     sel(ndsim, dsim), nactive)
+            if stats:
+                # Welford over the post-step anisotropic m_x — the scan
+                # carry's tracker (engine/trace.py, RT_bench.py:957-958)
+                mx2 = mom_x(n2, cf_new, nux, nuy)
+                cnt2 = cnt + 1.0
+                delta2 = mx2 - mean
+                mean2 = mean + delta2 / cnt2
+                m22 = m2 + delta2 * (mx2 - mean2)
+                base = base + (sel(cnt2, cnt), sel(mean2, mean),
+                               sel(m22, m2))
+            return base
 
-        x, y, cx, cy, ang, ux, uy, n, gx, gy, tt, dsim, active = (
-            jax.lax.fori_loop(0, steps, body,
-                              (x, y, cx, cy, ang, ux, uy, n, gx, gy, tt,
-                               dsim, active)))
+        carry0 = (x, y, cx, cy, ang, ux, uy, n, gx, gy, tt, dsim, active)
+        if stats:
+            cf0 = coef_of(ux, uy)
+            mx0 = mom_x(n, cf0, ux, uy)
+            carry0 = carry0 + (zero + 1.0, mx0, zero)
+        final = jax.lax.fori_loop(0, steps, body, carry0)
+        x, y, cx, cy, ang, ux, uy, n, gx, gy, tt, dsim, active = final[:13]
         out_x_ref[...] = x
         out_y_ref[...] = y
         out_ang_ref[...] = ang
         out_tt_ref[...] = tt
         out_ds_ref[...] = dsim
         out_act_ref[...] = active
+        if stats:
+            out_cnt_ref, out_mean_ref, out_m2_ref = stat_refs
+            out_cnt_ref[...] = final[13]
+            out_mean_ref[...] = final[14]
+            out_m2_ref[...] = final[15]
+
+    if strat is None:
+        def kernel(*refs):
+            kernel_impl(nag_analytic, *refs)
+    else:
+        y0, inv_hy, ny = strat
+
+        def kernel(tables_ref, *refs):
+            kernel_impl(_strat_nag(tables_ref[...], y0, inv_hy, ny), *refs)
 
     return kernel
 
 
+class GoldenFinal(NamedTuple):
+    """Final-state bundle of a golden kernel run (all arrays length R)."""
+
+    pos: Any          # (R, 2)
+    angle: Any        # (R,) final angle
+    traveltime: Any   # (R,)
+    dist_sim: Any     # (R,)
+    active: Any       # (R,) bool: never left the box
+    mom_count: Any = None  # Welford m_x stats (with_stats=True only)
+    mom_mean: Any = None
+    mom_m2: Any = None
+
+
 @functools.partial(jax.jit, static_argnames=("field", "op", "steps", "box",
-                                             "block_rays", "interpret"))
+                                             "block_rays", "interpret",
+                                             "with_stats"))
 def golden_trace_final(pos0, theta0, delta_s, gamma, *, field: str, op: str,
                        steps: int, box, block_rays: int = 4096,
-                       interpret: bool = False):
+                       interpret: bool = False, medium=None,
+                       with_stats: bool = False,
+                       step_limit=None) -> GoldenFinal:
     """Run ``steps`` fused golden-section integration steps.
 
-    Returns (pos, angle, traveltime, dist_sim, active_mask).  ``gamma`` is
-    the anisotropy ratio (ignored-by-math when 1.0, i.e. op5/op9).
+    ``gamma`` is the anisotropy ratio (1.0 == isotropic, i.e. op5/op9).
+    ``medium``: pass a ``StratifiedGridMedium`` to evaluate the sampled
+    tables instead of the analytic field (``field`` is then ignored).
+    ``with_stats`` adds the Welford anisotropic-momentum tracker for
+    on-device CV oracles.  ``step_limit`` (traced, default ``steps``)
+    freezes rays after that many steps — one compiled kernel serves a whole
+    DELTA_S candidate sweep.
     """
     if op not in GOLDEN_OPS:
         raise ValueError(f"golden kernel supports {tuple(GOLDEN_OPS)}, got {op!r}")
@@ -201,23 +337,77 @@ def golden_trace_final(pos0, theta0, delta_s, gamma, *, field: str, op: str,
     y = pos0[:, 1].reshape(shape2)
     ang = theta0.reshape(shape2).astype(jnp.float32)
     zero = jnp.zeros(shape2, jnp.float32)
-    scal = jnp.asarray([delta_s, gamma], jnp.float32)
+
+    iters = golden_iters(np.float32)
+    tol = gold_tol(np.float32)
+    if step_limit is None:
+        step_limit = steps
+    # scalar bundle: [ds, gamma, limit, (cos d_k, sin d_k) x iters, d_k x iters]
+    _, _, deltas = _golden_offsets(iters)
+    rot = np.empty(2 * iters, np.float32)
+    rot[0::2] = np.cos(deltas)
+    rot[1::2] = np.sin(deltas)
+    scal = jnp.concatenate([
+        jnp.stack([jnp.asarray(delta_s, jnp.float32),
+                   jnp.asarray(gamma, jnp.float32),
+                   jnp.asarray(step_limit, jnp.float32)]),
+        jnp.asarray(rot),
+        jnp.asarray(deltas, jnp.float32)])
+
+    strat = None
+    tables = None
+    nch = 0
+    if medium is not None:
+        from raytracing_tpu.media.spline import StratifiedGridMedium
+
+        if not isinstance(medium, StratifiedGridMedium):
+            raise ValueError("golden kernel media support is limited to "
+                             f"StratifiedGridMedium, got {type(medium).__name__}")
+        ny = medium.ny
+        nch = -(-ny // LANES)
+        T = nch * LANES
+        zy = jnp.asarray(medium.Zy, jnp.float32)
+        cyt = jnp.asarray(medium.cy, jnp.float32)
+        zlo = jnp.pad(zy, (0, T - ny), mode="edge")
+        zhi = jnp.pad(zy[1:], (0, T - ny + 1), mode="edge")
+        cpad = jnp.pad(cyt, ((0, T - ny + 1), (0, 0)))
+        tables = jnp.stack([zlo, zhi, cpad[:, 0], cpad[:, 1], cpad[:, 2],
+                            cpad[:, 3]])
+        tables = jnp.broadcast_to(tables.reshape(6, nch, 1, LANES),
+                                  (6, nch, rows, LANES))
+        strat = (float(medium.y0), float(medium.inv_hy), int(ny))
 
     blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
-    iters = golden_iters(np.float32)
-    tol = gold_tol(np.float32)
-    fx, fy, fang, tt, dsim, act = pl.pallas_call(
-        _make_kernel(field, op, steps, tuple(box), iters, tol),
+    n_out = 9 if with_stats else 6
+    in_specs = [blk, blk, blk, blk, pl.BlockSpec(memory_space=pltpu.SMEM)]
+    args = (x, y, ang, zero, scal)
+    if tables is not None:
+        in_specs = [pl.BlockSpec((6, nch, rows, LANES),
+                                 lambda i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)] + in_specs
+        args = (tables,) + args
+    outs = pl.pallas_call(
+        _make_kernel(field, op, steps, tuple(box), iters, tol, strat=strat,
+                     stats=with_stats),
         grid=(r // block_rays,),
-        in_specs=[blk, blk, blk, blk,
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[blk] * 6,
-        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 6,
+        in_specs=in_specs,
+        out_specs=[blk] * n_out,
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * n_out,
         cost_estimate=pl.CostEstimate(
-            flops=(120 + 45 * iters) * r * steps, bytes_accessed=14 * 4 * r,
-            transcendentals=(6 + 3 * iters) * r * steps),
+            flops=(150 + 45 * iters + 30 * nch) * r * steps,
+            bytes_accessed=16 * 4 * r,
+            transcendentals=8 * r * steps),
         interpret=interpret,
-    )(x, y, ang, zero, scal)
-    pos = jnp.stack([fx.reshape(-1), fy.reshape(-1)], axis=-1)
-    return pos, fang.reshape(-1), tt.reshape(-1), dsim.reshape(-1), act.reshape(-1) > 0.5
+    )(*args)
+    fx, fy, fang, tt, dsim, act = outs[:6]
+    res = GoldenFinal(
+        pos=jnp.stack([fx.reshape(-1), fy.reshape(-1)], axis=-1),
+        angle=fang.reshape(-1), traveltime=tt.reshape(-1),
+        dist_sim=dsim.reshape(-1), active=act.reshape(-1) > 0.5)
+    if with_stats:
+        cnt, mean, m2 = outs[6:]
+        res = res._replace(mom_count=cnt.reshape(-1),
+                           mom_mean=mean.reshape(-1),
+                           mom_m2=m2.reshape(-1))
+    return res

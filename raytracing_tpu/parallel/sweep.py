@@ -137,11 +137,13 @@ def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
 
     from raytracing_tpu.kernels.fused import (fused_trace_final,
                                               fused_trace_final_strat)
+    from raytracing_tpu.kernels.golden import GOLDEN_OPS, golden_trace_final
     from raytracing_tpu.media.spline import StratifiedGridMedium
 
     if interpret is None:
         interpret = _jax.default_backend() == "cpu"
     use_strat = isinstance(medium, StratifiedGridMedium)
+    use_golden = op_name in GOLDEN_OPS
     deg = 180.0 / np.pi
 
     if scen.is_fisheye:
@@ -174,7 +176,15 @@ def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
         ("mean_err", "max_err") if scen.is_interface else
         ("closure_pct",) if scen.is_fisheye else ("cv_pct",))}
     for i, (ds, lim) in enumerate(zip(delta_s, step_limits)):
-        if use_strat:
+        if use_golden:
+            f = golden_trace_final(
+                pos0, theta0, np.float32(ds), np.float32(scen.gamma),
+                field=scen.field, op=op_name, steps=int(max_steps),
+                box=tuple(scen.box), block_rays=block_rays,
+                interpret=interpret, with_stats=with_stats,
+                step_limit=np.float32(lim),
+                medium=medium if use_strat else None)
+        elif use_strat:
             f = fused_trace_final_strat(
                 pos0, theta0, np.float32(ds), medium, op=op_name,
                 steps=int(max_steps), box=tuple(scen.box),
@@ -191,7 +201,11 @@ def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
             out["closure_pct"][i] = (100.0 * np.linalg.norm(p - [1.0, 0.0])
                                      / (2.0 * np.pi))
         elif scen.is_interface:
-            tang = np.asarray(f.tangent[:nf])
+            if use_golden:
+                a = np.asarray(f.angle[:nf])
+                tang = np.stack([np.cos(a), np.sin(a)], -1)
+            else:
+                tang = np.asarray(f.tangent[:nf])
             angsim = deg * np.arctan(np.abs(tang[:, 0] / tang[:, 1]))
             errs = np.abs(angsim - angreal)
             out["mean_err"][i] = errs.mean()
@@ -286,14 +300,11 @@ def fused_sweep_supported(op_name: str, scen: config.ScenarioConfig,
                           medium) -> bool:
     """True when the kernel-speed sweep covers this configuration."""
     from raytracing_tpu.kernels.fused import FUSED_FIELDS, FUSED_OPS
+    from raytracing_tpu.kernels.golden import GOLDEN_OPS
     from raytracing_tpu.media.medium import AnalyticMedium
     from raytracing_tpu.media.spline import StratifiedGridMedium
 
-    if op_name not in FUSED_OPS:
-        return False
-    if scen.is_aniso:
-        # aniso sweeps run op10/op11 (golden kernels); the fused Welford
-        # tracker is isotropic-only
+    if op_name not in FUSED_OPS and op_name not in GOLDEN_OPS:
         return False
     if isinstance(medium, StratifiedGridMedium):
         return not scen.is_fisheye

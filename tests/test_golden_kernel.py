@@ -24,7 +24,7 @@ def test_golden_kernel_aniso_matches_engine(op):
     steps = scen.max_size(float(ds)) - 1
     r0, pos0, theta0 = _pad(scen)
 
-    pos, ang, tt, dsim, act = golden_trace_final(
+    pos, ang, tt, dsim, act, *_ = golden_trace_final(
         pos0, theta0, ds, np.float32(scen.gamma), field="vert_heterogeneous",
         op=op, steps=steps, box=tuple(scen.box), block_rays=128, interpret=True)
 
@@ -45,7 +45,7 @@ def test_golden_kernel_iso_matches_engine(op):
     ds = np.float32(0.02)
     steps = scen.max_size(float(ds)) - 1
     r0, pos0, theta0 = _pad(scen)
-    pos, ang, tt, dsim, act = golden_trace_final(
+    pos, ang, tt, dsim, act, *_ = golden_trace_final(
         pos0, theta0, ds, np.float32(1.0), field="vert_heterogeneous",
         op=op, steps=steps, box=tuple(scen.box), block_rays=128, interpret=True)
     res = rt.trace(op, scen, med, delta_s=float(ds), mode="metrics",
@@ -63,7 +63,7 @@ def test_golden_kernel_momentum_conservation():
     ds = np.float32(0.02)
     steps = scen.max_size(float(ds)) - 1
     r0, pos0, theta0 = _pad(scen)
-    pos, ang, tt, dsim, act = golden_trace_final(
+    pos, ang, tt, dsim, act, *_ = golden_trace_final(
         pos0, theta0, ds, np.float32(scen.gamma), field="vert_heterogeneous",
         op="op11", steps=steps, box=tuple(scen.box), block_rays=128,
         interpret=True)
@@ -85,3 +85,54 @@ def test_golden_kernel_rejects_unknown_op():
         golden_trace_final(pos0, np.zeros(128, np.float32), 0.1, 1.0,
                            field="fisheye", op="op1", steps=2,
                            box=(-1, 1, -1, 1), block_rays=128, interpret=True)
+
+
+def test_golden_step_limit_freezes():
+    """Traced step_limit: rays freeze after `lim` applied steps."""
+    scen = rt.scenario("fisheye")
+    r = 128
+    pos0 = np.tile(np.array([[1.0, 0.0]], np.float32), (r, 1))
+    theta0 = np.full(r, np.pi / 2.0, np.float32)
+    full = golden_trace_final(pos0, theta0, np.float32(0.1), np.float32(1.0),
+                              field="fisheye", op="op5", steps=20,
+                              box=tuple(scen.box), block_rays=128,
+                              interpret=True)
+    lim = golden_trace_final(pos0, theta0, np.float32(0.1), np.float32(1.0),
+                             field="fisheye", op="op5", steps=40,
+                             box=tuple(scen.box), block_rays=128,
+                             interpret=True, step_limit=np.float32(20))
+    np.testing.assert_allclose(np.asarray(lim.pos), np.asarray(full.pos),
+                               atol=0)
+
+
+def test_golden_strat_medium_matches_scan():
+    """Golden kernel gathering the sampled stratified tables == scan engine
+    on the same medium (aniso scenario, gamma=3)."""
+    from raytracing_tpu.media.spline import build_stratified_medium
+    scen = rt.scenario("aniso")
+    med = build_stratified_medium("vert_heterogeneous", scen.box,
+                                  dtype=np.float32)
+    r = 128
+    # stop short of theta = pi/2: that ray runs exactly along the x = -2 box
+    # edge and f32 noise (~1e-7 in x) arbitrarily decides its "exit"
+    theta0 = np.linspace(scen.theta0[0], np.pi / 2 - 0.01, r).astype(np.float32)
+    pos0 = np.tile(scen.pos0[:1].astype(np.float32), (r, 1))
+    ds, steps = 0.02, 150
+    g = golden_trace_final(pos0, theta0, np.float32(ds),
+                           np.float32(scen.gamma), field=scen.field,
+                           op="op10", steps=steps, box=tuple(scen.box),
+                           block_rays=128, interpret=True, medium=med,
+                           with_stats=True)
+    res = rt.trace("op10", scen, med, delta_s=ds, mode="metrics",
+                   dtype=np.float32, max_size=steps + 1,
+                   pos0=pos0, theta0=theta0)
+    # the kernel's rotation-composed golden probes differ from the scan's
+    # cos/sin ones by ~f32 eps per step; 150 steps with bracket tol 3.4e-4
+    # rad legitimately wander ~1e-3 in position
+    np.testing.assert_allclose(np.asarray(g.pos), np.asarray(res.final.pos),
+                               atol=2e-3)
+    # Welford stats against the scan carry's tracker
+    np.testing.assert_array_equal(np.asarray(g.mom_count),
+                                  np.asarray(res.final.mom_count))
+    np.testing.assert_allclose(np.asarray(g.mom_mean),
+                               np.asarray(res.final.mom_mean), rtol=2e-3)

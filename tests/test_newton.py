@@ -50,7 +50,7 @@ def test_newton_kernel_matches_engine():
     pad = (-r0) % 128
     pos0 = np.concatenate([scen.pos0, np.tile(scen.pos0[-1:], (pad, 1))]).astype(np.float32)
     theta0 = np.concatenate([scen.theta0, np.tile(scen.theta0[-1:], pad)]).astype(np.float32)
-    pos, ang, tt, dsim, act = golden_trace_final(
+    pos, ang, tt, dsim, act, *_ = golden_trace_final(
         pos0, theta0, ds, np.float32(scen.gamma), field="vert_heterogeneous",
         op="op11n", steps=steps, box=tuple(scen.box), block_rays=128,
         interpret=True)

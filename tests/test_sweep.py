@@ -232,7 +232,26 @@ def test_fused_sweep_supported_matrix():
     assert fused_sweep_supported("op8", iface, rt.analytic_medium("interface"))
     assert fused_sweep_supported(
         "op8", iface, build_stratified_medium("interface", iface.box))
-    assert not fused_sweep_supported("op5", iface, rt.analytic_medium("interface"))
+    # golden ops are covered too (transcendental-free golden kernels)
+    assert fused_sweep_supported("op5", iface, rt.analytic_medium("interface"))
     aniso = rt.scenario("aniso")
-    assert not fused_sweep_supported("op8", aniso,
-                                     rt.analytic_medium("vert_heterogeneous"))
+    assert fused_sweep_supported("op10", aniso,
+                                 rt.analytic_medium("vert_heterogeneous"))
+    assert not fused_sweep_supported("op10", rt.scenario("fisheye"),
+                                     None)
+
+
+def test_fused_sweep_aniso_golden_cv_matches_scan():
+    """Aniso kernel-tier sweep: golden op10 with the in-kernel anisotropic
+    Welford tracker agrees with the scan tier."""
+    import raytracing_tpu as rt
+    from raytracing_tpu.parallel.sweep import run_candidates, run_candidates_fused
+    scen = rt.scenario("aniso")
+    med = rt.analytic_medium("vert_heterogeneous")
+    ds = np.asarray([config.SIGMA / 0.5, config.SIGMA / 0.2], np.float64)
+    sizes = np.ceil(scen.s_max / ds).astype(np.int64) + 1
+    fused = run_candidates_fused("op10", scen, ds, sizes - 1,
+                                 int(sizes.max()) - 1, block_rays=128,
+                                 rays=128)
+    scan = run_candidates("op10", scen, med, ds, sizes - 1, int(sizes.max()))
+    np.testing.assert_allclose(fused["cv_pct"], scan["cv_pct"], atol=5e-3)
