@@ -1,0 +1,221 @@
+"""Segmented fused tracing: bounded-compile kernels + live-ray compaction.
+
+Two problems share one mechanism:
+
+1. **Mosaic compile time scales with the kernel's fori_loop trip count** —
+   the RK4/df-family bodies take minutes at benchmark trip counts
+   (ARCHITECTURE.md).  Chaining a *resumable* kernel (``_make_kernel(...,
+   resume=True)``) from an outer ``lax.fori_loop`` bounds the in-kernel trip
+   count to ``segment`` steps: one bounded compile serves any trajectory
+   length, with the full integration state (Kahan compensations, op7
+   window, Welford stats) riding between launches in HBM — amortized
+   traffic ~26 B / ray / segment, negligible for segment >= 128.
+
+2. **Frozen lanes waste throughput** (SURVEY §7 hard part #3): interface /
+   vert rays exit the box early (RT_bench.py:878-879 breaks out; the fused
+   kernels only mask).  Between segments the host compacts surviving rays
+   to the front and continues on the smaller prefix, so reported work
+   approaches *live-ray* throughput instead of lane throughput.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracing_tpu.kernels.fused import (FUSED_OPS, LANES, FusedFinal,
+                                          _make_kernel)
+from raytracing_tpu.media.spline import StratifiedGridMedium
+
+
+def _strat_tables(medium, rows):
+    ny = medium.ny
+    nch = -(-ny // LANES)
+    T = nch * LANES
+    zy = jnp.asarray(medium.Zy, jnp.float32)
+    cy = jnp.asarray(medium.cy, jnp.float32)
+    zlo = jnp.pad(zy, (0, T - ny), mode="edge")
+    zhi = jnp.pad(zy[1:], (0, T - ny + 1), mode="edge")
+    cpad = jnp.pad(cy, ((0, T - ny + 1), (0, 0)))
+    tables = jnp.stack([zlo, zhi, cpad[:, 0], cpad[:, 1], cpad[:, 2],
+                        cpad[:, 3]])
+    tables = jnp.broadcast_to(tables.reshape(6, nch, 1, LANES),
+                              (6, nch, rows, LANES))
+    strat = (float(medium.y0), float(medium.inv_hy), int(ny))
+    return tables, strat, nch
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "field", "op", "segment", "box", "block_rays", "interpret", "stats",
+    "strat", "nch", "n_state"))
+def _run_segments(state, tables, delta_s, limit, offset0, n_seg, *,
+                  field, op, segment, box, block_rays, interpret, stats,
+                  strat, nch, n_state):
+    """Chain ``n_seg`` resumable kernel launches under one jit."""
+    r = state[0].shape[0] * LANES
+    rows = block_rays // LANES
+    shape2 = state[0].shape
+    zero = jnp.zeros(shape2, jnp.float32)
+    from raytracing_tpu.config import gold_tol
+    kernel = _make_kernel(field, op, segment, box, gold_tol(np.float32),
+                          strat=strat, stats=stats, resume=True)
+    blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    in_specs = ([blk] * n_state + [blk, pl.BlockSpec(memory_space=pltpu.SMEM)])
+    if tables is not None:
+        in_specs = [pl.BlockSpec((6, nch, rows, LANES),
+                                 lambda i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)] + in_specs
+    call = pl.pallas_call(
+        kernel,
+        grid=(r // block_rays,),
+        in_specs=in_specs,
+        out_specs=[blk] * n_state,
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * n_state,
+        cost_estimate=pl.CostEstimate(
+            flops=(80 + 30 * (nch or 0)) * r * segment,
+            bytes_accessed=2 * n_state * 4 * r,
+            transcendentals=3 * r * segment),
+        interpret=interpret,
+    )
+
+    def seg_body(k, st):
+        ds_vec = jnp.stack([delta_s, limit,
+                            offset0 + k.astype(jnp.float32) * segment])
+        args = st + (zero, ds_vec)
+        if tables is not None:
+            args = (tables,) + args
+        return tuple(call(*args))
+
+    return jax.lax.fori_loop(0, n_seg, seg_body, tuple(state))
+
+
+def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
+                    field: str | None = None, medium=None, segment: int = 256,
+                    block_rays: int = 4096, interpret: bool = False,
+                    with_stats: bool = False, compact: bool = False,
+                    compact_every: int = 4,
+                    compact_threshold: float = 0.75) -> FusedFinal:
+    """Fused trace in bounded-compile segments, optionally compacting.
+
+    ``compact=True`` checks the live fraction every ``compact_every``
+    segments and, when it drops below ``compact_threshold``, gathers the
+    surviving rays to a smaller padded batch (frozen rays' final states are
+    banked and re-scattered at the end).  Results are identical to the
+    one-shot kernel; only the wasted lane work changes.
+    """
+    if op not in FUSED_OPS:
+        raise ValueError(f"segmented trace supports ops {FUSED_OPS}, got {op!r}")
+    use_strat = isinstance(medium, StratifiedGridMedium)
+    if not use_strat and field is None:
+        raise ValueError("pass field= (analytic) or medium= (stratified)")
+    r = pos0.shape[0]
+    if r % block_rays:
+        raise ValueError(f"rays {r} not a multiple of block {block_rays}")
+    rows = block_rays // LANES
+    window = op == "op7"
+    n_state = 9 + (3 if with_stats else 0) + (4 if window else 0)
+
+    # initial full state, device-resident (r,) components; all host<->device
+    # traffic below is index arrays at compaction events only — the tunnel
+    # makes bulk state round-trips (~70 MB) cost seconds
+    pos0 = jnp.asarray(pos0, jnp.float32)
+    theta0 = jnp.asarray(theta0, jnp.float32)
+    x = pos0[:, 0]
+    y = pos0[:, 1]
+    ux = jnp.cos(theta0)
+    uy = jnp.sin(theta0)
+    zeros = jnp.zeros(r, jnp.float32)
+    ones = jnp.ones(r, jnp.float32)
+    comps = [x, y, ux, uy, zeros, zeros, zeros, zeros, ones]
+    if with_stats:
+        if use_strat:
+            n0 = medium.n(x, y).astype(jnp.float32)
+        else:
+            from raytracing_tpu.media.fields import FIELDS
+            n0 = FIELDS[field][0](x, y).astype(jnp.float32)
+        comps += [ones, n0 * ux, zeros]
+    if window:
+        comps += [x, y, x, y]
+
+    tables = strat = None
+    nch = 0
+    if use_strat:
+        tables, strat, nch = _strat_tables(medium, rows)
+
+    n_seg_total = -(-steps // segment)
+    limit = jnp.float32(steps)
+    orig_idx = np.arange(r)              # current batch -> original ray slot
+    banked = None                        # device (r,) result arrays, lazy
+    done_segs = 0
+    state = tuple(c.reshape(-1, LANES) for c in comps)
+
+    while done_segs < n_seg_total:
+        if compact:
+            n_run = min(compact_every, n_seg_total - done_segs)
+        else:
+            n_run = n_seg_total - done_segs
+        state = _run_segments(
+            state, tables, jnp.float32(delta_s), limit,
+            jnp.float32(done_segs * segment), jnp.int32(n_run),
+            field=field or "stratified", op=op, segment=segment,
+            box=tuple(box), block_rays=block_rays, interpret=interpret,
+            stats=with_stats, strat=strat, nch=nch, n_state=n_state)
+        done_segs += n_run
+        if not compact or done_segs >= n_seg_total:
+            continue
+        act = np.asarray(state[8].reshape(-1)) > 0.5   # 1 byte/ray download
+        # orig_idx == -1 marks padding duplicates: never bank or keep them
+        act &= orig_idx >= 0
+        live = act.sum() / max(len(orig_idx), 1)
+        if live >= compact_threshold:
+            continue
+        if banked is None:
+            banked = [jnp.zeros(r, jnp.float32) for _ in range(n_state)]
+        # bank frozen rays' final state on device (host only sees indices)
+        frozen = (~act) & (orig_idx >= 0)
+        cur_f = jnp.asarray(np.nonzero(frozen)[0], jnp.int32)
+        dst_f = jnp.asarray(orig_idx[frozen], jnp.int32)
+        flat = [s.reshape(-1) for s in state]
+        banked = [b.at[dst_f].set(f[cur_f]) for b, f in zip(banked, flat)]
+        alive_idx = np.nonzero(act)[0]
+        if len(alive_idx) == 0:
+            orig_idx = orig_idx[:0]
+            state = None
+            break
+        n_alive = len(alive_idx)
+        n_pad = -(-n_alive // block_rays) * block_rays
+        sel = np.concatenate([alive_idx,
+                              np.full(n_pad - n_alive, alive_idx[-1])])
+        sel_d = jnp.asarray(sel, jnp.int32)
+        comps = [f[sel_d] for f in flat]
+        # padding lanes are duplicates: freeze them so they neither move
+        # nor get banked (they are re-banked from the true lane)
+        comps[8] = comps[8].at[n_alive:].set(0.0)
+        orig_idx = np.concatenate(
+            [orig_idx[alive_idx], np.full(n_pad - n_alive, -1)])
+        state = tuple(c.reshape(-1, LANES) for c in comps)
+
+    if banked is None:
+        out = [s.reshape(-1) for s in state]      # no compaction happened
+    else:
+        out = banked
+        if state is not None:
+            keep = orig_idx >= 0
+            src = jnp.asarray(np.nonzero(keep)[0], jnp.int32)
+            dst = jnp.asarray(orig_idx[keep], jnp.int32)
+            flat = [s.reshape(-1) for s in state]
+            out = [b.at[dst].set(f[src]) for b, f in zip(out, flat)]
+
+    res = FusedFinal(
+        pos=jnp.stack([out[0], out[1]], axis=-1),
+        tangent=jnp.stack([out[2], out[3]], axis=-1),
+        traveltime=out[6], dist_sim=out[7], active=out[8] > 0.5)
+    if with_stats:
+        res = res._replace(mom_count=out[9], mom_mean=out[10], mom_m2=out[11])
+    return res

@@ -103,8 +103,13 @@ def _apply_rotation(uxh, uxl, uyh, uyl, dth_h, dth_l):
 DF_FIELDS = ("fisheye", "vert_heterogeneous")
 
 
-def _df_rk4_kernel(field: str, steps: int, xh_ref, yh_ref, uxh_ref, uyh_ref,
-                   zero_ref, ds_ref, oxh, oxl, oyh, oyl):
+def _df_rk4_kernel(field: str, steps: int, resume: bool, *refs):
+    if resume:
+        (xh_ref, xl_ref, yh_ref, yl_ref, uxh_ref, uxl_ref, uyh_ref, uyl_ref,
+         zero_ref, ds_ref, oxh, oxl, oyh, oyl, ouxh, ouxl, ouyh, ouyl) = refs
+    else:
+        (xh_ref, yh_ref, uxh_ref, uyh_ref, zero_ref, ds_ref,
+         oxh, oxl, oyh, oyl) = refs
     ds = ds_ref[0]
     h2 = ds * 0.5
     h6 = ds * (1.0 / 6.0)
@@ -210,13 +215,23 @@ def _df_rk4_kernel(field: str, steps: int, xh_ref, yh_ref, uxh_ref, uyh_ref,
         uxh, uxl, uyh, uyl = _apply_rotation(uxh, uxl, uyh, uyl, dth_h, dth_l)
         return xh, xl, yh, yl, uxh, uxl, uyh, uyl
 
-    init = (xh_ref[...], zero, yh_ref[...], zero,
-            uxh_ref[...], zero, uyh_ref[...], zero)
-    xh, xl, yh, yl, *_ = jax.lax.fori_loop(0, steps, body, init)
+    if resume:
+        # full df state rides between segment launches (bounded compiles)
+        init = (xh_ref[...], xl_ref[...], yh_ref[...], yl_ref[...],
+                uxh_ref[...], uxl_ref[...], uyh_ref[...], uyl_ref[...])
+    else:
+        init = (xh_ref[...], zero, yh_ref[...], zero,
+                uxh_ref[...], zero, uyh_ref[...], zero)
+    xh, xl, yh, yl, uxh, uxl, uyh, uyl = jax.lax.fori_loop(0, steps, body, init)
     oxh[...] = xh
     oxl[...] = xl
     oyh[...] = yh
     oyl[...] = yl
+    if resume:
+        ouxh[...] = uxh
+        ouxl[...] = uxl
+        ouyh[...] = uyh
+        ouyl[...] = uyl
 
 
 @functools.partial(jax.jit, static_argnames=("field", "steps", "block_rays",
@@ -240,7 +255,7 @@ def _df_core(pos0, theta0, delta_s, *, field: str, steps: int,
     blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     oxh, oxl, oyh, oyl = pl.pallas_call(
-        functools.partial(_df_rk4_kernel, field, steps),
+        functools.partial(_df_rk4_kernel, field, steps, False),
         grid=(r // block_rays,),
         in_specs=[blk] * 5 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[blk] * 4,
@@ -253,14 +268,79 @@ def _df_core(pos0, theta0, delta_s, *, field: str, steps: int,
     return oxh, oxl, oyh, oyl
 
 
+@functools.partial(jax.jit, static_argnames=("field", "segment", "n_full",
+                                             "rem", "block_rays", "interpret"))
+def _df_core_segmented(pos0, theta0, delta_s, *, field: str, segment: int,
+                       n_full: int, rem: int, block_rays: int = 4096,
+                       interpret: bool = False):
+    """Chain bounded-trip-count resumable df kernels.
+
+    Mosaic compile time scales with the fori_loop trip count (~minutes for
+    the df body above a few hundred steps); chaining ``segment``-step
+    launches with the full df state riding in HBM bounds the compile to one
+    ``segment``-sized body (plus one ``rem``-sized one) for ANY trajectory
+    length.  Bit-identical to the one-shot kernel: the state is exactly the
+    loop carry.
+    """
+    if field not in DF_FIELDS:
+        raise ValueError(f"df kernel supports {DF_FIELDS}, got {field!r}")
+    r = pos0.shape[0]
+    rows = block_rays // LANES
+    shape2 = (r // LANES, LANES)
+    zero = jnp.zeros(shape2, jnp.float32)
+    ds = jnp.asarray([delta_s], jnp.float32)
+    blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+
+    def make_call(nsteps):
+        return pl.pallas_call(
+            functools.partial(_df_rk4_kernel, field, nsteps, True),
+            grid=(r // block_rays,),
+            in_specs=[blk] * 9 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=[blk] * 8,
+            out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 8,
+            cost_estimate=pl.CostEstimate(
+                flops=160 * r * nsteps, bytes_accessed=17 * 4 * r,
+                transcendentals=0),
+            interpret=interpret,
+        )
+
+    st = (pos0[:, 0].astype(jnp.float32).reshape(shape2), zero,
+          pos0[:, 1].astype(jnp.float32).reshape(shape2), zero,
+          jnp.cos(theta0).astype(jnp.float32).reshape(shape2), zero,
+          jnp.sin(theta0).astype(jnp.float32).reshape(shape2), zero)
+    if n_full:
+        call = make_call(segment)
+
+        def body(_, s):
+            return tuple(call(*s, zero, ds))
+
+        st = jax.lax.fori_loop(0, n_full, body, st)
+    if rem:
+        st = tuple(make_call(rem)(*st, zero, ds))
+    return st[0], st[1], st[2], st[3]
+
+
 def df_trace(pos0, theta0, delta_s, *, steps: int,
              field: str = "fisheye", block_rays: int = 4096,
-             interpret: bool = False):
+             interpret: bool = False, segment: int | None = 512):
     """Double-word RK4 integration; returns float64 final positions
-    (hi + lo recombined on host)."""
-    oxh, oxl, oyh, oyl = _df_core(
-        pos0, theta0, delta_s, field=field, steps=steps,
-        block_rays=block_rays, interpret=interpret)
+    (hi + lo recombined on host).
+
+    ``segment`` (default 512) runs the trace as chained bounded-compile
+    kernels — required for benchmark-scale trip counts, where the one-shot
+    kernel's Mosaic compile takes minutes.  Pass ``segment=None`` for the
+    single-launch kernel.
+    """
+    if segment is not None and steps > segment:
+        oxh, oxl, oyh, oyl = _df_core_segmented(
+            pos0, theta0, delta_s, field=field, segment=segment,
+            n_full=steps // segment, rem=steps % segment,
+            block_rays=block_rays, interpret=interpret)
+    else:
+        oxh, oxl, oyh, oyl = _df_core(
+            pos0, theta0, delta_s, field=field, steps=steps,
+            block_rays=block_rays, interpret=interpret)
 
     def comb(h, l):
         return (np.asarray(h, np.float64).reshape(-1)

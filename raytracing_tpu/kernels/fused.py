@@ -98,7 +98,7 @@ def _strat_nag(tables, y0: float, inv_hy: float, ny: int):
 
 
 def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
-                 strat=None, stats: bool = False):
+                 strat=None, stats: bool = False, resume: bool = False):
     """Build the fused step kernel.
 
     ``stats`` adds a Welford tracker of the horizontal momentum m_x = n*u_x
@@ -106,6 +106,13 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
     oracle for the stratified scenarios (RT_bench.py:957-958, 1352-1360) at
     kernel speed.  Isotropic only (gamma == 1), which is exactly the fused
     op set's domain.
+
+    ``resume`` makes the kernel *segmentable*: it reads the FULL integration
+    state (incl. Kahan compensations, accumulators, the op7 window) from
+    input refs and writes it back, with a global step offset in the scalar
+    bundle — so an outer loop can chain bounded-trip-count launches.  This
+    bounds Mosaic's compile time (which scales with the fori_loop trip
+    count) and is the hook for live-ray compaction between segments.
     """
     nag = None if strat is not None else _field_fn(field)
     second_order = op in ("op6", "op7", "op8")
@@ -117,26 +124,38 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
     # captured tracer constants, which pallas_call rejects)
     limx_i, limx_s, limy_i, limy_s = [float(v) for v in box]
 
-    def kernel_impl(nag, x_ref, y_ref, ux_ref, uy_ref, zero_ref, ds_ref,
-                    out_x_ref, out_y_ref, out_ux_ref, out_uy_ref,
-                    out_tt_ref, out_ds_ref, out_act_ref, *stat_refs):
+    def kernel_impl(nag, *refs):
+        if resume:
+            n_in = 9 + (3 if stats else 0) + (4 if window else 0)
+            in_refs, zero_ref, ds_ref = refs[:n_in], refs[n_in], refs[n_in + 1]
+            out_refs = refs[n_in + 2:]
+            vals = [r[...] for r in in_refs]
+            x, y, ux, uy, cx, cy, tt, dsim, active = vals[:9]
+            extra0 = tuple(vals[9:])
+            zero = zero_ref[...]
+            offset = ds_ref[2]  # applied steps before this segment (global)
+        else:
+            (x_ref, y_ref, ux_ref, uy_ref, zero_ref, ds_ref), out_refs = \
+                refs[:6], refs[6:]
+            x, y = x_ref[...], y_ref[...]
+            ux, uy = ux_ref[...], uy_ref[...]
+            # Accumulator inits come from a loaded zeros buffer, not
+            # jnp.zeros_like: constant zeros get a replicated vector layout
+            # that Mosaic cannot reconcile with loop-carried select results.
+            zero = zero_ref[...]
+            cx = zero
+            cy = zero
+            tt = zero
+            dsim = zero
+            active = zero + 1.0  # f32 mask: Mosaic can't carry i1 in scf.for
+            offset = 0.0
+            extra0 = None
         ds = ds_ref[0]
         limit = ds_ref[1]  # effective step count (traced); rays freeze after
-        x, y = x_ref[...], y_ref[...]
-        ux, uy = ux_ref[...], uy_ref[...]
-        # Accumulator inits come from a loaded zeros buffer, not
-        # jnp.zeros_like: constant zeros get a replicated vector layout that
-        # Mosaic cannot reconcile with the loop-carried select results.
-        zero = zero_ref[...]
-        cx = zero
-        cy = zero
         n, gx, gy = nag(x, y)
-        tt = zero
-        dsim = zero
-        active = zero + 1.0  # f32 mask: Mosaic can't carry i1 vectors in scf.for
 
         def body(i, carry):
-            in_limit = i.astype(jnp.float32) < limit
+            in_limit = (i.astype(jnp.float32) + offset) < limit
             x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active = carry[:12]
             rest = carry[12:]
             if stats:
@@ -224,9 +243,9 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
                 # 864, 370-372).  The reference takes atan2 of the
                 # combination vector then cos/sin — the tangent is just the
                 # normalized combination, so no atan2 here.
-                step_num = i + 1
-                is1 = step_num == 1
-                is2 = step_num == 2
+                step_f = i.astype(jnp.float32) + offset + 1.0  # global step no.
+                is1 = step_f == 1.0
+                is2 = step_f == 2.0
                 ca = jnp.where(is1, 0.0, jnp.where(is2, 0.0, -2.0))
                 cb = jnp.where(is1, 0.0, jnp.where(is2, 1.0, 9.0))
                 cc = jnp.where(is1, -1.0, jnp.where(is2, -4.0, -18.0))
@@ -301,24 +320,22 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
             return base
 
         carry0 = (x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active)
-        if stats:
-            carry0 = carry0 + (zero + 1.0, n * ux, zero)  # row 0 included
-        if window:
-            carry0 = carry0 + (x, y, x, y)  # p_{-2} = p_{-1} = p_0
+        if resume:
+            carry0 = carry0 + extra0
+        else:
+            if stats:
+                carry0 = carry0 + (zero + 1.0, n * ux, zero)  # row 0 included
+            if window:
+                carry0 = carry0 + (x, y, x, y)  # p_{-2} = p_{-1} = p_0
         final = jax.lax.fori_loop(0, steps, body, carry0)
         x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active = final[:12]
-        out_x_ref[...] = x
-        out_y_ref[...] = y
-        out_ux_ref[...] = ux
-        out_uy_ref[...] = uy
-        out_tt_ref[...] = tt
-        out_ds_ref[...] = dsim
-        out_act_ref[...] = active
-        if stats:
-            out_cnt_ref, out_mean_ref, out_m2_ref = stat_refs
-            out_cnt_ref[...] = final[12]
-            out_mean_ref[...] = final[13]
-            out_m2_ref[...] = final[14]
+        if resume:
+            outs = (x, y, ux, uy, cx, cy, tt, dsim, active) + final[12:]
+        else:
+            outs = (x, y, ux, uy, tt, dsim, active) + (
+                final[12:15] if stats else ())
+        for ref, val in zip(out_refs, outs):
+            ref[...] = val
 
     if strat is None:
         def kernel(*refs):

@@ -99,3 +99,17 @@ def test_df_rejects_unknown_field():
     with pytest.raises(ValueError, match="df kernel supports"):
         df_trace(np.zeros((128, 2)), np.zeros(128), 0.01, steps=2,
                  field="interface", block_rays=128, interpret=True)
+
+
+def test_df_segmented_equals_oneshot():
+    """Chained resumable df segments == one-shot, bit for bit."""
+    from raytracing_tpu.kernels.df import df_trace
+    r = 128
+    pos0 = np.tile(np.array([[1.0, 0.0]], np.float32), (r, 1))
+    theta0 = np.full(r, np.pi / 2.0, np.float32)
+    ds = np.float32(2 * np.pi / 100)
+    one = df_trace(pos0, theta0, ds, steps=230, field="fisheye",
+                   block_rays=128, interpret=True, segment=None)
+    seg = df_trace(pos0, theta0, ds, steps=230, field="fisheye",
+                   block_rays=128, interpret=True, segment=64)
+    np.testing.assert_array_equal(seg, one)

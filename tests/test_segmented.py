@@ -1,0 +1,82 @@
+"""Segmented (bounded-compile) tracing == one-shot kernels; compaction."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import raytracing_tpu as rt
+from raytracing_tpu.engine.segmented import segmented_trace
+from raytracing_tpu.kernels.fused import fused_trace_final
+
+
+def _fan(scen, r):
+    theta0 = np.linspace(scen.theta0[0], scen.theta0[-1], r).astype(np.float32)
+    pos0 = np.tile(scen.pos0[:1].astype(np.float32), (r, 1))
+    return pos0, theta0
+
+
+@pytest.mark.parametrize("op", ["op1", "op6", "op7", "op12"])
+def test_segmented_equals_oneshot(op):
+    """Chained resumable segments reproduce the one-shot kernel bit-for-bit
+    (full state incl. Kahan compensations and the op7 window rides along)."""
+    scen = rt.scenario("fisheye")
+    r = 128
+    pos0 = np.tile(np.array([[1.0, 0.0]], np.float32), (r, 1))
+    theta0 = np.full(r, np.pi / 2.0, np.float32)
+    ds, steps = np.float32(2 * np.pi / 100), 230
+    one = fused_trace_final(jnp.asarray(pos0), jnp.asarray(theta0), ds,
+                            field="fisheye", op=op, steps=steps,
+                            box=tuple(scen.box), block_rays=128,
+                            interpret=True)
+    seg = segmented_trace(op, pos0, theta0, ds, steps=steps,
+                          box=tuple(scen.box), field="fisheye", segment=37,
+                          block_rays=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(seg.pos), np.asarray(one.pos))
+    np.testing.assert_array_equal(np.asarray(seg.traveltime),
+                                  np.asarray(one.traveltime))
+    np.testing.assert_array_equal(np.asarray(seg.tangent),
+                                  np.asarray(one.tangent))
+
+
+def test_segmented_with_stats_and_strat():
+    from raytracing_tpu.media.spline import build_stratified_medium
+    scen = rt.scenario("vert")
+    med = build_stratified_medium("vert_heterogeneous", scen.box,
+                                  dtype=np.float32)
+    pos0, theta0 = _fan(scen, 128)
+    from raytracing_tpu.kernels.fused import fused_trace_final_strat
+    ds, steps = np.float32(0.02), 150
+    one = fused_trace_final_strat(jnp.asarray(pos0), jnp.asarray(theta0), ds,
+                                  med, op="op8", steps=steps,
+                                  box=tuple(scen.box), block_rays=128,
+                                  interpret=True, with_stats=True)
+    seg = segmented_trace("op8", pos0, theta0, ds, steps=steps,
+                          box=tuple(scen.box), medium=med, segment=40,
+                          block_rays=128, interpret=True, with_stats=True)
+    np.testing.assert_array_equal(np.asarray(seg.pos), np.asarray(one.pos))
+    np.testing.assert_array_equal(np.asarray(seg.mom_mean),
+                                  np.asarray(one.mom_mean))
+    np.testing.assert_array_equal(np.asarray(seg.mom_m2),
+                                  np.asarray(one.mom_m2))
+
+
+def test_compaction_preserves_results():
+    """Live-ray compaction must not change any ray's final state.  Shrunken
+    vert box makes most rays exit early at staggered times."""
+    import dataclasses
+    scen = dataclasses.replace(rt.scenario("vert"), box=(-2.0, 5.0, -2.5, 0.0))
+    pos0, theta0 = _fan(scen, 256)
+    ds, steps = np.float32(0.05), 100
+    plain = segmented_trace("op8", pos0, theta0, ds, steps=steps,
+                            box=tuple(scen.box), field="vert_heterogeneous",
+                            segment=16, block_rays=128, interpret=True)
+    comp = segmented_trace("op8", pos0, theta0, ds, steps=steps,
+                           box=tuple(scen.box), field="vert_heterogeneous",
+                           segment=16, block_rays=128, interpret=True,
+                           compact=True, compact_every=2,
+                           compact_threshold=0.9)
+    assert 0 < np.asarray(plain.active).sum() < 256  # staggered exits happened
+    np.testing.assert_array_equal(np.asarray(comp.pos), np.asarray(plain.pos))
+    np.testing.assert_array_equal(np.asarray(comp.traveltime),
+                                  np.asarray(plain.traveltime))
+    np.testing.assert_array_equal(np.asarray(comp.active),
+                                  np.asarray(plain.active))
