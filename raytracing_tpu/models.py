@@ -1,12 +1,22 @@
-"""Model zoo: ready-to-trace (scenario, medium) pairings.
+"""Model zoo: ready-to-trace (scenario, medium) pairings with calibrated steps.
 
 The framework's "model families" are the four physics scenarios
-(RT_bench.py:104-119, 247-295), each available with its two medium backends.
-This is the one-call entry point mirroring what the reference's __main__
-assembles from globals (RT_bench.py:1550-1588)::
+(RT_bench.py:104-119, 247-295), each available with three medium backends:
 
-    model = raytracing_tpu.models.get("fisheye")
-    res = rt.trace("HySA", model.scenario, model.medium, delta_s=..., ...)
+* ``analytic``   — closed-form n / grad n (exact; fastest kernels)
+* ``stratified`` — the reference's sampled-spline pipeline collapsed to 1-D
+  tables for the x-independent fields (production medium; kernel-speed on
+  TPU via the table-gather kernels)
+* ``grid``       — the full 2-D sampled-spline pipeline (bit-faithful to
+  FITPACK; scan-engine tier)
+
+A model resolves calibrated step sizes (RT_bench.py:1413-1455, with the
+base-op fallback for extension ops) and runs either execution tier in one
+call::
+
+    model = raytracing_tpu.models.get("interface", medium="stratified")
+    res = model.run("HySA")                # fused kernels, calibrated step
+    res = model.trace("HySA")              # reference-parity scan engine
 """
 from __future__ import annotations
 
@@ -18,33 +28,96 @@ import numpy as np
 from raytracing_tpu import config
 from raytracing_tpu.media.medium import analytic_medium
 
+MEDIUM_KINDS = ("analytic", "stratified", "grid")
+
 
 @dataclasses.dataclass(frozen=True)
 class Model:
     name: str
     scenario: config.ScenarioConfig
-    medium: Any          # AnalyticMedium or GridMedium
-    medium_kind: str     # "analytic" | "grid"
+    medium: Any          # AnalyticMedium | StratifiedGridMedium | GridMedium
+    medium_kind: str     # one of MEDIUM_KINDS
+
+    def delta_s(self, op_name: str) -> tuple[float, float | None]:
+        """Calibrated (delta_s, divisor) for ``op_name`` on this scenario.
+
+        Extension ops borrow their base op's entry (op12 -> op8, opNn ->
+        opN); combos absent from the table fall back to op8's
+        (RT_bench.py:1408-1460).
+        """
+        from raytracing_tpu.calibrated import calibrated
+        from raytracing_tpu.ops.registry import canonical
+
+        op = canonical(op_name)
+        base = "op8" if op == "op12" else op.rstrip("n")
+        try:
+            return calibrated(base, self.scenario.name)
+        except KeyError:
+            return calibrated("op8", self.scenario.name)
+
+    def trace(self, op_name: str, *, delta_s: float | None = None,
+              n_turns: int = config.N_TURNS, **kw):
+        """Reference-parity scan-engine trace at the calibrated step."""
+        from raytracing_tpu.engine.trace import trace
+
+        ds, divisor = self._resolve(op_name, delta_s)
+        return trace(op_name, self.scenario, self.medium, delta_s=ds,
+                     divisor=(int(divisor) + 1) if divisor else None,
+                     n_turns=n_turns, **kw)
+
+    def run(self, op_name: str, *, delta_s: float | None = None,
+            n_turns: int = config.N_TURNS, pos0=None, theta0=None, **kw):
+        """Production trace through the fastest kernel tier."""
+        from raytracing_tpu.engine.fast import fast_trace
+
+        ds, divisor = self._resolve(op_name, delta_s)
+        if pos0 is None:
+            pos0 = np.asarray(self.scenario.pos0, np.float32)
+        if theta0 is None:
+            theta0 = np.asarray(self.scenario.theta0, np.float32)
+        return fast_trace(op_name, self.scenario, self.medium, delta_s=ds,
+                          divisor=(int(divisor) + 1) if divisor else None,
+                          n_turns=n_turns, pos0=pos0, theta0=theta0, **kw)
+
+    def _resolve(self, op_name, delta_s):
+        if delta_s is not None:
+            div = (round(2 * np.pi / delta_s)
+                   if self.scenario.is_fisheye else None)
+            return float(delta_s), div
+        ds, divisor = self.delta_s(op_name)
+        return float(ds), (divisor if self.scenario.is_fisheye else None)
 
 
 MODEL_NAMES = config.SCENARIO_NAMES
 
+_CACHE: dict = {}
+
 
 def get(name: str, medium: str = "analytic", dtype=np.float32,
         n_turns: int = config.N_TURNS) -> Model:
-    """Build a scenario + medium pairing.
+    """Build (cached) a scenario + medium pairing.
 
-    ``medium="grid"`` reproduces the reference's sampled-spline pipeline
-    (slower to build, bit-faithful physics); ``"analytic"`` is exact and the
-    fast path.
+    ``medium="grid"`` reproduces the reference's 2-D sampled-spline pipeline
+    (bit-faithful physics, scan tier); ``"stratified"`` is the same sampled
+    medium in its exact 1-D form for x-independent fields (kernel-speed on
+    TPU); ``"analytic"`` is exact and the fastest path.
     """
+    key = (name, medium, np.dtype(dtype).name, n_turns)
+    if key in _CACHE:
+        return _CACHE[key]
     scen = config.scenario(name, n_turns=n_turns)
     if medium == "grid":
         from raytracing_tpu.media.spline import build_grid_medium
 
         med = build_grid_medium(scen.field, scen.box, dtype=dtype)
+    elif medium == "stratified":
+        from raytracing_tpu.media.spline import build_stratified_medium
+
+        med = build_stratified_medium(scen.field, scen.box, dtype=dtype)
     elif medium == "analytic":
         med = analytic_medium(scen.field)
     else:
-        raise ValueError(f"medium must be 'analytic' or 'grid', got {medium!r}")
-    return Model(name=scen.name, scenario=scen, medium=med, medium_kind=medium)
+        raise ValueError(f"medium must be one of {MEDIUM_KINDS}, got {medium!r}")
+    model = Model(name=scen.name, scenario=scen, medium=med, medium_kind=medium)
+    _CACHE[key] = model
+    return model

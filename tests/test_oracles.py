@@ -136,3 +136,28 @@ def test_models_zoo():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="medium must be"):
         models.get("fisheye", medium="banana")
+
+
+def test_model_zoo_one_call_run():
+    """models.get(...).run/trace: calibrated steps + tier routing."""
+    from raytracing_tpu import models
+    m = models.get("interface", medium="stratified")
+    assert m.medium_kind == "stratified"
+    ds, div = m.delta_s("op6")
+    assert ds > 0 and div is None
+    out = m.run("op6", block_rays=128)
+    assert out.engine == "fused-strat"
+    # extension/fallback resolution
+    ds12, _ = m.delta_s("op12")
+    ds8, _ = m.delta_s("op8")
+    assert ds12 == ds8
+    # cache: same object back
+    assert models.get("interface", medium="stratified") is m
+
+
+def test_model_zoo_calibrated_trace_fisheye():
+    from raytracing_tpu import models
+    m = models.get("fisheye")
+    res = m.trace("op1", n_turns=1, mode="metrics")
+    from raytracing_tpu.engine import oracles as orc
+    assert float(orc.closure_error_pct(res)[0]) < 5.0
