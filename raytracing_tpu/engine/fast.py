@@ -20,6 +20,7 @@ from raytracing_tpu.engine.trace import _outside, trace
 from raytracing_tpu.kernels.fused import (
     FUSED_FIELDS, FUSED_OPS, fused_trace_final, fused_trace_final_strat)
 from raytracing_tpu.kernels.golden import GOLDEN_OPS, golden_trace_final
+from raytracing_tpu.media.hermite import HermiteGridMedium
 from raytracing_tpu.media.medium import AnalyticMedium
 from raytracing_tpu.media.spline import StratifiedGridMedium
 from raytracing_tpu.ops.registry import canonical
@@ -38,6 +39,8 @@ def supports(op_name: str, medium) -> bool:
     op = canonical(op_name)
     if isinstance(medium, StratifiedGridMedium):
         return op in FUSED_OPS or op in GOLDEN_OPS
+    if isinstance(medium, HermiteGridMedium):
+        return op in FUSED_OPS and op != "op7"
     return (isinstance(medium, AnalyticMedium)
             and medium.field in FUSED_FIELDS
             and (op in FUSED_OPS or op in GOLDEN_OPS))
@@ -91,7 +94,28 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
     if steps is None:
         steps = scen.max_size(float(delta_s), divisor, n_turns) - 1
 
-    if not supports(op, medium):
+    if isinstance(medium, HermiteGridMedium):
+        from raytracing_tpu.engine.segmented import grid_trace
+
+        cell = min(1.0 / medium.inv_hx, 1.0 / medium.inv_hy)
+        if (op in FUSED_OPS and op != "op7"
+                and float(delta_s) < 0.9 * cell):
+            r = len(theta0)
+            pad = (-r) % block_rays
+            pos0 = jnp.asarray(pos0, jnp.float32)
+            theta0 = jnp.asarray(theta0, jnp.float32)
+            if pad:
+                pos0 = jnp.concatenate([pos0, jnp.tile(pos0[-1:], (pad, 1))])
+                theta0 = jnp.concatenate([theta0, jnp.tile(theta0[-1:], pad)])
+            g = grid_trace(op, pos0, theta0, jnp.float32(delta_s), medium,
+                           steps=int(steps), box=tuple(scen.box),
+                           block_rays=block_rays, interpret=interpret)
+            return FastResult(pos=g.pos[:r], traveltime=g.traveltime[:r],
+                              dist_sim=g.dist_sim[:r], active=g.active[:r],
+                              engine="grid-supercell")
+        # coarse steps break the supercell invariant -> scan fallback below
+
+    if not supports(op, medium) or isinstance(medium, HermiteGridMedium):
         res = trace(op, scen, medium, delta_s=float(delta_s), divisor=divisor,
                     n_turns=n_turns, mode="metrics", dtype=np.float32,
                     max_size=steps + 1, pos0=pos0, theta0=theta0)

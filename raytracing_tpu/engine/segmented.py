@@ -219,3 +219,121 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
     if with_stats:
         res = res._replace(mom_count=out[9], mom_mean=out[10], mom_m2=out[11])
     return res
+
+
+# -- 2-D grid media: supercell Hermite kernel --------------------------------
+_NODE_OFFS_CACHE: dict = {}
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "op", "segment", "box", "block_rays", "interpret", "meta"))
+def _grid_run_segments(state, nodes, delta_s, limit, n_seg, *, op, segment,
+                       box, block_rays, interpret, meta):
+    """Chain supercell kernel launches; refresh node blocks between them.
+
+    Each iteration (all inside ONE jit): compute every ray's 4x4 Hermite
+    node block base from its current position, gather the 16 nodes x 9
+    channels from HBM with an XLA gather, and launch the kernel for
+    ``segment`` steps — sized so no ray can leave its block
+    (segment * delta_s < cell pitch).  This replaces the reference's three
+    FITPACK evaluations per step (RT_bench.py:141-156) with one block
+    gather per ~cell-crossing.
+    """
+    x0, y0, inv_hx, inv_hy, nx, ny = meta
+    r = state[0].shape[0] * LANES
+    rows = block_rays // LANES
+    shape2 = state[0].shape
+    zero = jnp.zeros(shape2, jnp.float32)
+    from raytracing_tpu.config import gold_tol
+    kernel = _make_kernel("hermite", op, segment, box, gold_tol(np.float32),
+                          resume=True, supercell=meta)
+    blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    nodes_spec = pl.BlockSpec((144, rows, LANES), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(r // block_rays,),
+        in_specs=[nodes_spec, blk, blk] + [blk] * 9
+                 + [blk, pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[blk] * 9,
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 9,
+        cost_estimate=pl.CostEstimate(
+            flops=500 * r * segment,
+            bytes_accessed=(144 + 2 * 9) * 4 * r,
+            transcendentals=3 * r * segment),
+        interpret=interpret,
+    )
+    offs = np.add.outer(np.arange(4) * nx, np.arange(4)).reshape(-1)
+    offs = jnp.asarray(offs, jnp.int32)          # 16 node offsets
+
+    def seg_body(k, st):
+        x, y = st[0].reshape(-1), st[1].reshape(-1)
+        fx = jnp.clip((x - x0) * inv_hx, 0.0, float(nx - 1))
+        fy = jnp.clip((y - y0) * inv_hy, 0.0, float(ny - 1))
+        ix = jnp.minimum(jnp.floor(fx), float(nx - 2)).astype(jnp.int32)
+        iy = jnp.minimum(jnp.floor(fy), float(ny - 2)).astype(jnp.int32)
+        bix = jnp.clip(ix - 1, 0, nx - 4)
+        biy = jnp.clip(iy - 1, 0, ny - 4)
+        flat = biy * nx + bix                            # (r,)
+        gath = jnp.take(nodes, flat[:, None] + offs[None, :],
+                        axis=0)                          # (r, 16, 9)
+        tbl = jnp.transpose(gath, (1, 2, 0)).reshape(144, r // LANES, LANES)
+        ds_vec = jnp.stack([delta_s, limit,
+                            k.astype(jnp.float32) * segment])
+        args = (tbl, bix.astype(jnp.float32).reshape(shape2),
+                biy.astype(jnp.float32).reshape(shape2)) + st + (zero, ds_vec)
+        return tuple(call(*args))
+
+    return jax.lax.fori_loop(0, n_seg, seg_body, tuple(state))
+
+
+def grid_trace(op: str, pos0, theta0, delta_s, medium, *, steps: int, box,
+               segment: int | None = None, block_rays: int = 4096,
+               interpret: bool = False) -> FusedFinal:
+    """Kernel-speed tracing through a 2-D sampled-spline medium.
+
+    ``medium`` is a :class:`media.hermite.HermiteGridMedium` (build once via
+    ``build_hermite_medium(build_grid_medium(...))``).  The segment length
+    defaults to the largest step count that keeps every ray inside its 4x4
+    node block (0.9 * cell / delta_s, capped at 48 for bounded compiles).
+    """
+    from raytracing_tpu.media.hermite import HermiteGridMedium
+
+    if not isinstance(medium, HermiteGridMedium):
+        raise ValueError("grid_trace needs a HermiteGridMedium, got "
+                         f"{type(medium).__name__}")
+    if op not in FUSED_OPS or op == "op7":
+        raise ValueError(f"grid_trace supports {tuple(o for o in FUSED_OPS if o != 'op7')}, got {op!r}")
+    r = pos0.shape[0]
+    if r % block_rays:
+        raise ValueError(f"rays {r} not a multiple of block {block_rays}")
+    cell = min(1.0 / medium.inv_hx, 1.0 / medium.inv_hy)
+    if segment is None:
+        segment = max(1, min(48, int(0.9 * cell / float(delta_s))))
+    if segment * float(delta_s) >= cell:
+        raise ValueError(f"segment {segment} x delta_s {delta_s} exceeds the "
+                         f"cell pitch {cell}; rays could leave their block")
+    n_seg = -(-steps // segment)
+
+    pos0 = jnp.asarray(pos0, jnp.float32)
+    theta0 = jnp.asarray(theta0, jnp.float32)
+    x = pos0[:, 0]
+    y = pos0[:, 1]
+    ux = jnp.cos(theta0)
+    uy = jnp.sin(theta0)
+    zeros = jnp.zeros(r, jnp.float32)
+    comps = [x, y, ux, uy, zeros, zeros, zeros, zeros,
+             jnp.ones(r, jnp.float32)]
+    state = tuple(c.reshape(-1, LANES) for c in comps)
+    meta = (float(medium.x0), float(medium.y0), float(medium.inv_hx),
+            float(medium.inv_hy), int(medium.nx), int(medium.ny))
+    state = _grid_run_segments(
+        state, jnp.asarray(medium.nodes, jnp.float32), jnp.float32(delta_s),
+        jnp.float32(steps), jnp.int32(n_seg), op=op, segment=segment,
+        box=tuple(box), block_rays=block_rays, interpret=interpret, meta=meta)
+    out = [s.reshape(-1) for s in state]
+    return FusedFinal(
+        pos=jnp.stack([out[0], out[1]], axis=-1),
+        tangent=jnp.stack([out[2], out[3]], axis=-1),
+        traveltime=out[6], dist_sim=out[7], active=out[8] > 0.5)

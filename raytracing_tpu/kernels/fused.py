@@ -97,8 +97,94 @@ def _strat_nag(tables, y0: float, inv_hy: float, ny: int):
     return nag
 
 
+def _supercell_nag(tbl, bix, biy, meta):
+    """n/grad from a per-ray 4x4 Hermite node block held in VMEM.
+
+    ``tbl`` is the (144, rows, 128) node-block value — channel index
+    ``(a*4 + b) * 9 + ch`` for node (a, b) of the ray's supercell and the
+    media/hermite.py channel layout.  ``bix``/``biy`` are the block's base
+    node indices (f32 vectors).  The evaluation is the same bicubic Hermite
+    as HermiteGridMedium.n_and_grad with the HBM gather replaced by 24
+    selects per channel over the carried block — rays stay within the block
+    for a whole kernel segment by construction (segment_steps * ds < cell).
+    """
+    x0, y0, inv_hx, inv_hy, nx, ny = meta
+
+    def nag(x, y):
+        fx = jnp.clip((x - x0) * inv_hx, 0.0, float(nx - 1))
+        fy = jnp.clip((y - y0) * inv_hy, 0.0, float(ny - 1))
+        ix = jnp.minimum(jnp.floor(fx), float(nx - 2))
+        iy = jnp.minimum(jnp.floor(fy), float(ny - 2))
+        u = fx - ix
+        v = fy - iy
+        a0 = jnp.clip(iy - biy, 0.0, 2.0)   # block-relative cell corner
+        b0 = jnp.clip(ix - bix, 0.0, 2.0)
+        a_is0 = a0 == 0.0
+        a_is1 = a0 == 1.0
+        b_is0 = b0 == 0.0
+        b_is1 = b0 == 1.0
+
+        def node(a, b, ch):
+            return tbl[(a * 4 + b) * 9 + ch]
+
+        def corners(ch):
+            """2x2 corner values of channel ch at the per-lane (a0, b0)."""
+            # row-resolve: lo = row a0, hi = row a0+1, per column
+            lo = [jnp.where(a_is0, node(0, b, ch),
+                            jnp.where(a_is1, node(1, b, ch), node(2, b, ch)))
+                  for b in range(4)]
+            hi = [jnp.where(a_is0, node(1, b, ch),
+                            jnp.where(a_is1, node(2, b, ch), node(3, b, ch)))
+                  for b in range(4)]
+
+            def colsel(r):
+                c0 = jnp.where(b_is0, r[0], jnp.where(b_is1, r[1], r[2]))
+                c1 = jnp.where(b_is0, r[1], jnp.where(b_is1, r[2], r[3]))
+                return c0, c1
+
+            c00, c01 = colsel(lo)
+            c10, c11 = colsel(hi)
+            return c00, c01, c10, c11
+
+        # bilinear n from the Z channel
+        z00, z01, z10, z11 = corners(0)
+        n = ((1.0 - v) * ((1.0 - u) * z00 + u * z01)
+             + v * ((1.0 - u) * z10 + u * z11))
+
+        # bicubic Hermite gradients; basis weights shared by both components
+        v2 = v * v
+        v3 = v2 * v
+        hv0 = 2.0 * v3 - 3.0 * v2 + 1.0
+        gv0 = v3 - 2.0 * v2 + v
+        hv1 = -2.0 * v3 + 3.0 * v2
+        gv1 = v3 - v2
+        u2 = u * u
+        u3 = u2 * u
+        hu0 = 2.0 * u3 - 3.0 * u2 + 1.0
+        gu0 = u3 - 2.0 * u2 + u
+        hu1 = -2.0 * u3 + 3.0 * u2
+        gu1 = u3 - u2
+
+        def hermite(ch0):
+            f00, f01, f10, f11 = corners(ch0)
+            fv00, fv01, fv10, fv11 = corners(ch0 + 1)
+            fu00, fu01, fu10, fu11 = corners(ch0 + 2)
+            fw00, fw01, fw10, fw11 = corners(ch0 + 3)
+            return ((f00 * hv0 + fv00 * gv0 + f10 * hv1 + fv10 * gv1) * hu0
+                    + (f01 * hv0 + fv01 * gv0 + f11 * hv1 + fv11 * gv1) * hu1
+                    + (fu00 * hv0 + fw00 * gv0 + fu10 * hv1 + fw10 * gv1) * gu0
+                    + (fu01 * hv0 + fw01 * gv0 + fu11 * hv1 + fw11 * gv1) * gu1)
+
+        gx = hermite(1)
+        gy = hermite(5)
+        return n, gx, gy
+
+    return nag
+
+
 def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
-                 strat=None, stats: bool = False, resume: bool = False):
+                 strat=None, stats: bool = False, resume: bool = False,
+                 supercell=None):
     """Build the fused step kernel.
 
     ``stats`` adds a Welford tracker of the horizontal momentum m_x = n*u_x
@@ -114,7 +200,8 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
     bounds Mosaic's compile time (which scales with the fori_loop trip
     count) and is the hook for live-ray compaction between segments.
     """
-    nag = None if strat is not None else _field_fn(field)
+    nag = (None if (strat is not None or supercell is not None)
+           else _field_fn(field))
     second_order = op in ("op6", "op7", "op8")
     curvature = op in ("op3", "op4")
     rk2 = op in ("op2", "op3", "op6")
@@ -337,7 +424,14 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
         for ref, val in zip(out_refs, outs):
             ref[...] = val
 
-    if strat is None:
+    if supercell is not None:
+        if not resume:
+            raise ValueError("supercell kernels are segment-resumable only")
+
+        def kernel(nodes_ref, bix_ref, biy_ref, *refs):
+            kernel_impl(_supercell_nag(nodes_ref[...], bix_ref[...],
+                                       biy_ref[...], supercell), *refs)
+    elif strat is None:
         def kernel(*refs):
             kernel_impl(nag, *refs)
     else:

@@ -101,3 +101,26 @@ def test_fast_trace_high_precision():
     with pytest.raises(ValueError, match="precision must be"):
         fast_trace("op12", scen, med, delta_s=0.1, steps=4, pos0=pos0,
                    theta0=theta0, precision="banana")
+
+
+def test_fast_trace_routes_hermite_grid():
+    """HermiteGridMedium routes to the supercell kernel at fine steps and
+    falls back to the scan engine at coarse ones."""
+    import numpy as np
+    import raytracing_tpu as rt
+    from raytracing_tpu.engine.fast import fast_trace
+    from raytracing_tpu.media.hermite import build_hermite_medium
+    from raytracing_tpu.media.spline import build_grid_medium
+    scen = rt.scenario("fisheye")
+    hm = build_hermite_medium(build_grid_medium("fisheye", scen.box,
+                                                dtype=np.float32))
+    r = 128
+    pos0 = np.tile(np.array([[1.0, 0.0]], np.float32), (r, 1))
+    theta0 = np.full(r, np.pi / 2, np.float32)
+    fine = fast_trace("op6", scen, hm, delta_s=0.003, steps=100,
+                      pos0=pos0, theta0=theta0, block_rays=128)
+    assert fine.engine == "grid-supercell"
+    coarse = fast_trace("op6", scen, hm, delta_s=0.05, steps=50,
+                        pos0=pos0, theta0=theta0, block_rays=128)
+    assert coarse.engine == "scan"
+    assert np.all(np.isfinite(np.asarray(fine.pos)))

@@ -80,3 +80,53 @@ def test_compaction_preserves_results():
                                   np.asarray(plain.traveltime))
     np.testing.assert_array_equal(np.asarray(comp.active),
                                   np.asarray(plain.active))
+
+
+def test_grid_trace_supercell_matches_scan():
+    """The supercell Hermite kernel == the scan engine on the same 2-D
+    sampled-spline medium (fisheye, the reference's production pipeline)."""
+    from raytracing_tpu.engine.segmented import grid_trace
+    from raytracing_tpu.media.hermite import build_hermite_medium
+    from raytracing_tpu.media.spline import build_grid_medium
+    scen = rt.scenario("fisheye")
+    gm = build_grid_medium("fisheye", scen.box, dtype=np.float32)
+    hm = build_hermite_medium(gm, dtype=np.float32)
+    r = 128
+    theta0 = np.linspace(0.3, np.pi / 2, r).astype(np.float32)
+    pos0 = np.tile(np.array([[0.4, 0.1]], np.float32), (r, 1))
+    # fine-step regime: the supercell invariant needs delta_s < cell pitch
+    ds, steps = 0.003, 300
+    res = grid_trace("op6", pos0, theta0, np.float32(ds), hm, steps=steps,
+                     box=tuple(scen.box), block_rays=128, interpret=True)
+    ref = rt.trace("op6", scen, gm, delta_s=ds, mode="metrics",
+                   dtype=np.float32, max_size=steps + 1,
+                   pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(res.pos), np.asarray(ref.final.pos),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(res.traveltime),
+                               np.asarray(ref.final.traveltime), atol=3e-4)
+
+
+def test_grid_trace_supercell_interface_exits():
+    """2-D interface medium through the supercell kernel, with box exits."""
+    from raytracing_tpu.engine.segmented import grid_trace
+    from raytracing_tpu.media.hermite import build_hermite_medium
+    from raytracing_tpu.media.spline import build_grid_medium
+    import dataclasses
+    scen = dataclasses.replace(rt.scenario("interface"),
+                               box=(-2.0, 2.0, -2.0, 2.0))
+    gm = build_grid_medium("interface", scen.box, dtype=np.float32)
+    hm = build_hermite_medium(gm, dtype=np.float32)
+    r = 128
+    theta0 = np.linspace(np.pi / 30, np.pi / 2, r).astype(np.float32)
+    pos0 = np.tile(np.array([[-1.9, -0.5]], np.float32), (r, 1))
+    ds, steps = 0.005, 600
+    res = grid_trace("op8", pos0, theta0, np.float32(ds), hm, steps=steps,
+                     box=tuple(scen.box), block_rays=128, interpret=True)
+    ref = rt.trace("op8", scen, gm, delta_s=ds, mode="metrics",
+                   dtype=np.float32, max_size=steps + 1,
+                   pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(res.pos), np.asarray(ref.final.pos),
+                               atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(res.active),
+                                  np.asarray(ref.exit_step) == steps)
