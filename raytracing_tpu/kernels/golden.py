@@ -124,7 +124,13 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                 d = curv * ds
                 sgn = jnp.where(gx * uy - gy * ux > 0, -1.0, 1.0)
                 half = sgn * d * 0.5
-                sh, ch = jnp.sin(half), jnp.cos(half)
+                # degree-5 small-angle polynomials: |half| = curv*ds/2 stays
+                # well under ~0.2 at calibrated steps, so the d^5/120 trunc
+                # (~2e-6) is far below the golden bracket tolerance — and
+                # dodges two VPU transcendentals per step
+                h2 = half * half
+                sh = half * (1.0 - h2 * (1.0 / 6.0) * (1.0 - h2 * 0.05))
+                ch = 1.0 - h2 * 0.5 * (1.0 - h2 * (1.0 / 12.0))
                 coefc = 2.0 * sh * sgn / safe
                 # cos(ang+half), sin(ang+half) by rotation of (ux, uy)
                 arc_dx = (ux * ch - uy * sh) * coefc

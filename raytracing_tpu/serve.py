@@ -78,7 +78,18 @@ def _trace_request(body: dict) -> dict:
             f"configuration implies {steps} integration steps "
             f"(bounds: [1, {MAX_STEPS}]); raise delta_s or lower n_turns")
 
-    medium = rt.analytic_medium(scen.field)
+    medium_kind = str(body.get("medium", "analytic"))
+    if medium_kind == "analytic":
+        medium = rt.analytic_medium(scen.field)
+    elif medium_kind == "stratified":
+        if scen.is_fisheye:
+            raise ValueError("stratified medium needs an x-independent "
+                             "field; fisheye requires medium=analytic")
+        from raytracing_tpu import models
+        medium = models.get(scen.name, medium="stratified").medium
+    else:
+        raise ValueError(f"medium must be 'analytic' or 'stratified', "
+                         f"got {medium_kind!r}")
     precision = str(body.get("precision", "standard"))
     t0 = time.perf_counter()
     out = fast_trace(op, scen, medium, delta_s=delta_s, steps=steps,
@@ -88,6 +99,7 @@ def _trace_request(body: dict) -> dict:
 
     resp = {
         "scenario": scen.name, "op": op, "rays": rays, "steps": int(steps),
+        "medium": medium_kind,
         "delta_s": float(delta_s), "engine": out.engine,
         "seconds": round(dt, 4),
         "ray_steps_per_sec": round(rays * steps / dt, 1),

@@ -96,3 +96,17 @@ def test_trace_hostile_payloads_rejected(server):
     # non-numeric rays -> TypeError/ValueError path
     code, body = _post(server + "/v1/trace", {"rays": "many"})
     assert code == 400
+
+
+def test_trace_stratified_medium(server):
+    code, body = _post(server + "/v1/trace",
+                       {"scenario": "interface", "op": "op6", "rays": 128,
+                        "medium": "stratified"})
+    assert code == 200, body
+    assert body["medium"] == "stratified"
+    assert body["engine"] in ("fused-strat", "scan")
+    code, body = _post(server + "/v1/trace",
+                       {"scenario": "fisheye", "medium": "stratified"})
+    assert code == 400 and "x-independent" in body["error"]
+    code, body = _post(server + "/v1/trace", {"medium": "banana"})
+    assert code == 400
