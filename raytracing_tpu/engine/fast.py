@@ -65,6 +65,13 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     op = canonical(op_name)
+    if isinstance(medium, StratifiedGridMedium):
+        # trim constant head/tail of the table (f32-equivalent, media/
+        # spline.compact_stratified) — sharp-interface media collapse to one
+        # 128-lane gather chunk in the kernels
+        from raytracing_tpu.media.spline import compact_stratified
+
+        medium = compact_stratified(medium)
 
     if precision == "high":
         from raytracing_tpu.kernels.df import DF_FIELDS, df_trace
@@ -189,6 +196,11 @@ def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
     if not (supports(op, medium) and op in FUSED_OPS):
         raise ValueError(f"fast_trace_sharded needs a fused-kernel op/medium; "
                          f"got {op!r} on {type(medium).__name__}")
+    use_strat = isinstance(medium, StratifiedGridMedium)
+    if use_strat:
+        from raytracing_tpu.media.spline import compact_stratified
+
+        medium = compact_stratified(medium)
     n_dev = mesh.devices.size
     r = len(theta0)
     if r % (n_dev * block_rays):
@@ -205,10 +217,18 @@ def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
                        in_specs=(P(axes), P(axes)), out_specs=P(axes),
                        check_vma=False)  # pallas out_shapes carry no vma
     def run(p, t):
+        # the medium pytree is closed over -> replicated to every device
+        if use_strat:
+            return fused_trace_final_strat(
+                p, t, jnp.float32(delta_s), medium, op=op, steps=int(steps),
+                box=tuple(scen.box), block_rays=block_rays,
+                interpret=interpret)
         return fused_trace_final(p, t, jnp.float32(delta_s), field=scen.field,
                                  op=op, steps=int(steps), box=tuple(scen.box),
                                  block_rays=block_rays, interpret=interpret)
 
     f = run(pos0, theta0)
     return FastResult(pos=f.pos, traveltime=f.traveltime, dist_sim=f.dist_sim,
-                      active=f.active, engine="fused-sharded")
+                      active=f.active,
+                      engine="fused-strat-sharded" if use_strat
+                      else "fused-sharded")

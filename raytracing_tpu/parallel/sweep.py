@@ -143,6 +143,10 @@ def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
     if interpret is None:
         interpret = _jax.default_backend() == "cpu"
     use_strat = isinstance(medium, StratifiedGridMedium)
+    if use_strat:
+        from raytracing_tpu.media.spline import compact_stratified
+
+        medium = compact_stratified(medium)
     use_golden = op_name in GOLDEN_OPS
     deg = 180.0 / np.pi
 

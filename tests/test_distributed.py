@@ -97,3 +97,24 @@ def test_slice_mesh_rejects_indivisible():
         assert "slices" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_fast_trace_sharded_stratified():
+    """The sampled production medium under shard_map over the CPU mesh."""
+    from raytracing_tpu.engine.fast import fast_trace, fast_trace_sharded
+    from raytracing_tpu.media.spline import build_stratified_medium
+    mesh = make_mesh(8)
+    scen = rt.scenario("interface")
+    med = build_stratified_medium("interface", scen.box, dtype=np.float32)
+    r = 8 * 128
+    theta0 = np.resize(np.asarray(scen.theta0, np.float32), r)
+    pos0 = np.tile(scen.pos0[:1].astype(np.float32), (r, 1))
+    sharded = fast_trace_sharded("op6", scen, med, delta_s=0.01,
+                                 pos0=pos0, theta0=theta0, mesh=mesh,
+                                 steps=200, block_rays=128, interpret=True)
+    assert sharded.engine == "fused-strat-sharded"
+    assert len(sharded.pos.sharding.device_set) == 8
+    local = fast_trace("op6", scen, med, delta_s=0.01, steps=200,
+                       pos0=pos0, theta0=theta0, block_rays=128)
+    np.testing.assert_allclose(np.asarray(sharded.pos),
+                               np.asarray(local.pos), atol=1e-6)

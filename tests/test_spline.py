@@ -3,6 +3,7 @@ import numpy as np
 import pytest
 from scipy.interpolate import RectBivariateSpline
 
+import raytracing_tpu as rt
 from raytracing_tpu import config
 from raytracing_tpu.media import grid as gridmod
 from raytracing_tpu.media.medium import analytic_medium
@@ -108,3 +109,47 @@ def test_stratified_rejects_fisheye():
     from raytracing_tpu.media.spline import build_stratified_medium
     with pytest.raises(ValueError, match="varies in x"):
         build_stratified_medium("fisheye", BOX["fisheye"])
+
+
+def test_compact_stratified_equivalent():
+    """Trimmed table == full table within f32 rounding; vert untouched."""
+    import jax.numpy as jnp
+    from raytracing_tpu.media.spline import (build_stratified_medium,
+                                             compact_stratified)
+    scen = rt.scenario("interface")
+    full = build_stratified_medium("interface", scen.box, dtype=np.float32)
+    comp = compact_stratified(full)
+    assert comp.ny < full.ny // 4  # the sigmoid table really shrinks
+    y = np.linspace(-5.0, 7.0, 4001).astype(np.float32)
+    x = np.zeros_like(y)
+    nf, (_, gf) = full.n_and_grad(jnp.asarray(x), jnp.asarray(y))
+    nc, (_, gc) = comp.n_and_grad(jnp.asarray(x), jnp.asarray(y))
+    # agreement is limited by f32 *query* quantization, not the trim: the
+    # full table's cell coordinate fy ~ 280 has ~3e-5 ulps, and one ulp of
+    # fy moves n by (per-cell jump ~0.1) -> ~1e-5 noise in BOTH directions;
+    # the compact table (fy ~ 10) is the more accurate of the two
+    np.testing.assert_allclose(np.asarray(nc), np.asarray(nf), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gf), atol=5e-4)
+
+    vscen = rt.scenario("vert")
+    vfull = build_stratified_medium("vert_heterogeneous", vscen.box,
+                                    dtype=np.float32)
+    assert compact_stratified(vfull) is vfull  # varies everywhere
+
+
+def test_compact_stratified_kernel_route():
+    """fast_trace on the full table == on the trimmed one (auto-applied)."""
+    from raytracing_tpu.engine.fast import fast_trace
+    from raytracing_tpu.media.spline import build_stratified_medium
+    scen = rt.scenario("interface")
+    med = build_stratified_medium("interface", scen.box, dtype=np.float32)
+    r = 128
+    theta0 = np.linspace(scen.theta0[0], scen.theta0[-1], r).astype(np.float32)
+    pos0 = np.tile(scen.pos0[:1].astype(np.float32), (r, 1))
+    out = fast_trace("op6", scen, med, delta_s=0.01, steps=400,
+                     pos0=pos0, theta0=theta0, block_rays=128)
+    assert out.engine == "fused-strat"
+    ref = rt.trace("op6", scen, med, delta_s=0.01, mode="metrics",
+                   dtype=np.float32, max_size=401, pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(out.pos),
+                               np.asarray(ref.final.pos), atol=3e-4)
