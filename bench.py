@@ -58,7 +58,8 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
     from raytracing_tpu.kernels.fused import (fused_trace_final,
                                               fused_trace_final_strat)
     from raytracing_tpu.kernels.golden import golden_trace_final
-    from raytracing_tpu.media.spline import build_stratified_medium
+    from raytracing_tpu.media.spline import (build_stratified_medium,
+                                             compact_stratified)
 
     def best_of(fn, reps=3):
         out = fn()
@@ -105,7 +106,8 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
 
     # -- interface: analytic AND sampled (stratified) media, op6 ------------
     scen = rt.scenario("interface")
-    imed = build_stratified_medium("interface", scen.box, dtype=np.float32)
+    imed = compact_stratified(
+        build_stratified_medium("interface", scen.box, dtype=np.float32))
     pos0, theta0 = _fan(scen, r)
     ds = config.SIGMA / 2.55
     steps = scen.max_size(ds) - 1
@@ -140,8 +142,9 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
 
     # -- vert: analytic and sampled, op8, in-kernel Welford CV --------------
     scen = rt.scenario("vert")
-    vmed = build_stratified_medium("vert_heterogeneous", scen.box,
-                                   dtype=np.float32)
+    vmed = compact_stratified(
+        build_stratified_medium("vert_heterogeneous", scen.box,
+                                dtype=np.float32))
     pos0, theta0 = _fan(scen, r)
     ds = config.SIGMA / 2.74
     steps = min(scen.max_size(ds) - 1, 3000)
