@@ -20,8 +20,9 @@ from raytracing_tpu.engine.trace import _outside, trace
 from raytracing_tpu.kernels.fused import (
     FUSED_FIELDS, FUSED_OPS, fused_trace_final, fused_trace_final_strat)
 from raytracing_tpu.kernels.golden import GOLDEN_OPS, golden_trace_final
+from raytracing_tpu.kernels.fused import fused_trace_final_custom
 from raytracing_tpu.media.hermite import HermiteGridMedium
-from raytracing_tpu.media.medium import AnalyticMedium
+from raytracing_tpu.media.medium import AnalyticMedium, CustomMedium
 from raytracing_tpu.media.spline import StratifiedGridMedium
 from raytracing_tpu.ops.registry import canonical
 
@@ -41,6 +42,8 @@ def supports(op_name: str, medium) -> bool:
         return op in FUSED_OPS or op in GOLDEN_OPS
     if isinstance(medium, HermiteGridMedium):
         return op in FUSED_OPS and op != "op7"
+    if isinstance(medium, CustomMedium):
+        return op in FUSED_OPS
     return (isinstance(medium, AnalyticMedium)
             and medium.field in FUSED_FIELDS
             and (op in FUSED_OPS or op in GOLDEN_OPS))
@@ -156,6 +159,13 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
             interpret=interpret)
         pos, tt, dsim, act = f.pos, f.traveltime, f.dist_sim, f.active
         eng = "fused-strat"
+    elif isinstance(medium, CustomMedium):
+        f = fused_trace_final_custom(
+            pos0, theta0, jnp.float32(delta_s), medium=medium, op=op,
+            steps=int(steps), box=tuple(scen.box), block_rays=block_rays,
+            interpret=interpret)
+        pos, tt, dsim, act = f.pos, f.traveltime, f.dist_sim, f.active
+        eng = "fused-custom"
     elif op in GOLDEN_OPS:
         g = golden_trace_final(
             pos0, theta0, jnp.float32(delta_s), jnp.float32(scen.gamma),

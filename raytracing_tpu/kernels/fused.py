@@ -182,9 +182,24 @@ def _supercell_nag(tbl, bix, biy, meta):
     return nag
 
 
+def _custom_nag(medium):
+    """nag from a user CustomMedium: n_and_grad inlined into the kernel.
+
+    The user's ``n_fn`` (and autodiff jvp when no ``grad_fn`` is given) must
+    consist of Mosaic-lowerable elementwise jnp ops — true for ordinary
+    closed-form fields; exotic primitives surface as Mosaic compile errors,
+    in which case the scan engine remains the fallback.
+    """
+    def nag(x, y):
+        n, (gx, gy) = medium.n_and_grad(x, y)
+        return n, gx, gy
+
+    return nag
+
+
 def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
                  strat=None, stats: bool = False, resume: bool = False,
-                 supercell=None):
+                 supercell=None, custom=None):
     """Build the fused step kernel.
 
     ``stats`` adds a Welford tracker of the horizontal momentum m_x = n*u_x
@@ -200,8 +215,12 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
     bounds Mosaic's compile time (which scales with the fori_loop trip
     count) and is the hook for live-ray compaction between segments.
     """
-    nag = (None if (strat is not None or supercell is not None)
-           else _field_fn(field))
+    if custom is not None:
+        nag = _custom_nag(custom)
+    elif strat is not None or supercell is not None:
+        nag = None
+    else:
+        nag = _field_fn(field)
     second_order = op in ("op6", "op7", "op8")
     curvature = op in ("op3", "op4")
     rk2 = op in ("op2", "op3", "op6")
@@ -536,6 +555,44 @@ def fused_trace_final(pos0, theta0, delta_s, *, field: str, op: str,
     from raytracing_tpu.config import gold_tol
     kernel = _make_kernel(field, op, steps, box, gold_tol(np.float32),
                           stats=with_stats)
+    return _call_kernel(kernel, None, x, y, ux, uy, ds, steps=steps, r=r,
+                        rows=rows, block_rays=block_rays, nch=0,
+                        with_stats=with_stats, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("medium", "op", "steps", "box",
+                                             "block_rays", "interpret",
+                                             "with_stats"))
+def fused_trace_final_custom(pos0, theta0, delta_s, *, medium, op: str,
+                             steps: int, box, block_rays: int = 4096,
+                             interpret: bool = False, step_limit=None,
+                             with_stats: bool = False) -> FusedFinal:
+    """Fused integration through a user-defined :class:`CustomMedium`.
+
+    The reference requires editing its source to add a medium
+    (RT_bench.py:104-116, 1567-1580); here any Mosaic-lowerable elementwise
+    ``n(x, y)`` runs at kernel speed, gradient by forward-mode autodiff
+    inlined into the Pallas step body.  Same contract as
+    :func:`fused_trace_final`.
+    """
+    if op not in FUSED_OPS:
+        raise ValueError(f"fused kernel supports ops {FUSED_OPS}, got {op!r}")
+    r = pos0.shape[0]
+    if r % block_rays:
+        raise ValueError(f"rays {r} not a multiple of block {block_rays}")
+    rows = block_rays // LANES
+    shape2 = (r // LANES, LANES)
+    x = jnp.asarray(pos0[:, 0], jnp.float32).reshape(shape2)
+    y = jnp.asarray(pos0[:, 1], jnp.float32).reshape(shape2)
+    ux = jnp.cos(theta0).astype(jnp.float32).reshape(shape2)
+    uy = jnp.sin(theta0).astype(jnp.float32).reshape(shape2)
+    if step_limit is None:
+        step_limit = steps
+    ds = jnp.stack([jnp.asarray(delta_s, jnp.float32),
+                    jnp.asarray(step_limit, jnp.float32)])
+    from raytracing_tpu.config import gold_tol
+    kernel = _make_kernel("custom", op, steps, box, gold_tol(np.float32),
+                          stats=with_stats, custom=medium)
     return _call_kernel(kernel, None, x, y, ux, uy, ds, steps=steps, r=r,
                         rows=rows, block_rays=block_rays, nch=0,
                         with_stats=with_stats, interpret=interpret)

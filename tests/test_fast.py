@@ -124,3 +124,26 @@ def test_fast_trace_routes_hermite_grid():
                         pos0=pos0, theta0=theta0, block_rays=128)
     assert coarse.engine == "scan"
     assert np.all(np.isfinite(np.asarray(fine.pos)))
+
+
+def test_fast_trace_custom_medium_kernel():
+    """A user-defined medium runs through the fused kernel tier, gradient by
+    autodiff inlined into the Pallas body (interpret mode here)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import raytracing_tpu as rt
+    from raytracing_tpu.engine.fast import fast_trace
+    from raytracing_tpu.media.medium import CustomMedium
+
+    med = CustomMedium(n_fn=lambda x, y: 1.2 + 0.1 * jnp.sin(x) * jnp.cos(y))
+    scen = rt.scenario("fisheye")  # box only
+    r = 128
+    pos0 = np.tile(np.array([[0.2, -0.1]], np.float32), (r, 1))
+    theta0 = np.linspace(0.0, np.pi, r).astype(np.float32)
+    out = fast_trace("op6", scen, med, delta_s=0.01, steps=200,
+                     pos0=pos0, theta0=theta0, block_rays=128)
+    assert out.engine == "fused-custom"
+    ref = rt.trace("op6", scen, med, delta_s=0.01, mode="metrics",
+                   dtype=np.float32, max_size=201, pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(out.pos),
+                               np.asarray(ref.final.pos), atol=2e-5)
