@@ -27,6 +27,11 @@ from raytracing_tpu.media.spline import StratifiedGridMedium
 from raytracing_tpu.ops.registry import canonical
 
 
+#: one-shot kernels above this trip count route through bounded segments
+#: (Mosaic compile time scales with the fori_loop trip count)
+SEGMENT_THRESHOLD = 6000
+
+
 class FastResult(NamedTuple):
     pos: Any         # (R, 2) final positions
     traveltime: Any  # (R,)
@@ -125,7 +130,19 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
                               engine="grid-supercell")
         # coarse steps break the supercell invariant -> scan fallback below
 
-    if not supports(op, medium) or isinstance(medium, HermiteGridMedium):
+    # Past the Mosaic compile threshold, fused ops chain bounded segments
+    # (below); golden/custom kernels have no segmented variant yet, so for
+    # them the scan engine (compile independent of trip count) is the safe
+    # path.  The reference's workloads never get there (largest golden
+    # config is ~3300 steps).
+    too_long = int(steps) > SEGMENT_THRESHOLD
+    seg_eligible = (op in FUSED_OPS
+                    and (isinstance(medium, StratifiedGridMedium)
+                         or (isinstance(medium, AnalyticMedium)
+                             and medium.field in FUSED_FIELDS)))
+
+    if (not supports(op, medium) or isinstance(medium, HermiteGridMedium)
+            or (too_long and not seg_eligible)):
         res = trace(op, scen, medium, delta_s=float(delta_s), divisor=divisor,
                     n_turns=n_turns, mode="metrics", dtype=np.float32,
                     max_size=steps + 1, pos0=pos0, theta0=theta0)
@@ -144,6 +161,24 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
     if pad:
         pos0 = jnp.concatenate([pos0, jnp.tile(pos0[-1:], (pad, 1))])
         theta0 = jnp.concatenate([theta0, jnp.tile(theta0[-1:], pad)])
+
+    # Mosaic compile time scales with the kernel trip count; beyond a few
+    # thousand steps the one-shot kernels become compile hazards, so long
+    # traces chain bounded segments instead (identical results, tested).
+    if too_long and seg_eligible:
+        from raytracing_tpu.engine.segmented import segmented_trace
+
+        strat = isinstance(medium, StratifiedGridMedium)
+        f = segmented_trace(
+            op, pos0, theta0, jnp.float32(delta_s), steps=int(steps),
+            box=tuple(scen.box),
+            field=None if strat else scen.field,
+            medium=medium if strat else None,
+            segment=1024, block_rays=block_rays, interpret=interpret)
+        return FastResult(pos=f.pos[:r], traveltime=f.traveltime[:r],
+                          dist_sim=f.dist_sim[:r], active=f.active[:r],
+                          engine=("fused-strat-seg" if strat
+                                  else "fused-seg"))
 
     if isinstance(medium, StratifiedGridMedium) and op in GOLDEN_OPS:
         g = golden_trace_final(

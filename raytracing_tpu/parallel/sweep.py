@@ -113,7 +113,8 @@ def find_index_vert(errors, max_dev=config.MAX_MOMENTUM_CV_PCT):
 def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
                          delta_s: np.ndarray, step_limits: np.ndarray,
                          max_steps: int, *, medium=None, rays: int | None = None,
-                         block_rays: int = 4096, interpret: bool | None = None):
+                         block_rays: int = 4096, interpret: bool | None = None,
+                         checkpoint: str | None = None, chunk: int = 32):
     """Candidate sweep through ONE compiled fused kernel — any scenario.
 
     The kernel compiles once at ``max_steps`` with a traced per-run step
@@ -179,7 +180,25 @@ def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
     out = {k: np.empty(len(delta_s)) for k in (
         ("mean_err", "max_err") if scen.is_interface else
         ("closure_pct",) if scen.is_fisheye else ("cv_pct",))}
+    store = None
+    if checkpoint is not None:
+        from raytracing_tpu.utils.checkpoint import SweepCheckpoint
+
+        store = SweepCheckpoint(checkpoint, meta={
+            "op": op_name, "scenario": scen.name, "engine": "fused",
+            "candidates": int(len(delta_s)), "chunk": int(chunk)})
+    done_upto = 0
     for i, (ds, lim) in enumerate(zip(delta_s, step_limits)):
+        if store is not None:
+            ci = i // chunk
+            if i % chunk == 0 and store.has_chunk(ci):
+                saved = store.chunk(ci)
+                n = len(next(iter(saved.values())))
+                for k in out:
+                    out[k][i:i + n] = saved[k]
+                done_upto = i + n
+            if i < done_upto:
+                continue
         if use_golden:
             f = golden_trace_final(
                 pos0, theta0, np.float32(ds), np.float32(scen.gamma),
@@ -220,6 +239,16 @@ def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
             m2 = np.asarray(f.mom_m2[:nf])
             cv = 100.0 * np.sqrt(m2 / cnt) / mean
             out["cv_pct"][i] = float(np.mean(cv[1:-1]))
+        if store is not None and (i + 1) % chunk == 0:
+            ci = i // chunk
+            if not store.has_chunk(ci):
+                lo = ci * chunk
+                store.add_chunk(ci, {k: out[k][lo:i + 1] for k in out})
+    if store is not None and len(delta_s) % chunk:
+        ci = (len(delta_s) - 1) // chunk
+        if not store.has_chunk(ci):
+            lo = ci * chunk
+            store.add_chunk(ci, {k: out[k][lo:] for k in out})
     return out
 
 
@@ -356,7 +385,7 @@ def delta_s_search(op_name: str, scen: config.ScenarioConfig, medium, *,
         med = medium if isinstance(medium, StratifiedGridMedium) else None
         metrics = run_candidates_fused(
             op_c, scen, delta_s, sizes - 1, max_size - 1, medium=med,
-            rays=rays, block_rays=block_rays)
+            rays=rays, block_rays=block_rays, checkpoint=checkpoint)
     else:
         metrics = run_candidates(op_name, scen, medium, delta_s, sizes - 1,
                                  max_size, n_turns=n_turns, dtype=dtype,

@@ -147,3 +147,34 @@ def test_fast_trace_custom_medium_kernel():
                    dtype=np.float32, max_size=201, pos0=pos0, theta0=theta0)
     np.testing.assert_allclose(np.asarray(out.pos),
                                np.asarray(ref.final.pos), atol=2e-5)
+
+
+def test_fast_trace_long_traces_use_segments():
+    """Trip counts beyond the Mosaic compile threshold chain bounded
+    segments (identical results) instead of a one-shot kernel."""
+    import numpy as np
+    import raytracing_tpu as rt
+    from raytracing_tpu.engine import fast as fastmod
+    from raytracing_tpu.engine.fast import fast_trace
+
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    r = 128
+    pos0 = np.tile(np.array([[1.0, 0.0]], np.float32), (r, 1))
+    theta0 = np.full(r, np.pi / 2, np.float32)
+    old = fastmod.SEGMENT_THRESHOLD
+    try:
+        fastmod.SEGMENT_THRESHOLD = 100   # force the route at test scale
+        seg = fast_trace("op6", scen, med, delta_s=0.02, steps=300,
+                         pos0=pos0, theta0=theta0, block_rays=128)
+        assert seg.engine == "fused-seg"
+        # golden past the threshold falls back to the scan engine
+        g = fast_trace("op5", scen, med, delta_s=0.02, steps=300,
+                       pos0=pos0, theta0=theta0, block_rays=128)
+        assert g.engine == "scan"
+    finally:
+        fastmod.SEGMENT_THRESHOLD = old
+    one = fast_trace("op6", scen, med, delta_s=0.02, steps=300,
+                     pos0=pos0, theta0=theta0, block_rays=128)
+    assert one.engine == "fused"
+    np.testing.assert_array_equal(np.asarray(seg.pos), np.asarray(one.pos))
