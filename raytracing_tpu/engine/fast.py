@@ -46,9 +46,9 @@ def supports(op_name: str, medium) -> bool:
     if isinstance(medium, StratifiedGridMedium):
         return op in FUSED_OPS or op in GOLDEN_OPS
     if isinstance(medium, HermiteGridMedium):
-        return op in FUSED_OPS and op != "op7"
-    if isinstance(medium, CustomMedium):
         return op in FUSED_OPS
+    if isinstance(medium, CustomMedium):
+        return op in FUSED_OPS or op in GOLDEN_OPS
     return (isinstance(medium, AnalyticMedium)
             and medium.field in FUSED_FIELDS
             and (op in FUSED_OPS or op in GOLDEN_OPS))
@@ -113,8 +113,7 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
         from raytracing_tpu.engine.segmented import grid_trace
 
         cell = min(1.0 / medium.inv_hx, 1.0 / medium.inv_hy)
-        if (op in FUSED_OPS and op != "op7"
-                and float(delta_s) < 0.9 * cell):
+        if op in FUSED_OPS and float(delta_s) < 0.9 * cell:
             r = len(theta0)
             pad = (-r) % block_rays
             pos0 = jnp.asarray(pos0, jnp.float32)
@@ -194,6 +193,13 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
             interpret=interpret)
         pos, tt, dsim, act = f.pos, f.traveltime, f.dist_sim, f.active
         eng = "fused-strat"
+    elif isinstance(medium, CustomMedium) and op in GOLDEN_OPS:
+        g = golden_trace_final(
+            pos0, theta0, jnp.float32(delta_s), jnp.float32(scen.gamma),
+            field=scen.field, op=op, steps=int(steps), box=tuple(scen.box),
+            block_rays=block_rays, interpret=interpret, medium=medium)
+        pos, tt, dsim, act = g.pos, g.traveltime, g.dist_sim, g.active
+        eng = "golden-custom"
     elif isinstance(medium, CustomMedium):
         f = fused_trace_final_custom(
             pos0, theta0, jnp.float32(delta_s), medium=medium, op=op,

@@ -226,9 +226,11 @@ _NODE_OFFS_CACHE: dict = {}
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "op", "segment", "box", "block_rays", "interpret", "meta"))
+    "op", "segment", "box", "block_rays", "interpret", "meta", "stats",
+    "n_state"))
 def _grid_run_segments(state, nodes, delta_s, limit, n_seg, *, op, segment,
-                       box, block_rays, interpret, meta):
+                       box, block_rays, interpret, meta, stats=False,
+                       n_state=9):
     """Chain supercell kernel launches; refresh node blocks between them.
 
     Each iteration (all inside ONE jit): compute every ray's 4x4 Hermite
@@ -246,7 +248,7 @@ def _grid_run_segments(state, nodes, delta_s, limit, n_seg, *, op, segment,
     zero = jnp.zeros(shape2, jnp.float32)
     from raytracing_tpu.config import gold_tol
     kernel = _make_kernel("hermite", op, segment, box, gold_tol(np.float32),
-                          resume=True, supercell=meta)
+                          resume=True, supercell=meta, stats=stats)
     blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     nodes_spec = pl.BlockSpec((144, rows, LANES), lambda i: (0, i, 0),
@@ -254,10 +256,10 @@ def _grid_run_segments(state, nodes, delta_s, limit, n_seg, *, op, segment,
     call = pl.pallas_call(
         kernel,
         grid=(r // block_rays,),
-        in_specs=[nodes_spec, blk, blk] + [blk] * 9
+        in_specs=[nodes_spec, blk, blk] + [blk] * n_state
                  + [blk, pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[blk] * 9,
-        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 9,
+        out_specs=[blk] * n_state,
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * n_state,
         cost_estimate=pl.CostEstimate(
             flops=500 * r * segment,
             bytes_accessed=(144 + 2 * 9) * 4 * r,
@@ -290,21 +292,23 @@ def _grid_run_segments(state, nodes, delta_s, limit, n_seg, *, op, segment,
 
 def grid_trace(op: str, pos0, theta0, delta_s, medium, *, steps: int, box,
                segment: int | None = None, block_rays: int = 4096,
-               interpret: bool = False) -> FusedFinal:
+               interpret: bool = False, with_stats: bool = False) -> FusedFinal:
     """Kernel-speed tracing through a 2-D sampled-spline medium.
 
     ``medium`` is a :class:`media.hermite.HermiteGridMedium` (build once via
     ``build_hermite_medium(build_grid_medium(...))``).  The segment length
     defaults to the largest step count that keeps every ray inside its 4x4
     node block (0.9 * cell / delta_s, capped at 48 for bounded compiles).
+    Covers every fused op incl. op7 (window in the segment state) and the
+    Welford momentum tracker (``with_stats``).
     """
     from raytracing_tpu.media.hermite import HermiteGridMedium
 
     if not isinstance(medium, HermiteGridMedium):
         raise ValueError("grid_trace needs a HermiteGridMedium, got "
                          f"{type(medium).__name__}")
-    if op not in FUSED_OPS or op == "op7":
-        raise ValueError(f"grid_trace supports {tuple(o for o in FUSED_OPS if o != 'op7')}, got {op!r}")
+    if op not in FUSED_OPS:
+        raise ValueError(f"grid_trace supports {FUSED_OPS}, got {op!r}")
     r = pos0.shape[0]
     if r % block_rays:
         raise ValueError(f"rays {r} not a multiple of block {block_rays}")
@@ -315,6 +319,8 @@ def grid_trace(op: str, pos0, theta0, delta_s, medium, *, steps: int, box,
         raise ValueError(f"segment {segment} x delta_s {delta_s} exceeds the "
                          f"cell pitch {cell}; rays could leave their block")
     n_seg = -(-steps // segment)
+    window = op == "op7"
+    n_state = 9 + (3 if with_stats else 0) + (4 if window else 0)
 
     pos0 = jnp.asarray(pos0, jnp.float32)
     theta0 = jnp.asarray(theta0, jnp.float32)
@@ -325,15 +331,25 @@ def grid_trace(op: str, pos0, theta0, delta_s, medium, *, steps: int, box,
     zeros = jnp.zeros(r, jnp.float32)
     comps = [x, y, ux, uy, zeros, zeros, zeros, zeros,
              jnp.ones(r, jnp.float32)]
+    if with_stats:
+        n0 = medium.n(x, y).astype(jnp.float32)
+        comps += [jnp.ones(r, jnp.float32), n0 * ux, zeros]
+    if window:
+        comps += [x, y, x, y]
     state = tuple(c.reshape(-1, LANES) for c in comps)
     meta = (float(medium.x0), float(medium.y0), float(medium.inv_hx),
             float(medium.inv_hy), int(medium.nx), int(medium.ny))
     state = _grid_run_segments(
         state, jnp.asarray(medium.nodes, jnp.float32), jnp.float32(delta_s),
         jnp.float32(steps), jnp.int32(n_seg), op=op, segment=segment,
-        box=tuple(box), block_rays=block_rays, interpret=interpret, meta=meta)
+        box=tuple(box), block_rays=block_rays, interpret=interpret,
+        meta=meta, stats=with_stats, n_state=n_state)
     out = [s.reshape(-1) for s in state]
-    return FusedFinal(
+    res = FusedFinal(
         pos=jnp.stack([out[0], out[1]], axis=-1),
         tangent=jnp.stack([out[2], out[3]], axis=-1),
         traveltime=out[6], dist_sim=out[7], active=out[8] > 0.5)
+    if with_stats:
+        res = res._replace(mom_count=out[9], mom_mean=out[10],
+                           mom_m2=out[11])
+    return res

@@ -40,7 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from raytracing_tpu.config import DELTA_G, GOLD_RATIO, gold_tol, golden_iters
-from raytracing_tpu.kernels.fused import LANES, _field_fn, _strat_nag
+from raytracing_tpu.kernels.fused import (LANES, _custom_nag, _field_fn,
+                                          _strat_nag)
 
 GOLDEN_OPS = {"op5": ("curv", "golden"), "op9": ("t2", "golden"),
               "op10": ("curv", "golden"), "op11": ("t2", "golden"),
@@ -63,8 +64,14 @@ def _golden_offsets(iters: int):
 
 
 def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
-                 curv_tol: float, strat=None, stats: bool = False):
-    nag_analytic = None if strat is not None else _field_fn(field)
+                 curv_tol: float, strat=None, stats: bool = False,
+                 custom=None):
+    if custom is not None:
+        nag_analytic = _custom_nag(custom)
+    elif strat is not None:
+        nag_analytic = None
+    else:
+        nag_analytic = _field_fn(field)
     stepper, solver = GOLDEN_OPS[op]
     # op5/op9 are the gamma == 1 limit: the anisotropy factor folds to 1 at
     # build time, deleting the per-iteration sqrt and divides from the cost
@@ -362,13 +369,20 @@ def golden_trace_final(pos0, theta0, delta_s, gamma, *, field: str, op: str,
 
     strat = None
     tables = None
+    custom = None
     nch = 0
     if medium is not None:
+        from raytracing_tpu.media.medium import CustomMedium
         from raytracing_tpu.media.spline import StratifiedGridMedium
 
+        if isinstance(medium, CustomMedium):
+            custom = medium
+            medium = None
+    if medium is not None:
         if not isinstance(medium, StratifiedGridMedium):
             raise ValueError("golden kernel media support is limited to "
-                             f"StratifiedGridMedium, got {type(medium).__name__}")
+                             "StratifiedGridMedium/CustomMedium, got "
+                             f"{type(medium).__name__}")
         ny = medium.ny
         nch = -(-ny // LANES)
         T = nch * LANES
@@ -395,7 +409,7 @@ def golden_trace_final(pos0, theta0, delta_s, gamma, *, field: str, op: str,
         args = (tables,) + args
     outs = pl.pallas_call(
         _make_kernel(field, op, steps, tuple(box), iters, tol, strat=strat,
-                     stats=with_stats),
+                     stats=with_stats, custom=custom),
         grid=(r // block_rays,),
         in_specs=in_specs,
         out_specs=[blk] * n_out,

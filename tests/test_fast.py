@@ -178,3 +178,26 @@ def test_fast_trace_long_traces_use_segments():
                      pos0=pos0, theta0=theta0, block_rays=128)
     assert one.engine == "fused"
     np.testing.assert_array_equal(np.asarray(seg.pos), np.asarray(one.pos))
+
+
+def test_fast_trace_custom_medium_golden():
+    """CustomMedium through the golden kernels (cost autodiffed in-kernel)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import raytracing_tpu as rt
+    from raytracing_tpu.engine.fast import fast_trace
+    from raytracing_tpu.media.medium import CustomMedium
+
+    med = CustomMedium(n_fn=lambda x, y: 1.0 / (18.0 + 2.0 * y))
+    ref_med = rt.analytic_medium("vert_heterogeneous")
+    scen = rt.scenario("vert")
+    r = 128
+    pos0 = np.tile(scen.pos0[:1].astype(np.float32), (r, 1))
+    theta0 = np.linspace(0.2, 1.2, r).astype(np.float32)
+    out = fast_trace("op5", scen, med, delta_s=0.02, steps=150,
+                     pos0=pos0, theta0=theta0, block_rays=128)
+    assert out.engine == "golden-custom"
+    ref = fast_trace("op5", scen, ref_med, delta_s=0.02, steps=150,
+                     pos0=pos0, theta0=theta0, block_rays=128)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               atol=2e-3)

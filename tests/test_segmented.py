@@ -130,3 +130,28 @@ def test_grid_trace_supercell_interface_exits():
                                atol=1e-3)
     np.testing.assert_array_equal(np.asarray(res.active),
                                   np.asarray(ref.exit_step) == steps)
+
+
+def test_grid_trace_op7_and_stats():
+    """op7 (window in segment state) + Welford stats through the 2-D
+    supercell kernel == scan engine on the same medium."""
+    from raytracing_tpu.engine.segmented import grid_trace
+    from raytracing_tpu.media.hermite import build_hermite_medium
+    from raytracing_tpu.media.spline import build_grid_medium
+    scen = rt.scenario("vert")
+    gm = build_grid_medium("vert_heterogeneous", scen.box, dtype=np.float32)
+    hm = build_hermite_medium(gm, dtype=np.float32)
+    r = 128
+    theta0 = np.linspace(0.2, np.pi / 2 - 0.05, r).astype(np.float32)
+    pos0 = np.tile(scen.pos0[:1].astype(np.float32), (r, 1))
+    ds, steps = 0.004, 200
+    res = grid_trace("op7", pos0, theta0, np.float32(ds), hm, steps=steps,
+                     box=tuple(scen.box), block_rays=128, interpret=True,
+                     with_stats=True)
+    ref = rt.trace("op7", scen, gm, delta_s=ds, mode="metrics",
+                   dtype=np.float32, max_size=steps + 1,
+                   pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(res.pos), np.asarray(ref.final.pos),
+                               atol=5e-3)  # op7's fd3 combo amplifies f32 noise
+    np.testing.assert_array_equal(np.asarray(res.mom_count),
+                                  np.asarray(ref.final.mom_count))
