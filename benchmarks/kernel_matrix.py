@@ -19,13 +19,19 @@ R = 1 << 20
 DIV = 4587
 
 
-def best_of(fn, reps=3):
-    fn()
+def best_of(fn, reps=3, per=3):
+    """Best mean-of-`per` queued calls with ONE final readback barrier: the
+    tunnel's device->host barrier costs ~10-30 ms per call, so blocking
+    every call understates the fast kernels.  `fn` must RETURN a device
+    array (no internal blocking)."""
+    np.asarray(fn()[:1])   # compile + settle
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
+        for _ in range(per):
+            out = fn()
+        np.asarray(out[:1])
+        ts.append((time.perf_counter() - t0) / per)
     return min(ts)
 
 
@@ -37,15 +43,23 @@ def main():
     ds = np.float32(2 * np.pi / DIV)
     out = {}
 
-    spec = make_fisheye_runner(R, DIV, 1)
+    from raytracing_tpu.kernels.fisheye import fisheye_trace_final
+    spec_pos = jax.device_put(
+        np.stack([np.ones(R), np.zeros(R)], -1).astype(np.float32))
+    spec_th = jax.device_put(np.full(R, np.pi / 2, np.float32))
+
+    def spec():
+        return fisheye_trace_final(spec_pos, spec_th,
+                                   np.float32(2 * np.pi / DIV),
+                                   steps=1 * (DIV + 1) - 1)[0]
+
     t = best_of(spec)
     out["specialized_op1"] = round(R * DIV / t / 1e9, 2)
 
     for op in ["op1", "op2", "op3", "op4", "op6", "op7", "op8"]:
         def run(op=op):
-            p, *_ = fused_trace_final(pos0, theta0, ds, field="fisheye",
-                                      op=op, steps=DIV, box=tuple(scen.box))
-            np.asarray(p[:1])
+            return fused_trace_final(pos0, theta0, ds, field="fisheye",
+                                     op=op, steps=DIV, box=tuple(scen.box)).pos
         out[f"fused_{op}"] = round(R * DIV / best_of(run) / 1e9, 2)
 
     aniso = rt.scenario("aniso")
@@ -55,15 +69,20 @@ def main():
         np.stack([np.full(R, -2.0), np.full(R, -2.0)], -1).astype(np.float32))
     for op in ["op5", "op9", "op10", "op11", "op10n", "op11n"]:
         def run(op=op):
-            p, *_ = golden_trace_final(vpos, vth, np.float32(0.0193),
-                                       np.float32(3.0),
-                                       field="vert_heterogeneous", op=op,
-                                       steps=2000, box=tuple(aniso.box))
-            np.asarray(p[:1])
+            return golden_trace_final(vpos, vth, np.float32(0.0193),
+                                      np.float32(3.0),
+                                      field="vert_heterogeneous", op=op,
+                                      steps=2000, box=tuple(aniso.box)).pos
         out[f"golden_{op}"] = round(R * 2000 / best_of(run) / 1e9, 2)
 
+    from raytracing_tpu.kernels.df import _df_core_segmented
+
     def run_df():
-        df_trace(pos0, theta0, ds, steps=DIV)
+        # time the device core; df_trace's host recombination would add a
+        # full-array download per call
+        return _df_core_segmented(pos0, theta0, ds, field="fisheye",
+                                  segment=512, n_full=DIV // 512,
+                                  rem=DIV % 512)[0]
     out["df32_rk4"] = round(R * DIV / best_of(run_df) / 1e9, 2)
 
     with open("benchmarks/kernel_matrix.json", "w") as f:

@@ -261,7 +261,10 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
         n, gx, gy = nag(x, y)
 
         def body(i, carry):
-            in_limit = (i.astype(jnp.float32) + offset) < limit
+            if resume:
+                in_limit = (i.astype(jnp.float32) + offset) < limit
+            else:
+                in_limit = i.astype(jnp.float32) < limit
             x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active = carry[:12]
             rest = carry[12:]
             if stats:
