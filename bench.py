@@ -107,7 +107,8 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
     # -- interface: analytic AND sampled (stratified) media, op6 ------------
     scen = rt.scenario("interface")
     imed = compact_stratified(
-        build_stratified_medium("interface", scen.box, dtype=np.float32))
+        build_stratified_medium("interface", scen.box, dtype=np.float32),
+        y_range=(scen.box[2] - 0.05, scen.box[3] + 0.05))
     pos0, theta0 = _fan(scen, r)
     ds = config.SIGMA / 2.55
     steps = scen.max_size(ds) - 1
@@ -144,7 +145,8 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
     scen = rt.scenario("vert")
     vmed = compact_stratified(
         build_stratified_medium("vert_heterogeneous", scen.box,
-                                dtype=np.float32))
+                                dtype=np.float32),
+        y_range=(scen.box[2] - 0.05, scen.box[3] + 0.05))
     pos0, theta0 = _fan(scen, r)
     ds = config.SIGMA / 2.74
     steps = min(scen.max_size(ds) - 1, 3000)

@@ -23,8 +23,25 @@ from raytracing_tpu.kernels.golden import GOLDEN_OPS, golden_trace_final
 from raytracing_tpu.kernels.fused import fused_trace_final_custom
 from raytracing_tpu.media.hermite import HermiteGridMedium
 from raytracing_tpu.media.medium import AnalyticMedium, CustomMedium
-from raytracing_tpu.media.spline import StratifiedGridMedium
+from raytracing_tpu.media.spline import GridMedium, StratifiedGridMedium
 from raytracing_tpu.ops.registry import canonical
+
+# GridMedium -> HermiteGridMedium conversions, cached by table identity (the
+# node-form build costs ~1 s of host einsums per medium)
+_HERMITE_CACHE: dict = {}
+
+
+def _as_hermite(medium: GridMedium) -> HermiteGridMedium:
+    key = id(medium.Z)
+    hit = _HERMITE_CACHE.get(key)
+    # the cached entry keeps a strong reference to the key object, so an id
+    # reuse after GC cannot alias a different medium
+    if hit is None or hit[0] is not medium.Z:
+        from raytracing_tpu.media.hermite import build_hermite_medium
+
+        hit = (medium.Z, build_hermite_medium(medium))
+        _HERMITE_CACHE[key] = hit
+    return hit[1]
 
 
 #: one-shot kernels above this trip count route through bounded segments
@@ -45,7 +62,7 @@ def supports(op_name: str, medium) -> bool:
     op = canonical(op_name)
     if isinstance(medium, StratifiedGridMedium):
         return op in FUSED_OPS or op in GOLDEN_OPS
-    if isinstance(medium, HermiteGridMedium):
+    if isinstance(medium, (HermiteGridMedium, GridMedium)):
         return op in FUSED_OPS
     if isinstance(medium, CustomMedium):
         return op in FUSED_OPS or op in GOLDEN_OPS
@@ -74,12 +91,13 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
         interpret = jax.default_backend() == "cpu"
     op = canonical(op_name)
     if isinstance(medium, StratifiedGridMedium):
-        # trim constant head/tail of the table (f32-equivalent, media/
-        # spline.compact_stratified) — sharp-interface media collapse to one
-        # 128-lane gather chunk in the kernels
+        # trim the table to its reachable, nontrivial window (media/spline.
+        # compact_stratified) — fewer 128-lane gather chunks in the kernels
         from raytracing_tpu.media.spline import compact_stratified
 
-        medium = compact_stratified(medium)
+        medium = compact_stratified(
+            medium, y_range=(scen.box[2] - 2 * float(delta_s),
+                             scen.box[3] + 2 * float(delta_s)))
 
     if precision == "high":
         from raytracing_tpu.kernels.df import DF_FIELDS, df_trace
@@ -108,6 +126,11 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
         raise ValueError(f"precision must be 'standard' or 'high', got {precision!r}")
     if steps is None:
         steps = scen.max_size(float(delta_s), divisor, n_turns) - 1
+
+    if isinstance(medium, GridMedium):
+        # the Hermite node form is the same spline with a kernel-friendly
+        # layout — 2-D grid media route through it automatically
+        medium = _as_hermite(medium)
 
     if isinstance(medium, HermiteGridMedium):
         from raytracing_tpu.engine.segmented import grid_trace
@@ -251,7 +274,9 @@ def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
     if use_strat:
         from raytracing_tpu.media.spline import compact_stratified
 
-        medium = compact_stratified(medium)
+        medium = compact_stratified(
+            medium, y_range=(scen.box[2] - 2 * float(delta_s),
+                             scen.box[3] + 2 * float(delta_s)))
     n_dev = mesh.devices.size
     r = len(theta0)
     if r % (n_dev * block_rays):

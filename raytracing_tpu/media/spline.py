@@ -169,37 +169,50 @@ def build_stratified_medium(field: str, box, delta: float = config.DELTA,
         y0=float(y[0]), inv_hy=float(1.0 / (y[1] - y[0])), ny=len(y))
 
 
-def compact_stratified(medium: StratifiedGridMedium, margin: int = 2
+def compact_stratified(medium: StratifiedGridMedium, margin: int = 2,
+                       y_range: tuple[float, float] | None = None
                        ) -> StratifiedGridMedium:
-    """Trim a stratified table to its nontrivial window.
+    """Trim a stratified table to its reachable, nontrivial window.
 
-    Sharp-interface media are constant except near the transition (the
-    sigmoid saturates within ~20 THCK_PARAM); outside that window the
-    sampled n is constant and the gradient cells are zero to float32
-    resolution (not-a-knot ringing decays by ~0.27/cell).  Clamped
-    evaluation on the trimmed table is then equal to the full table within
-    f32 rounding, while the table drops from ~681 to ~35 nodes — for the
-    VMEM kernels that means ONE 128-lane gather chunk instead of six
-    (kernels/fused.py).  Returns ``medium`` unchanged when nothing can be
-    trimmed (e.g. vert_heterogeneous varies everywhere).
+    Two independent trims compose:
+
+    * **constancy** — sharp-interface media are constant except near the
+      transition (the sigmoid saturates within ~20 THCK_PARAM); outside
+      that window the sampled n is constant and the gradient cells are
+      zero to float32 resolution (not-a-knot ringing decays ~0.27/cell).
+      Clamped evaluation on the trimmed table equals the full table within
+      f32 rounding (interface: ~681 -> ~35 nodes, ONE 128-lane gather
+      chunk in the VMEM kernels instead of six).
+    * **reachability** (``y_range``) — the grid is sampled over the box
+      padded by +-3 (RT_bench.py:426-429), but a traced ray can never
+      query outside the box plus one step (boundary exit freezes it), so
+      rows beyond ``y_range`` (pass the scenario box's y extent) are dead
+      weight.  Exact for every reachable query; queries outside the range
+      clamp differently than the full table would.
+
+    Returns ``medium`` unchanged when nothing can be trimmed.
     """
     Zy = np.asarray(medium.Zy, np.float64)
     cy = np.asarray(medium.cy, np.float64)
+    hy = 1.0 / medium.inv_hy
+    lo, hi = 0, len(cy) - 1   # cell window
     eps = float(np.finfo(np.float32).eps)
     tol_c = eps * float(np.abs(cy).max() or 1.0)
     tol_z = eps * float(Zy.max() - Zy.min() or 1.0)
     nz_c = np.nonzero(np.abs(cy).max(1) > tol_c)[0]
     nz_lo = np.nonzero(np.abs(Zy - Zy[0]) > tol_z)[0]
     nz_hi = np.nonzero(np.abs(Zy - Zy[-1]) > tol_z)[0]
-    if len(nz_c) == 0 or len(nz_lo) == 0 or len(nz_hi) == 0:
-        return medium
-    lo = int(min(nz_c.min(), nz_lo.min() - 1)) - margin
-    hi = int(max(nz_c.max(), nz_hi.max() + 1)) + margin
+    if len(nz_c) and len(nz_lo) and len(nz_hi):
+        lo = max(lo, int(min(nz_c.min(), nz_lo.min() - 1)) - margin)
+        hi = min(hi, int(max(nz_c.max(), nz_hi.max() + 1)) + margin)
+    if y_range is not None:
+        y_lo, y_hi = y_range
+        lo = max(lo, int(np.floor((y_lo - medium.y0) / hy)) - margin)
+        hi = min(hi, int(np.ceil((y_hi - medium.y0) / hy)) + margin)
     lo = max(lo, 0)
     hi = min(hi, len(cy) - 1)
-    if lo <= 0 and hi >= len(cy) - 1:
+    if (lo <= 0 and hi >= len(cy) - 1) or hi < lo:
         return medium
-    hy = 1.0 / medium.inv_hy
     return StratifiedGridMedium(
         Zy=medium.Zy[lo:hi + 2], cy=medium.cy[lo:hi + 1],
         y0=float(medium.y0 + lo * hy), inv_hy=medium.inv_hy,

@@ -147,7 +147,9 @@ def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
     if use_strat:
         from raytracing_tpu.media.spline import compact_stratified
 
-        medium = compact_stratified(medium)
+        dmax = 2 * float(np.max(delta_s))
+        medium = compact_stratified(
+            medium, y_range=(scen.box[2] - dmax, scen.box[3] + dmax))
     use_golden = op_name in GOLDEN_OPS
     deg = 180.0 / np.pi
 

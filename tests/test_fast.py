@@ -39,10 +39,12 @@ def test_routes_golden():
     assert out.pos.shape == (64, 2)
 
 
-def test_falls_back_to_scan_for_grid_medium():
+def test_grid_medium_coarse_steps_fall_back_to_scan():
+    """GridMedium is kernel-supported now (auto Hermite), but a step larger
+    than the cell pitch breaks the supercell invariant -> scan engine."""
     from raytracing_tpu.models import get
     m = get("fisheye", medium="grid")
-    assert not supports("op1", m.medium)
+    assert supports("op1", m.medium)
     pos0, theta0 = _batch(8)
     out = fast_trace("op1", m.scenario, m.medium, delta_s=2 * np.pi / 32,
                      steps=32, pos0=pos0, theta0=theta0)
@@ -201,3 +203,24 @@ def test_fast_trace_custom_medium_golden():
                      pos0=pos0, theta0=theta0, block_rays=128)
     np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
                                atol=2e-3)
+
+
+def test_fast_trace_gridmedium_auto_hermite():
+    """Plain GridMedium auto-converts (cached) to the Hermite node form and
+    routes through the supercell kernel at fine steps."""
+    import numpy as np
+    import raytracing_tpu as rt
+    from raytracing_tpu.engine import fast as fastmod
+    from raytracing_tpu.engine.fast import fast_trace
+    from raytracing_tpu.media.spline import build_grid_medium
+
+    scen = rt.scenario("fisheye")
+    gm = build_grid_medium("fisheye", scen.box, dtype=np.float32)
+    r = 128
+    pos0 = np.tile(np.array([[1.0, 0.0]], np.float32), (r, 1))
+    theta0 = np.full(r, np.pi / 2, np.float32)
+    out = fast_trace("op6", scen, gm, delta_s=0.003, steps=100,
+                     pos0=pos0, theta0=theta0, block_rays=128)
+    assert out.engine == "grid-supercell"
+    h1 = fastmod._as_hermite(gm)
+    assert fastmod._as_hermite(gm) is h1  # cached

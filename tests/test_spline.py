@@ -153,3 +153,36 @@ def test_compact_stratified_kernel_route():
                    dtype=np.float32, max_size=401, pos0=pos0, theta0=theta0)
     np.testing.assert_allclose(np.asarray(out.pos),
                                np.asarray(ref.final.pos), atol=3e-4)
+
+
+def test_compact_stratified_range_trim_vert():
+    """Reachability trim: the vert table spans the padded grid, but only
+    box-reachable rows matter — kernel results unchanged vs the full table."""
+    import jax.numpy as jnp
+    from raytracing_tpu.engine.fast import fast_trace
+    from raytracing_tpu.media.spline import (build_stratified_medium,
+                                             compact_stratified)
+    scen = rt.scenario("vert")
+    full = build_stratified_medium("vert_heterogeneous", scen.box,
+                                   dtype=np.float32)
+    comp = compact_stratified(full, y_range=(scen.box[2] - 0.1,
+                                             scen.box[3] + 0.1))
+    assert comp.ny < full.ny // 2
+    # in-range evaluation is bit-identical (same slice, new origin)
+    y = np.linspace(scen.box[2], scen.box[3], 1001).astype(np.float32)
+    x = np.zeros_like(y)
+    nf, (_, gf) = full.n_and_grad(jnp.asarray(x), jnp.asarray(y))
+    nc, (_, gc) = comp.n_and_grad(jnp.asarray(x), jnp.asarray(y))
+    # f32 query quantization only (the compact fy is the more accurate)
+    np.testing.assert_allclose(np.asarray(nc), np.asarray(nf), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gf), atol=2e-6)
+    # end-to-end through the kernels (fast_trace applies the trim itself)
+    r = 128
+    theta0 = np.linspace(0.2, 1.3, r).astype(np.float32)
+    pos0 = np.tile(scen.pos0[:1].astype(np.float32), (r, 1))
+    out = fast_trace("op8", scen, full, delta_s=0.02, steps=200,
+                     pos0=pos0, theta0=theta0, block_rays=128)
+    ref = rt.trace("op8", scen, full, delta_s=0.02, mode="metrics",
+                   dtype=np.float32, max_size=201, pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(out.pos),
+                               np.asarray(ref.final.pos), atol=3e-4)
