@@ -75,15 +75,8 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
     deg = 180.0 / np.pi
 
     def snell_stats(tangent, scen):
-        fan = np.asarray(scen.theta0, np.float32)
-        nf = len(fan)
-        with np.errstate(invalid="ignore"):
-            refr = deg * np.arcsin(np.sqrt(2.0) * np.sin(np.pi / 2 - fan))
-        angreal = np.where(fan < np.pi / 4, 90.0 - deg * fan,
-                           np.where(fan == np.pi / 4, 0.0, refr))
-        t = np.asarray(tangent[:nf])
-        angsim = deg * np.arctan(np.abs(t[:, 0] / t[:, 1]))
-        errs = np.abs(angsim - angreal)
+        errs = oracles.snell_errors_from_tangent(
+            tangent, np.asarray(scen.theta0, np.float32))
         return float(errs.mean()), float(errs.max())
 
     # -- fisheye: analytic, calibrated HySA divisor 303 ---------------------

@@ -10,8 +10,6 @@ import numpy as np
 import jax
 
 import raytracing_tpu as rt
-from raytracing_tpu.kernels.df import df_trace
-from raytracing_tpu.kernels.fisheye import make_fisheye_runner
 from raytracing_tpu.kernels.fused import fused_trace_final
 from raytracing_tpu.kernels.golden import golden_trace_final
 

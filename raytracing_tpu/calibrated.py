@@ -42,3 +42,23 @@ def calibrated(op_name: str, scenario_name: str, fisheye_set: str = "bench"):
     if scenario_name == "aniso":
         return SIGMA / ANISO_DIVISOR[op_name], None
     return SIGMA / INTERFACE_VERT_DIVISOR[op_name], None
+
+
+def calibrated_with_fallback(op_name: str, scenario_name: str,
+                             fisheye_set: str = "bench"):
+    """Calibrated step with the extension-op fallback chain.
+
+    Extension ops borrow their base op's entry (op12 -> op8, opNn -> opN);
+    combos the tables lack fall back to the 2nd-order-Taylor entry of the
+    scenario (op8, or op11 on the aniso table, which only has op10/op11 —
+    RT_bench.py:1452-1455).  This is the ONE resolution policy shared by the
+    model zoo, CLI, and serving layer; it never raises for a known scenario.
+    """
+    base = "op8" if op_name == "op12" else op_name.rstrip("n")
+    for candidate in (base, "op8", "op11"):
+        try:
+            return calibrated(candidate, scenario_name, fisheye_set)
+        except KeyError:
+            continue
+    raise KeyError(f"no calibrated entry resolvable for {op_name!r} on "
+                   f"{scenario_name!r}")

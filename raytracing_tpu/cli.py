@@ -95,13 +95,8 @@ def run_batch(scen, op_name: str, rays: int, *, delta_s_mode: str,
 
     medium = build_medium(scen, medium_kind)
     if delta_s_mode == "calibrated":
-        # extension ops borrow their base op's calibrated step; fall back to
-        # op8's when the scenario table has no entry for the base
-        base = "op8" if op_name == "op12" else op_name.rstrip("n")
-        try:
-            delta_s, divisor = calibrated_table(base, scen.name)
-        except KeyError:
-            delta_s, divisor = calibrated_table("op8", scen.name)
+        from raytracing_tpu.calibrated import calibrated_with_fallback
+        delta_s, divisor = calibrated_with_fallback(op_name, scen.name)
     else:
         divisor = config.DELTA_S_DIVISOR_FISHEYE
         delta_s = 2 * np.pi / divisor if scen.is_fisheye else config.DELTA_S
@@ -169,13 +164,8 @@ def run_pipeline(scen, op_name: str, *, delta_s_mode: str = "calibrated",
         else:
             printer(f"Found best divisor! Using DELTA_S = SIGMA / {sr.divisor:.2f}")
     elif delta_s_mode == "calibrated":
-        # extension ops borrow their base op's calibrated step; combos the
-        # table lacks fall back to op8's entry (same policy as run_batch)
-        base = "op8" if op_name == "op12" else op_name.rstrip("n")
-        try:
-            delta_s, divisor = calibrated_table(base, scen.name)
-        except KeyError:
-            delta_s, divisor = calibrated_table("op8", scen.name)
+        from raytracing_tpu.calibrated import calibrated_with_fallback
+        delta_s, divisor = calibrated_with_fallback(op_name, scen.name)
     else:  # default constants (RT_bench.py:79-84)
         delta_s = config.DELTA_S
         divisor = config.DELTA_S_DIVISOR_FISHEYE

@@ -267,10 +267,19 @@ def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     op = canonical(op_name)
-    if not (supports(op, medium) and op in FUSED_OPS):
-        raise ValueError(f"fast_trace_sharded needs a fused-kernel op/medium; "
-                         f"got {op!r} on {type(medium).__name__}")
+    # only media this function actually dispatches on — the wider supports()
+    # set (grid/hermite) would silently trace the wrong field here
+    sharded_ok = (isinstance(medium, (StratifiedGridMedium, CustomMedium))
+                  or (isinstance(medium, AnalyticMedium)
+                      and medium.field in FUSED_FIELDS))
+    if not (sharded_ok and op in FUSED_OPS):
+        raise ValueError(
+            f"fast_trace_sharded covers the fused ops on analytic/"
+            f"stratified/custom media; got {op!r} on "
+            f"{type(medium).__name__} (2-D grid media: shard the batch and "
+            f"call grid_trace per shard)")
     use_strat = isinstance(medium, StratifiedGridMedium)
+    use_custom = isinstance(medium, CustomMedium)
     if use_strat:
         from raytracing_tpu.media.spline import compact_stratified
 
@@ -299,12 +308,18 @@ def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
                 p, t, jnp.float32(delta_s), medium, op=op, steps=int(steps),
                 box=tuple(scen.box), block_rays=block_rays,
                 interpret=interpret)
-        return fused_trace_final(p, t, jnp.float32(delta_s), field=scen.field,
+        if use_custom:
+            return fused_trace_final_custom(
+                p, t, jnp.float32(delta_s), medium=medium, op=op,
+                steps=int(steps), box=tuple(scen.box),
+                block_rays=block_rays, interpret=interpret)
+        return fused_trace_final(p, t, jnp.float32(delta_s),
+                                 field=medium.field,
                                  op=op, steps=int(steps), box=tuple(scen.box),
                                  block_rays=block_rays, interpret=interpret)
 
     f = run(pos0, theta0)
+    eng = ("fused-strat-sharded" if use_strat
+           else "fused-custom-sharded" if use_custom else "fused-sharded")
     return FastResult(pos=f.pos, traveltime=f.traveltime, dist_sim=f.dist_sim,
-                      active=f.active,
-                      engine="fused-strat-sharded" if use_strat
-                      else "fused-sharded")
+                      active=f.active, engine=eng)

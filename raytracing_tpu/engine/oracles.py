@@ -64,6 +64,32 @@ def snell_errors_deg(result: TraceResult, theta0):
     return jnp.abs(angsim - angreal)
 
 
+def snell_expected_deg(theta0):
+    """Expected outbound angle (deg) per launch angle (RT_bench.py:902-908)."""
+    theta0 = np.asarray(theta0)
+    deg = 180.0 / np.pi
+    with np.errstate(invalid="ignore"):  # arcsin>1 on the reflection branch
+        refr = deg * np.arcsin(np.sqrt(2.0) * np.sin(np.pi / 2.0 - theta0))
+    return np.where(theta0 < np.pi / 4.0, 90.0 - deg * theta0,
+                    np.where(theta0 == np.pi / 4.0, 0.0, refr))
+
+
+def snell_errors_from_tangent(tangent, theta0):
+    """Interface Snell errors (deg) from final unit tangents.
+
+    Kernel-tier variant of :func:`snell_errors_deg`: past the interface the
+    ray is straight, so the frozen exit tangent equals the reference's
+    history-tail secant (RT_bench.py:910-916) to f32 rounding
+    (docs/PARITY.md #23).  ``tangent`` is (R, 2); uses the first
+    ``len(theta0)`` rays.
+    """
+    nf = len(np.asarray(theta0))
+    t = np.asarray(tangent[:nf])
+    deg = 180.0 / np.pi
+    angsim = deg * np.arctan(np.abs(t[:, 0] / t[:, 1]))
+    return np.abs(angsim - snell_expected_deg(theta0))
+
+
 def format_num(num: float) -> str:
     """Column-aligned number formatting of the per-ray Snell table
     (RT_bench.py:929-943)."""

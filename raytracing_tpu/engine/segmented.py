@@ -29,25 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from raytracing_tpu.kernels.fused import (FUSED_OPS, LANES, FusedFinal,
-                                          _make_kernel)
+                                          _make_kernel, strat_tables)
 from raytracing_tpu.media.spline import StratifiedGridMedium
-
-
-def _strat_tables(medium, rows):
-    ny = medium.ny
-    nch = -(-ny // LANES)
-    T = nch * LANES
-    zy = jnp.asarray(medium.Zy, jnp.float32)
-    cy = jnp.asarray(medium.cy, jnp.float32)
-    zlo = jnp.pad(zy, (0, T - ny), mode="edge")
-    zhi = jnp.pad(zy[1:], (0, T - ny + 1), mode="edge")
-    cpad = jnp.pad(cy, ((0, T - ny + 1), (0, 0)))
-    tables = jnp.stack([zlo, zhi, cpad[:, 0], cpad[:, 1], cpad[:, 2],
-                        cpad[:, 3]])
-    tables = jnp.broadcast_to(tables.reshape(6, nch, 1, LANES),
-                              (6, nch, rows, LANES))
-    strat = (float(medium.y0), float(medium.inv_hy), int(ny))
-    return tables, strat, nch
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -146,7 +129,7 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
     tables = strat = None
     nch = 0
     if use_strat:
-        tables, strat, nch = _strat_tables(medium, rows)
+        tables, strat, nch = strat_tables(medium, rows)
 
     n_seg_total = -(-steps // segment)
     limit = jnp.float32(steps)

@@ -182,6 +182,31 @@ def _supercell_nag(tbl, bix, biy, meta):
     return nag
 
 
+def strat_tables(medium, rows: int):
+    """Pack a StratifiedGridMedium into the kernels' channel-table layout.
+
+    Returns (tables, strat_meta, nch): tables is (6, NCH, rows, 128) —
+    channels Zy[i], Zy[i+1], cy[i, 0..3] as 128-entry lane chunks replicated
+    over sublanes (the dynamic_gather layout, see `_strat_nag`); strat_meta
+    is the (y0, inv_hy, ny) literal tuple for `_make_kernel(strat=...)`.
+    The ONE definition shared by the fused, golden, and segmented wrappers.
+    """
+    ny = medium.ny
+    nch = -(-ny // LANES)
+    T = nch * LANES
+    zy = jnp.asarray(medium.Zy, jnp.float32)
+    cy = jnp.asarray(medium.cy, jnp.float32)
+    zlo = jnp.pad(zy, (0, T - ny), mode="edge")
+    zhi = jnp.pad(zy[1:], (0, T - ny + 1), mode="edge")
+    cpad = jnp.pad(cy, ((0, T - ny + 1), (0, 0)))
+    tables = jnp.stack([zlo, zhi, cpad[:, 0], cpad[:, 1], cpad[:, 2],
+                        cpad[:, 3]])
+    tables = jnp.broadcast_to(tables.reshape(6, nch, 1, LANES),
+                              (6, nch, rows, LANES))
+    strat = (float(medium.y0), float(medium.inv_hy), int(ny))
+    return tables, strat, nch
+
+
 def _custom_nag(medium):
     """nag from a user CustomMedium: n_and_grad inlined into the kernel.
 
@@ -633,22 +658,9 @@ def fused_trace_final_strat(pos0, theta0, delta_s, medium, *, op: str,
     ds = jnp.stack([jnp.asarray(delta_s, jnp.float32),
                     jnp.asarray(step_limit, jnp.float32)])
 
-    # channel tables -> (6, NCH, rows, 128) lane chunks replicated over rows
-    ny = medium.ny
-    nch = -(-ny // LANES)
-    T = nch * LANES
-    zy = jnp.asarray(medium.Zy, jnp.float32)
-    cy = jnp.asarray(medium.cy, jnp.float32)
-    zlo = jnp.pad(zy, (0, T - ny), mode="edge")
-    zhi = jnp.pad(zy[1:], (0, T - ny + 1), mode="edge")
-    cpad = jnp.pad(cy, ((0, T - ny + 1), (0, 0)))
-    tables = jnp.stack([zlo, zhi, cpad[:, 0], cpad[:, 1], cpad[:, 2],
-                        cpad[:, 3]])
-    tables = jnp.broadcast_to(tables.reshape(6, nch, 1, LANES),
-                              (6, nch, rows, LANES))
+    tables, strat, nch = strat_tables(medium, rows)
 
     from raytracing_tpu.config import gold_tol
-    strat = (float(medium.y0), float(medium.inv_hy), int(ny))
     kernel = _make_kernel("stratified", op, steps, box, gold_tol(np.float32),
                           strat=strat, stats=with_stats)
     return _call_kernel(kernel, tables, x, y, ux, uy, ds, steps=steps, r=r,

@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from raytracing_tpu.config import DELTA_G, GOLD_RATIO, gold_tol, golden_iters
 from raytracing_tpu.kernels.fused import (LANES, _custom_nag, _field_fn,
-                                          _strat_nag)
+                                          _strat_nag, strat_tables)
 
 GOLDEN_OPS = {"op5": ("curv", "golden"), "op9": ("t2", "golden"),
               "op10": ("curv", "golden"), "op11": ("t2", "golden"),
@@ -383,19 +383,7 @@ def golden_trace_final(pos0, theta0, delta_s, gamma, *, field: str, op: str,
             raise ValueError("golden kernel media support is limited to "
                              "StratifiedGridMedium/CustomMedium, got "
                              f"{type(medium).__name__}")
-        ny = medium.ny
-        nch = -(-ny // LANES)
-        T = nch * LANES
-        zy = jnp.asarray(medium.Zy, jnp.float32)
-        cyt = jnp.asarray(medium.cy, jnp.float32)
-        zlo = jnp.pad(zy, (0, T - ny), mode="edge")
-        zhi = jnp.pad(zy[1:], (0, T - ny + 1), mode="edge")
-        cpad = jnp.pad(cyt, ((0, T - ny + 1), (0, 0)))
-        tables = jnp.stack([zlo, zhi, cpad[:, 0], cpad[:, 1], cpad[:, 2],
-                            cpad[:, 3]])
-        tables = jnp.broadcast_to(tables.reshape(6, nch, 1, LANES),
-                                  (6, nch, rows, LANES))
-        strat = (float(medium.y0), float(medium.inv_hy), int(ny))
+        tables, strat, nch = strat_tables(medium, rows)
 
     blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)

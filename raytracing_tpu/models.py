@@ -45,15 +45,11 @@ class Model:
         opN); combos absent from the table fall back to op8's
         (RT_bench.py:1408-1460).
         """
-        from raytracing_tpu.calibrated import calibrated
+        from raytracing_tpu.calibrated import calibrated_with_fallback
         from raytracing_tpu.ops.registry import canonical
 
-        op = canonical(op_name)
-        base = "op8" if op == "op12" else op.rstrip("n")
-        try:
-            return calibrated(base, self.scenario.name)
-        except KeyError:
-            return calibrated("op8", self.scenario.name)
+        return calibrated_with_fallback(canonical(op_name),
+                                        self.scenario.name)
 
     def trace(self, op_name: str, *, delta_s: float | None = None,
               n_turns: int = config.N_TURNS, **kw):

@@ -171,13 +171,6 @@ def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
     theta0 = _jax.device_put(fan)
     pos0 = _jax.device_put(pos0)
 
-    if scen.is_interface:
-        # expected outbound angle per launch angle (RT_bench.py:902-908)
-        with np.errstate(invalid="ignore"):
-            refr = deg * np.arcsin(np.sqrt(2.0) * np.sin(np.pi / 2 - fan[:nf]))
-        angreal = np.where(fan[:nf] < np.pi / 4, 90.0 - deg * fan[:nf],
-                           np.where(fan[:nf] == np.pi / 4, 0.0, refr))
-
     with_stats = scen.is_vert
     out = {k: np.empty(len(delta_s)) for k in (
         ("mean_err", "max_err") if scen.is_interface else
@@ -231,8 +224,7 @@ def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
                 tang = np.stack([np.cos(a), np.sin(a)], -1)
             else:
                 tang = np.asarray(f.tangent[:nf])
-            angsim = deg * np.arctan(np.abs(tang[:, 0] / tang[:, 1]))
-            errs = np.abs(angsim - angreal)
+            errs = oracles.snell_errors_from_tangent(tang, fan[:nf])
             out["mean_err"][i] = errs.mean()
             out["max_err"][i] = errs.max()
         else:
@@ -343,7 +335,11 @@ def fused_sweep_supported(op_name: str, scen: config.ScenarioConfig,
         return False
     if isinstance(medium, StratifiedGridMedium):
         return not scen.is_fisheye
-    return isinstance(medium, AnalyticMedium) and scen.field in FUSED_FIELDS
+    # the kernel sweep inlines the SCENARIO's field; an analytic medium with
+    # a different field must go through the scan tier, which honors it
+    return (isinstance(medium, AnalyticMedium)
+            and medium.field == scen.field
+            and scen.field in FUSED_FIELDS)
 
 
 def delta_s_search(op_name: str, scen: config.ScenarioConfig, medium, *,
@@ -367,9 +363,13 @@ def delta_s_search(op_name: str, scen: config.ScenarioConfig, medium, *,
 
     op_c = canonical(op_name)
     if engine == "auto":
-        # fused kernels only lower natively on TPU; Pallas interpret mode on
-        # CPU is far slower than the scan engine, so auto never picks it there
+        # fused kernels only lower natively on TPU (Pallas interpret mode on
+        # CPU is far slower than the scan engine), and the fused path honors
+        # neither an explicit mesh nor a non-f32 dtype — auto respects those
+        # requests by staying on the scan tier
         engine = ("fused" if (jax.default_backend() != "cpu"
+                              and mesh is None
+                              and np.dtype(dtype) == np.float32
                               and fused_sweep_supported(op_c, scen, medium))
                   else "scan")
     if engine not in ("scan", "fused"):

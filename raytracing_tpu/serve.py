@@ -59,11 +59,8 @@ def _trace_request(body: dict) -> dict:
         if divisor is not None and not 1 <= divisor <= MAX_STEPS:
             raise ValueError(f"divisor must be in [1, {MAX_STEPS}], got {divisor}")
     else:
-        base = "op8" if op in ("op12",) else op.rstrip("n")
-        try:
-            delta_s, divisor = calibrated_table(base, scen.name)
-        except KeyError:
-            delta_s, divisor = calibrated_table("op8", scen.name)
+        from raytracing_tpu.calibrated import calibrated_with_fallback
+        delta_s, divisor = calibrated_with_fallback(op, scen.name)
 
     if scen.is_fisheye:
         theta0 = np.full(rays, np.pi / 2.0, np.float32)

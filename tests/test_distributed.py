@@ -118,3 +118,35 @@ def test_fast_trace_sharded_stratified():
                        pos0=pos0, theta0=theta0, block_rays=128)
     np.testing.assert_allclose(np.asarray(sharded.pos),
                                np.asarray(local.pos), atol=1e-6)
+
+
+def test_fast_trace_sharded_custom_medium_correct_physics():
+    """Regression: fast_trace_sharded used to silently trace the SCENARIO's
+    analytic field for non-analytic media; a constant custom medium must
+    produce straight rays, and grid media must be rejected loudly."""
+    import jax.numpy as jnp
+    import pytest
+    from raytracing_tpu.engine.fast import fast_trace_sharded
+    from raytracing_tpu.media.medium import CustomMedium
+    mesh = make_mesh(8)
+    scen = rt.scenario("fisheye")
+    const = CustomMedium(n_fn=lambda x, y: jnp.full_like(x, 2.0))
+    r = 8 * 128
+    pos0, theta0 = _batch(r)
+    out = fast_trace_sharded("op1", scen, const, delta_s=0.01, mesh=mesh,
+                             pos0=pos0, theta0=theta0, steps=36,
+                             block_rays=128, interpret=True)
+    assert out.engine == "fused-custom-sharded"
+    # constant n -> straight line: x stays 1.0, y advances 36*0.01
+    p = np.asarray(out.pos)
+    np.testing.assert_allclose(p[:, 0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(p[:, 1], 0.36, atol=1e-5)
+    # 2-D grid media are rejected, not silently swapped for the analytic field
+    from raytracing_tpu.media.hermite import build_hermite_medium
+    from raytracing_tpu.media.spline import build_grid_medium
+    hm = build_hermite_medium(build_grid_medium("fisheye", scen.box,
+                                                dtype=np.float32))
+    with pytest.raises(ValueError, match="grid media"):
+        fast_trace_sharded("op1", scen, hm, delta_s=0.01, mesh=mesh,
+                           pos0=pos0, theta0=theta0, steps=8,
+                           block_rays=128, interpret=True)

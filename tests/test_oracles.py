@@ -161,3 +161,18 @@ def test_model_zoo_calibrated_trace_fisheye():
     res = m.trace("op1", n_turns=1, mode="metrics")
     from raytracing_tpu.engine import oracles as orc
     assert float(orc.closure_error_pct(res)[0]) < 5.0
+
+
+def test_calibrated_fallback_aniso_never_raises():
+    """Regression: the op8 fallback itself KeyError'd on the aniso table
+    (which only has op10/op11); the chain must resolve every op."""
+    from raytracing_tpu.calibrated import calibrated_with_fallback
+    from raytracing_tpu import models
+    for op in [f"op{i}" for i in range(1, 13)] + ["op10n", "op11n"]:
+        for scen in ("interface", "fisheye", "vert", "aniso"):
+            ds, div = calibrated_with_fallback(op, scen)
+            assert ds > 0
+    m = models.get("aniso")
+    ds, _ = m.delta_s("op12")
+    ds11, _ = m.delta_s("op11")
+    assert ds == ds11  # op12 -> op8 -> (absent) -> op11
