@@ -132,12 +132,33 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
         # layout — 2-D grid media route through it automatically
         medium = _as_hermite(medium)
 
-    if isinstance(medium, HermiteGridMedium):
-        from raytracing_tpu.engine.segmented import grid_trace
+    if isinstance(medium, HermiteGridMedium) and op in FUSED_OPS:
+        from raytracing_tpu.engine.segmented import grid_trace, grid_trace_tiled
+
+        # production path: block-shared tile kernel (works at ANY delta_s).
+        # Sorted ray blocks share one node window in VMEM; refreshes are
+        # coherent per-block slices.  Tile blocks are capped at 1024 rays to
+        # keep block bounding boxes tight.
+        tb = min(block_rays, 1024)
+        r = len(theta0)
+        pad = (-r) % tb
+        tpos = jnp.asarray(pos0, jnp.float32)
+        tth = jnp.asarray(theta0, jnp.float32)
+        if pad:
+            tpos = jnp.concatenate([tpos, jnp.tile(tpos[-1:], (pad, 1))])
+            tth = jnp.concatenate([tth, jnp.tile(tth[-1:], pad)])
+        try:
+            g = grid_trace_tiled(op, tpos, tth, jnp.float32(delta_s), medium,
+                                 steps=int(steps), box=tuple(scen.box),
+                                 block_rays=tb, interpret=interpret)
+            return FastResult(pos=g.pos[:r], traveltime=g.traveltime[:r],
+                              dist_sim=g.dist_sim[:r], active=g.active[:r],
+                              engine="grid-tiled")
+        except RuntimeError:
+            pass  # batch too dispersed for tiling -> supercell / scan below
 
         cell = min(1.0 / medium.inv_hx, 1.0 / medium.inv_hy)
-        if op in FUSED_OPS and float(delta_s) < 0.9 * cell:
-            r = len(theta0)
+        if float(delta_s) < 0.9 * cell:
             pad = (-r) % block_rays
             pos0 = jnp.asarray(pos0, jnp.float32)
             theta0 = jnp.asarray(theta0, jnp.float32)

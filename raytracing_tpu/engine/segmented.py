@@ -204,6 +204,321 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
     return res
 
 
+# -- 2-D grid media: block-shared tile kernel ---------------------------------
+
+
+def _morton_key(ix, iy):
+    """Interleave 16-bit cell indices into a Z-order (Morton) sort key.
+
+    Sorting rays by this key makes consecutive kernel blocks spatially
+    compact in BOTH axes, so each block's node window stays small — the
+    property the tiled kernel's containment contract depends on.
+    """
+    def part(v):
+        v = jnp.bitwise_and(v, jnp.int32(0x0000FFFF))
+        v = jnp.bitwise_and(jnp.bitwise_or(v, jnp.left_shift(v, 8)),
+                            jnp.int32(0x00FF00FF))
+        v = jnp.bitwise_and(jnp.bitwise_or(v, jnp.left_shift(v, 4)),
+                            jnp.int32(0x0F0F0F0F))
+        v = jnp.bitwise_and(jnp.bitwise_or(v, jnp.left_shift(v, 2)),
+                            jnp.int32(0x33333333))
+        v = jnp.bitwise_and(jnp.bitwise_or(v, jnp.left_shift(v, 1)),
+                            jnp.int32(0x55555555))
+        return v
+
+    return jnp.bitwise_or(part(ix), jnp.left_shift(part(iy), 1))
+
+
+def _cells(x, y, meta):
+    x0, y0, inv_hx, inv_hy, nx, ny = meta[:6]
+    fx = jnp.clip((x - x0) * inv_hx, 0.0, float(nx - 1))
+    fy = jnp.clip((y - y0) * inv_hy, 0.0, float(ny - 1))
+    ix = jnp.minimum(jnp.floor(fx), float(nx - 2))
+    iy = jnp.minimum(jnp.floor(fy), float(ny - 2))
+    return ix, iy
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def _sort_perm(x, y, meta):
+    """Ray permutation ordering the batch along a Morton curve of cells."""
+    ix, iy = _cells(x, y, meta)
+    key = _morton_key(ix.astype(jnp.int32), iy.astype(jnp.int32))
+    return jnp.argsort(key)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "op", "segment", "box", "block_rays", "interpret", "meta", "tile_shape",
+    "stats", "n_state"))
+def _tiled_run_segments(state, nodes3d, delta_s, limit, offset0, n_seg, *,
+                        op, segment, box, block_rays, interpret, meta,
+                        tile_shape, stats=False, n_state=9):
+    """Chain tiled-kernel launches; slice block windows between them.
+
+    Each iteration (all inside ONE jit): compute every kernel block's cell
+    bounding box, center a (th, tw)-CELL window on it, slice the window's
+    (th+1, tw+1) nodes out of the full table with a vmapped
+    ``dynamic_slice`` (one *coherent* copy per block — this replaces the
+    per-ray 16-node XLA gather that capped the supercell path at 0.06 G),
+    pack it per-cell (every cell carries its 4 corner nodes — 36 channels,
+    ONE gather index per evaluation, see ``kernels.fused._tile_nag``), and
+    launch the resumable kernel for ``segment`` steps.  Returns
+    ``(state, flag)``: ``flag > 0`` means some block's bbox plus worst-case
+    travel could not fit its window — the run must be redone from the
+    caller's checkpoint after re-sorting (results past that refresh would
+    silently clamp to wrong cells).
+    """
+    x0, y0, inv_hx, inv_hy, nx, ny = meta
+    th, tw = tile_shape                      # window size in CELLS
+    r = state[0].shape[0] * LANES
+    rows = block_rays // LANES
+    nblocks = r // block_rays
+    nchunks = -(-th * tw // LANES)
+    n_ch = nchunks * 36
+    shape2 = state[0].shape
+    zero = jnp.zeros(shape2, jnp.float32)
+    from raytracing_tpu.config import gold_tol
+    kernel = _make_kernel("hermite-tile", op, segment, box,
+                          gold_tol(np.float32), resume=True,
+                          tile=meta + tile_shape, stats=stats)
+    blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((1, n_ch, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    # full bases table in SMEM; the kernel indexes its row by program_id
+    base_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[tile_spec, base_spec] + [blk] * n_state
+                 + [blk, pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[blk] * n_state,
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * n_state,
+        cost_estimate=pl.CostEstimate(
+            flops=200 * r * segment,
+            bytes_accessed=(2 * n_state * r + nblocks * n_ch * LANES) * 4,
+            transcendentals=3 * r * segment),
+        interpret=interpret,
+    )
+    # per-axis cell margin a ray can drift during one segment: positions
+    # move at most segment * ds in each coordinate
+    travel = segment * delta_s
+    margin_x = jnp.ceil(travel * inv_hx)
+    margin_y = jnp.ceil(travel * inv_hy)
+    pad_cells = nchunks * LANES - th * tw
+
+    def seg_body(k, carry):
+        st, flag = carry
+        ix, iy = _cells(st[0].reshape(nblocks, block_rays),
+                        st[1].reshape(nblocks, block_rays), meta)
+        ixm, ixM = jnp.min(ix, axis=1), jnp.max(ix, axis=1)
+        iym, iyM = jnp.min(iy, axis=1), jnp.max(iy, axis=1)
+        # window capacity is tw x th CELLS: local cell index in [0, tw-1]
+        need_x = (ixM - ixm) + 2.0 * margin_x - float(tw - 1)
+        need_y = (iyM - iym) + 2.0 * margin_y - float(th - 1)
+        flag = jnp.maximum(flag,
+                           jnp.maximum(jnp.max(need_x), jnp.max(need_y)))
+        # center the window's slack on the bbox
+        bix = jnp.clip(ixm - jnp.floor((float(tw - 1) - (ixM - ixm)) * 0.5),
+                       0.0, float(nx - 1 - tw)).astype(jnp.int32)
+        biy = jnp.clip(iym - jnp.floor((float(th - 1) - (iyM - iym)) * 0.5),
+                       0.0, float(ny - 1 - th)).astype(jnp.int32)
+        win = jax.vmap(lambda by, bx: jax.lax.dynamic_slice(
+            nodes3d, (by, bx, jnp.int32(0)), (th + 1, tw + 1, 9)))(biy, bix)
+        # per-cell pack: 4 corner nodes x 9 channels per cell, channel index
+        # ch * 4 + corner with corners (00, +x, +y, +xy)
+        cells = jnp.stack([win[:, :-1, :-1], win[:, :-1, 1:],
+                           win[:, 1:, :-1], win[:, 1:, 1:]],
+                          axis=-1)                   # (nb, th, tw, 9, 4)
+        cells = cells.reshape(nblocks, th * tw, 36)
+        if pad_cells:
+            cells = jnp.concatenate(
+                [cells, jnp.zeros((nblocks, pad_cells, 36), cells.dtype)],
+                axis=1)
+        tiles = jnp.transpose(
+            cells.reshape(nblocks, nchunks, LANES, 36),
+            (0, 1, 3, 2)).reshape(nblocks, n_ch, LANES)
+        bases = jnp.stack([bix, biy], axis=-1).astype(jnp.float32)
+        ds_vec = jnp.stack([delta_s, limit,
+                            offset0 + k.astype(jnp.float32) * segment])
+        args = (tiles, bases) + st + (zero, ds_vec)
+        return tuple(call(*args)), flag
+
+    state, flag = jax.lax.fori_loop(
+        0, n_seg, seg_body, (tuple(state), jnp.float32(-np.inf)))
+    return state, flag
+
+
+def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
+                     box, segment: int | None = None, block_rays: int = 1024,
+                     tile_shape: tuple = (11, 11), refreshes_per_round: int = 32,
+                     interpret: bool = False, with_stats: bool = False,
+                     sort: bool = True) -> FusedFinal:
+    """Production-tier tracing through a 2-D sampled-spline medium.
+
+    The block-shared-window successor to :func:`grid_trace`: rays are
+    sorted once along a Morton curve of grid cells, each kernel block
+    carries ONE (th, tw)-CELL window of the table in VMEM shared by all its
+    rays — in per-cell packed form, so each evaluation is 36
+    ``tpu.dynamic_gather`` rows at a single flat cell index (same spline,
+    bit-identical blend — see ``kernels.fused._hermite_blend`` /
+    ``_tile_nag``).  Window refreshes are coherent per-*block* slices, so
+    the refresh cost that capped the supercell path no longer scales with
+    the ray count x 144.
+
+    Unlike :func:`grid_trace` this has NO ``delta_s < cell`` restriction —
+    the coarse calibrated fisheye divisors (278-325, RT_bench.py:1431-1450)
+    run at kernel tier too; at such steps the window just refreshes more
+    often.  Containment is *verified*, not assumed: every refresh checks
+    that each block's cell bbox plus worst-case travel fits its window; a
+    violation re-sorts the rays and replays that round from its checkpoint
+    (runs on reference workloads never trip it — fisheye ray fans are
+    spatially coherent).  Raises ``RuntimeError`` if a freshly sorted batch
+    still cannot fit, e.g. very few rays scattered over the whole domain —
+    callers fall back to :func:`grid_trace` / the scan tier.
+
+    Results are returned in the caller's ray order regardless of sorting.
+    """
+    from raytracing_tpu.media.hermite import HermiteGridMedium
+
+    if not isinstance(medium, HermiteGridMedium):
+        raise ValueError("grid_trace_tiled needs a HermiteGridMedium, got "
+                         f"{type(medium).__name__}")
+    if op not in FUSED_OPS:
+        raise ValueError(f"grid_trace_tiled supports {FUSED_OPS}, got {op!r}")
+    th, tw = tile_shape                  # window size in CELLS
+    r = pos0.shape[0]
+    if r % block_rays:
+        raise ValueError(f"rays {r} not a multiple of block {block_rays}")
+    if medium.nx - 1 < tw or medium.ny - 1 < th:
+        raise ValueError(f"medium grid {medium.ny}x{medium.nx} nodes is "
+                         f"smaller than the {tile_shape}-cell window")
+    meta = (float(medium.x0), float(medium.y0), float(medium.inv_hx),
+            float(medium.inv_hy), int(medium.nx), int(medium.ny))
+    pitch = min(1.0 / meta[2], 1.0 / meta[3])
+    if segment is None:
+        # capacity is min(th, tw) cells (default 11): ~4 for the block
+        # bbox, the rest split between both travel directions
+        budget = max(1.0, (min(th, tw) - 1 - 4) * 0.5)
+        segment = max(1, min(64, int(budget * pitch / float(delta_s))))
+    window = op == "op7"
+    n_state = 9 + (3 if with_stats else 0) + (4 if window else 0)
+
+    pos0 = jnp.asarray(pos0, jnp.float32)
+    theta0 = jnp.asarray(theta0, jnp.float32)
+    x = pos0[:, 0]
+    y = pos0[:, 1]
+    ux = jnp.cos(theta0)
+    uy = jnp.sin(theta0)
+    zeros = jnp.zeros(r, jnp.float32)
+    comps = [x, y, ux, uy, zeros, zeros, zeros, zeros,
+             jnp.ones(r, jnp.float32)]
+    if with_stats:
+        n0 = medium.n(x, y).astype(jnp.float32)
+        comps += [jnp.ones(r, jnp.float32), n0 * ux, zeros]
+    if window:
+        comps += [x, y, x, y]
+
+    orig_idx = jnp.arange(r, dtype=jnp.int32)  # batch slot -> original ray
+
+    def apply_perm(comps, orig_idx):
+        perm = _sort_perm(comps[0], comps[1], meta)
+        return [c[perm] for c in comps], orig_idx[perm]
+
+    if sort:
+        comps, orig_idx = apply_perm(comps, orig_idx)
+
+    nodes3d = jnp.asarray(medium.nodes, jnp.float32).reshape(
+        medium.ny, medium.nx, 9)
+    limit = jnp.float32(steps)
+    state = tuple(c.reshape(-1, LANES) for c in comps)
+
+    def attempt(state, seg, n_run, done_steps, tile):
+        return _tiled_run_segments(
+            state, nodes3d=nodes3d, delta_s=jnp.float32(delta_s),
+            limit=limit, offset0=jnp.float32(done_steps),
+            n_seg=jnp.int32(n_run), op=op, segment=seg, box=tuple(box),
+            block_rays=block_rays, interpret=interpret, meta=meta,
+            tile_shape=tile, stats=with_stats, n_state=n_state)
+
+    def tripped(flag):
+        # NaN-aware: once a window misses, zero node values drive the
+        # state (and so the later refreshes' flag) to NaN — any
+        # non-finite flag means the round is invalid too
+        return not (float(flag) <= 0.0)
+
+    # Adaptive round loop.  A round is a jitted chain of refreshes
+    # checkpointed on the host; block MEMBERSHIP is frozen within a round
+    # (only the windows re-center), so ray dispersion bounds how long a
+    # round may safely run.  On an overflow flag the round replays from its
+    # checkpoint with freshly sorted rays, one refresh at a time — with a
+    # halved segment if even a single fresh-sorted refresh cannot fit
+    # (start bbox + travel margin exceeds the window).  Round length, then
+    # segment, grow back on clean rounds; every (seg,) variant jit-caches
+    # and n_run is traced, so adaptation compiles at most log2(segment)
+    # kernel variants.
+    # Escalation ladder: near-square windows of doubling area (gathers per
+    # step scale with ceil(cells / 128), capacity with the side length).
+    _LADDER = ((11, 11), (16, 16), (22, 22), (32, 32))
+
+    def next_tile(tile):
+        for cand in _LADDER:
+            if (cand[0] * cand[1] > tile[0] * tile[1]
+                    and cand[0] <= medium.ny - 1 and cand[1] <= medium.nx - 1):
+                return cand
+        return None
+
+    seg0 = segment
+    seg = segment
+    tile = (th, tw)
+    round_refreshes = refreshes_per_round
+    done_steps = 0
+    while done_steps < steps:
+        n_run = min(round_refreshes, -(-(steps - done_steps) // seg))
+        nstate, flag = attempt(state, seg, n_run, done_steps, tile)
+        if tripped(flag):
+            comps = [s.reshape(-1) for s in state]
+            comps, orig_idx = apply_perm(comps, orig_idx)
+            state = tuple(c.reshape(-1, LANES) for c in comps)
+            nstate, flag = attempt(state, seg, 1, done_steps, tile)
+            while tripped(flag):
+                if seg > 1:
+                    seg = max(1, seg // 2)
+                else:
+                    bigger = next_tile(tile)
+                    if bigger is None:
+                        raise RuntimeError(
+                            "grid_trace_tiled: a freshly sorted ray block "
+                            f"still exceeds a {tile[0]}x{tile[1]} node "
+                            f"window (flag={float(flag)}) at segment=1; the "
+                            "batch is too spatially dispersed for tiling — "
+                            "use grid_trace or the scan tier")
+                    tile = bigger   # sticky: more gathers, 2x the capacity
+                    seg = seg0
+                nstate, flag = attempt(state, seg, 1, done_steps, tile)
+            state = nstate
+            done_steps += seg
+            round_refreshes = 1
+        else:
+            state = nstate
+            done_steps += n_run * seg
+            if round_refreshes < refreshes_per_round:
+                round_refreshes *= 2
+            elif seg < seg0:
+                seg = min(seg0, seg * 2)
+
+    # un-permute to the caller's ray order
+    flat = [s.reshape(-1) for s in state]
+    out = [jnp.zeros(r, f.dtype).at[orig_idx].set(f) for f in flat]
+    res = FusedFinal(
+        pos=jnp.stack([out[0], out[1]], axis=-1),
+        tangent=jnp.stack([out[2], out[3]], axis=-1),
+        traveltime=out[6], dist_sim=out[7], active=out[8] > 0.5)
+    if with_stats:
+        res = res._replace(mom_count=out[9], mom_mean=out[10],
+                           mom_m2=out[11])
+    return res
+
+
 # -- 2-D grid media: supercell Hermite kernel --------------------------------
 _NODE_OFFS_CACHE: dict = {}
 

@@ -97,6 +97,49 @@ def _strat_nag(tables, y0: float, inv_hy: float, ny: int):
     return nag
 
 
+def _hermite_blend(corners, u, v):
+    """Bilinear n (channel 0) + bicubic Hermite gradients (channels 1-8).
+
+    ``corners(ch) -> (c00, c01, c10, c11)`` fetches a channel's 2x2 corner
+    node values at the per-lane cell (c01 = +x neighbor, c10 = +y); how they
+    are fetched (block selects, tile gathers) is the caller's concern.  The
+    blend math is the single shared definition — identical expressions mean
+    bit-identical trajectories across the supercell and tiled kernels.
+    """
+    # bilinear n from the Z channel
+    z00, z01, z10, z11 = corners(0)
+    n = ((1.0 - v) * ((1.0 - u) * z00 + u * z01)
+         + v * ((1.0 - u) * z10 + u * z11))
+
+    # bicubic Hermite gradients; basis weights shared by both components
+    v2 = v * v
+    v3 = v2 * v
+    hv0 = 2.0 * v3 - 3.0 * v2 + 1.0
+    gv0 = v3 - 2.0 * v2 + v
+    hv1 = -2.0 * v3 + 3.0 * v2
+    gv1 = v3 - v2
+    u2 = u * u
+    u3 = u2 * u
+    hu0 = 2.0 * u3 - 3.0 * u2 + 1.0
+    gu0 = u3 - 2.0 * u2 + u
+    hu1 = -2.0 * u3 + 3.0 * u2
+    gu1 = u3 - u2
+
+    def hermite(ch0):
+        f00, f01, f10, f11 = corners(ch0)
+        fv00, fv01, fv10, fv11 = corners(ch0 + 1)
+        fu00, fu01, fu10, fu11 = corners(ch0 + 2)
+        fw00, fw01, fw10, fw11 = corners(ch0 + 3)
+        return ((f00 * hv0 + fv00 * gv0 + f10 * hv1 + fv10 * gv1) * hu0
+                + (f01 * hv0 + fv01 * gv0 + f11 * hv1 + fv11 * gv1) * hu1
+                + (fu00 * hv0 + fw00 * gv0 + fu10 * hv1 + fw10 * gv1) * gu0
+                + (fu01 * hv0 + fw01 * gv0 + fu11 * hv1 + fw11 * gv1) * gu1)
+
+    gx = hermite(1)
+    gy = hermite(5)
+    return n, gx, gy
+
+
 def _supercell_nag(tbl, bix, biy, meta):
     """n/grad from a per-ray 4x4 Hermite node block held in VMEM.
 
@@ -146,38 +189,69 @@ def _supercell_nag(tbl, bix, biy, meta):
             c10, c11 = colsel(hi)
             return c00, c01, c10, c11
 
-        # bilinear n from the Z channel
-        z00, z01, z10, z11 = corners(0)
-        n = ((1.0 - v) * ((1.0 - u) * z00 + u * z01)
-             + v * ((1.0 - u) * z10 + u * z11))
+        return _hermite_blend(corners, u, v)
 
-        # bicubic Hermite gradients; basis weights shared by both components
-        v2 = v * v
-        v3 = v2 * v
-        hv0 = 2.0 * v3 - 3.0 * v2 + 1.0
-        gv0 = v3 - 2.0 * v2 + v
-        hv1 = -2.0 * v3 + 3.0 * v2
-        gv1 = v3 - v2
-        u2 = u * u
-        u3 = u2 * u
-        hu0 = 2.0 * u3 - 3.0 * u2 + 1.0
-        gu0 = u3 - 2.0 * u2 + u
-        hu1 = -2.0 * u3 + 3.0 * u2
-        gu1 = u3 - u2
+    return nag
 
-        def hermite(ch0):
-            f00, f01, f10, f11 = corners(ch0)
-            fv00, fv01, fv10, fv11 = corners(ch0 + 1)
-            fu00, fu01, fu10, fu11 = corners(ch0 + 2)
-            fw00, fw01, fw10, fw11 = corners(ch0 + 3)
-            return ((f00 * hv0 + fv00 * gv0 + f10 * hv1 + fv10 * gv1) * hu0
-                    + (f01 * hv0 + fv01 * gv0 + f11 * hv1 + fv11 * gv1) * hu1
-                    + (fu00 * hv0 + fw00 * gv0 + fu10 * hv1 + fw10 * gv1) * gu0
-                    + (fu01 * hv0 + fw01 * gv0 + fu11 * hv1 + fw11 * gv1) * gu1)
 
-        gx = hermite(1)
-        gy = hermite(5)
-        return n, gx, gy
+def _tile_nag(T, bix, biy, meta):
+    """n/grad gathered from a ray-block-shared per-CELL window in VMEM.
+
+    ``T`` is a list of (rows, LANES) values — one per (chunk, channel) with
+    channel index ``chunk * 36 + ch * 4 + corner`` — holding a
+    (th, tw)-CELL window of the medium's Hermite table in *per-cell packed*
+    form: every cell carries its own 4 corner nodes x 9 channels (36
+    floats), row-major flattened into 128-lane chunks and broadcast over
+    sublanes (the ``tpu.dynamic_gather`` layout, see ``_strat_nag``).
+    ``bix``/``biy`` are the window's base CELL indices (per-block scalars).
+
+    The 4x corner duplication buys the hot path: one flat *cell* index per
+    evaluation, so a <=128-cell window needs exactly 36 gathers and ZERO
+    chunk selects per step (the node-layout alternative costs 4 corner
+    indices x nchunks gathers + selects for 1/4 the capacity per chunk).
+    The window is shared by the whole ray block, so the between-segment
+    refresh is one coherent slice per *block* rather than 144 floats
+    gathered per *ray* (the wall that held the supercell path at 0.06 G).
+    Containment (every ray's cell inside the window for a whole segment) is
+    the caller's contract, verified by the overflow flag in
+    engine/segmented._tiled_run_segments.
+    """
+    x0, y0, inv_hx, inv_hy, nx, ny, th, tw = meta
+    nchunks = (len(T) + 35) // 36
+
+    def nag(x, y):
+        fx = jnp.clip((x - x0) * inv_hx, 0.0, float(nx - 1))
+        fy = jnp.clip((y - y0) * inv_hy, 0.0, float(ny - 1))
+        ix = jnp.minimum(jnp.floor(fx), float(nx - 2))
+        iy = jnp.minimum(jnp.floor(fy), float(ny - 2))
+        u = fx - ix
+        v = fy - iy
+        lx = ix - bix          # in [0, tw-1] by the containment contract
+        ly = iy - biy
+        t = (ly * float(tw) + lx).astype(jnp.int32)
+        if nchunks == 1:
+            lane = t
+
+            def corners(ch):
+                return tuple(
+                    jnp.take_along_axis(T[ch * 4 + c], lane, axis=1)
+                    for c in range(4))
+        else:
+            lane = jnp.bitwise_and(t, jnp.int32(LANES - 1))
+            chk = jnp.right_shift(t, jnp.int32(7))
+
+            def corners(ch):
+                out = []
+                for c in range(4):
+                    val = jnp.zeros_like(x)
+                    for k in range(nchunks):
+                        g = jnp.take_along_axis(T[k * 36 + ch * 4 + c],
+                                                lane, axis=1)
+                        val = jnp.where(chk == k, g, val)
+                    out.append(val)
+                return tuple(out)
+
+        return _hermite_blend(corners, u, v)
 
     return nag
 
@@ -224,7 +298,7 @@ def _custom_nag(medium):
 
 def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
                  strat=None, stats: bool = False, resume: bool = False,
-                 supercell=None, custom=None):
+                 supercell=None, custom=None, tile=None):
     """Build the fused step kernel.
 
     ``stats`` adds a Welford tracker of the horizontal momentum m_x = n*u_x
@@ -242,7 +316,7 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
     """
     if custom is not None:
         nag = _custom_nag(custom)
-    elif strat is not None or supercell is not None:
+    elif strat is not None or supercell is not None or tile is not None:
         nag = None
     else:
         nag = _field_fn(field)
@@ -483,6 +557,24 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
         def kernel(nodes_ref, bix_ref, biy_ref, *refs):
             kernel_impl(_supercell_nag(nodes_ref[...], bix_ref[...],
                                        biy_ref[...], supercell), *refs)
+    elif tile is not None:
+        if not resume:
+            raise ValueError("tiled grid kernels are segment-resumable only")
+        n_ch = (-(-tile[6] * tile[7] // LANES)) * 36
+
+        def kernel(tile_ref, base_ref, *refs):
+            rows = refs[0].shape[0]
+            tv = tile_ref[0]
+            # hoist the sublane broadcasts out of the step loop: the tile is
+            # loop-invariant, so each (chunk, channel) row becomes one
+            # (rows, LANES) value the per-step gathers index into
+            T = [jnp.broadcast_to(tv[i:i + 1, :], (rows, LANES))
+                 for i in range(n_ch)]
+            # base_ref is the FULL (nblocks, 2) SMEM table (Mosaic rejects
+            # sub-(8, 128) blocked specs); pick this block's row by grid id
+            b = pl.program_id(0)
+            kernel_impl(_tile_nag(T, base_ref[b, 0], base_ref[b, 1], tile),
+                        *refs)
     elif strat is None:
         def kernel(*refs):
             kernel_impl(nag, *refs)

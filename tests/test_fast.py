@@ -39,17 +39,24 @@ def test_routes_golden():
     assert out.pos.shape == (64, 2)
 
 
-def test_grid_medium_coarse_steps_fall_back_to_scan():
-    """GridMedium is kernel-supported now (auto Hermite), but a step larger
-    than the cell pitch breaks the supercell invariant -> scan engine."""
+def test_grid_medium_coarse_steps_stay_on_kernel_tier():
+    """Steps larger than the cell pitch break the supercell invariant, but
+    the tiled window kernel serves them anyway (it just refreshes more
+    often / escalates the window) — coarse GridMedium runs stay kernel-tier
+    and match the scan engine."""
     from raytracing_tpu.models import get
     m = get("fisheye", medium="grid")
     assert supports("op1", m.medium)
     pos0, theta0 = _batch(8)
     out = fast_trace("op1", m.scenario, m.medium, delta_s=2 * np.pi / 32,
                      steps=32, pos0=pos0, theta0=theta0)
-    assert out.engine == "scan"
+    assert out.engine == "grid-tiled"
     assert out.pos.shape == (8, 2)
+    ref = rt.trace("op1", m.scenario, m.medium, delta_s=2 * np.pi / 32,
+                   mode="metrics", dtype=np.float32, max_size=33,
+                   pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(out.pos),
+                               np.asarray(ref.final.pos), atol=1e-3)
 
 
 def test_fast_trace_sharded_matches_single():
@@ -106,8 +113,8 @@ def test_fast_trace_high_precision():
 
 
 def test_fast_trace_routes_hermite_grid():
-    """HermiteGridMedium routes to the supercell kernel at fine steps and
-    falls back to the scan engine at coarse ones."""
+    """HermiteGridMedium routes to the tiled window kernel at any step
+    size — coarse steps included (the old supercell/scan split is gone)."""
     import numpy as np
     import raytracing_tpu as rt
     from raytracing_tpu.engine.fast import fast_trace
@@ -121,11 +128,12 @@ def test_fast_trace_routes_hermite_grid():
     theta0 = np.full(r, np.pi / 2, np.float32)
     fine = fast_trace("op6", scen, hm, delta_s=0.003, steps=100,
                       pos0=pos0, theta0=theta0, block_rays=128)
-    assert fine.engine == "grid-supercell"
+    assert fine.engine == "grid-tiled"
     coarse = fast_trace("op6", scen, hm, delta_s=0.05, steps=50,
                         pos0=pos0, theta0=theta0, block_rays=128)
-    assert coarse.engine == "scan"
+    assert coarse.engine == "grid-tiled"
     assert np.all(np.isfinite(np.asarray(fine.pos)))
+    assert np.all(np.isfinite(np.asarray(coarse.pos)))
 
 
 def test_fast_trace_custom_medium_kernel():
@@ -207,7 +215,7 @@ def test_fast_trace_custom_medium_golden():
 
 def test_fast_trace_gridmedium_auto_hermite():
     """Plain GridMedium auto-converts (cached) to the Hermite node form and
-    routes through the supercell kernel at fine steps."""
+    routes through the tiled window kernel."""
     import numpy as np
     import raytracing_tpu as rt
     from raytracing_tpu.engine import fast as fastmod
@@ -221,6 +229,6 @@ def test_fast_trace_gridmedium_auto_hermite():
     theta0 = np.full(r, np.pi / 2, np.float32)
     out = fast_trace("op6", scen, gm, delta_s=0.003, steps=100,
                      pos0=pos0, theta0=theta0, block_rays=128)
-    assert out.engine == "grid-supercell"
+    assert out.engine == "grid-tiled"
     h1 = fastmod._as_hermite(gm)
     assert fastmod._as_hermite(gm) is h1  # cached

@@ -1,0 +1,190 @@
+"""Tiled 2-D grid kernel: block-shared node windows + dynamic_gather eval.
+
+The production path for the reference's sampled-spline medium
+(RT_bench.py:435-464): rays sorted along a Morton curve, each kernel block
+sharing one (th, tw)-node window refreshed by coherent slices.  Tests pin
+
+* parity with the per-ray supercell kernel (same `_hermite_blend`) and with
+  the scan engine on the same GridMedium,
+* the coarse-step regime (delta_s > cell pitch) the supercell kernel cannot
+  serve at all,
+* the sort/unsort round trip (results in caller order, bit-identical),
+* overflow handling: escalation to larger tiles, the RuntimeError for
+  genuinely dispersed batches, and fast_trace's fallback routing.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import raytracing_tpu as rt
+from raytracing_tpu.engine.segmented import grid_trace, grid_trace_tiled
+from raytracing_tpu.media.hermite import build_hermite_medium
+from raytracing_tpu.media.spline import build_grid_medium
+
+
+@pytest.fixture(scope="module")
+def fisheye_media():
+    scen = rt.scenario("fisheye")
+    gm = build_grid_medium("fisheye", scen.box, dtype=np.float32)
+    hm = build_hermite_medium(gm, dtype=np.float32)
+    return scen, gm, hm
+
+
+def _fan(r, spread=0.02):
+    theta = (np.pi / 2 + np.linspace(-spread, spread, r)).astype(np.float32)
+    pos = np.tile(np.array([1.0, 0.0], np.float32), (r, 1))
+    return pos, theta
+
+
+def test_tiled_matches_supercell(fisheye_media):
+    """Fine steps: tiled == per-ray supercell (shared blend -> ~1 ulp)."""
+    scen, gm, hm = fisheye_media
+    pos0, theta0 = _fan(256)
+    ds, steps = 2 * np.pi / 4587, 400
+    a = grid_trace("op6", pos0, theta0, np.float32(ds), hm, steps=steps,
+                   box=tuple(scen.box), block_rays=256, interpret=True)
+    b = grid_trace_tiled("op6", pos0, theta0, np.float32(ds), hm,
+                         steps=steps, box=tuple(scen.box), block_rays=256,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
+                               atol=5e-7)
+    np.testing.assert_allclose(np.asarray(a.traveltime),
+                               np.asarray(b.traveltime), atol=5e-7)
+    np.testing.assert_array_equal(np.asarray(a.active), np.asarray(b.active))
+
+
+def test_tiled_coarse_step_matches_scan(fisheye_media):
+    """delta_s > cell pitch — the regime only the tiled kernel serves.
+
+    The reference's fast calibrated fisheye divisors (278-325,
+    RT_bench.py:1431-1450) all land here; the per-ray supercell kernel
+    rejects them outright.
+    """
+    scen, gm, hm = fisheye_media
+    pos0, theta0 = _fan(128)
+    ds = 2 * np.pi / 303          # op6's calibrated divisor
+    steps = 302                   # reference step count: N*divisor - 1
+    res = grid_trace_tiled("op6", pos0, theta0, np.float32(ds), hm,
+                           steps=steps, box=tuple(scen.box), block_rays=128,
+                           interpret=True)
+    ref = rt.trace("op6", scen, gm, delta_s=ds, mode="metrics",
+                   dtype=np.float32, max_size=steps + 1,
+                   pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(res.pos),
+                               np.asarray(ref.final.pos), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(res.traveltime),
+                               np.asarray(ref.final.traveltime), atol=3e-4)
+
+
+def test_tiled_sort_roundtrip_bit_identical(fisheye_media):
+    """A dispersing ring forces resorts; results come back in caller order
+    and match the unsorted run bit-for-bit (same kernels, same windows)."""
+    scen, gm, hm = fisheye_media
+    r = 1024
+    ang = np.linspace(0, 2 * np.pi, r, endpoint=False)
+    pos0 = np.stack([1.0 + 0.05 * np.cos(ang), 0.05 * np.sin(ang)],
+                    -1).astype(np.float32)
+    theta0 = (ang + np.pi / 2).astype(np.float32)
+    ds = 2 * np.pi / 4587
+    a = grid_trace_tiled("op6", pos0, theta0, np.float32(ds), hm, steps=100,
+                         box=tuple(scen.box), block_rays=128, interpret=True,
+                         sort=False)
+    b = grid_trace_tiled("op6", pos0, theta0, np.float32(ds), hm, steps=100,
+                         box=tuple(scen.box), block_rays=128, interpret=True,
+                         sort=True)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_array_equal(np.asarray(a.traveltime),
+                                  np.asarray(b.traveltime))
+
+
+def test_tiled_op7_window_and_stats():
+    """op7 (4-position window in segment state) + Welford momentum stats
+    through the tiled kernel == the scan engine on the same 2-D medium."""
+    scen = rt.scenario("vert")
+    gm = build_grid_medium("vert_heterogeneous", scen.box, dtype=np.float32)
+    hm = build_hermite_medium(gm, dtype=np.float32)
+    r = 128
+    # one 128-ray block: keep the fan narrow enough to share a window
+    theta0 = np.linspace(0.7, 0.8, r).astype(np.float32)
+    pos0 = np.tile(scen.pos0[:1].astype(np.float32), (r, 1))
+    ds, steps = 0.004, 200
+    res = grid_trace_tiled("op7", pos0, theta0, np.float32(ds), hm,
+                           steps=steps, box=tuple(scen.box), block_rays=128,
+                           interpret=True, with_stats=True)
+    ref = rt.trace("op7", scen, gm, delta_s=ds, mode="metrics",
+                   dtype=np.float32, max_size=steps + 1,
+                   pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(res.pos),
+                               np.asarray(ref.final.pos), atol=5e-3)
+    np.testing.assert_array_equal(np.asarray(res.mom_count),
+                                  np.asarray(ref.final.mom_count))
+    np.testing.assert_allclose(np.asarray(res.mom_mean),
+                               np.asarray(ref.final.mom_mean), atol=5e-4)
+
+
+def test_tiled_interface_box_exits():
+    """2-D interface medium with box exits: frozen rays stay inside their
+    block's window accounting and the active mask matches the scan tier."""
+    scen = dataclasses.replace(rt.scenario("interface"),
+                               box=(-2.0, 2.0, -2.0, 2.0))
+    gm = build_grid_medium("interface", scen.box, dtype=np.float32)
+    hm = build_hermite_medium(gm, dtype=np.float32)
+    r = 128
+    # narrow fan (one block must share a window); shallow angles reflect at
+    # the interface and exit through x = 2 within the step budget
+    theta0 = np.linspace(0.05, 0.09, r).astype(np.float32)
+    pos0 = np.tile(np.array([[-0.5, -0.5]], np.float32), (r, 1))
+    ds, steps = 0.005, 600
+    res = grid_trace_tiled("op8", pos0, theta0, np.float32(ds), hm,
+                           steps=steps, box=tuple(scen.box), block_rays=128,
+                           interpret=True)
+    ref = rt.trace("op8", scen, gm, delta_s=ds, mode="metrics",
+                   dtype=np.float32, max_size=steps + 1,
+                   pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(res.pos),
+                               np.asarray(ref.final.pos), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(res.active),
+                                  np.asarray(ref.exit_step) == steps)
+
+
+def test_tiled_dispersed_batch_raises(fisheye_media):
+    """A batch genuinely too scattered for any tile raises RuntimeError
+    (the fast_trace router catches it and falls back)."""
+    scen, gm, hm = fisheye_media
+    r = 128
+    rng = np.random.default_rng(7)
+    pos0 = rng.uniform(-1.4, 1.4, (r, 2)).astype(np.float32)
+    theta0 = rng.uniform(0, 2 * np.pi, r).astype(np.float32)
+    with pytest.raises(RuntimeError, match="dispersed"):
+        grid_trace_tiled("op6", pos0, theta0, np.float32(0.003), hm,
+                         steps=50, box=tuple(scen.box), block_rays=128,
+                         interpret=True)
+
+
+def test_fast_trace_routes_grid_to_tiled(fisheye_media):
+    """fast_trace on a GridMedium routes through the tiled kernel at ANY
+    step size (incl. coarse), and falls back for dispersed batches."""
+    from raytracing_tpu.engine.fast import fast_trace
+
+    scen, gm, hm = fisheye_media
+    pos0, theta0 = _fan(96)       # non-multiple: exercises padding
+    ds = 2 * np.pi / 303
+    res = fast_trace("op6", scen, gm, delta_s=ds, pos0=pos0, theta0=theta0,
+                     steps=302, interpret=True)
+    assert res.engine == "grid-tiled"
+    ref = rt.trace("op6", scen, gm, delta_s=ds, mode="metrics",
+                   dtype=np.float32, max_size=303, pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(res.pos),
+                               np.asarray(ref.final.pos), atol=3e-4)
+
+    rng = np.random.default_rng(7)
+    pos_d = rng.uniform(-1.4, 1.4, (96, 2)).astype(np.float32)
+    th_d = rng.uniform(0, 2 * np.pi, 96).astype(np.float32)
+    res2 = fast_trace("op6", scen, gm, delta_s=0.003, pos0=pos_d,
+                      theta0=th_d, steps=50, interpret=True)
+    assert res2.engine in ("grid-supercell", "scan")
+    ref2 = rt.trace("op6", scen, gm, delta_s=0.003, mode="metrics",
+                    dtype=np.float32, max_size=51, pos0=pos_d, theta0=th_d)
+    np.testing.assert_allclose(np.asarray(res2.pos),
+                               np.asarray(ref2.final.pos), atol=1e-3)
