@@ -97,6 +97,36 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
                       "gsteps_per_sec": round(r * steps / t / 1e9, 2),
                       "closure_error_pct": round(float(clo), 5)}
 
+    # -- fisheye on the 2-D sampled-spline medium (the reference's actual
+    # production pipeline, RT_bench.py:435-464) via the tiled window kernel,
+    # at the op1 precision divisor (RT_bench.py:1433) ------------------------
+    from raytracing_tpu.engine.segmented import grid_trace_tiled
+    from raytracing_tpu.media.hermite import build_hermite_medium
+    from raytracing_tpu.media.spline import build_grid_medium
+
+    hmed = build_hermite_medium(
+        build_grid_medium("fisheye", scen.box, dtype=np.float32))
+    gsteps = 4586                    # N*divisor - 1 at divisor 4587, 1 turn
+    gds = 2 * np.pi / 4587
+
+    def run_grid():
+        g = grid_trace_tiled("op1", pos0, theta0, np.float32(gds), hmed,
+                             steps=gsteps, box=tuple(scen.box))
+        np.asarray(g.pos[:1])
+        return g
+
+    t, g = best_of(run_grid, reps=2)
+    gclo = 100 * np.linalg.norm(
+        np.asarray(g.pos) - [1, 0], axis=1).mean() / (2 * np.pi)
+    out["fisheye_grid"] = {
+        "op": "op1", "rays": r, "steps": gsteps,
+        "medium": "sampled-2d-spline",
+        "seconds": round(t, 4),
+        "gsteps_per_sec": round(r * gsteps / t / 1e9, 2),
+        "closure_error_pct": round(float(gclo), 5),
+        "note": "closure floor ~0.02% is the bilinear spline's own "
+                "discretization (kx=ky=1, RT_bench.py:455), not the kernel"}
+
     # -- interface: analytic AND sampled (stratified) media, op6 ------------
     scen = rt.scenario("interface")
     imed = compact_stratified(

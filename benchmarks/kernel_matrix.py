@@ -73,6 +73,22 @@ def main():
                                       steps=2000, box=tuple(aniso.box)).pos
         out[f"golden_{op}"] = round(R * 2000 / best_of(run) / 1e9, 2)
 
+    # 2-D sampled-spline medium via the tiled window kernel (per-cell packed
+    # windows, Morton-sorted blocks) — the reference's production pipeline
+    from raytracing_tpu.engine.segmented import grid_trace_tiled
+    from raytracing_tpu.media.hermite import build_hermite_medium
+    from raytracing_tpu.media.spline import build_grid_medium
+
+    hmed = build_hermite_medium(
+        build_grid_medium("fisheye", scen.box, dtype=np.float32))
+
+    def run_tiled():
+        return grid_trace_tiled("op1", pos0, theta0, ds, hmed,
+                                steps=DIV - 1, box=tuple(scen.box)).pos
+    # internal host round-loop syncs per round; time single calls
+    t = best_of(run_tiled, per=1)
+    out["tiled_grid_op1"] = round(R * (DIV - 1) / t / 1e9, 2)
+
     from raytracing_tpu.kernels.df import _df_core_segmented
 
     def run_df():

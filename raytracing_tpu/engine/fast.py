@@ -63,7 +63,7 @@ def supports(op_name: str, medium) -> bool:
     if isinstance(medium, StratifiedGridMedium):
         return op in FUSED_OPS or op in GOLDEN_OPS
     if isinstance(medium, (HermiteGridMedium, GridMedium)):
-        return op in FUSED_OPS
+        return op in FUSED_OPS or op in GOLDEN_OPS
     if isinstance(medium, CustomMedium):
         return op in FUSED_OPS or op in GOLDEN_OPS
     return (isinstance(medium, AnalyticMedium)
@@ -132,13 +132,15 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
         # layout — 2-D grid media route through it automatically
         medium = _as_hermite(medium)
 
-    if isinstance(medium, HermiteGridMedium) and op in FUSED_OPS:
+    if (isinstance(medium, HermiteGridMedium)
+            and (op in FUSED_OPS or op in GOLDEN_OPS)):
         from raytracing_tpu.engine.segmented import grid_trace, grid_trace_tiled
 
-        # production path: block-shared tile kernel (works at ANY delta_s).
-        # Sorted ray blocks share one node window in VMEM; refreshes are
-        # coherent per-block slices.  Tile blocks are capped at 1024 rays to
-        # keep block bounding boxes tight.
+        # production path: block-shared tile kernel (works at ANY delta_s,
+        # covers the golden/anisotropic family too).  Sorted ray blocks
+        # share one node window in VMEM; refreshes are coherent per-block
+        # slices.  Tile blocks are capped at 1024 rays to keep block
+        # bounding boxes tight.
         tb = min(block_rays, 1024)
         r = len(theta0)
         pad = (-r) % tb
@@ -150,7 +152,8 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
         try:
             g = grid_trace_tiled(op, tpos, tth, jnp.float32(delta_s), medium,
                                  steps=int(steps), box=tuple(scen.box),
-                                 block_rays=tb, interpret=interpret)
+                                 block_rays=tb, interpret=interpret,
+                                 gamma=float(scen.gamma))
             return FastResult(pos=g.pos[:r], traveltime=g.traveltime[:r],
                               dist_sim=g.dist_sim[:r], active=g.active[:r],
                               engine="grid-tiled")
@@ -158,7 +161,7 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
             pass  # batch too dispersed for tiling -> supercell / scan below
 
         cell = min(1.0 / medium.inv_hx, 1.0 / medium.inv_hy)
-        if float(delta_s) < 0.9 * cell:
+        if op in FUSED_OPS and float(delta_s) < 0.9 * cell:
             pad = (-r) % block_rays
             pos0 = jnp.asarray(pos0, jnp.float32)
             theta0 = jnp.asarray(theta0, jnp.float32)

@@ -30,6 +30,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from raytracing_tpu.kernels.fused import (FUSED_OPS, LANES, FusedFinal,
                                           _make_kernel, strat_tables)
+from raytracing_tpu.kernels.golden import GOLDEN_OPS
+from raytracing_tpu.kernels.golden import _make_kernel as _make_golden_kernel
+from raytracing_tpu.kernels.golden import golden_scalars
 from raytracing_tpu.media.spline import StratifiedGridMedium
 
 
@@ -249,9 +252,9 @@ def _sort_perm(x, y, meta):
 @functools.partial(jax.jit, static_argnames=(
     "op", "segment", "box", "block_rays", "interpret", "meta", "tile_shape",
     "stats", "n_state"))
-def _tiled_run_segments(state, nodes3d, delta_s, limit, offset0, n_seg, *,
-                        op, segment, box, block_rays, interpret, meta,
-                        tile_shape, stats=False, n_state=9):
+def _tiled_run_segments(state, nodes3d, delta_s, limit, offset0, n_seg,
+                        gamma, *, op, segment, box, block_rays, interpret,
+                        meta, tile_shape, stats=False, n_state=9):
     """Chain tiled-kernel launches; slice block windows between them.
 
     Each iteration (all inside ONE jit): compute every kernel block's cell
@@ -276,10 +279,17 @@ def _tiled_run_segments(state, nodes3d, delta_s, limit, offset0, n_seg, *,
     n_ch = nchunks * 36
     shape2 = state[0].shape
     zero = jnp.zeros(shape2, jnp.float32)
-    from raytracing_tpu.config import gold_tol
-    kernel = _make_kernel("hermite-tile", op, segment, box,
-                          gold_tol(np.float32), resume=True,
-                          tile=meta + tile_shape, stats=stats)
+    from raytracing_tpu.config import gold_tol, golden_iters
+    golden = op in GOLDEN_OPS
+    if golden:
+        iters = golden_iters(np.float32)
+        kernel = _make_golden_kernel(
+            "hermite-tile", op, segment, box, iters, gold_tol(np.float32),
+            resume=True, tile=meta + tile_shape, stats=stats)
+    else:
+        kernel = _make_kernel("hermite-tile", op, segment, box,
+                              gold_tol(np.float32), resume=True,
+                              tile=meta + tile_shape, stats=stats)
     blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     tile_spec = pl.BlockSpec((1, n_ch, LANES), lambda i: (i, 0, 0),
@@ -338,8 +348,11 @@ def _tiled_run_segments(state, nodes3d, delta_s, limit, offset0, n_seg, *,
             cells.reshape(nblocks, nchunks, LANES, 36),
             (0, 1, 3, 2)).reshape(nblocks, n_ch, LANES)
         bases = jnp.stack([bix, biy], axis=-1).astype(jnp.float32)
-        ds_vec = jnp.stack([delta_s, limit,
-                            offset0 + k.astype(jnp.float32) * segment])
+        offset = offset0 + k.astype(jnp.float32) * segment
+        if golden:
+            ds_vec = golden_scalars(delta_s, gamma, limit, offset, iters)
+        else:
+            ds_vec = jnp.stack([delta_s, limit, offset])
         args = (tiles, bases) + st + (zero, ds_vec)
         return tuple(call(*args)), flag
 
@@ -352,7 +365,7 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
                      box, segment: int | None = None, block_rays: int = 1024,
                      tile_shape: tuple = (11, 11), refreshes_per_round: int = 32,
                      interpret: bool = False, with_stats: bool = False,
-                     sort: bool = True) -> FusedFinal:
+                     sort: bool = True, gamma: float = 1.0) -> FusedFinal:
     """Production-tier tracing through a 2-D sampled-spline medium.
 
     The block-shared-window successor to :func:`grid_trace`: rays are
@@ -383,8 +396,10 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
     if not isinstance(medium, HermiteGridMedium):
         raise ValueError("grid_trace_tiled needs a HermiteGridMedium, got "
                          f"{type(medium).__name__}")
-    if op not in FUSED_OPS:
-        raise ValueError(f"grid_trace_tiled supports {FUSED_OPS}, got {op!r}")
+    golden = op in GOLDEN_OPS
+    if not golden and op not in FUSED_OPS:
+        raise ValueError(f"grid_trace_tiled supports {FUSED_OPS} and "
+                         f"{tuple(GOLDEN_OPS)}, got {op!r}")
     th, tw = tile_shape                  # window size in CELLS
     r = pos0.shape[0]
     if r % block_rays:
@@ -401,22 +416,36 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
         budget = max(1.0, (min(th, tw) - 1 - 4) * 0.5)
         segment = max(1, min(64, int(budget * pitch / float(delta_s))))
     window = op == "op7"
-    n_state = 9 + (3 if with_stats else 0) + (4 if window else 0)
+    if golden:
+        n_state = 8 + (3 if with_stats else 0)
+    else:
+        n_state = 9 + (3 if with_stats else 0) + (4 if window else 0)
 
     pos0 = jnp.asarray(pos0, jnp.float32)
     theta0 = jnp.asarray(theta0, jnp.float32)
     x = pos0[:, 0]
     y = pos0[:, 1]
-    ux = jnp.cos(theta0)
-    uy = jnp.sin(theta0)
     zeros = jnp.zeros(r, jnp.float32)
-    comps = [x, y, ux, uy, zeros, zeros, zeros, zeros,
-             jnp.ones(r, jnp.float32)]
-    if with_stats:
-        n0 = medium.n(x, y).astype(jnp.float32)
-        comps += [jnp.ones(r, jnp.float32), n0 * ux, zeros]
-    if window:
-        comps += [x, y, x, y]
+    ones = jnp.ones(r, jnp.float32)
+    if golden:
+        # (x, y, cx, cy, ang, tt, dsim, active) [+ Welford]
+        comps = [x, y, zeros, zeros, theta0, zeros, zeros, ones]
+        if with_stats:
+            n0 = medium.n(x, y).astype(jnp.float32)
+            ct, st = jnp.cos(theta0), jnp.sin(theta0)
+            cf = jnp.sqrt((gamma * st) ** 2 + ct * ct)
+            mx0 = n0 * cf * ct * (1.0 - st * st * (gamma * gamma - 1.0)
+                                  / (cf * cf))
+            comps += [ones, mx0, zeros]
+    else:
+        ux = jnp.cos(theta0)
+        uy = jnp.sin(theta0)
+        comps = [x, y, ux, uy, zeros, zeros, zeros, zeros, ones]
+        if with_stats:
+            n0 = medium.n(x, y).astype(jnp.float32)
+            comps += [ones, n0 * ux, zeros]
+        if window:
+            comps += [x, y, x, y]
 
     orig_idx = jnp.arange(r, dtype=jnp.int32)  # batch slot -> original ray
 
@@ -436,9 +465,10 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
         return _tiled_run_segments(
             state, nodes3d=nodes3d, delta_s=jnp.float32(delta_s),
             limit=limit, offset0=jnp.float32(done_steps),
-            n_seg=jnp.int32(n_run), op=op, segment=seg, box=tuple(box),
-            block_rays=block_rays, interpret=interpret, meta=meta,
-            tile_shape=tile, stats=with_stats, n_state=n_state)
+            n_seg=jnp.int32(n_run), gamma=jnp.float32(gamma), op=op,
+            segment=seg, box=tuple(box), block_rays=block_rays,
+            interpret=interpret, meta=meta, tile_shape=tile,
+            stats=with_stats, n_state=n_state)
 
     def tripped(flag):
         # NaN-aware: once a window misses, zero node values drive the
@@ -509,6 +539,16 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
     # un-permute to the caller's ray order
     flat = [s.reshape(-1) for s in state]
     out = [jnp.zeros(r, f.dtype).at[orig_idx].set(f) for f in flat]
+    if golden:
+        ang = out[4]
+        res = FusedFinal(
+            pos=jnp.stack([out[0], out[1]], axis=-1),
+            tangent=jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1),
+            traveltime=out[5], dist_sim=out[6], active=out[7] > 0.5)
+        if with_stats:
+            res = res._replace(mom_count=out[8], mom_mean=out[9],
+                               mom_m2=out[10])
+        return res
     res = FusedFinal(
         pos=jnp.stack([out[0], out[1]], axis=-1),
         tangent=jnp.stack([out[2], out[3]], axis=-1),

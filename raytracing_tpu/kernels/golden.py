@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from raytracing_tpu.config import DELTA_G, GOLD_RATIO, gold_tol, golden_iters
 from raytracing_tpu.kernels.fused import (LANES, _custom_nag, _field_fn,
-                                          _strat_nag, strat_tables)
+                                          _strat_nag, _tile_nag, strat_tables)
 
 GOLDEN_OPS = {"op5": ("curv", "golden"), "op9": ("t2", "golden"),
               "op10": ("curv", "golden"), "op11": ("t2", "golden"),
@@ -65,10 +65,19 @@ def _golden_offsets(iters: int):
 
 def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                  curv_tol: float, strat=None, stats: bool = False,
-                 custom=None):
+                 custom=None, resume: bool = False, tile=None):
+    """Build the fused golden/Newton step kernel.
+
+    ``resume`` makes the kernel segmentable (mirrors fused._make_kernel):
+    the full integration state (Kahan compensations, Welford stats) reads
+    from input refs and writes back, with the global step offset at
+    ``scal_ref[3]`` — the hook for the tiled 2-D grid path and bounded
+    compiles.  ``tile`` injects the per-cell window evaluator
+    (fused._tile_nag); tiled kernels are resume-only.
+    """
     if custom is not None:
         nag_analytic = _custom_nag(custom)
-    elif strat is not None:
+    elif strat is not None or tile is not None:
         nag_analytic = None
     else:
         nag_analytic = _field_fn(field)
@@ -82,23 +91,34 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
     cos_c0, sin_c0 = math.cos(c0_off), math.sin(c0_off)
     cos_d0, sin_d0 = math.cos(d0_off), math.sin(d0_off)
 
-    def kernel_impl(nag, x_ref, y_ref, ang_ref, zero_ref, scal_ref,
-                    out_x_ref, out_y_ref, out_ang_ref, out_tt_ref,
-                    out_ds_ref, out_act_ref, *stat_refs):
+    def kernel_impl(nag, *refs):
+        if resume:
+            n_in = 8 + (3 if stats else 0)
+            in_refs, zero_ref, scal_ref = refs[:n_in], refs[n_in], refs[n_in + 1]
+            out_refs = refs[n_in + 2:]
+            vals = [rf[...] for rf in in_refs]
+            x, y, cx, cy, ang, tt, dsim, active = vals[:8]
+            stats0 = tuple(vals[8:])
+            zero = zero_ref[...]
+        else:
+            (x_ref, y_ref, ang_ref, zero_ref, scal_ref) = refs[:5]
+            out_refs = refs[5:]
+            x, y = x_ref[...], y_ref[...]
+            ang = ang_ref[...]
+            zero = zero_ref[...]
+            cx = zero
+            cy = zero
+            tt = zero
+            dsim = zero
+            active = zero + 1.0
+            stats0 = None
         ds = scal_ref[0]
         gamma = scal_ref[1]
-        limit = scal_ref[2]  # traced step count; rays freeze after
+        limit = scal_ref[2]   # traced step count; rays freeze after
+        offset = scal_ref[3]  # applied steps before this segment (global)
         g2m1 = gamma * gamma - 1.0
-        x, y = x_ref[...], y_ref[...]
-        ang = ang_ref[...]
-        zero = zero_ref[...]
         ux, uy = jnp.cos(ang), jnp.sin(ang)
         n, gx, gy = nag(x, y)
-        cx = zero
-        cy = zero
-        tt = zero
-        dsim = zero
-        active = zero + 1.0
 
         def coef_of(ct, st):
             if iso:
@@ -111,7 +131,7 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
             return nv * cf * ct * (1.0 - st * st * g2m1 / (cf * cf))
 
         def body(i, carry):
-            in_limit = i.astype(jnp.float32) < limit
+            in_limit = (i.astype(jnp.float32) + offset) < limit
             x, y, cx, cy, ang, ux, uy, n, gx, gy, tt, dsim, active = carry[:13]
             if stats:
                 cnt, mean, m2 = carry[13:]
@@ -217,8 +237,8 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
 
                 def gold_body(k, g):
                     a_ang, b_ang, pc, ps, qc, qs, fc, fd = g
-                    cth = scal_ref[3 + 2 * k]       # cos(delta_k)
-                    sth = scal_ref[4 + 2 * k]       # sin(delta_k)
+                    cth = scal_ref[4 + 2 * k]       # cos(delta_k)
+                    sth = scal_ref[5 + 2 * k]       # sin(delta_k)
                     left = fc < fd
                     # surviving probe becomes the other side's probe; the
                     # fresh probe is the old far probe rotated by -+delta_k
@@ -235,7 +255,7 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                     fc2 = jnp.where(left, ff, fd)
                     fd2 = jnp.where(left, fc, ff)
                     # endpoint angles: left keeps a, pulls b in; right mirror
-                    dk = scal_ref[3 + 2 * gold_iters_n + k]  # delta_k itself
+                    dk = scal_ref[4 + 2 * gold_iters_n + k]  # delta_k itself
                     a2 = jnp.where(left, a_ang, a_ang + dk)
                     b2 = jnp.where(left, b_ang - dk, b_ang)
                     return a2, b2, pc2, ps2, qc2, qs2, fc2, fd2
@@ -279,24 +299,36 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
 
         carry0 = (x, y, cx, cy, ang, ux, uy, n, gx, gy, tt, dsim, active)
         if stats:
-            cf0 = coef_of(ux, uy)
-            mx0 = mom_x(n, cf0, ux, uy)
-            carry0 = carry0 + (zero + 1.0, mx0, zero)
+            if resume:
+                carry0 = carry0 + stats0
+            else:
+                cf0 = coef_of(ux, uy)
+                mx0 = mom_x(n, cf0, ux, uy)
+                carry0 = carry0 + (zero + 1.0, mx0, zero)
         final = jax.lax.fori_loop(0, steps, body, carry0)
         x, y, cx, cy, ang, ux, uy, n, gx, gy, tt, dsim, active = final[:13]
-        out_x_ref[...] = x
-        out_y_ref[...] = y
-        out_ang_ref[...] = ang
-        out_tt_ref[...] = tt
-        out_ds_ref[...] = dsim
-        out_act_ref[...] = active
-        if stats:
-            out_cnt_ref, out_mean_ref, out_m2_ref = stat_refs
-            out_cnt_ref[...] = final[13]
-            out_mean_ref[...] = final[14]
-            out_m2_ref[...] = final[15]
+        if resume:
+            outs = (x, y, cx, cy, ang, tt, dsim, active) + final[13:]
+        else:
+            outs = (x, y, ang, tt, dsim, active) + (
+                final[13:16] if stats else ())
+        for rf, val in zip(out_refs, outs):
+            rf[...] = val
 
-    if strat is None:
+    if tile is not None:
+        if not resume:
+            raise ValueError("tiled golden kernels are segment-resumable only")
+        n_ch = (-(-tile[6] * tile[7] // LANES)) * 36
+
+        def kernel(tile_ref, base_ref, *refs):
+            rows = refs[0].shape[0]
+            tv = tile_ref[0]
+            T = [jnp.broadcast_to(tv[i:i + 1, :], (rows, LANES))
+                 for i in range(n_ch)]
+            b = pl.program_id(0)
+            kernel_impl(_tile_nag(T, base_ref[b, 0], base_ref[b, 1], tile),
+                        *refs)
+    elif strat is None:
         def kernel(*refs):
             kernel_impl(nag_analytic, *refs)
     else:
@@ -306,6 +338,22 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
             kernel_impl(_strat_nag(tables_ref[...], y0, inv_hy, ny), *refs)
 
     return kernel
+
+
+def golden_scalars(delta_s, gamma, step_limit, offset, iters):
+    """The golden kernels' scalar bundle:
+    [ds, gamma, limit, offset, (cos d_k, sin d_k) x iters, d_k x iters]."""
+    _, _, deltas = _golden_offsets(iters)
+    rot = np.empty(2 * iters, np.float32)
+    rot[0::2] = np.cos(deltas)
+    rot[1::2] = np.sin(deltas)
+    return jnp.concatenate([
+        jnp.stack([jnp.asarray(delta_s, jnp.float32),
+                   jnp.asarray(gamma, jnp.float32),
+                   jnp.asarray(step_limit, jnp.float32),
+                   jnp.asarray(offset, jnp.float32)]),
+        jnp.asarray(rot),
+        jnp.asarray(deltas, jnp.float32)])
 
 
 class GoldenFinal(NamedTuple):
@@ -355,17 +403,7 @@ def golden_trace_final(pos0, theta0, delta_s, gamma, *, field: str, op: str,
     tol = gold_tol(np.float32)
     if step_limit is None:
         step_limit = steps
-    # scalar bundle: [ds, gamma, limit, (cos d_k, sin d_k) x iters, d_k x iters]
-    _, _, deltas = _golden_offsets(iters)
-    rot = np.empty(2 * iters, np.float32)
-    rot[0::2] = np.cos(deltas)
-    rot[1::2] = np.sin(deltas)
-    scal = jnp.concatenate([
-        jnp.stack([jnp.asarray(delta_s, jnp.float32),
-                   jnp.asarray(gamma, jnp.float32),
-                   jnp.asarray(step_limit, jnp.float32)]),
-        jnp.asarray(rot),
-        jnp.asarray(deltas, jnp.float32)])
+    scal = golden_scalars(delta_s, gamma, step_limit, 0.0, iters)
 
     strat = None
     tables = None

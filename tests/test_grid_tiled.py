@@ -148,6 +148,41 @@ def test_tiled_interface_box_exits():
                                   np.asarray(ref.exit_step) == steps)
 
 
+def test_tiled_golden_ops_on_grid(fisheye_media):
+    """The golden/anisotropic family (op5 iso, op11 gamma=3) runs on the
+    2-D grid medium through the tiled kernel and matches the scan engine —
+    previously these combinations only had the chunked-scan path."""
+    scen, gm, hm = fisheye_media
+    r = 128
+    theta0 = (np.pi / 2 + np.linspace(-0.01, 0.01, r)).astype(np.float32)
+    pos0 = np.tile(np.array([1.0, 0.0], np.float32), (r, 1))
+    ds = 2 * np.pi / 325
+    res = grid_trace_tiled("op5", pos0, theta0, np.float32(ds), hm,
+                           steps=200, box=tuple(scen.box), block_rays=128,
+                           interpret=True)
+    ref = rt.trace("op5", scen, gm, delta_s=ds, mode="metrics",
+                   dtype=np.float32, max_size=201, pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(res.pos),
+                               np.asarray(ref.final.pos), atol=3e-4)
+
+    sca = rt.scenario("aniso")
+    gma = build_grid_medium("vert_heterogeneous", sca.box, dtype=np.float32)
+    hma = build_hermite_medium(gma, dtype=np.float32)
+    theta0 = np.linspace(0.75, 0.85, r).astype(np.float32)
+    pos0 = np.tile(sca.pos0[:1].astype(np.float32), (r, 1))
+    res = grid_trace_tiled("op11", pos0, theta0, np.float32(0.0193), hma,
+                           steps=150, box=tuple(sca.box), block_rays=128,
+                           interpret=True, gamma=3.0, with_stats=True)
+    ref = rt.trace("op11", sca, gma, delta_s=0.0193, mode="metrics",
+                   dtype=np.float32, max_size=151, pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(res.pos),
+                               np.asarray(ref.final.pos), atol=3e-4)
+    np.testing.assert_array_equal(np.asarray(res.mom_count),
+                                  np.asarray(ref.final.mom_count))
+    np.testing.assert_allclose(np.asarray(res.mom_mean),
+                               np.asarray(ref.final.mom_mean), atol=1e-5)
+
+
 def test_tiled_dispersed_batch_raises(fisheye_media):
     """A batch genuinely too scattered for any tile raises RuntimeError
     (the fast_trace router catches it and falls back)."""
