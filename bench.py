@@ -164,6 +164,36 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
                     "executing after boundary exit); gsteps_live counts only "
                     "integrated steps"}
 
+    # -- interface with block-skip: exit-ordered fan + per-block liveness ---
+    # (the device-side equivalent of the reference's data-dependent break,
+    # RT_bench.py:878-879: whole kernel blocks bypass once every lane exits)
+    from raytracing_tpu.engine.segmented import segmented_trace
+
+    theta_v = np.asarray(scen.theta0, np.float32)
+    k = r // len(theta_v) + 1
+    theta_sorted = jax.device_put(np.repeat(theta_v, k)[:r].astype(np.float32))
+
+    def run_skip():
+        f = segmented_trace("op6", pos0, theta_sorted, np.float32(ds),
+                            steps=int(steps), box=tuple(scen.box),
+                            field="interface", segment=128,
+                            block_rays=4096, skip_frozen=True)
+        np.asarray(f.pos[:1])
+        return f
+
+    t, f = best_of(run_skip)
+    mean_err, max_err = snell_stats(np.asarray(f.tangent)[::k], scen)
+    eff = float(np.asarray(f.dist_sim).sum()) / ds
+    out["interface_skip"] = {
+        "op": "op6", "rays": r, "steps": int(steps), "medium": "analytic",
+        "seconds": round(t, 4),
+        "gsteps_per_sec": round(r * steps / t / 1e9, 2),
+        "gsteps_live": round(eff / t / 1e9, 2),
+        "snell_mean_err_deg": round(mean_err, 4),
+        "snell_max_err_deg": round(max_err, 4),
+        "note": "fan sorted by angle; frozen blocks skipped on device "
+                "(segmented_trace(skip_frozen=True))"}
+
     # -- vert: analytic and sampled, op8, in-kernel Welford CV --------------
     scen = rt.scenario("vert")
     vmed = compact_stratified(

@@ -38,21 +38,34 @@ from raytracing_tpu.media.spline import StratifiedGridMedium
 
 @functools.partial(jax.jit, static_argnames=(
     "field", "op", "segment", "box", "block_rays", "interpret", "stats",
-    "strat", "nch", "n_state"))
+    "strat", "nch", "n_state", "skip"))
 def _run_segments(state, tables, delta_s, limit, offset0, n_seg, *,
                   field, op, segment, box, block_rays, interpret, stats,
-                  strat, nch, n_state):
-    """Chain ``n_seg`` resumable kernel launches under one jit."""
+                  strat, nch, n_state, skip=False):
+    """Chain ``n_seg`` resumable kernel launches under one jit.
+
+    ``skip=True`` computes a per-block liveness table before every launch
+    (one reduction over the active mask) and hands it to the kernel, which
+    bypasses the step loop for blocks whose every lane has frozen
+    (``_make_kernel(skip=True)``) — the device-side equivalent of the
+    reference's data-dependent loop break (RT_bench.py:878-879), no host
+    round-trips.  Effective when launch batches are ordered so rays that
+    exit together share blocks.
+    """
     r = state[0].shape[0] * LANES
     rows = block_rays // LANES
+    nblocks = r // block_rays
     shape2 = state[0].shape
     zero = jnp.zeros(shape2, jnp.float32)
     from raytracing_tpu.config import gold_tol
     kernel = _make_kernel(field, op, segment, box, gold_tol(np.float32),
-                          strat=strat, stats=stats, resume=True)
+                          strat=strat, stats=stats, resume=True, skip=skip)
     blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     in_specs = ([blk] * n_state + [blk, pl.BlockSpec(memory_space=pltpu.SMEM)])
+    if skip:
+        # full (nblocks,) liveness table in SMEM; indexed by program_id
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
     if tables is not None:
         in_specs = [pl.BlockSpec((6, nch, rows, LANES),
                                  lambda i: (0, 0, 0, 0),
@@ -74,6 +87,9 @@ def _run_segments(state, tables, delta_s, limit, offset0, n_seg, *,
         ds_vec = jnp.stack([delta_s, limit,
                             offset0 + k.astype(jnp.float32) * segment])
         args = st + (zero, ds_vec)
+        if skip:
+            live = jnp.max(st[8].reshape(nblocks, block_rays), axis=1)
+            args = (live,) + args
         if tables is not None:
             args = (tables,) + args
         return tuple(call(*args))
@@ -86,7 +102,8 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
                     block_rays: int = 4096, interpret: bool = False,
                     with_stats: bool = False, compact: bool = False,
                     compact_every: int = 4,
-                    compact_threshold: float = 0.75) -> FusedFinal:
+                    compact_threshold: float = 0.75,
+                    skip_frozen: bool = False) -> FusedFinal:
     """Fused trace in bounded-compile segments, optionally compacting.
 
     ``compact=True`` checks the live fraction every ``compact_every``
@@ -94,6 +111,13 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
     surviving rays to a smaller padded batch (frozen rays' final states are
     banked and re-scattered at the end).  Results are identical to the
     one-shot kernel; only the wasted lane work changes.
+
+    ``skip_frozen=True`` instead skips whole kernel blocks whose every
+    lane has exited (per-block liveness table + ``pl.when`` bypass — see
+    ``_run_segments``).  Unlike ``compact`` this never leaves the device,
+    so it pays no tunnel sync; it needs the launch batch ordered so rays
+    that exit together share blocks (e.g. the interface fan sorted by
+    launch angle).  The two compose.
     """
     if op not in FUSED_OPS:
         raise ValueError(f"segmented trace supports ops {FUSED_OPS}, got {op!r}")
@@ -151,7 +175,8 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
             jnp.float32(done_segs * segment), jnp.int32(n_run),
             field=field or "stratified", op=op, segment=segment,
             box=tuple(box), block_rays=block_rays, interpret=interpret,
-            stats=with_stats, strat=strat, nch=nch, n_state=n_state)
+            stats=with_stats, strat=strat, nch=nch, n_state=n_state,
+            skip=skip_frozen)
         done_segs += n_run
         if not compact or done_segs >= n_seg_total:
             continue

@@ -298,7 +298,7 @@ def _custom_nag(medium):
 
 def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
                  strat=None, stats: bool = False, resume: bool = False,
-                 supercell=None, custom=None, tile=None):
+                 supercell=None, custom=None, tile=None, skip: bool = False):
     """Build the fused step kernel.
 
     ``stats`` adds a Welford tracker of the horizontal momentum m_x = n*u_x
@@ -313,7 +313,18 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
     bundle — so an outer loop can chain bounded-trip-count launches.  This
     bounds Mosaic's compile time (which scales with the fori_loop trip
     count) and is the hook for live-ray compaction between segments.
+
+    ``skip`` (resume only) prepends a per-block liveness table (SMEM,
+    (nblocks,) f32): a block whose entry is 0 — every lane frozen by
+    boundary exit or the step limit — bypasses the whole step loop and
+    copies its state through (``pl.when``).  With launch batches ordered
+    so rays that exit together sit in the same block (e.g. the interface
+    fan sorted by angle), frozen blocks cost only their state DMA — the
+    device-side answer to the reference's data-dependent break
+    (RT_bench.py:878-879) without any host round-trip.
     """
+    if skip and not resume:
+        raise ValueError("skip is a resume-kernel feature")
     if custom is not None:
         nag = _custom_nag(custom)
     elif strat is not None or supercell is not None or tile is not None:
@@ -330,6 +341,9 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
     limx_i, limx_s, limy_i, limy_s = [float(v) for v in box]
 
     def kernel_impl(nag, *refs):
+        live_ref = None
+        if skip:
+            live_ref, refs = refs[0], refs[1:]
         if resume:
             n_in = 9 + (3 if stats else 0) + (4 if window else 0)
             in_refs, zero_ref, ds_ref = refs[:n_in], refs[n_in], refs[n_in + 1]
@@ -357,7 +371,6 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
             extra0 = None
         ds = ds_ref[0]
         limit = ds_ref[1]  # effective step count (traced); rays freeze after
-        n, gx, gy = nag(x, y)
 
         def body(i, carry):
             if resume:
@@ -532,23 +545,39 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
                                sel(x, wbx), sel(y, wby))
             return base
 
-        carry0 = (x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active)
-        if resume:
-            carry0 = carry0 + extra0
+        def integrate():
+            n, gx, gy = nag(x, y)
+            carry0 = (x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active)
+            if resume:
+                carry0 = carry0 + extra0
+            else:
+                if stats:
+                    # row 0 included
+                    carry0 = carry0 + (zero + 1.0, n * ux, zero)
+                if window:
+                    carry0 = carry0 + (x, y, x, y)  # p_{-2} = p_{-1} = p_0
+            final = jax.lax.fori_loop(0, steps, body, carry0)
+            fx, fy, fcx, fcy, fux, fuy, _, _, _, ftt, fdsim, fact = final[:12]
+            if resume:
+                outs = (fx, fy, fux, fuy, fcx, fcy, ftt, fdsim,
+                        fact) + final[12:]
+            else:
+                outs = (fx, fy, fux, fuy, ftt, fdsim, fact) + (
+                    final[12:15] if stats else ())
+            for ref, val in zip(out_refs, outs):
+                ref[...] = val
+
+        if skip:
+            block_live = live_ref[pl.program_id(0)] > 0.5
+            pl.when(block_live)(integrate)
+
+            @pl.when(jnp.logical_not(block_live))
+            def _passthrough():
+                # every lane frozen: state rides through unchanged
+                for ref, val in zip(out_refs, vals):
+                    ref[...] = val
         else:
-            if stats:
-                carry0 = carry0 + (zero + 1.0, n * ux, zero)  # row 0 included
-            if window:
-                carry0 = carry0 + (x, y, x, y)  # p_{-2} = p_{-1} = p_0
-        final = jax.lax.fori_loop(0, steps, body, carry0)
-        x, y, cx, cy, ux, uy, n, gx, gy, tt, dsim, active = final[:12]
-        if resume:
-            outs = (x, y, ux, uy, cx, cy, tt, dsim, active) + final[12:]
-        else:
-            outs = (x, y, ux, uy, tt, dsim, active) + (
-                final[12:15] if stats else ())
-        for ref, val in zip(out_refs, outs):
-            ref[...] = val
+            integrate()
 
     if supercell is not None:
         if not resume:

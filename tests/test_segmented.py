@@ -155,3 +155,24 @@ def test_grid_trace_op7_and_stats():
                                atol=5e-3)  # op7's fd3 combo amplifies f32 noise
     np.testing.assert_array_equal(np.asarray(res.mom_count),
                                   np.asarray(ref.final.mom_count))
+
+
+def test_skip_frozen_bit_identical():
+    """Per-block liveness skipping (pl.when bypass of all-frozen blocks)
+    changes nothing but the wasted work: results are bit-identical to the
+    plain segmented run, on an exit-ordered interface fan where most
+    blocks freeze early (RT_bench.py:878-879's loop break, device-side)."""
+    scen = rt.scenario("interface")
+    r = 1024
+    theta_v = np.asarray(scen.theta0, np.float32)
+    theta0 = np.repeat(theta_v, -(-r // len(theta_v)))[:r].astype(np.float32)
+    pos0 = np.tile(scen.pos0[:1].astype(np.float32), (r, 1))
+    kw = dict(steps=1200, box=tuple(scen.box), field="interface",
+              segment=128, block_rays=128, interpret=True, with_stats=True)
+    a = segmented_trace("op6", pos0, theta0, np.float32(0.02), **kw)
+    b = segmented_trace("op6", pos0, theta0, np.float32(0.02),
+                        skip_frozen=True, **kw)
+    assert not np.asarray(a.active).any()   # every ray exited: skip engaged
+    for fa, fb in zip(a, b):
+        if fa is not None:
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
