@@ -232,6 +232,35 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
             "gsteps_live": round(eff / t / 1e9, 2),
             "momentum_cv_pct": round(float(np.mean(cv[1:-1])), 5)}
 
+    # -- vert with block-skip (exit-ordered fan, op8 + Welford) -------------
+    theta_vv = np.asarray(scen.theta0, np.float32)
+    kv = r // len(theta_vv) + 1
+    theta_vsorted = jax.device_put(
+        np.repeat(theta_vv, kv)[:r].astype(np.float32))
+
+    def run_vskip():
+        f = segmented_trace("op8", pos0, theta_vsorted, np.float32(ds),
+                            steps=int(steps), box=tuple(scen.box),
+                            field="vert_heterogeneous", segment=128,
+                            block_rays=4096, skip_frozen=True,
+                            with_stats=True)
+        np.asarray(f.pos[:1])
+        return f
+
+    t, f = best_of(run_vskip)
+    nf = len(scen.theta0)
+    cv = 100 * np.sqrt(np.asarray(f.mom_m2[::kv][:nf])
+                       / np.asarray(f.mom_count[::kv][:nf])) \
+        / np.asarray(f.mom_mean[::kv][:nf])
+    eff = float(np.asarray(f.dist_sim).sum()) / ds
+    out["vert_skip"] = {
+        "op": "op8", "rays": r, "steps": int(steps), "medium": "analytic",
+        "seconds": round(t, 4),
+        "gsteps_per_sec": round(r * steps / t / 1e9, 2),
+        "gsteps_live": round(eff / t / 1e9, 2),
+        "momentum_cv_pct": round(float(np.mean(cv[1:-1])), 5),
+        "note": "fan sorted by angle; frozen blocks skipped on device"}
+
     # -- aniso via the golden kernels (op11 reference, op11n extension) -----
     scen = rt.scenario("aniso")
     pos0, theta0 = _fan(scen, r)

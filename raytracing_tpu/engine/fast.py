@@ -176,13 +176,13 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
                               engine="grid-supercell")
         # coarse steps break the supercell invariant -> scan fallback below
 
-    # Past the Mosaic compile threshold, fused ops chain bounded segments
-    # (below); golden/custom kernels have no segmented variant yet, so for
-    # them the scan engine (compile independent of trip count) is the safe
-    # path.  The reference's workloads never get there (largest golden
+    # Past the Mosaic compile threshold, fused and golden ops chain bounded
+    # segments (below); custom-media kernels have no segmented variant, so
+    # for them the scan engine (compile independent of trip count) is the
+    # safe path.  The reference's workloads never get there (largest golden
     # config is ~3300 steps).
     too_long = int(steps) > SEGMENT_THRESHOLD
-    seg_eligible = (op in FUSED_OPS
+    seg_eligible = ((op in FUSED_OPS or op in GOLDEN_OPS)
                     and (isinstance(medium, StratifiedGridMedium)
                          or (isinstance(medium, AnalyticMedium)
                              and medium.field in FUSED_FIELDS)))
@@ -220,11 +220,14 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
             box=tuple(scen.box),
             field=None if strat else scen.field,
             medium=medium if strat else None,
-            segment=1024, block_rays=block_rays, interpret=interpret)
+            segment=1024 if op in FUSED_OPS else 256,
+            block_rays=block_rays, interpret=interpret,
+            gamma=float(scen.gamma))
+        eng = "golden" if op in GOLDEN_OPS else "fused"
         return FastResult(pos=f.pos[:r], traveltime=f.traveltime[:r],
                           dist_sim=f.dist_sim[:r], active=f.active[:r],
-                          engine=("fused-strat-seg" if strat
-                                  else "fused-seg"))
+                          engine=(f"{eng}-strat-seg" if strat
+                                  else f"{eng}-seg"))
 
     if isinstance(medium, StratifiedGridMedium) and op in GOLDEN_OPS:
         g = golden_trace_final(

@@ -39,9 +39,9 @@ from raytracing_tpu.media.spline import StratifiedGridMedium
 @functools.partial(jax.jit, static_argnames=(
     "field", "op", "segment", "box", "block_rays", "interpret", "stats",
     "strat", "nch", "n_state", "skip"))
-def _run_segments(state, tables, delta_s, limit, offset0, n_seg, *,
-                  field, op, segment, box, block_rays, interpret, stats,
-                  strat, nch, n_state, skip=False):
+def _run_segments(state, tables, delta_s, limit, offset0, n_seg,
+                  gamma=1.0, *, field, op, segment, box, block_rays,
+                  interpret, stats, strat, nch, n_state, skip=False):
     """Chain ``n_seg`` resumable kernel launches under one jit.
 
     ``skip=True`` computes a per-block liveness table before every launch
@@ -57,9 +57,17 @@ def _run_segments(state, tables, delta_s, limit, offset0, n_seg, *,
     nblocks = r // block_rays
     shape2 = state[0].shape
     zero = jnp.zeros(shape2, jnp.float32)
-    from raytracing_tpu.config import gold_tol
-    kernel = _make_kernel(field, op, segment, box, gold_tol(np.float32),
-                          strat=strat, stats=stats, resume=True, skip=skip)
+    from raytracing_tpu.config import gold_tol, golden_iters
+    golden = op in GOLDEN_OPS
+    if golden:
+        iters = golden_iters(np.float32)
+        kernel = _make_golden_kernel(
+            field, op, segment, box, iters, gold_tol(np.float32),
+            strat=strat, stats=stats, resume=True, skip=skip)
+    else:
+        kernel = _make_kernel(field, op, segment, box, gold_tol(np.float32),
+                              strat=strat, stats=stats, resume=True,
+                              skip=skip)
     blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     in_specs = ([blk] * n_state + [blk, pl.BlockSpec(memory_space=pltpu.SMEM)])
@@ -83,12 +91,17 @@ def _run_segments(state, tables, delta_s, limit, offset0, n_seg, *,
         interpret=interpret,
     )
 
+    act_idx = 7 if golden else 8   # `active` slot in the resume state
+
     def seg_body(k, st):
-        ds_vec = jnp.stack([delta_s, limit,
-                            offset0 + k.astype(jnp.float32) * segment])
+        offset = offset0 + k.astype(jnp.float32) * segment
+        if golden:
+            ds_vec = golden_scalars(delta_s, gamma, limit, offset, iters)
+        else:
+            ds_vec = jnp.stack([delta_s, limit, offset])
         args = st + (zero, ds_vec)
         if skip:
-            live = jnp.max(st[8].reshape(nblocks, block_rays), axis=1)
+            live = jnp.max(st[act_idx].reshape(nblocks, block_rays), axis=1)
             args = (live,) + args
         if tables is not None:
             args = (tables,) + args
@@ -103,7 +116,8 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
                     with_stats: bool = False, compact: bool = False,
                     compact_every: int = 4,
                     compact_threshold: float = 0.75,
-                    skip_frozen: bool = False) -> FusedFinal:
+                    skip_frozen: bool = False,
+                    gamma: float = 1.0) -> FusedFinal:
     """Fused trace in bounded-compile segments, optionally compacting.
 
     ``compact=True`` checks the live fraction every ``compact_every``
@@ -119,8 +133,10 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
     that exit together share blocks (e.g. the interface fan sorted by
     launch angle).  The two compose.
     """
-    if op not in FUSED_OPS:
-        raise ValueError(f"segmented trace supports ops {FUSED_OPS}, got {op!r}")
+    golden = op in GOLDEN_OPS
+    if not golden and op not in FUSED_OPS:
+        raise ValueError(f"segmented trace supports ops {FUSED_OPS} and "
+                         f"{tuple(GOLDEN_OPS)}, got {op!r}")
     use_strat = isinstance(medium, StratifiedGridMedium)
     if not use_strat and field is None:
         raise ValueError("pass field= (analytic) or medium= (stratified)")
@@ -129,7 +145,11 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
         raise ValueError(f"rays {r} not a multiple of block {block_rays}")
     rows = block_rays // LANES
     window = op == "op7"
-    n_state = 9 + (3 if with_stats else 0) + (4 if window else 0)
+    if golden:
+        n_state = 8 + (3 if with_stats else 0)
+    else:
+        n_state = 9 + (3 if with_stats else 0) + (4 if window else 0)
+    act_idx = 7 if golden else 8         # `active` slot in the resume state
 
     # initial full state, device-resident (r,) components; all host<->device
     # traffic below is index arrays at compaction events only — the tunnel
@@ -138,20 +158,31 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
     theta0 = jnp.asarray(theta0, jnp.float32)
     x = pos0[:, 0]
     y = pos0[:, 1]
-    ux = jnp.cos(theta0)
-    uy = jnp.sin(theta0)
     zeros = jnp.zeros(r, jnp.float32)
     ones = jnp.ones(r, jnp.float32)
-    comps = [x, y, ux, uy, zeros, zeros, zeros, zeros, ones]
     if with_stats:
         if use_strat:
             n0 = medium.n(x, y).astype(jnp.float32)
         else:
             from raytracing_tpu.media.fields import FIELDS
             n0 = FIELDS[field][0](x, y).astype(jnp.float32)
-        comps += [ones, n0 * ux, zeros]
-    if window:
-        comps += [x, y, x, y]
+    if golden:
+        # (x, y, cx, cy, ang, tt, dsim, active) [+ Welford]
+        comps = [x, y, zeros, zeros, theta0, zeros, zeros, ones]
+        if with_stats:
+            ct, st = jnp.cos(theta0), jnp.sin(theta0)
+            cf = jnp.sqrt((gamma * st) ** 2 + ct * ct)
+            mx0 = n0 * cf * ct * (1.0 - st * st * (gamma * gamma - 1.0)
+                                  / (cf * cf))
+            comps += [ones, mx0, zeros]
+    else:
+        ux = jnp.cos(theta0)
+        uy = jnp.sin(theta0)
+        comps = [x, y, ux, uy, zeros, zeros, zeros, zeros, ones]
+        if with_stats:
+            comps += [ones, n0 * ux, zeros]
+        if window:
+            comps += [x, y, x, y]
 
     tables = strat = None
     nch = 0
@@ -173,6 +204,7 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
         state = _run_segments(
             state, tables, jnp.float32(delta_s), limit,
             jnp.float32(done_segs * segment), jnp.int32(n_run),
+            jnp.float32(gamma),
             field=field or "stratified", op=op, segment=segment,
             box=tuple(box), block_rays=block_rays, interpret=interpret,
             stats=with_stats, strat=strat, nch=nch, n_state=n_state,
@@ -180,7 +212,8 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
         done_segs += n_run
         if not compact or done_segs >= n_seg_total:
             continue
-        act = np.asarray(state[8].reshape(-1)) > 0.5   # 1 byte/ray download
+        # 1 byte/ray download
+        act = np.asarray(state[act_idx].reshape(-1)) > 0.5
         # orig_idx == -1 marks padding duplicates: never bank or keep them
         act &= orig_idx >= 0
         live = act.sum() / max(len(orig_idx), 1)
@@ -207,7 +240,7 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
         comps = [f[sel_d] for f in flat]
         # padding lanes are duplicates: freeze them so they neither move
         # nor get banked (they are re-banked from the true lane)
-        comps[8] = comps[8].at[n_alive:].set(0.0)
+        comps[act_idx] = comps[act_idx].at[n_alive:].set(0.0)
         orig_idx = np.concatenate(
             [orig_idx[alive_idx], np.full(n_pad - n_alive, -1)])
         state = tuple(c.reshape(-1, LANES) for c in comps)
@@ -223,6 +256,16 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
             flat = [s.reshape(-1) for s in state]
             out = [b.at[dst].set(f[src]) for b, f in zip(out, flat)]
 
+    if golden:
+        ang = out[4]
+        res = FusedFinal(
+            pos=jnp.stack([out[0], out[1]], axis=-1),
+            tangent=jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1),
+            traveltime=out[5], dist_sim=out[6], active=out[7] > 0.5)
+        if with_stats:
+            res = res._replace(mom_count=out[8], mom_mean=out[9],
+                               mom_m2=out[10])
+        return res
     res = FusedFinal(
         pos=jnp.stack([out[0], out[1]], axis=-1),
         tangent=jnp.stack([out[2], out[3]], axis=-1),

@@ -65,7 +65,8 @@ def _golden_offsets(iters: int):
 
 def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                  curv_tol: float, strat=None, stats: bool = False,
-                 custom=None, resume: bool = False, tile=None):
+                 custom=None, resume: bool = False, tile=None,
+                 skip: bool = False):
     """Build the fused golden/Newton step kernel.
 
     ``resume`` makes the kernel segmentable (mirrors fused._make_kernel):
@@ -73,8 +74,13 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
     from input refs and writes back, with the global step offset at
     ``scal_ref[3]`` — the hook for the tiled 2-D grid path and bounded
     compiles.  ``tile`` injects the per-cell window evaluator
-    (fused._tile_nag); tiled kernels are resume-only.
+    (fused._tile_nag); tiled kernels are resume-only.  ``skip`` prepends a
+    per-block liveness table and bypasses all-frozen blocks (see
+    fused._make_kernel — the golden search makes skipped work ~40x a
+    fused step, so the bypass pays off even faster here).
     """
+    if skip and not resume:
+        raise ValueError("skip is a resume-kernel feature")
     if custom is not None:
         nag_analytic = _custom_nag(custom)
     elif strat is not None or tile is not None:
@@ -92,6 +98,9 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
     cos_d0, sin_d0 = math.cos(d0_off), math.sin(d0_off)
 
     def kernel_impl(nag, *refs):
+        live_ref = None
+        if skip:
+            live_ref, refs = refs[0], refs[1:]
         if resume:
             n_in = 8 + (3 if stats else 0)
             in_refs, zero_ref, scal_ref = refs[:n_in], refs[n_in], refs[n_in + 1]
@@ -117,8 +126,6 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
         limit = scal_ref[2]   # traced step count; rays freeze after
         offset = scal_ref[3]  # applied steps before this segment (global)
         g2m1 = gamma * gamma - 1.0
-        ux, uy = jnp.cos(ang), jnp.sin(ang)
-        n, gx, gy = nag(x, y)
 
         def coef_of(ct, st):
             if iso:
@@ -297,23 +304,39 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                                sel(m22, m2))
             return base
 
-        carry0 = (x, y, cx, cy, ang, ux, uy, n, gx, gy, tt, dsim, active)
-        if stats:
+        def integrate():
+            ux, uy = jnp.cos(ang), jnp.sin(ang)
+            n, gx, gy = nag(x, y)
+            carry0 = (x, y, cx, cy, ang, ux, uy, n, gx, gy, tt, dsim, active)
+            if stats:
+                if resume:
+                    carry0 = carry0 + stats0
+                else:
+                    cf0 = coef_of(ux, uy)
+                    mx0 = mom_x(n, cf0, ux, uy)
+                    carry0 = carry0 + (zero + 1.0, mx0, zero)
+            final = jax.lax.fori_loop(0, steps, body, carry0)
+            fx, fy, fcx, fcy, fang, _, _, _, _, _, ftt, fdsim, fact = \
+                final[:13]
             if resume:
-                carry0 = carry0 + stats0
+                outs = (fx, fy, fcx, fcy, fang, ftt, fdsim,
+                        fact) + final[13:]
             else:
-                cf0 = coef_of(ux, uy)
-                mx0 = mom_x(n, cf0, ux, uy)
-                carry0 = carry0 + (zero + 1.0, mx0, zero)
-        final = jax.lax.fori_loop(0, steps, body, carry0)
-        x, y, cx, cy, ang, ux, uy, n, gx, gy, tt, dsim, active = final[:13]
-        if resume:
-            outs = (x, y, cx, cy, ang, tt, dsim, active) + final[13:]
+                outs = (fx, fy, fang, ftt, fdsim, fact) + (
+                    final[13:16] if stats else ())
+            for rf, val in zip(out_refs, outs):
+                rf[...] = val
+
+        if skip:
+            block_live = live_ref[pl.program_id(0)] > 0.5
+            pl.when(block_live)(integrate)
+
+            @pl.when(jnp.logical_not(block_live))
+            def _passthrough():
+                for rf, val in zip(out_refs, vals):
+                    rf[...] = val
         else:
-            outs = (x, y, ang, tt, dsim, active) + (
-                final[13:16] if stats else ())
-        for rf, val in zip(out_refs, outs):
-            rf[...] = val
+            integrate()
 
     if tile is not None:
         if not resume:

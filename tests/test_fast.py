@@ -178,16 +178,20 @@ def test_fast_trace_long_traces_use_segments():
         seg = fast_trace("op6", scen, med, delta_s=0.02, steps=300,
                          pos0=pos0, theta0=theta0, block_rays=128)
         assert seg.engine == "fused-seg"
-        # golden past the threshold falls back to the scan engine
+        # golden past the threshold segments too (resume kernels)
         g = fast_trace("op5", scen, med, delta_s=0.02, steps=300,
                        pos0=pos0, theta0=theta0, block_rays=128)
-        assert g.engine == "scan"
+        assert g.engine == "golden-seg"
     finally:
         fastmod.SEGMENT_THRESHOLD = old
     one = fast_trace("op6", scen, med, delta_s=0.02, steps=300,
                      pos0=pos0, theta0=theta0, block_rays=128)
     assert one.engine == "fused"
     np.testing.assert_array_equal(np.asarray(seg.pos), np.asarray(one.pos))
+    gone = fast_trace("op5", scen, med, delta_s=0.02, steps=300,
+                      pos0=pos0, theta0=theta0, block_rays=128)
+    assert gone.engine == "golden"
+    np.testing.assert_array_equal(np.asarray(g.pos), np.asarray(gone.pos))
 
 
 def test_fast_trace_custom_medium_golden():

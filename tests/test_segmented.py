@@ -176,3 +176,32 @@ def test_skip_frozen_bit_identical():
     for fa, fb in zip(a, b):
         if fa is not None:
             np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_golden_segmented_equals_oneshot():
+    """The golden family through segmented_trace (resume + skip + compact)
+    reproduces the one-shot golden kernel bit-for-bit, incl. the Welford
+    anisotropic-momentum stats (gamma=3, RT_bench.py:702-764)."""
+    from raytracing_tpu.kernels.golden import golden_trace_final
+    scen = rt.scenario("aniso")
+    r = 512
+    theta_v = np.linspace(0.1, 1.4, 32).astype(np.float32)
+    theta0 = np.repeat(theta_v, r // 32).astype(np.float32)
+    pos0 = np.tile(scen.pos0[:1].astype(np.float32), (r, 1))
+    ds, steps = 0.0193, 700
+    one = golden_trace_final(pos0, theta0, np.float32(ds), np.float32(3.0),
+                             field="vert_heterogeneous", op="op11",
+                             steps=steps, box=tuple(scen.box),
+                             block_rays=128, interpret=True, with_stats=True)
+    for kw in (dict(), dict(skip_frozen=True), dict(compact=True)):
+        seg = segmented_trace("op11", pos0, theta0, np.float32(ds),
+                              steps=steps, box=tuple(scen.box),
+                              field="vert_heterogeneous", segment=128,
+                              block_rays=128, interpret=True,
+                              with_stats=True, gamma=3.0, **kw)
+        np.testing.assert_array_equal(np.asarray(one.pos),
+                                      np.asarray(seg.pos))
+        np.testing.assert_array_equal(np.asarray(one.mom_m2),
+                                      np.asarray(seg.mom_m2))
+        np.testing.assert_array_equal(np.asarray(one.dist_sim),
+                                      np.asarray(seg.dist_sim))
