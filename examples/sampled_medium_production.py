@@ -8,8 +8,9 @@ the physics oracle computed from the same kernel outputs:
     python examples/sampled_medium_production.py [rays]
 
 Shows: 1-D stratified tables (interface) at kernel speed with the Snell
-oracle, the kernel-tier DELTA_S sweep on the sampled medium, and the exact
-2-D fisheye spline through the supercell Hermite kernel.
+oracle, the kernel-tier DELTA_S sweep on the sampled medium, the exact
+2-D fisheye spline through the tiled window kernel, and the batched
+DELTA_S search on that 2-D spline (one candidate per kernel block).
 """
 import sys
 import time
@@ -62,3 +63,11 @@ g = fast_trace("op6", fscen, hm, delta_s=2 * np.pi / div, steps=div,
                pos0=p0, theta0=th)
 clo = 100 * np.linalg.norm(np.asarray(g.pos)[0] - [1, 0]) / (2 * np.pi)
 print(f"fisheye 2-D spline [{g.engine}]: closure {clo:.4f} % after one turn")
+
+# 4. batched DELTA_S search ON the 2-D spline — the medium the reference
+#    actually calibrates; one candidate per kernel block (grid_sweep_tiled)
+t0 = time.perf_counter()
+sr = delta_s_search("op1", fscen, hm, engine="auto")
+dt = time.perf_counter() - t0
+print(f"DELTA_S search (op1, 2-D fisheye spline): divisor {sr.divisor}, "
+      f"{len(sr.divisors)} candidates in {dt:.0f}s")

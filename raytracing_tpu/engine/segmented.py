@@ -429,6 +429,192 @@ def _tiled_run_segments(state, nodes3d, delta_s, limit, offset0, n_seg,
     return state, flag
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "op", "segment", "box", "block_rays", "interpret", "meta", "tile_shape"))
+def _tiled_sweep_segments(state, nodes3d, scal, n_seg, *, op, segment, box,
+                          block_rays, interpret, meta, tile_shape):
+    """Chain tiled-kernel launches with PER-BLOCK (delta_s, limit) rows.
+
+    The candidate-sweep engine: block b integrates candidate b's step size
+    — windows are already per block, and ``_make_kernel(per_block_scal=
+    True)`` reads each block's scalar row — so ONE launch advances every
+    candidate by ``segment`` steps.  ``scal`` is (nblocks, 3) f32 rows
+    (delta_s, limit, offset); the offset column is updated here per
+    refresh.  Containment margins are per block (each candidate's travel
+    rate differs); the returned flag must stay <= 0 — the caller selects a
+    window class per candidate upfront, so a trip means a bug, not a
+    recoverable dispersal.
+    """
+    x0, y0, inv_hx, inv_hy, nx, ny = meta
+    th, tw = tile_shape
+    r = state[0].shape[0] * LANES
+    rows = block_rays // LANES
+    nblocks = r // block_rays
+    nchunks = -(-th * tw // LANES)
+    n_ch = nchunks * 36
+    shape2 = state[0].shape
+    zero = jnp.zeros(shape2, jnp.float32)
+    from raytracing_tpu.config import gold_tol
+    kernel = _make_kernel("hermite-tile", op, segment, box,
+                          gold_tol(np.float32), resume=True,
+                          tile=meta + tile_shape, per_block_scal=True)
+    blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((1, n_ch, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    base_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    n_state = 9
+    call = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[tile_spec, base_spec] + [blk] * n_state
+                 + [blk, pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[blk] * n_state,
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * n_state,
+        cost_estimate=pl.CostEstimate(
+            flops=200 * r * segment,
+            bytes_accessed=(2 * n_state * r + nblocks * n_ch * LANES) * 4,
+            transcendentals=3 * r * segment),
+        interpret=interpret,
+    )
+    ds_col = scal[:, 0]
+    margin_x = jnp.ceil(segment * ds_col * inv_hx)     # per block
+    margin_y = jnp.ceil(segment * ds_col * inv_hy)
+    pad_cells = nchunks * LANES - th * tw
+
+    def seg_body(k, carry):
+        st, flag = carry
+        ix, iy = _cells(st[0].reshape(nblocks, block_rays),
+                        st[1].reshape(nblocks, block_rays), meta)
+        ixm, ixM = jnp.min(ix, axis=1), jnp.max(ix, axis=1)
+        iym, iyM = jnp.min(iy, axis=1), jnp.max(iy, axis=1)
+        need_x = (ixM - ixm) + 2.0 * margin_x - float(tw - 1)
+        need_y = (iyM - iym) + 2.0 * margin_y - float(th - 1)
+        flag = jnp.maximum(flag,
+                           jnp.maximum(jnp.max(need_x), jnp.max(need_y)))
+        bix = jnp.clip(ixm - jnp.floor((float(tw - 1) - (ixM - ixm)) * 0.5),
+                       0.0, float(nx - 1 - tw)).astype(jnp.int32)
+        biy = jnp.clip(iym - jnp.floor((float(th - 1) - (iyM - iym)) * 0.5),
+                       0.0, float(ny - 1 - th)).astype(jnp.int32)
+        win = jax.vmap(lambda by, bx: jax.lax.dynamic_slice(
+            nodes3d, (by, bx, jnp.int32(0)), (th + 1, tw + 1, 9)))(biy, bix)
+        cells = jnp.stack([win[:, :-1, :-1], win[:, :-1, 1:],
+                           win[:, 1:, :-1], win[:, 1:, 1:]],
+                          axis=-1).reshape(nblocks, th * tw, 36)
+        if pad_cells:
+            cells = jnp.concatenate(
+                [cells, jnp.zeros((nblocks, pad_cells, 36), cells.dtype)],
+                axis=1)
+        tiles = jnp.transpose(
+            cells.reshape(nblocks, nchunks, LANES, 36),
+            (0, 1, 3, 2)).reshape(nblocks, n_ch, LANES)
+        bases = jnp.stack([bix, biy], axis=-1).astype(jnp.float32)
+        scal_k = scal.at[:, 2].set(k.astype(jnp.float32) * segment)
+        args = (tiles, bases) + st + (zero, scal_k)
+        return tuple(call(*args)), flag
+
+    state, flag = jax.lax.fori_loop(
+        0, n_seg, seg_body, (tuple(state), jnp.float32(-np.inf)))
+    return state, flag
+
+
+#: window classes for the batched sweep, smallest first
+_SWEEP_TILES = ((11, 11), (16, 16), (22, 22), (32, 32))
+
+
+def grid_sweep_tiled(op: str, pos0, theta0, delta_s, step_limits, medium, *,
+                     box, block_rays: int = 1024,
+                     interpret: bool = False):
+    """Run a whole DELTA_S candidate set on a 2-D grid medium, batched.
+
+    One candidate per kernel block: each block carries its own window (the
+    tiled design already provides that) and its own (delta_s, step_limit)
+    scalar row, so the full sweep advances in ``ceil(max_steps / segment)``
+    launches instead of per-candidate runs — the reference's
+    executor.map(search_delta) fan-out (RT_bench.py:1317-1318) as one
+    program.  ``pos0``/``theta0`` are PER-CANDIDATE launch values
+    (length n_candidates); each is duplicated across its block's lanes.
+
+    Candidates are partitioned into window classes upfront (a coarser step
+    needs a larger window to contain one refresh's travel); candidates too
+    coarse for the largest window are returned in the ``fallback`` index
+    list for the caller to run through the scan tier.  Returns
+    ``(final_pos, fallback_idx)`` with ``final_pos`` (n_candidates, 2) —
+    NaN rows for fallback candidates.
+    """
+    from raytracing_tpu.media.hermite import HermiteGridMedium
+
+    if not isinstance(medium, HermiteGridMedium):
+        raise ValueError("grid_sweep_tiled needs a HermiteGridMedium")
+    if op not in FUSED_OPS:
+        raise ValueError(f"grid_sweep_tiled supports {FUSED_OPS} (golden "
+                         f"candidates run sequentially), got {op!r}")
+    meta = (float(medium.x0), float(medium.y0), float(medium.inv_hx),
+            float(medium.inv_hy), int(medium.nx), int(medium.ny))
+    pitch = min(1.0 / meta[2], 1.0 / meta[3])
+    delta_s = np.asarray(delta_s, np.float32)
+    step_limits = np.asarray(step_limits, np.float32)
+    n_cand = len(delta_s)
+    pos0 = np.asarray(pos0, np.float32).reshape(n_cand, 2)
+    theta0 = np.asarray(theta0, np.float32).reshape(n_cand)
+    nodes3d = jnp.asarray(medium.nodes, jnp.float32).reshape(
+        medium.ny, medium.nx, 9)
+
+    # window class per candidate: segment chosen per class from its
+    # coarsest member so every refresh's travel fits with ~2 bbox cells of
+    # slack (sweep blocks start as duplicated rays -> bbox 0, but windows
+    # clamp at domain edges, which costs up to the start-position offset)
+    def class_of(ds):
+        for ti, tile in enumerate(_SWEEP_TILES):
+            cap = min(tile) - 1
+            if 2.0 * np.ceil(ds / pitch) <= cap - 2:
+                return ti
+        return None
+
+    classes = [class_of(float(d)) for d in delta_s]
+    final = np.full((n_cand, 2), np.nan, np.float32)
+    fallback = [i for i, c in enumerate(classes) if c is None]
+
+    for ti, tile in enumerate(_SWEEP_TILES):
+        idx = [i for i, c in enumerate(classes) if c == ti]
+        if not idx:
+            continue
+        cap = min(tile) - 1
+        ds_max = float(delta_s[idx].max())
+        segment = max(1, int((cap - 2) * 0.5 * pitch / ds_max))
+        steps_max = int(step_limits[idx].max())
+        nb = len(idx)
+        comps_pos = np.repeat(pos0[idx], block_rays, axis=0)
+        comps_th = np.repeat(theta0[idx], block_rays)
+        x = jnp.asarray(comps_pos[:, 0])
+        y = jnp.asarray(comps_pos[:, 1])
+        ux = jnp.cos(jnp.asarray(comps_th))
+        uy = jnp.sin(jnp.asarray(comps_th))
+        zeros = jnp.zeros(nb * block_rays, jnp.float32)
+        ones = jnp.ones(nb * block_rays, jnp.float32)
+        state = tuple(c.reshape(-1, LANES) for c in
+                      [x, y, ux, uy, zeros, zeros, zeros, zeros, ones])
+        scal = jnp.asarray(
+            np.stack([delta_s[idx], step_limits[idx],
+                      np.zeros(nb, np.float32)], axis=-1))
+        n_seg = -(-steps_max // segment)
+        state, flag = _tiled_sweep_segments(
+            state, nodes3d, scal, jnp.int32(n_seg), op=op, segment=segment,
+            box=tuple(box), block_rays=block_rays, interpret=interpret,
+            meta=meta, tile_shape=tile)
+        if not (float(flag) <= 0.0):
+            raise RuntimeError(
+                f"grid_sweep_tiled: containment flag {float(flag)} tripped "
+                f"for window {tile} (segment {segment}) — window classing "
+                "bug or non-duplicated candidate rays")
+        xs = state[0].reshape(nb, block_rays)[:, 0]
+        ys = state[1].reshape(nb, block_rays)[:, 0]
+        final[idx, 0] = np.asarray(xs)
+        final[idx, 1] = np.asarray(ys)
+
+    return final, fallback
+
+
 def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
                      box, segment: int | None = None, block_rays: int = 1024,
                      tile_shape: tuple = (11, 11), refreshes_per_round: int = 32,

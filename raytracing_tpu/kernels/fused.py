@@ -298,7 +298,8 @@ def _custom_nag(medium):
 
 def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
                  strat=None, stats: bool = False, resume: bool = False,
-                 supercell=None, custom=None, tile=None, skip: bool = False):
+                 supercell=None, custom=None, tile=None, skip: bool = False,
+                 per_block_scal: bool = False):
     """Build the fused step kernel.
 
     ``stats`` adds a Welford tracker of the horizontal momentum m_x = n*u_x
@@ -322,9 +323,16 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
     fan sorted by angle), frozen blocks cost only their state DMA — the
     device-side answer to the reference's data-dependent break
     (RT_bench.py:878-879) without any host round-trip.
+
+    ``per_block_scal`` (resume only) makes the scalar bundle a PER-BLOCK
+    table: ``ds_ref`` is (nblocks, 3) and each block reads its own
+    (delta_s, limit, offset) row — so one launch integrates a different
+    step size per block.  This is what batches a whole DELTA_S candidate
+    sweep over the grid medium into single kernel launches (one candidate
+    per block, each with its own window AND its own step).
     """
-    if skip and not resume:
-        raise ValueError("skip is a resume-kernel feature")
+    if (skip or per_block_scal) and not resume:
+        raise ValueError("skip/per_block_scal are resume-kernel features")
     if custom is not None:
         nag = _custom_nag(custom)
     elif strat is not None or supercell is not None or tile is not None:
@@ -352,7 +360,15 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
             x, y, ux, uy, cx, cy, tt, dsim, active = vals[:9]
             extra0 = tuple(vals[9:])
             zero = zero_ref[...]
-            offset = ds_ref[2]  # applied steps before this segment (global)
+            if per_block_scal:
+                _b = pl.program_id(0)
+                # this block's scalar row (direct 2-D reads: Mosaic's SMEM
+                # sub-ref view .at[b] crashes its compiler)
+                ds = ds_ref[_b, 0]
+                limit = ds_ref[_b, 1]
+                offset = ds_ref[_b, 2]
+            else:
+                offset = ds_ref[2]  # applied steps before this segment
         else:
             (x_ref, y_ref, ux_ref, uy_ref, zero_ref, ds_ref), out_refs = \
                 refs[:6], refs[6:]
@@ -369,8 +385,9 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
             active = zero + 1.0  # f32 mask: Mosaic can't carry i1 in scf.for
             offset = 0.0
             extra0 = None
-        ds = ds_ref[0]
-        limit = ds_ref[1]  # effective step count (traced); rays freeze after
+        if not per_block_scal:
+            ds = ds_ref[0]
+            limit = ds_ref[1]  # effective steps (traced); rays freeze after
 
         def body(i, carry):
             if resume:

@@ -133,16 +133,35 @@ def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
       so secant == tangent to f32 precision (the scan tier keeps the exact
       tail-secant computation; divergence logged in docs/PARITY.md);
     * vert/aniso -> ``cv_pct`` from the in-kernel Welford momentum tracker.
+
+    ``medium`` may also be a 2-D ``GridMedium``/``HermiteGridMedium``
+    (fisheye only — the x-independent fields collapse exactly to the
+    stratified 1-D form): candidates then run through the tiled window
+    kernel (engine/segmented.grid_trace_tiled), which jit-caches across
+    candidates, so the sweep runs on the very spline pipeline the
+    reference calibrates (RT_bench.py:435-464) instead of the analytic
+    stand-in.
     """
     import jax as _jax
 
     from raytracing_tpu.kernels.fused import (fused_trace_final,
                                               fused_trace_final_strat)
     from raytracing_tpu.kernels.golden import GOLDEN_OPS, golden_trace_final
-    from raytracing_tpu.media.spline import StratifiedGridMedium
+    from raytracing_tpu.media.hermite import HermiteGridMedium
+    from raytracing_tpu.media.spline import GridMedium, StratifiedGridMedium
 
     if interpret is None:
         interpret = _jax.default_backend() == "cpu"
+    use_grid = isinstance(medium, (GridMedium, HermiteGridMedium))
+    if use_grid:
+        if not scen.is_fisheye:
+            raise ValueError(
+                "2-D grid sweeps cover the fisheye scenario; interface/"
+                "vert sample exactly to 1-D — pass a StratifiedGridMedium")
+        if isinstance(medium, GridMedium):
+            from raytracing_tpu.engine.fast import _as_hermite
+
+            medium = _as_hermite(medium)
     use_strat = isinstance(medium, StratifiedGridMedium)
     if use_strat:
         from raytracing_tpu.media.spline import compact_stratified
@@ -175,6 +194,44 @@ def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
     out = {k: np.empty(len(delta_s)) for k in (
         ("mean_err", "max_err") if scen.is_interface else
         ("closure_pct",) if scen.is_fisheye else ("cv_pct",))}
+
+    if use_grid and op_name not in GOLDEN_OPS:
+        # batched: one candidate per kernel block, each with its own
+        # (delta_s, limit) scalar row and its own window — the whole sweep
+        # advances in ~max_steps/segment launches (engine/segmented.
+        # grid_sweep_tiled) instead of per-candidate runs
+        from raytracing_tpu.engine.segmented import grid_sweep_tiled
+        from raytracing_tpu.engine.streaming import trace_chunked
+
+        n = len(delta_s)
+        pos_c = np.tile(np.array([[1.0, 0.0]], np.float32), (n, 1))
+        th_c = np.full(n, np.pi / 2.0, np.float32)
+        final, fb = grid_sweep_tiled(
+            op_name, pos_c, th_c, np.asarray(delta_s, np.float32),
+            np.asarray(step_limits, np.float32), medium,
+            box=tuple(scen.box), interpret=interpret)
+        for i in fb:
+            # too coarse for any window: bounded scan segments (these are
+            # also the shortest candidates, tens of steps)
+            res = trace_chunked(
+                op_name, scen, medium, delta_s=float(delta_s[i]),
+                max_size=int(step_limits[i]) + 1, pos0=pos_c[i:i + 1],
+                theta0=th_c[i:i + 1])
+            final[i] = np.asarray(res.final.pos[0])
+        out["closure_pct"][:] = (100.0 / (2.0 * np.pi)) * np.linalg.norm(
+            final - [1.0, 0.0], axis=1)
+        if checkpoint is not None:
+            from raytracing_tpu.utils.checkpoint import SweepCheckpoint
+
+            store = SweepCheckpoint(checkpoint, meta={
+                "op": op_name, "scenario": scen.name, "engine": "fused",
+                "candidates": int(n), "chunk": int(chunk)})
+            for ci in range(-(-n // chunk)):
+                if not store.has_chunk(ci):
+                    lo = ci * chunk
+                    store.add_chunk(ci, {
+                        "closure_pct": out["closure_pct"][lo:lo + chunk]})
+        return out
     store = None
     if checkpoint is not None:
         from raytracing_tpu.utils.checkpoint import SweepCheckpoint
@@ -194,7 +251,31 @@ def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
                 done_upto = i + n
             if i < done_upto:
                 continue
-        if use_golden:
+        if use_grid:
+            from raytracing_tpu.engine.segmented import grid_trace_tiled
+
+            # each candidate runs its own exact step count through the
+            # tiled kernel; variants jit-cache by (segment, tile)
+            try:
+                f = grid_trace_tiled(
+                    op_name, pos0, theta0, np.float32(ds), medium,
+                    steps=int(lim), box=tuple(scen.box),
+                    block_rays=min(block_rays, 1024), interpret=interpret,
+                    gamma=float(scen.gamma))
+            except RuntimeError:
+                # ultra-coarse candidate: one step crosses more cells than
+                # any window holds — bounded scan segments instead (these
+                # candidates are also the shortest, tens of steps)
+                import types
+
+                from raytracing_tpu.engine.streaming import trace_chunked
+
+                res = trace_chunked(
+                    op_name, scen, medium, delta_s=float(ds),
+                    max_size=int(lim) + 1, pos0=np.asarray(pos0[:1]),
+                    theta0=np.asarray(theta0[:1]))
+                f = types.SimpleNamespace(pos=np.asarray(res.final.pos))
+        elif use_golden:
             f = golden_trace_final(
                 pos0, theta0, np.float32(ds), np.float32(scen.gamma),
                 field=scen.field, op=op_name, steps=int(max_steps),
@@ -331,10 +412,16 @@ def fused_sweep_supported(op_name: str, scen: config.ScenarioConfig,
     from raytracing_tpu.media.medium import AnalyticMedium
     from raytracing_tpu.media.spline import StratifiedGridMedium
 
+    from raytracing_tpu.media.hermite import HermiteGridMedium
+    from raytracing_tpu.media.spline import GridMedium
+
     if op_name not in FUSED_OPS and op_name not in GOLDEN_OPS:
         return False
     if isinstance(medium, StratifiedGridMedium):
         return not scen.is_fisheye
+    if isinstance(medium, (GridMedium, HermiteGridMedium)):
+        # 2-D grid sweeps run through the tiled window kernel (fisheye only)
+        return scen.is_fisheye
     # the kernel sweep inlines the SCENARIO's field; an analytic medium with
     # a different field must go through the scan tier, which honors it
     return (isinstance(medium, AnalyticMedium)
@@ -382,9 +469,12 @@ def delta_s_search(op_name: str, scen: config.ScenarioConfig, medium, *,
         if not fused_sweep_supported(op_c, scen, medium):
             raise ValueError(f"fused sweep does not cover {op_c!r} on "
                              f"{type(medium).__name__} ({scen.name})")
-        from raytracing_tpu.media.spline import StratifiedGridMedium
+        from raytracing_tpu.media.hermite import HermiteGridMedium
+        from raytracing_tpu.media.spline import GridMedium, StratifiedGridMedium
 
-        med = medium if isinstance(medium, StratifiedGridMedium) else None
+        med = (medium if isinstance(medium, (StratifiedGridMedium,
+                                             GridMedium, HermiteGridMedium))
+               else None)
         metrics = run_candidates_fused(
             op_c, scen, delta_s, sizes - 1, max_size - 1, medium=med,
             rays=rays, block_rays=block_rays, checkpoint=checkpoint)

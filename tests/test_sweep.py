@@ -255,3 +255,27 @@ def test_fused_sweep_aniso_golden_cv_matches_scan():
                                  rays=128)
     scan = run_candidates("op10", scen, med, ds, sizes - 1, int(sizes.max()))
     np.testing.assert_allclose(fused["cv_pct"], scan["cv_pct"], atol=5e-3)
+
+
+def test_grid_medium_sweep_matches_scan():
+    """DELTA_S candidates on the 2-D sampled-spline medium run through the
+    tiled window kernel (the reference calibrates ON this spline,
+    RT_bench.py:435-464); ultra-coarse candidates that no window can
+    contain fall back to bounded scan segments.  Metrics match the
+    scan-engine sweep."""
+    import raytracing_tpu as rt
+    from raytracing_tpu.media.spline import build_grid_medium
+    from raytracing_tpu.parallel.sweep import (run_candidates,
+                                               run_candidates_fused)
+
+    scen = rt.scenario("fisheye")
+    gm = build_grid_medium("fisheye", scen.box, dtype=np.float32)
+    divs = np.array([6, 40, 300], np.int64)     # 6 exercises the fallback
+    ds = (2 * np.pi / divs).astype(np.float32)
+    sizes = 1 * divs
+    g = run_candidates_fused("op6", scen, ds, sizes - 1,
+                             int(sizes.max()) - 1, medium=gm, rays=1024,
+                             block_rays=1024, interpret=True)
+    s = run_candidates("op6", scen, gm, ds, sizes - 1, int(sizes.max()),
+                       n_turns=1, dtype=np.float32)
+    np.testing.assert_allclose(g["closure_pct"], s["closure_pct"], atol=5e-3)
