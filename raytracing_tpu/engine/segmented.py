@@ -664,11 +664,22 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
     meta = (float(medium.x0), float(medium.y0), float(medium.inv_hx),
             float(medium.inv_hy), int(medium.nx), int(medium.ny))
     pitch = min(1.0 / meta[2], 1.0 / meta[3])
+
+    def _default_segment(tile):
+        # capacity is min(tile) cells: ~4 for the block bbox, the rest
+        # split between both travel directions
+        budget = max(1.0, (min(tile) - 1 - 4) * 0.5)
+        return max(1, min(64, int(budget * pitch / float(delta_s))))
+
     if segment is None:
-        # capacity is min(th, tw) cells (default 11): ~4 for the block
-        # bbox, the rest split between both travel directions
-        budget = max(1.0, (min(th, tw) - 1 - 4) * 0.5)
-        segment = max(1, min(64, int(budget * pitch / float(delta_s))))
+        # coarse steps cross >1 cell each; starting with a larger window
+        # amortizes refreshes (refresh = several XLA ops + a launch) at
+        # the cost of more gather chunks per step
+        grow = {(11, 11): (16, 16), (16, 16): (22, 22), (22, 22): (32, 32)}
+        while (_default_segment((th, tw)) < 4 and (th, tw) in grow
+               and 2 * th <= medium.ny - 1 and 2 * tw <= medium.nx - 1):
+            th, tw = grow[(th, tw)]
+        segment = _default_segment((th, tw))
     window = op == "op7"
     if golden:
         n_state = 8 + (3 if with_stats else 0)
