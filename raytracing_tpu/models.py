@@ -94,9 +94,10 @@ def get(name: str, medium: str = "analytic", dtype=np.float32,
     """Build (cached) a scenario + medium pairing.
 
     ``medium="grid"`` reproduces the reference's 2-D sampled-spline pipeline
-    (bit-faithful physics, scan tier); ``"stratified"`` is the same sampled
-    medium in its exact 1-D form for x-independent fields (kernel-speed on
-    TPU); ``"analytic"`` is exact and the fastest path.
+    (bit-faithful physics; fast_trace runs it through the tiled window
+    kernel); ``"stratified"`` is the same sampled medium in its exact 1-D
+    form for x-independent fields (kernel-speed on TPU); ``"analytic"`` is
+    exact and the fastest path.
     """
     key = (name, medium, np.dtype(dtype).name, n_turns)
     if key in _CACHE:

@@ -81,12 +81,19 @@ def _trace_request(body: dict) -> dict:
     elif medium_kind == "stratified":
         if scen.is_fisheye:
             raise ValueError("stratified medium needs an x-independent "
-                             "field; fisheye requires medium=analytic")
+                             "field; fisheye samples in 2-D — use "
+                             "medium=grid")
         from raytracing_tpu import models
         medium = models.get(scen.name, medium="stratified").medium
+    elif medium_kind == "grid":
+        # the reference's full 2-D sampled-spline pipeline; fast_trace
+        # routes it through the tiled window kernel (models caches the
+        # sampled tables per scenario)
+        from raytracing_tpu import models
+        medium = models.get(scen.name, medium="grid").medium
     else:
-        raise ValueError(f"medium must be 'analytic' or 'stratified', "
-                         f"got {medium_kind!r}")
+        raise ValueError(f"medium must be 'analytic', 'stratified' or "
+                         f"'grid', got {medium_kind!r}")
     precision = str(body.get("precision", "standard"))
     t0 = time.perf_counter()
     out = fast_trace(op, scen, medium, delta_s=delta_s, steps=steps,

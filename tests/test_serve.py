@@ -110,3 +110,14 @@ def test_trace_stratified_medium(server):
     assert code == 400 and "x-independent" in body["error"]
     code, body = _post(server + "/v1/trace", {"medium": "banana"})
     assert code == 400
+
+
+def test_trace_grid_medium(server):
+    """medium=grid serves the reference's 2-D sampled-spline pipeline
+    through the tiled window kernel."""
+    code, body = _post(server + "/v1/trace",
+                       {"scenario": "fisheye", "op": "op6", "rays": 128,
+                        "medium": "grid", "divisor": 100, "n_turns": 1})
+    assert code == 200, body
+    assert body["medium"] == "grid"
+    assert body["engine"] in ("grid-tiled", "grid-supercell", "scan")
