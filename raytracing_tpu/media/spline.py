@@ -231,6 +231,47 @@ def build_grid_medium(field: str, box, delta: float = config.DELTA,
     FITPACK fit; "auto" prefers native when the host can build it.
     """
     x, y, Z = _grid.gen_grid(field, box, delta)
+    # the reference differentiates with the NOMINAL pitch regardless of the
+    # per-axis linspace spacing (np.gradient(Z, DELTA), RT_bench.py:450)
+    return grid_medium_from_samples(Z, x, y, dtype=dtype, backend=backend,
+                                    gradient_spacing=delta)
+
+
+def grid_medium_from_samples(Z, x, y, *, dtype=np.float32,
+                             backend: str = "auto",
+                             gradient_spacing: float | None = None
+                             ) -> GridMedium:
+    """Build a 2-D grid medium from USER-measured index samples.
+
+    ``Z`` is (ny, nx) refractive-index values on the uniform grid spanned
+    by the coordinate vectors ``x`` (nx,) and ``y`` (ny,).  The result
+    evaluates exactly like the reference pipeline applied to those samples
+    — np.gradient (edge_order=2) for the gradient grids, bicubic
+    not-a-knot splines of each component, bilinear n (RT_bench.py:435-464)
+    — and runs at kernel tier through fast_trace/grid_trace_tiled.  The
+    reference can only sample the fields hard-coded in its source
+    (RT_bench.py:104-116); this is the entry point for real measured media
+    (e.g. sound-speed profiles), no source edits required.
+    """
+    Z = np.asarray(Z, np.float64)
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    if Z.shape != (len(y), len(x)):
+        raise ValueError(f"Z shape {Z.shape} != (len(y), len(x)) = "
+                         f"({len(y)}, {len(x)})")
+    if len(x) < 4 or len(y) < 4:
+        raise ValueError("bicubic fitting needs at least a 4x4 grid")
+    hx = float(x[1] - x[0])
+    hy = float(y[1] - y[0])
+    for name, v, h in (("x", x, hx), ("y", y, hy)):
+        if not np.allclose(np.diff(v), h, rtol=1e-6, atol=1e-12):
+            raise ValueError(f"{name} grid must be uniformly spaced")
+    # ``gradient_spacing``: the step fed to np.gradient.  The reference
+    # always uses the nominal DELTA even though its linspace pitches differ
+    # per axis by ~3e-4 (RT_bench.py:426-433, 450); user grids default to
+    # their true mean pitch.
+    gs = float(gradient_spacing if gradient_spacing is not None
+               else 0.5 * (hx + hy))
 
     if backend == "auto":
         from raytracing_tpu import native
@@ -238,13 +279,13 @@ def build_grid_medium(field: str, box, delta: float = config.DELTA,
 
     if backend == "native":
         from raytracing_tpu import native
-        dndx, dndy = native.gradient2(Z, delta)
+        dndx, dndy = native.gradient2(Z, gs)
         cx = native.bicubic_cells(dndx).reshape(-1, 16)
         cy = native.bicubic_cells(dndy).reshape(-1, 16)
     else:
         from scipy.interpolate import RectBivariateSpline
 
-        dndx, dndy = _grid.gradient_grids(Z, delta)
+        dndx, dndy = _grid.gradient_grids(Z, gs)
         sx = RectBivariateSpline(y, x, dndx, kx=3, ky=3)
         sy = RectBivariateSpline(y, x, dndy, kx=3, ky=3)
         cx = _spline_to_cells(sx, y, x).reshape(-1, 16)
@@ -253,6 +294,6 @@ def build_grid_medium(field: str, box, delta: float = config.DELTA,
         Z=jnp.asarray(Z, dtype), cx=jnp.asarray(cx, dtype),
         cy=jnp.asarray(cy, dtype),
         x0=float(x[0]), y0=float(y[0]),
-        inv_hx=float(1.0 / (x[1] - x[0])), inv_hy=float(1.0 / (y[1] - y[0])),
+        inv_hx=float(1.0 / hx), inv_hy=float(1.0 / hy),
         nx=len(x), ny=len(y),
     )

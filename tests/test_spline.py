@@ -186,3 +186,66 @@ def test_compact_stratified_range_trim_vert():
                    dtype=np.float32, max_size=201, pos0=pos0, theta0=theta0)
     np.testing.assert_allclose(np.asarray(out.pos),
                                np.asarray(ref.final.pos), atol=3e-4)
+
+
+def test_grid_medium_from_samples_matches_builder():
+    """User-supplied samples produce the same medium as the built-in
+    sampler, and reject malformed grids with named errors."""
+    import pytest
+
+    import raytracing_tpu as rt
+    from raytracing_tpu.media import grid as _grid
+    from raytracing_tpu.media.spline import (build_grid_medium,
+                                             grid_medium_from_samples)
+
+    from raytracing_tpu import config
+
+    scen = rt.scenario("fisheye")
+    x, y, Z = _grid.gen_grid("fisheye", scen.box)
+    a = build_grid_medium("fisheye", scen.box, dtype=np.float32)
+    # gradient_spacing=DELTA reproduces the reference's np.gradient call
+    # exactly (the builder's own convention); the default (true mean
+    # pitch) differs at ~3e-4 relative
+    b = grid_medium_from_samples(Z, x, y, dtype=np.float32,
+                                 gradient_spacing=config.DELTA)
+    np.testing.assert_array_equal(np.asarray(a.Z), np.asarray(b.Z))
+    np.testing.assert_array_equal(np.asarray(a.cx), np.asarray(b.cx))
+    assert (a.x0, a.y0, a.nx, a.ny) == (b.x0, b.y0, b.nx, b.ny)
+
+    with pytest.raises(ValueError, match="shape"):
+        grid_medium_from_samples(Z[:-1], x, y)
+    with pytest.raises(ValueError, match="uniformly"):
+        grid_medium_from_samples(Z[:4, :4], x[:4] ** 1.1, y[:4])
+    with pytest.raises(ValueError, match="4x4"):
+        grid_medium_from_samples(Z[:3, :3], x[:3], y[:3])
+
+
+def test_user_samples_trace_at_kernel_tier():
+    """A user-measured index grid (Gaussian lens — a field the reference
+    cannot express without source edits) traces through the tiled kernel
+    and matches the scan engine on the same medium."""
+    import raytracing_tpu as rt
+    from raytracing_tpu.engine.fast import fast_trace
+    from raytracing_tpu.media.spline import grid_medium_from_samples
+
+    h = 0.05
+    x = np.arange(-3.0, 3.0 + h / 2, h)
+    y = np.arange(-3.0, 3.0 + h / 2, h)
+    X, Y = np.meshgrid(x, y)
+    Z = 1.0 + 0.4 * np.exp(-(X ** 2 + Y ** 2) / 0.8)   # Gaussian lens
+    gm = grid_medium_from_samples(Z, x, y, dtype=np.float32)
+
+    import dataclasses
+    scen = dataclasses.replace(rt.scenario("fisheye"),
+                               box=(-2.5, 2.5, -2.5, 2.5))
+    r = 128
+    pos0 = np.tile(np.array([[-2.0, -0.3]], np.float32), (r, 1))
+    theta0 = np.linspace(0.1, 0.2, r).astype(np.float32)
+    out = fast_trace("op6", scen, gm, delta_s=0.01, steps=300,
+                     pos0=pos0, theta0=theta0, interpret=True)
+    assert out.engine == "grid-tiled"
+    ref = rt.trace("op6", scen, gm, delta_s=0.01, mode="metrics",
+                   dtype=np.float32, max_size=301, pos0=pos0,
+                   theta0=theta0)
+    np.testing.assert_allclose(np.asarray(out.pos),
+                               np.asarray(ref.final.pos), atol=5e-4)
