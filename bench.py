@@ -162,7 +162,11 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
             "snell_max_err_deg": round(max_err, 4),
             "note": "gsteps_per_sec is lane throughput (frozen lanes keep "
                     "executing after boundary exit); gsteps_live counts only "
-                    "integrated steps"}
+                    "integrated steps"
+                    + ("" if med is not None else
+                       ".  The 0.2-deg oracle holds on the sampled medium "
+                       "the step was calibrated on (see interface_strat); "
+                       "the analytic sigmoid is sharper at the same step")}
 
     # -- interface with block-skip: exit-ordered fan + per-block liveness ---
     # (the device-side equivalent of the reference's data-dependent break,
