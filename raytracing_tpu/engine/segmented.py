@@ -317,12 +317,10 @@ def _sort_perm(x, y, meta):
     return jnp.argsort(key)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "op", "segment", "box", "block_rays", "interpret", "meta", "tile_shape",
-    "stats", "n_state"))
-def _tiled_run_segments(state, nodes3d, delta_s, limit, offset0, n_seg,
-                        gamma, *, op, segment, box, block_rays, interpret,
-                        meta, tile_shape, stats=False, n_state=9):
+def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
+                              n_seg, gamma, *, op, segment, box, block_rays,
+                              interpret, meta, tile_shape, stats=False,
+                              n_state=9):
     """Chain tiled-kernel launches; slice block windows between them.
 
     Each iteration (all inside ONE jit): compute every kernel block's cell
@@ -427,6 +425,48 @@ def _tiled_run_segments(state, nodes3d, delta_s, limit, offset0, n_seg,
     state, flag = jax.lax.fori_loop(
         0, n_seg, seg_body, (tuple(state), jnp.float32(-np.inf)))
     return state, flag
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "op", "segment", "box", "block_rays", "interpret", "meta", "tile_shape",
+    "stats", "n_state"))
+def _tiled_run_segments(*args, **kw):
+    return _tiled_run_segments_inner(*args, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "op", "segment", "box", "block_rays", "interpret", "meta", "tile_shape",
+    "stats", "n_state", "mesh", "mesh_axes"))
+def _tiled_run_segments_sharded(state, nodes3d, delta_s, limit, offset0,
+                                n_seg, gamma, *, mesh, mesh_axes, **kw):
+    """The round body under ``shard_map``: rays sharded, windows local.
+
+    Each device runs the refresh + kernel chain on its own ray shard —
+    kernel blocks never span shards (the local batch divides by
+    block_rays), so block bounding boxes, window slices and the pallas
+    grid are all shard-local; the only collective is a ``pmax`` of the
+    containment flag so every host round sees one global verdict.  The
+    node table rides in as a replicated argument.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    nst = len(state)
+    spec_state = (P(mesh_axes, None),) * nst
+
+    def body(state, nodes3d, delta_s, limit, offset0, n_seg, gamma):
+        out, flag = _tiled_run_segments_inner(
+            state, nodes3d, delta_s, limit, offset0, n_seg, gamma, **kw)
+        for ax in mesh_axes:
+            flag = jax.lax.pmax(flag, ax)
+        return out, flag
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_state, P(), P(), P(), P(), P(), P()),
+        out_specs=(spec_state, P()),
+        check_vma=False)  # pallas out_shapes carry no vma
+    return fn(tuple(state), nodes3d, delta_s, limit, offset0, n_seg, gamma)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -619,7 +659,8 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
                      box, segment: int | None = None, block_rays: int = 1024,
                      tile_shape: tuple = (11, 11), refreshes_per_round: int = 32,
                      interpret: bool = False, with_stats: bool = False,
-                     sort: bool = True, gamma: float = 1.0) -> FusedFinal:
+                     sort: bool = True, gamma: float = 1.0,
+                     mesh=None) -> FusedFinal:
     """Production-tier tracing through a 2-D sampled-spline medium.
 
     The block-shared-window successor to :func:`grid_trace`: rays are
@@ -658,6 +699,11 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
     r = pos0.shape[0]
     if r % block_rays:
         raise ValueError(f"rays {r} not a multiple of block {block_rays}")
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        if r % (n_dev * block_rays):
+            raise ValueError(f"ray count {r} must divide by devices*block "
+                             f"({n_dev}*{block_rays})")
     if medium.nx - 1 < tw or medium.ny - 1 < th:
         raise ValueError(f"medium grid {medium.ny}x{medium.nx} nodes is "
                          f"smaller than the {tile_shape}-cell window")
@@ -724,16 +770,37 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
     nodes3d = jnp.asarray(medium.nodes, jnp.float32).reshape(
         medium.ny, medium.nx, 9)
     limit = jnp.float32(steps)
-    state = tuple(c.reshape(-1, LANES) for c in comps)
+
+    if mesh is None:
+        def pin(state):
+            return state
+    else:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        mesh_axes = tuple(mesh.axis_names)
+        row_sharding = NamedSharding(mesh, P(mesh_axes, None))
+
+        def pin(state):
+            # rows sharded across every mesh axis; kernel blocks stay
+            # shard-local (r divides by devices * block_rays)
+            return tuple(jax.device_put(s, row_sharding) for s in state)
+
+    state = pin(tuple(c.reshape(-1, LANES) for c in comps))
 
     def attempt(state, seg, n_run, done_steps, tile):
-        return _tiled_run_segments(
-            state, nodes3d=nodes3d, delta_s=jnp.float32(delta_s),
-            limit=limit, offset0=jnp.float32(done_steps),
-            n_seg=jnp.int32(n_run), gamma=jnp.float32(gamma), op=op,
-            segment=seg, box=tuple(box), block_rays=block_rays,
-            interpret=interpret, meta=meta, tile_shape=tile,
-            stats=with_stats, n_state=n_state)
+        kw = dict(op=op, segment=seg, box=tuple(box), block_rays=block_rays,
+                  interpret=interpret, meta=meta, tile_shape=tile,
+                  stats=with_stats, n_state=n_state)
+        if mesh is None:
+            return _tiled_run_segments(
+                state, nodes3d, jnp.float32(delta_s), limit,
+                jnp.float32(done_steps), jnp.int32(n_run),
+                jnp.float32(gamma), **kw)
+        return _tiled_run_segments_sharded(
+            state, nodes3d, jnp.float32(delta_s), limit,
+            jnp.float32(done_steps), jnp.int32(n_run), jnp.float32(gamma),
+            mesh=mesh, mesh_axes=mesh_axes, **kw)
 
     def tripped(flag):
         # NaN-aware: once a window misses, zero node values drive the
@@ -773,7 +840,7 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
         if tripped(flag):
             comps = [s.reshape(-1) for s in state]
             comps, orig_idx = apply_perm(comps, orig_idx)
-            state = tuple(c.reshape(-1, LANES) for c in comps)
+            state = pin(tuple(c.reshape(-1, LANES) for c in comps))
             nstate, flag = attempt(state, seg, 1, done_steps, tile)
             while tripped(flag):
                 if seg > 1:

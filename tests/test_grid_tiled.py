@@ -223,3 +223,25 @@ def test_fast_trace_routes_grid_to_tiled(fisheye_media):
                     dtype=np.float32, max_size=51, pos0=pos_d, theta0=th_d)
     np.testing.assert_allclose(np.asarray(res2.pos),
                                np.asarray(ref2.final.pos), atol=1e-3)
+
+
+def test_tiled_sharded_matches_single(fisheye_media):
+    """grid_trace_tiled(mesh=...) shards rays across the device mesh
+    (kernel blocks stay shard-local; one pmax per round for the
+    containment flag) and reproduces the single-device run bit-for-bit."""
+    from raytracing_tpu.parallel.mesh import make_mesh
+
+    scen, gm, hm = fisheye_media
+    mesh = make_mesh(8)
+    r = 8 * 128
+    pos0, theta0 = _fan(r, spread=0.01)
+    ds = 2 * np.pi / 4587
+    a = grid_trace_tiled("op6", pos0, theta0, np.float32(ds), hm, steps=200,
+                         box=tuple(scen.box), block_rays=128, interpret=True)
+    b = grid_trace_tiled("op6", pos0, theta0, np.float32(ds), hm, steps=200,
+                         box=tuple(scen.box), block_rays=128, interpret=True,
+                         mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_array_equal(np.asarray(a.traveltime),
+                                  np.asarray(b.traveltime))
+    assert len(b.pos.sharding.device_set) == 8
