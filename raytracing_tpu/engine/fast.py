@@ -294,17 +294,37 @@ def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     op = canonical(op_name)
+
+    if isinstance(medium, GridMedium):
+        medium = _as_hermite(medium)
+    if isinstance(medium, HermiteGridMedium):
+        # the tiled window kernel handles its own mesh sharding (rows
+        # sharded, windows shard-local, flag pmax'd per round)
+        if op not in FUSED_OPS and op not in GOLDEN_OPS:
+            raise ValueError(f"2-D grid media cover {FUSED_OPS} and "
+                             f"{tuple(GOLDEN_OPS)}, got {op!r}")
+        from raytracing_tpu.engine.segmented import grid_trace_tiled
+
+        g = grid_trace_tiled(
+            op, jnp.asarray(pos0, jnp.float32),
+            jnp.asarray(theta0, jnp.float32), jnp.float32(delta_s), medium,
+            steps=int(steps), box=tuple(scen.box),
+            block_rays=min(block_rays, 1024), interpret=interpret,
+            gamma=float(scen.gamma), mesh=mesh)
+        return FastResult(pos=g.pos, traveltime=g.traveltime,
+                          dist_sim=g.dist_sim, active=g.active,
+                          engine="grid-tiled-sharded")
+
     # only media this function actually dispatches on — the wider supports()
-    # set (grid/hermite) would silently trace the wrong field here
+    # set would silently trace the wrong field here
     sharded_ok = (isinstance(medium, (StratifiedGridMedium, CustomMedium))
                   or (isinstance(medium, AnalyticMedium)
                       and medium.field in FUSED_FIELDS))
     if not (sharded_ok and op in FUSED_OPS):
         raise ValueError(
             f"fast_trace_sharded covers the fused ops on analytic/"
-            f"stratified/custom media; got {op!r} on "
-            f"{type(medium).__name__} (2-D grid media: shard the batch and "
-            f"call grid_trace per shard)")
+            f"stratified/custom media and the full op set on 2-D grid "
+            f"media; got {op!r} on {type(medium).__name__}")
     use_strat = isinstance(medium, StratifiedGridMedium)
     use_custom = isinstance(medium, CustomMedium)
     if use_strat:

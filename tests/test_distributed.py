@@ -141,12 +141,14 @@ def test_fast_trace_sharded_custom_medium_correct_physics():
     p = np.asarray(out.pos)
     np.testing.assert_allclose(p[:, 0], 1.0, atol=1e-5)
     np.testing.assert_allclose(p[:, 1], 0.36, atol=1e-5)
-    # 2-D grid media are rejected, not silently swapped for the analytic field
+    # 2-D grid media route through the mesh-aware tiled kernel (NOT
+    # silently swapped for the analytic field — its tables are the spline)
     from raytracing_tpu.media.hermite import build_hermite_medium
     from raytracing_tpu.media.spline import build_grid_medium
     hm = build_hermite_medium(build_grid_medium("fisheye", scen.box,
                                                 dtype=np.float32))
-    with pytest.raises(ValueError, match="grid media"):
-        fast_trace_sharded("op1", scen, hm, delta_s=0.01, mesh=mesh,
+    g = fast_trace_sharded("op1", scen, hm, delta_s=0.01, mesh=mesh,
                            pos0=pos0, theta0=theta0, steps=8,
                            block_rays=128, interpret=True)
+    assert g.engine == "grid-tiled-sharded"
+    assert np.all(np.isfinite(np.asarray(g.pos)))

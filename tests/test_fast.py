@@ -236,3 +236,26 @@ def test_fast_trace_gridmedium_auto_hermite():
     assert out.engine == "grid-tiled"
     h1 = fastmod._as_hermite(gm)
     assert fastmod._as_hermite(gm) is h1  # cached
+
+
+def test_fast_trace_sharded_grid_medium():
+    """fast_trace_sharded routes 2-D grid media through the mesh-aware
+    tiled window kernel, bit-identical to the single-device path."""
+    import numpy as np
+    import raytracing_tpu as rt
+    from raytracing_tpu.engine.fast import fast_trace, fast_trace_sharded
+    from raytracing_tpu.media.spline import build_grid_medium
+    from raytracing_tpu.parallel.mesh import make_mesh
+
+    scen = rt.scenario("fisheye")
+    gm = build_grid_medium("fisheye", scen.box, dtype=np.float32)
+    mesh = make_mesh(8)
+    r = 8 * 1024
+    pos0 = np.tile(np.array([1.0, 0.0], np.float32), (r, 1))
+    theta0 = (np.pi / 2 + np.linspace(-0.01, 0.01, r)).astype(np.float32)
+    s = fast_trace_sharded("op6", scen, gm, delta_s=0.01, pos0=pos0,
+                           theta0=theta0, mesh=mesh, steps=100)
+    assert s.engine == "grid-tiled-sharded"
+    single = fast_trace("op6", scen, gm, delta_s=0.01, pos0=pos0,
+                        theta0=theta0, steps=100, interpret=True)
+    np.testing.assert_array_equal(np.asarray(s.pos), np.asarray(single.pos))
