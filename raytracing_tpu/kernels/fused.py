@@ -500,15 +500,22 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
                 nuy = vy * inv
             elif rk2:
                 # tfinal_2o: k1/k2 angle increments; rotate the tangent.
+                # Degree-5 small-angle polynomials instead of cos/sin (the
+                # RK4/curvature paths' trick): the increments are
+                # O(ds * curvature), so the d^5/120 truncation sits below
+                # f32 noise at any practical step — and the two VPU
+                # transcendental pairs per step were the RK2 family's cost
+                # ceiling (op6/HySA measured 12 -> ~30 G without them).
+                def rot(ax, ay, d):
+                    d2 = d * d
+                    s = d * (1.0 - d2 * (1.0 / 6.0) * (1.0 - d2 * 0.05))
+                    c = 1.0 - d2 * 0.5 * (1.0 - d2 * (1.0 / 12.0))
+                    return ax * c - ay * s, ax * s + ay * c
+
                 k1 = ds * (ux * gy - uy * gx) / n
-                c1, s1 = jnp.cos(k1), jnp.sin(k1)
-                ux1 = ux * c1 - uy * s1
-                uy1 = ux * s1 + uy * c1
+                ux1, uy1 = rot(ux, uy, k1)
                 k2 = ds * (ux1 * gy2 - uy1 * gx2) / n2
-                half = (k1 + k2) * 0.5
-                ch, sh = jnp.cos(half), jnp.sin(half)
-                nux = ux * ch - uy * sh
-                nuy = ux * sh + uy * ch
+                nux, nuy = rot(ux, uy, (k1 + k2) * 0.5)
             else:
                 # theta_cost_t: normalized momentum + trapezoid impulse.
                 half = ds * 0.5
