@@ -67,12 +67,21 @@ def test_native_grid_medium_matches_scipy_backend():
 
 
 def test_native_builder_is_faster_on_reference_grid():
-    """The point of going native: the interface-scenario grid (~1M points)."""
+    """The point of going native: the interface-scenario grid (~1M points).
+
+    Best-of-3 per backend: single timings flake when the host is loaded
+    (e.g. a TPU benchmark hammering the box in a parallel session)."""
     box = (-2.0, 20.0, -2.0, 4.0)
-    t0 = time.perf_counter()
-    build_grid_medium("interface", box, dtype=np.float32, backend="native")
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    build_grid_medium("interface", box, dtype=np.float32, backend="scipy")
-    t_scipy = time.perf_counter() - t0
+
+    def best(backend):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            build_grid_medium("interface", box, dtype=np.float32,
+                              backend=backend)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_native = best("native")
+    t_scipy = best("scipy")
     assert t_native < t_scipy, (t_native, t_scipy)
