@@ -117,7 +117,9 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
                     compact_every: int = 4,
                     compact_threshold: float = 0.75,
                     skip_frozen: bool = False,
-                    gamma: float = 1.0) -> FusedFinal:
+                    gamma: float = 1.0,
+                    checkpoint: str | None = None,
+                    checkpoint_every: int = 64) -> FusedFinal:
     """Fused trace in bounded-compile segments, optionally compacting.
 
     ``compact=True`` checks the live fraction every ``compact_every``
@@ -132,6 +134,12 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
     so it pays no tunnel sync; it needs the launch batch ordered so rays
     that exit together share blocks (e.g. the interface fan sorted by
     launch angle).  The two compose.
+
+    ``checkpoint=`` persists the full resumable state every
+    ``checkpoint_every`` segments (utils.checkpoint.TraceCheckpoint): a
+    preempted run restarted with the same arguments resumes from the last
+    saved segment bit-identically.  Incompatible with ``compact`` (the
+    banked-ray side state is not captured).
     """
     golden = op in GOLDEN_OPS
     if not golden and op not in FUSED_OPS:
@@ -196,9 +204,32 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
     done_segs = 0
     state = tuple(c.reshape(-1, LANES) for c in comps)
 
+    store = None
+    if checkpoint is not None:
+        if compact:
+            raise ValueError("checkpoint does not compose with compact "
+                             "(banked-ray side state is not captured)")
+        from raytracing_tpu.utils.checkpoint import TraceCheckpoint
+
+        # identity = everything that must match for the carry to continue
+        # the same physics; total `steps` is progress, not identity (a
+        # resumed run may extend the horizon)
+        store = TraceCheckpoint(checkpoint, meta={
+            "op": op, "rays": int(r), "delta_s": float(delta_s),
+            "segment": int(segment), "n_state": int(n_state),
+            "field": field or "stratified", "gamma": float(gamma),
+            "skip_frozen": bool(skip_frozen)})
+        resumed = store.load()
+        if resumed is not None:
+            arrays, done_steps0 = resumed
+            state = tuple(jnp.asarray(a).reshape(-1, LANES) for a in arrays)
+            done_segs = done_steps0 // segment
+
     while done_segs < n_seg_total:
         if compact:
             n_run = min(compact_every, n_seg_total - done_segs)
+        elif store is not None:
+            n_run = min(checkpoint_every, n_seg_total - done_segs)
         else:
             n_run = n_seg_total - done_segs
         state = _run_segments(
@@ -210,6 +241,9 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
             stats=with_stats, strat=strat, nch=nch, n_state=n_state,
             skip=skip_frozen)
         done_segs += n_run
+        if store is not None:
+            store.save([np.asarray(s.reshape(-1)) for s in state],
+                       done_segs * segment)
         if not compact or done_segs >= n_seg_total:
             continue
         # 1 byte/ray download

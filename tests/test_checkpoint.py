@@ -64,3 +64,42 @@ def test_fused_sweep_checkpoint_resume(tmp_path):
                                  rays=128, checkpoint=path, chunk=2)
     np.testing.assert_array_equal(again["mean_err"], full["mean_err"])
     np.testing.assert_array_equal(again["max_err"], full["max_err"])
+
+
+def test_trace_checkpoint_resume_bit_identical(tmp_path):
+    """A preempted segmented trace resumed from its checkpoint reproduces
+    the uninterrupted run bit-for-bit (the saved state IS the kernel
+    carry: Kahan compensations, tangent, accumulators, masks)."""
+    import raytracing_tpu as rt
+    from raytracing_tpu.engine.segmented import segmented_trace
+
+    scen = rt.scenario("fisheye")
+    r = 256
+    theta0 = (np.pi / 2 + np.linspace(-0.02, 0.02, r)).astype(np.float32)
+    pos0 = np.tile(np.array([[1.0, 0.0]], np.float32), (r, 1))
+    kw = dict(steps=600, box=tuple(scen.box), field="fisheye", segment=64,
+              block_rays=128, interpret=True)
+    straight = segmented_trace("op6", pos0, theta0, np.float32(0.01), **kw)
+
+    path = str(tmp_path / "trace.npz")
+    # "preempted" run: checkpoint every 2 segments, abandon midway by
+    # running a truncated trace with the same checkpoint file
+    segmented_trace("op6", pos0, theta0, np.float32(0.01),
+                    checkpoint=path, checkpoint_every=2,
+                    steps=256, box=tuple(scen.box), field="fisheye",
+                    segment=64, block_rays=128, interpret=True)
+    # resume to the full length; must pick up at step 256
+    resumed = segmented_trace("op6", pos0, theta0, np.float32(0.01),
+                              checkpoint=path, checkpoint_every=2, **kw)
+    for fa, fb in zip(straight, resumed):
+        if fa is not None:
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+    # mismatched configuration is refused, not silently reused
+    with pytest.raises(ValueError, match="different trace"):
+        segmented_trace("op1", pos0, theta0, np.float32(0.01),
+                        checkpoint=path, **kw)
+    with pytest.raises(ValueError, match="compact"):
+        segmented_trace("op6", pos0, theta0, np.float32(0.01),
+                        checkpoint=str(tmp_path / "x.npz"), compact=True,
+                        **kw)
