@@ -351,6 +351,50 @@ def _sort_perm(x, y, meta):
     return jnp.argsort(key)
 
 
+def _refresh_windows(st, flag, nodes3d, meta, th, tw, nblocks, block_rays,
+                     margin_x, margin_y, nchunks, n_ch):
+    """One window refresh: (flag', tiles, bases) for the current positions.
+
+    Computes every block's cell bounding box, accumulates the containment
+    flag (bbox + 2 x travel margin must fit the (th, tw)-cell window;
+    margins may be per-block vectors — the batched sweep's candidates
+    travel at different rates), centers a window on each bbox, slices its
+    (th+1, tw+1) nodes from the table with a vmapped ``dynamic_slice``,
+    and packs them per-cell: channel index ``ch * 4 + corner`` with
+    corners (00, +x, +y, +xy) — the layout ``kernels.fused._tile_nag``
+    gathers from.
+    """
+    x0, y0, inv_hx, inv_hy, nx, ny = meta
+    pad_cells = nchunks * LANES - th * tw
+    ix, iy = _cells(st[0].reshape(nblocks, block_rays),
+                    st[1].reshape(nblocks, block_rays), meta)
+    ixm, ixM = jnp.min(ix, axis=1), jnp.max(ix, axis=1)
+    iym, iyM = jnp.min(iy, axis=1), jnp.max(iy, axis=1)
+    # window capacity is tw x th CELLS: local cell index in [0, tw-1]
+    need_x = (ixM - ixm) + 2.0 * margin_x - float(tw - 1)
+    need_y = (iyM - iym) + 2.0 * margin_y - float(th - 1)
+    flag = jnp.maximum(flag, jnp.maximum(jnp.max(need_x), jnp.max(need_y)))
+    # center the window's slack on the bbox
+    bix = jnp.clip(ixm - jnp.floor((float(tw - 1) - (ixM - ixm)) * 0.5),
+                   0.0, float(nx - 1 - tw)).astype(jnp.int32)
+    biy = jnp.clip(iym - jnp.floor((float(th - 1) - (iyM - iym)) * 0.5),
+                   0.0, float(ny - 1 - th)).astype(jnp.int32)
+    win = jax.vmap(lambda by, bx: jax.lax.dynamic_slice(
+        nodes3d, (by, bx, jnp.int32(0)), (th + 1, tw + 1, 9)))(biy, bix)
+    cells = jnp.stack([win[:, :-1, :-1], win[:, :-1, 1:],
+                       win[:, 1:, :-1], win[:, 1:, 1:]],
+                      axis=-1).reshape(nblocks, th * tw, 36)
+    if pad_cells:
+        cells = jnp.concatenate(
+            [cells, jnp.zeros((nblocks, pad_cells, 36), cells.dtype)],
+            axis=1)
+    tiles = jnp.transpose(
+        cells.reshape(nblocks, nchunks, LANES, 36),
+        (0, 1, 3, 2)).reshape(nblocks, n_ch, LANES)
+    bases = jnp.stack([bix, biy], axis=-1).astype(jnp.float32)
+    return flag, tiles, bases
+
+
 def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
                               n_seg, gamma, *, op, segment, box, block_rays,
                               interpret, meta, tile_shape, stats=False,
@@ -414,40 +458,12 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
     travel = segment * delta_s
     margin_x = jnp.ceil(travel * inv_hx)
     margin_y = jnp.ceil(travel * inv_hy)
-    pad_cells = nchunks * LANES - th * tw
 
     def seg_body(k, carry):
         st, flag = carry
-        ix, iy = _cells(st[0].reshape(nblocks, block_rays),
-                        st[1].reshape(nblocks, block_rays), meta)
-        ixm, ixM = jnp.min(ix, axis=1), jnp.max(ix, axis=1)
-        iym, iyM = jnp.min(iy, axis=1), jnp.max(iy, axis=1)
-        # window capacity is tw x th CELLS: local cell index in [0, tw-1]
-        need_x = (ixM - ixm) + 2.0 * margin_x - float(tw - 1)
-        need_y = (iyM - iym) + 2.0 * margin_y - float(th - 1)
-        flag = jnp.maximum(flag,
-                           jnp.maximum(jnp.max(need_x), jnp.max(need_y)))
-        # center the window's slack on the bbox
-        bix = jnp.clip(ixm - jnp.floor((float(tw - 1) - (ixM - ixm)) * 0.5),
-                       0.0, float(nx - 1 - tw)).astype(jnp.int32)
-        biy = jnp.clip(iym - jnp.floor((float(th - 1) - (iyM - iym)) * 0.5),
-                       0.0, float(ny - 1 - th)).astype(jnp.int32)
-        win = jax.vmap(lambda by, bx: jax.lax.dynamic_slice(
-            nodes3d, (by, bx, jnp.int32(0)), (th + 1, tw + 1, 9)))(biy, bix)
-        # per-cell pack: 4 corner nodes x 9 channels per cell, channel index
-        # ch * 4 + corner with corners (00, +x, +y, +xy)
-        cells = jnp.stack([win[:, :-1, :-1], win[:, :-1, 1:],
-                           win[:, 1:, :-1], win[:, 1:, 1:]],
-                          axis=-1)                   # (nb, th, tw, 9, 4)
-        cells = cells.reshape(nblocks, th * tw, 36)
-        if pad_cells:
-            cells = jnp.concatenate(
-                [cells, jnp.zeros((nblocks, pad_cells, 36), cells.dtype)],
-                axis=1)
-        tiles = jnp.transpose(
-            cells.reshape(nblocks, nchunks, LANES, 36),
-            (0, 1, 3, 2)).reshape(nblocks, n_ch, LANES)
-        bases = jnp.stack([bix, biy], axis=-1).astype(jnp.float32)
+        flag, tiles, bases = _refresh_windows(
+            st, flag, nodes3d, meta, th, tw, nblocks, block_rays,
+            margin_x, margin_y, nchunks, n_ch)
         offset = offset0 + k.astype(jnp.float32) * segment
         if golden:
             ds_vec = golden_scalars(delta_s, gamma, limit, offset, iters)
@@ -554,35 +570,12 @@ def _tiled_sweep_segments(state, nodes3d, scal, n_seg, *, op, segment, box,
     ds_col = scal[:, 0]
     margin_x = jnp.ceil(segment * ds_col * inv_hx)     # per block
     margin_y = jnp.ceil(segment * ds_col * inv_hy)
-    pad_cells = nchunks * LANES - th * tw
 
     def seg_body(k, carry):
         st, flag = carry
-        ix, iy = _cells(st[0].reshape(nblocks, block_rays),
-                        st[1].reshape(nblocks, block_rays), meta)
-        ixm, ixM = jnp.min(ix, axis=1), jnp.max(ix, axis=1)
-        iym, iyM = jnp.min(iy, axis=1), jnp.max(iy, axis=1)
-        need_x = (ixM - ixm) + 2.0 * margin_x - float(tw - 1)
-        need_y = (iyM - iym) + 2.0 * margin_y - float(th - 1)
-        flag = jnp.maximum(flag,
-                           jnp.maximum(jnp.max(need_x), jnp.max(need_y)))
-        bix = jnp.clip(ixm - jnp.floor((float(tw - 1) - (ixM - ixm)) * 0.5),
-                       0.0, float(nx - 1 - tw)).astype(jnp.int32)
-        biy = jnp.clip(iym - jnp.floor((float(th - 1) - (iyM - iym)) * 0.5),
-                       0.0, float(ny - 1 - th)).astype(jnp.int32)
-        win = jax.vmap(lambda by, bx: jax.lax.dynamic_slice(
-            nodes3d, (by, bx, jnp.int32(0)), (th + 1, tw + 1, 9)))(biy, bix)
-        cells = jnp.stack([win[:, :-1, :-1], win[:, :-1, 1:],
-                           win[:, 1:, :-1], win[:, 1:, 1:]],
-                          axis=-1).reshape(nblocks, th * tw, 36)
-        if pad_cells:
-            cells = jnp.concatenate(
-                [cells, jnp.zeros((nblocks, pad_cells, 36), cells.dtype)],
-                axis=1)
-        tiles = jnp.transpose(
-            cells.reshape(nblocks, nchunks, LANES, 36),
-            (0, 1, 3, 2)).reshape(nblocks, n_ch, LANES)
-        bases = jnp.stack([bix, biy], axis=-1).astype(jnp.float32)
+        flag, tiles, bases = _refresh_windows(
+            st, flag, nodes3d, meta, th, tw, nblocks, block_rays,
+            margin_x, margin_y, nchunks, n_ch)
         scal_k = scal.at[:, 2].set(k.astype(jnp.float32) * segment)
         args = (tiles, bases) + st + (zero, scal_k)
         return tuple(call(*args)), flag
