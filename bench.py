@@ -300,12 +300,13 @@ def run_oracles(path: str = "ORACLES.json"):
     """On-chip physics-oracle suite at calibrated steps (VERDICT r1 #10).
 
     Runs the three reference oracles (RT_bench.py:896-958) through the fused
-    tier on the TPU and asserts the reference thresholds where float32 can
-    honestly meet them.  The momentum-CV threshold (0.05 %) is a float64
-    figure — the f32 kernels noise-floor above it (the f64 scan engine on
-    CPU meets it; tests/test_oracles.py) — so the CV rows assert a
-    documented f32 bound instead and the df32 row carries the
-    high-precision accuracy story (1e-6-grade closure over ten turns).
+    tier on the TPU and asserts the REFERENCE thresholds, including the
+    0.05 % momentum-CV acceptance bar (RT_bench.py:1310) on the golden
+    family: the polished golden kernels (kernels.golden.GOLD_POLISH) hold
+    the per-step angle to f32 roundoff, so op5/op10/op11 conserve p_x to
+    the reference's own figure in pure float32 — no relaxed threshold.
+    The df32 row carries the high-precision accuracy story (1e-6-grade
+    closure over ten turns).
     """
     from raytracing_tpu import config
     from raytracing_tpu.kernels.df import df_trace
@@ -340,7 +341,8 @@ def run_oracles(path: str = "ORACLES.json"):
         "pass": me < config.MAX_DEVIATION and xe < 0.8}
     assert me < config.MAX_DEVIATION and xe < 0.8, (me, xe)
 
-    # vert momentum CV (f32 bound 1 %; the 0.05 % f64 figure is CPU-tested)
+    # vert momentum CV at the REFERENCE acceptance bar (< 0.05 %,
+    # RT_bench.py:1310) — no relaxed f32 threshold
     scen = rt.scenario("vert")
     ds = np.asarray([config.SIGMA / 2.74])
     sizes = np.ceil(scen.s_max / ds).astype(np.int64) + 1
@@ -348,11 +350,43 @@ def run_oracles(path: str = "ORACLES.json"):
                              rays=r)
     cv = float(m["cv_pct"][0])
     out["vert_momentum_cv_pct"] = {
-        "value": round(cv, 5), "threshold_f32": 1.0, "threshold_ref_f64": 0.05,
-        "op": "op8", "pass": cv < 1.0,
-        "note": "0.05 % is a float64 figure; met by the f64 scan engine "
-                "(tests/test_oracles.py)"}
-    assert cv < 1.0, cv
+        "value": round(cv, 5), "threshold": 0.05,
+        "op": "op8", "pass": cv < 0.05}
+    assert cv < 0.05, cv
+
+    # golden-family momentum CV at the reference bar, ON-CHIP: the polished
+    # golden kernels (kernels.golden.GOLD_POLISH — coarse bracket + Newton
+    # polish to f32 roundoff) conserve p_x to the reference's own acceptance
+    # threshold (scenario-average interior-ray CV < 0.05 %,
+    # RT_bench.py:1310,1352-1360) in pure float32.  op11 is the reference's
+    # headline anisotropic momentum algorithm (RT_bench.py:30-32).
+    # Segmented tier, not one-shot: a 3000-step golden body is exactly the
+    # trip-count regime that wedges the remote Mosaic compile (CLAUDE.md);
+    # 256-step segments keep each compile bounded and the CV math identical.
+    from raytracing_tpu.calibrated import calibrated
+    from raytracing_tpu.engine.segmented import segmented_trace
+    for key, (scen_name, op, gamma) in {
+            "vert_op5_momentum_cv_pct": ("vert", "op5", 1.0),
+            "aniso_op10_momentum_cv_pct": ("aniso", "op10", 3.0),
+            "aniso_op11_momentum_cv_pct": ("aniso", "op11", 3.0)}.items():
+        gscen = rt.scenario(scen_name)
+        gds, _ = calibrated(op, scen_name)
+        gsteps = min(gscen.max_size(float(gds)) - 1, 3000)
+        nf = len(gscen.theta0)
+        theta0 = np.resize(np.asarray(gscen.theta0, np.float32), r)
+        pos0 = np.tile(gscen.pos0[:1].astype(np.float32), (r, 1))
+        g = segmented_trace(op, pos0, theta0, np.float32(gds),
+                            steps=gsteps, box=tuple(gscen.box),
+                            field=gscen.field, gamma=float(gamma),
+                            segment=256, with_stats=True)
+        gcv = 100 * np.sqrt(np.asarray(g.mom_m2[:nf])
+                            / np.asarray(g.mom_count[:nf])) \
+            / np.abs(np.asarray(g.mom_mean[:nf]))
+        gcv = float(np.mean(gcv[1:-1]))
+        out[key] = {"value": round(gcv, 5), "threshold": 0.05, "op": op,
+                    "gamma": gamma, "steps": int(gsteps),
+                    "pass": gcv < 0.05}
+        assert gcv < 0.05, (key, gcv)
 
     # df32 ten-turn closure at the op1 precision divisor (north-star grade)
     pos0 = np.tile(np.array([[1.0, 0.0]], np.float32), (r, 1))

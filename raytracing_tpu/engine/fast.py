@@ -149,16 +149,21 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
         if pad:
             tpos = jnp.concatenate([tpos, jnp.tile(tpos[-1:], (pad, 1))])
             tth = jnp.concatenate([tth, jnp.tile(tth[-1:], pad)])
-        try:
-            g = grid_trace_tiled(op, tpos, tth, jnp.float32(delta_s), medium,
-                                 steps=int(steps), box=tuple(scen.box),
-                                 block_rays=tb, interpret=interpret,
-                                 gamma=float(scen.gamma))
-            return FastResult(pos=g.pos[:r], traveltime=g.traveltime[:r],
-                              dist_sim=g.dist_sim[:r], active=g.active[:r],
-                              engine="grid-tiled")
-        except RuntimeError:
-            pass  # batch too dispersed for tiling -> supercell / scan below
+        # size pre-check: grid_trace_tiled needs at least its smallest
+        # (11, 11)-cell window; user grids from grid_medium_from_samples can
+        # be smaller and must keep their supercell/scan path (ADVICE r2 #2)
+        if medium.nx - 1 >= 11 and medium.ny - 1 >= 11:
+            try:
+                g = grid_trace_tiled(op, tpos, tth, jnp.float32(delta_s),
+                                     medium, steps=int(steps),
+                                     box=tuple(scen.box), block_rays=tb,
+                                     interpret=interpret,
+                                     gamma=float(scen.gamma))
+                return FastResult(pos=g.pos[:r], traveltime=g.traveltime[:r],
+                                  dist_sim=g.dist_sim[:r],
+                                  active=g.active[:r], engine="grid-tiled")
+            except RuntimeError:
+                pass  # batch too dispersed for tiling -> supercell / scan
 
         cell = min(1.0 / medium.inv_hx, 1.0 / medium.inv_hy)
         if op in FUSED_OPS and float(delta_s) < 0.9 * cell:

@@ -38,10 +38,11 @@ from raytracing_tpu.media.spline import StratifiedGridMedium
 
 @functools.partial(jax.jit, static_argnames=(
     "field", "op", "segment", "box", "block_rays", "interpret", "stats",
-    "strat", "nch", "n_state", "skip"))
+    "strat", "nch", "n_state", "skip", "gold_schedule"))
 def _run_segments(state, tables, delta_s, limit, offset0, n_seg,
                   gamma=1.0, *, field, op, segment, box, block_rays,
-                  interpret, stats, strat, nch, n_state, skip=False):
+                  interpret, stats, strat, nch, n_state, skip=False,
+                  gold_schedule=None):
     """Chain ``n_seg`` resumable kernel launches under one jit.
 
     ``skip=True`` computes a per-block liveness table before every launch
@@ -57,13 +58,14 @@ def _run_segments(state, tables, delta_s, limit, offset0, n_seg,
     nblocks = r // block_rays
     shape2 = state[0].shape
     zero = jnp.zeros(shape2, jnp.float32)
-    from raytracing_tpu.config import gold_tol, golden_iters
+    from raytracing_tpu.config import gold_tol
+    from raytracing_tpu.kernels.golden import golden_schedule
     golden = op in GOLDEN_OPS
     if golden:
-        iters = golden_iters(np.float32)
+        iters, polish = gold_schedule or golden_schedule()
         kernel = _make_golden_kernel(
             field, op, segment, box, iters, gold_tol(np.float32),
-            strat=strat, stats=stats, resume=True, skip=skip)
+            strat=strat, stats=stats, resume=True, skip=skip, polish=polish)
     else:
         kernel = _make_kernel(field, op, segment, box, gold_tol(np.float32),
                               strat=strat, stats=stats, resume=True,
@@ -119,7 +121,8 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
                     skip_frozen: bool = False,
                     gamma: float = 1.0,
                     checkpoint: str | None = None,
-                    checkpoint_every: int = 64) -> FusedFinal:
+                    checkpoint_every: int = 64,
+                    gold_schedule: tuple | None = None) -> FusedFinal:
     """Fused trace in bounded-compile segments, optionally compacting.
 
     ``compact=True`` checks the live fraction every ``compact_every``
@@ -134,6 +137,15 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
     so it pays no tunnel sync; it needs the launch batch ordered so rays
     that exit together share blocks (e.g. the interface fan sorted by
     launch angle).  The two compose.
+
+    ``gold_schedule=(iters, polish)`` overrides the golden-family bracket
+    schedule (kernels.golden.golden_schedule); ``(16, 0)`` is the pure-f32
+    reference-parity bracket, under which segmented results remain
+    bit-identical to the one-shot golden kernel.  The default polished
+    schedule derives the tangent by rotation, which each segment start
+    resets to cos/sin of the carried angle — so a re-segmented run agrees
+    with one-shot only to ~1e-5 (checkpoint resume of the SAME segmentation
+    stays bit-identical).
 
     ``checkpoint=`` persists the full resumable state every
     ``checkpoint_every`` segments (utils.checkpoint.TraceCheckpoint): a
@@ -178,11 +190,8 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
         # (x, y, cx, cy, ang, tt, dsim, active) [+ Welford]
         comps = [x, y, zeros, zeros, theta0, zeros, zeros, ones]
         if with_stats:
-            ct, st = jnp.cos(theta0), jnp.sin(theta0)
-            cf = jnp.sqrt((gamma * st) ** 2 + ct * ct)
-            mx0 = n0 * cf * ct * (1.0 - st * st * (gamma * gamma - 1.0)
-                                  / (cf * cf))
-            comps += [ones, mx0, zeros]
+            from raytracing_tpu.kernels.golden import init_mom_x
+            comps += [ones, init_mom_x(op, n0, theta0, gamma), zeros]
     else:
         ux = jnp.cos(theta0)
         uy = jnp.sin(theta0)
@@ -218,7 +227,8 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
             "op": op, "rays": int(r), "delta_s": float(delta_s),
             "segment": int(segment), "n_state": int(n_state),
             "field": field or "stratified", "gamma": float(gamma),
-            "skip_frozen": bool(skip_frozen)})
+            "skip_frozen": bool(skip_frozen),
+            "gold_schedule": list(gold_schedule) if gold_schedule else None})
         resumed = store.load()
         if resumed is not None:
             arrays, done_steps0 = resumed
@@ -239,7 +249,7 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
             field=field or "stratified", op=op, segment=segment,
             box=tuple(box), block_rays=block_rays, interpret=interpret,
             stats=with_stats, strat=strat, nch=nch, n_state=n_state,
-            skip=skip_frozen)
+            skip=skip_frozen, gold_schedule=gold_schedule)
         done_segs += n_run
         if store is not None:
             store.save([np.asarray(s.reshape(-1)) for s in state],
@@ -318,6 +328,10 @@ def _morton_key(ix, iy):
     Sorting rays by this key makes consecutive kernel blocks spatially
     compact in BOTH axes, so each block's node window stays small — the
     property the tiled kernel's containment contract depends on.
+
+    The combined key is built in int64: part(iy) occupies odd bits up to
+    bit 31, so shifting it in int32 would set the sign bit for grids taller
+    than 32768 cells and silently misorder the argsort (ADVICE r2 #4).
     """
     def part(v):
         v = jnp.bitwise_and(v, jnp.int32(0x0000FFFF))
@@ -331,7 +345,8 @@ def _morton_key(ix, iy):
                             jnp.int32(0x55555555))
         return v
 
-    return jnp.bitwise_or(part(ix), jnp.left_shift(part(iy), 1))
+    return jnp.bitwise_or(part(ix).astype(jnp.int64),
+                          jnp.left_shift(part(iy).astype(jnp.int64), 1))
 
 
 def _cells(x, y, meta):
@@ -398,7 +413,7 @@ def _refresh_windows(st, flag, nodes3d, meta, th, tw, nblocks, block_rays,
 def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
                               n_seg, gamma, *, op, segment, box, block_rays,
                               interpret, meta, tile_shape, stats=False,
-                              n_state=9):
+                              n_state=9, gold_schedule=None):
     """Chain tiled-kernel launches; slice block windows between them.
 
     Each iteration (all inside ONE jit): compute every kernel block's cell
@@ -423,13 +438,14 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
     n_ch = nchunks * 36
     shape2 = state[0].shape
     zero = jnp.zeros(shape2, jnp.float32)
-    from raytracing_tpu.config import gold_tol, golden_iters
+    from raytracing_tpu.config import gold_tol
+    from raytracing_tpu.kernels.golden import golden_schedule
     golden = op in GOLDEN_OPS
     if golden:
-        iters = golden_iters(np.float32)
+        iters, polish = gold_schedule or golden_schedule()
         kernel = _make_golden_kernel(
             "hermite-tile", op, segment, box, iters, gold_tol(np.float32),
-            resume=True, tile=meta + tile_shape, stats=stats)
+            resume=True, tile=meta + tile_shape, stats=stats, polish=polish)
     else:
         kernel = _make_kernel("hermite-tile", op, segment, box,
                               gold_tol(np.float32), resume=True,
@@ -479,14 +495,14 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
 
 @functools.partial(jax.jit, static_argnames=(
     "op", "segment", "box", "block_rays", "interpret", "meta", "tile_shape",
-    "stats", "n_state"))
+    "stats", "n_state", "gold_schedule"))
 def _tiled_run_segments(*args, **kw):
     return _tiled_run_segments_inner(*args, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "op", "segment", "box", "block_rays", "interpret", "meta", "tile_shape",
-    "stats", "n_state", "mesh", "mesh_axes"))
+    "stats", "n_state", "mesh", "mesh_axes", "gold_schedule"))
 def _tiled_run_segments_sharded(state, nodes3d, delta_s, limit, offset0,
                                 n_seg, gamma, *, mesh, mesh_axes, **kw):
     """The round body under ``shard_map``: rays sharded, windows local.
@@ -613,9 +629,12 @@ def grid_sweep_tiled(op: str, pos0, theta0, delta_s, step_limits, medium, *,
 
     if not isinstance(medium, HermiteGridMedium):
         raise ValueError("grid_sweep_tiled needs a HermiteGridMedium")
-    if op not in FUSED_OPS:
-        raise ValueError(f"grid_sweep_tiled supports {FUSED_OPS} (golden "
-                         f"candidates run sequentially), got {op!r}")
+    if op not in FUSED_OPS or op == "op7":
+        # op7 carries a 4-component position window the batched kernel's
+        # n_state=9 layout does not provision (ADVICE r2 #1)
+        raise ValueError(f"grid_sweep_tiled supports {FUSED_OPS} minus op7 "
+                         "(op7 and golden candidates run per-candidate "
+                         f"through grid_trace_tiled), got {op!r}")
     meta = (float(medium.x0), float(medium.y0), float(medium.inv_hx),
             float(medium.inv_hy), int(medium.nx), int(medium.ny))
     pitch = min(1.0 / meta[2], 1.0 / meta[3])
@@ -633,6 +652,11 @@ def grid_sweep_tiled(op: str, pos0, theta0, delta_s, step_limits, medium, *,
     # clamp at domain edges, which costs up to the start-position offset)
     def class_of(ds):
         for ti, tile in enumerate(_SWEEP_TILES):
+            # a class is usable only if the medium has that many cells —
+            # otherwise the window base clips negative and the node slice
+            # runs off the table at trace time (ADVICE r2 #3)
+            if tile[0] > medium.ny - 1 or tile[1] > medium.nx - 1:
+                continue
             cap = min(tile) - 1
             if 2.0 * np.ceil(ds / pitch) <= cap - 2:
                 return ti
@@ -687,7 +711,7 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
                      tile_shape: tuple = (11, 11), refreshes_per_round: int = 32,
                      interpret: bool = False, with_stats: bool = False,
                      sort: bool = True, gamma: float = 1.0,
-                     mesh=None) -> FusedFinal:
+                     mesh=None, gold_schedule: tuple | None = None) -> FusedFinal:
     """Production-tier tracing through a 2-D sampled-spline medium.
 
     The block-shared-window successor to :func:`grid_trace`: rays are
@@ -769,12 +793,9 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
         # (x, y, cx, cy, ang, tt, dsim, active) [+ Welford]
         comps = [x, y, zeros, zeros, theta0, zeros, zeros, ones]
         if with_stats:
+            from raytracing_tpu.kernels.golden import init_mom_x
             n0 = medium.n(x, y).astype(jnp.float32)
-            ct, st = jnp.cos(theta0), jnp.sin(theta0)
-            cf = jnp.sqrt((gamma * st) ** 2 + ct * ct)
-            mx0 = n0 * cf * ct * (1.0 - st * st * (gamma * gamma - 1.0)
-                                  / (cf * cf))
-            comps += [ones, mx0, zeros]
+            comps += [ones, init_mom_x(op, n0, theta0, gamma), zeros]
     else:
         ux = jnp.cos(theta0)
         uy = jnp.sin(theta0)
@@ -818,7 +839,8 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
     def attempt(state, seg, n_run, done_steps, tile):
         kw = dict(op=op, segment=seg, box=tuple(box), block_rays=block_rays,
                   interpret=interpret, meta=meta, tile_shape=tile,
-                  stats=with_stats, n_state=n_state)
+                  stats=with_stats, n_state=n_state,
+                  gold_schedule=gold_schedule)
         if mesh is None:
             return _tiled_run_segments(
                 state, nodes3d, jnp.float32(delta_s), limit,

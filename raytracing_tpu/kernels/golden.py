@@ -47,6 +47,50 @@ GOLDEN_OPS = {"op5": ("curv", "golden"), "op9": ("t2", "golden"),
               "op10": ("curv", "golden"), "op11": ("t2", "golden"),
               "op10n": ("curv", "newton"), "op11n": ("t2", "newton")}
 
+#: Default Newton polish steps appended to the golden bracket.  The f32
+#: bracket alone localizes the angle to ~1.7e-4 rad (gold_tol), which random
+#: walks the conserved momentum to a CV of ~1 % over a calibrated run — far
+#: over the reference's 0.05 % acceptance bar (RT_bench.py:1310).  Two Newton
+#: steps on the cost gradient (quadratic convergence from the bracket
+#: midpoint) polish the angle to f32 roundoff, recovering the accuracy the
+#: reference's sqrt(eps_f64)-tolerance golden delivers at float64 — same
+#: minimizer, tighter tolerance.  docs/PARITY.md catalogs the divergence;
+#: ``polish=0`` restores the pure-bracket schedule (the f32 parity mode the
+#: engine-comparison tests pin).
+GOLD_POLISH: int = 2
+#: Bracket iterations used when polishing: 12 shrinks the pi-wide bracket to
+#: ~9.7e-3 rad — comfortably inside the cost's quadratic basin, where two
+#: Newton steps land at roundoff.  Without polish the bracket must carry the
+#: full tolerance itself (config.golden_iters -> 16 at f32).
+GOLD_COARSE_ITERS: int = 12
+
+
+def golden_schedule(polish: int | None = None, iters: int | None = None):
+    """Resolve the (bracket iterations, polish steps) pair for a kernel.
+
+    Defaults to the production schedule (coarse bracket + Newton polish);
+    ``polish=0`` selects the reference-parity pure-bracket schedule at the
+    dtype tolerance (config.golden_iters).
+    """
+    if polish is None:
+        polish = GOLD_POLISH
+    if iters is None:
+        iters = GOLD_COARSE_ITERS if polish else golden_iters(np.float32)
+    return int(iters), int(polish)
+
+
+def _rot_small(d):
+    """(sin d, cos d) by degree-5/4 small-angle polynomials.
+
+    Exact Taylor truncations (error d^7/5040 resp. d^6/720): below f32
+    roundoff for |d| <~ 0.15, which covers every polish/Newton offset —
+    and dodges two VPU transcendentals per evaluation (the RK2-family
+    trick, kernels/fused.py)."""
+    d2 = d * d
+    sd = d * (1.0 - d2 * (1.0 / 6.0) * (1.0 - d2 * 0.05))
+    cd = 1.0 - d2 * 0.5 * (1.0 - d2 * (1.0 / 12.0))
+    return sd, cd
+
 
 def _golden_offsets(iters: int):
     """Per-iteration constants of the golden bracket schedule.
@@ -66,7 +110,7 @@ def _golden_offsets(iters: int):
 def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                  curv_tol: float, strat=None, stats: bool = False,
                  custom=None, resume: bool = False, tile=None,
-                 skip: bool = False):
+                 skip: bool = False, polish: int = 0):
     """Build the fused golden/Newton step kernel.
 
     ``resume`` makes the kernel segmentable (mirrors fused._make_kernel):
@@ -77,7 +121,10 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
     (fused._tile_nag); tiled kernels are resume-only.  ``skip`` prepends a
     per-block liveness table and bypasses all-frozen blocks (see
     fused._make_kernel — the golden search makes skipped work ~40x a
-    fused step, so the bypass pays off even faster here).
+    fused step, so the bypass pays off even faster here).  ``polish`` adds
+    that many Newton steps on the cost gradient after the golden bracket,
+    parameterized as a small-angle offset from the bracket midpoint
+    (transcendental-free — see GOLD_POLISH).
     """
     if skip and not resume:
         raise ValueError("skip is a resume-kernel feature")
@@ -96,6 +143,11 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
     c0_off, d0_off, _ = _golden_offsets(gold_iters_n)
     cos_c0, sin_c0 = math.cos(c0_off), math.sin(c0_off)
     cos_d0, sin_d0 = math.cos(d0_off), math.sin(d0_off)
+    # final bracket width and the midpoint's (constant) offset from probe c:
+    # c = b - L*r, m = (a+b)/2  ->  m - c = (r - 0.5) * L_final
+    L_final = 2.0 * DELTA_G * r ** gold_iters_n
+    mid_off = (r - 0.5) * L_final
+    cos_m, sin_m = math.cos(mid_off), math.sin(mid_off)
 
     def kernel_impl(nag, *refs):
         live_ref = None
@@ -125,7 +177,8 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
         gamma = scal_ref[1]
         limit = scal_ref[2]   # traced step count; rays freeze after
         offset = scal_ref[3]  # applied steps before this segment (global)
-        g2m1 = gamma * gamma - 1.0
+
+        g2 = gamma * gamma
 
         def coef_of(ct, st):
             if iso:
@@ -133,9 +186,15 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
             return jnp.sqrt((gamma * st) ** 2 + ct * ct)
 
         def mom_x(nv, cf, ct, st):
+            # The reference's m_x = n*cf*ct*(1 - st^2*(g^2-1)/cf^2)
+            # (RT_bench.py:215-228) collapses exactly: cf^2 - st^2*(g^2-1)
+            # = g^2 st^2 + ct^2 - st^2 g^2 + st^2 = 1, so m_x = n*ct/cf.
+            # Same algebra, but cancellation-free in f32 — the long form's
+            # O(g^2) subtraction was the kernel tier's CV floor
+            # (docs/PRECISION.md "sampled-media and anisotropic CV floors").
             if iso:
                 return nv * ct
-            return nv * cf * ct * (1.0 - st * st * g2m1 / (cf * cf))
+            return nv * ct / cf
 
         def body(i, carry):
             in_limit = (i.astype(jnp.float32) + offset) < limit
@@ -195,38 +254,51 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                     ry = n2 * st - ky
                     return rx * rx + ry * ry
             else:
-                mi_x = n * coef_i * ux * (1.0 - uy * uy * g2m1
-                                          / (coef_i * coef_i))
-                mi_y = n * coef_i * uy * (1.0 + ux * ux * g2m1
-                                          / (coef_i * coef_i))
-                jx_i = coef_i * gx
-                jy_i = coef_i * gy
+                # exact collapsed momenta (see mom_x): m = (n ct, n g^2 st)/cf
+                inv_i = jax.lax.rsqrt((gamma * uy) ** 2 + ux * ux)
+                mi_x = n * ux * inv_i
+                mi_y = n * g2 * uy * inv_i
+                # residual constants hoisted out of the search loop
+                kx = mi_x + coef_i * gx * half_ds
+                ky = mi_y + coef_i * gy * half_ds
+                hx = gx2 * half_ds
+                hy = gy2 * half_ds
+                n2g2 = n2 * g2
 
                 def cost_uv(ct, st):
-                    # one rsqrt; cf and 1/cf from it, no divides
-                    inv = jax.lax.rsqrt((gamma * st) ** 2 + ct * ct)
-                    cf = ((gamma * st) ** 2 + ct * ct) * inv
-                    mf_x = n2 * ct * (cf - st * st * g2m1 * inv)
-                    mf_y = n2 * st * (cf + ct * ct * g2m1 * inv)
-                    rx = mf_x - mi_x - (jx_i + cf * gx2) * half_ds
-                    ry = mf_y - mi_y - (jy_i + cf * gy2) * half_ds
+                    # one rsqrt; cf = s2 * inv, no divides
+                    s2 = (gamma * st) ** 2 + ct * ct
+                    inv = jax.lax.rsqrt(s2)
+                    cf = s2 * inv
+                    rx = n2 * ct * inv - kx - cf * hx
+                    ry = n2g2 * st * inv - ky - cf * hy
                     return rx * rx + ry * ry
 
             if solver == "newton":
-                def cost(t):
-                    return cost_uv(jnp.cos(t), jnp.sin(t))
+                # Newton on d(cost)/d(delta) via nested forward-mode jvp
+                # (ops/newton.py): quadratic convergence from the O(ds)
+                # seed.  The offset delta is measured from the CURRENT
+                # tangent and probed by small-angle polynomial rotations
+                # (_rot_small) — zero transcendentals in the solve; the
+                # per-step angle change at calibrated steps is O(ds*curv)
+                # << the 0.45 poly-validity clip.
+                def cost_d(dd):
+                    sd, cd = _rot_small(dd)
+                    return cost_uv(ux * cd - uy * sd, ux * sd + uy * cd)
 
-                # Newton on d(cost)/dt via nested forward-mode jvp
-                # (ops/newton.py): quadratic convergence from the O(ds) seed.
-                def dcost(t):
-                    return jax.jvp(cost, (t,), (jnp.ones_like(t),))[1]
+                def dcost(dd):
+                    return jax.jvp(cost_d, (dd,), (jnp.ones_like(dd),))[1]
 
-                t_new = ang
+                dlt = jnp.zeros_like(ang)
                 for _ in range(3):
-                    d1, d2 = jax.jvp(dcost, (t_new,),
-                                     (jnp.ones_like(t_new),))
+                    d1, d2 = jax.jvp(dcost, (dlt,), (jnp.ones_like(dlt),))
                     safe = jnp.where(jnp.abs(d2) < 1e-12, 1e-12, jnp.abs(d2))
-                    t_new = t_new - jnp.clip(d1 / safe, -0.3, 0.3)
+                    dlt = dlt - jnp.clip(d1 / safe, -0.3, 0.3)
+                dlt = jnp.clip(dlt, -0.45, 0.45)
+                t_new = ang + dlt
+                sd, cd = _rot_small(dlt)
+                tc = ux * cd - uy * sd
+                ts = ux * sd + uy * cd
             else:
                 # Transcendental-free golden schedule (module docstring):
                 # probe unit vectors advance by the compile-time constant
@@ -267,12 +339,50 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                     b2 = jnp.where(left, b_ang - dk, b_ang)
                     return a2, b2, pc2, ps2, qc2, qs2, fc2, fd2
 
-                a_ang, b_ang, *_rest = jax.lax.fori_loop(
+                a_ang, b_ang, pc, ps, *_rest = jax.lax.fori_loop(
                     0, gold_iters_n, gold_body,
                     (a_ang, b_ang, pc, ps, qc, qs, fc, fd))
                 t_new = (a_ang + b_ang) * 0.5
+                if polish:
+                    # midpoint unit vector = final probe c rotated by the
+                    # compile-time constant mid_off; Newton offsets from it
+                    # are small-angle rotations (see GOLD_POLISH)
+                    mc = pc * cos_m - ps * sin_m
+                    ms = pc * sin_m + ps * cos_m
+
+                    def cost_d(dd):
+                        sd, cd = _rot_small(dd)
+                        return cost_uv(mc * cd - ms * sd, mc * sd + ms * cd)
+
+                    def dcost(dd):
+                        return jax.jvp(cost_d, (dd,),
+                                       (jnp.ones_like(dd),))[1]
+
+                    dlt = jnp.zeros_like(t_new)
+                    for _ in range(polish):
+                        d1, d2v = jax.jvp(dcost, (dlt,),
+                                          (jnp.ones_like(dlt),))
+                        safe = jnp.where(jnp.abs(d2v) < 1e-12, 1e-12,
+                                         jnp.abs(d2v))
+                        # per-update clip: the minimizer is bracketed within
+                        # +-L_final/2 of the midpoint (plus f32 bracket noise)
+                        dlt = dlt - jnp.clip(d1 / safe, -L_final, L_final)
+                    dlt = jnp.clip(dlt, -L_final, L_final)
+                    t_new = t_new + dlt
+                    sd, cd = _rot_small(dlt)
+                    tc = mc * cd - ms * sd
+                    ts = mc * sd + ms * cd
             nang = jnp.where(significant, t_new, ang)
-            nux, nuy = jnp.cos(nang), jnp.sin(nang)
+            if solver == "newton" or polish:
+                # tangent by rotation (tc, ts) — zero per-step
+                # transcendentals; one rsqrt renormalization stops ulp-level
+                # norm drift compounding across steps
+                inv_nrm = jax.lax.rsqrt(tc * tc + ts * ts)
+                nux = jnp.where(significant, tc * inv_nrm, ux)
+                nuy = jnp.where(significant, ts * inv_nrm, uy)
+            else:
+                # parity mode: tangent re-derived from the angle each step
+                nux, nuy = jnp.cos(nang), jnp.sin(nang)
 
             dist = jnp.sqrt(ddx * ddx + ddy * ddy)
             cf_new = coef_of(nux, nuy)
@@ -363,6 +473,22 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
     return kernel
 
 
+def init_mom_x(op: str, n0, theta0, gamma):
+    """First Welford sample of the horizontal momentum for op ``op``.
+
+    Matches the kernel's tracker exactly: the iso golden ops (op5/op9) use
+    the cf=1 form regardless of the caller's gamma (the kernel folds the
+    anisotropy factor to 1 at build time); aniso ops use the collapsed
+    m_x = n*cos(t)/cf (see ``mom_x`` in ``_make_kernel`` — algebraically the
+    reference's RT_bench.py:215-228 formula, cancellation-free).
+    """
+    ct, st = jnp.cos(theta0), jnp.sin(theta0)
+    if op in ("op5", "op9"):
+        return n0 * ct
+    cf = jnp.sqrt((gamma * st) ** 2 + ct * ct)
+    return n0 * ct / cf
+
+
 def golden_scalars(delta_s, gamma, step_limit, offset, iters):
     """The golden kernels' scalar bundle:
     [ds, gamma, limit, offset, (cos d_k, sin d_k) x iters, d_k x iters]."""
@@ -394,12 +520,14 @@ class GoldenFinal(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("field", "op", "steps", "box",
                                              "block_rays", "interpret",
-                                             "with_stats"))
+                                             "with_stats", "gold_iters",
+                                             "polish"))
 def golden_trace_final(pos0, theta0, delta_s, gamma, *, field: str, op: str,
                        steps: int, box, block_rays: int = 4096,
                        interpret: bool = False, medium=None,
                        with_stats: bool = False,
-                       step_limit=None) -> GoldenFinal:
+                       step_limit=None, gold_iters: int | None = None,
+                       polish: int | None = None) -> GoldenFinal:
     """Run ``steps`` fused golden-section integration steps.
 
     ``gamma`` is the anisotropy ratio (1.0 == isotropic, i.e. op5/op9).
@@ -408,7 +536,9 @@ def golden_trace_final(pos0, theta0, delta_s, gamma, *, field: str, op: str,
     ``with_stats`` adds the Welford anisotropic-momentum tracker for
     on-device CV oracles.  ``step_limit`` (traced, default ``steps``)
     freezes rays after that many steps — one compiled kernel serves a whole
-    DELTA_S candidate sweep.
+    DELTA_S candidate sweep.  ``gold_iters``/``polish`` select the golden
+    schedule (default: coarse bracket + Newton polish, see GOLD_POLISH;
+    ``polish=0`` restores the pure f32 reference-parity bracket).
     """
     if op not in GOLDEN_OPS:
         raise ValueError(f"golden kernel supports {tuple(GOLDEN_OPS)}, got {op!r}")
@@ -422,7 +552,7 @@ def golden_trace_final(pos0, theta0, delta_s, gamma, *, field: str, op: str,
     ang = theta0.reshape(shape2).astype(jnp.float32)
     zero = jnp.zeros(shape2, jnp.float32)
 
-    iters = golden_iters(np.float32)
+    iters, polish = golden_schedule(polish, gold_iters)
     tol = gold_tol(np.float32)
     if step_limit is None:
         step_limit = steps
@@ -458,7 +588,7 @@ def golden_trace_final(pos0, theta0, delta_s, gamma, *, field: str, op: str,
         args = (tables,) + args
     outs = pl.pallas_call(
         _make_kernel(field, op, steps, tuple(box), iters, tol, strat=strat,
-                     stats=with_stats, custom=custom),
+                     stats=with_stats, custom=custom, polish=polish),
         grid=(r // block_rays,),
         in_specs=in_specs,
         out_specs=[blk] * n_out,

@@ -191,7 +191,30 @@ def test_fast_trace_long_traces_use_segments():
     gone = fast_trace("op5", scen, med, delta_s=0.02, steps=300,
                       pos0=pos0, theta0=theta0, block_rays=128)
     assert gone.engine == "golden"
-    np.testing.assert_array_equal(np.asarray(g.pos), np.asarray(gone.pos))
+    # golden production mode derives the tangent by rotation; each segment
+    # start resets it to cos/sin of the carried angle, so the segmented
+    # chain agrees with one-shot to rotation-drift level, not bitwise
+    # (segmented_trace docstring; exact under gold_schedule=(16, 0))
+    np.testing.assert_allclose(np.asarray(g.pos), np.asarray(gone.pos),
+                               atol=2e-5)
+
+
+def test_fast_trace_small_user_grid_falls_back():
+    """A user grid smaller than the smallest (11, 11)-cell tile window must
+    keep its supercell/scan path instead of raising (ADVICE r2 #2)."""
+    from raytracing_tpu.media.spline import grid_medium_from_samples
+    x = np.linspace(-1.5, 1.5, 9)
+    y = np.linspace(-1.5, 1.5, 9)
+    X, Y = np.meshgrid(x, y)
+    Z = 1.0 / (1.0 + X ** 2 + Y ** 2)
+    med = grid_medium_from_samples(Z, x, y, dtype=np.float32)
+    scen = rt.scenario("fisheye")
+    pos0, theta0 = _batch(8)
+    out = fast_trace("op1", scen, med, delta_s=0.05, steps=20,
+                     pos0=pos0, theta0=theta0, block_rays=128,
+                     interpret=True)
+    assert out.engine in ("grid-supercell", "scan")
+    assert out.pos.shape == (8, 2)
 
 
 def test_fast_trace_custom_medium_golden():

@@ -24,9 +24,11 @@ def test_golden_kernel_aniso_matches_engine(op):
     steps = scen.max_size(float(ds)) - 1
     r0, pos0, theta0 = _pad(scen)
 
+    # polish=0: the pure-bracket parity schedule the f32 scan engine follows
     pos, ang, tt, dsim, act, *_ = golden_trace_final(
         pos0, theta0, ds, np.float32(scen.gamma), field="vert_heterogeneous",
-        op=op, steps=steps, box=tuple(scen.box), block_rays=128, interpret=True)
+        op=op, steps=steps, box=tuple(scen.box), block_rays=128,
+        interpret=True, polish=0)
 
     res = rt.trace(op, scen, med, delta_s=float(ds), mode="metrics",
                    dtype=np.float32, pos0=pos0, theta0=theta0)
@@ -47,7 +49,8 @@ def test_golden_kernel_iso_matches_engine(op):
     r0, pos0, theta0 = _pad(scen)
     pos, ang, tt, dsim, act, *_ = golden_trace_final(
         pos0, theta0, ds, np.float32(1.0), field="vert_heterogeneous",
-        op=op, steps=steps, box=tuple(scen.box), block_rays=128, interpret=True)
+        op=op, steps=steps, box=tuple(scen.box), block_rays=128,
+        interpret=True, polish=0)
     res = rt.trace(op, scen, med, delta_s=float(ds), mode="metrics",
                    dtype=np.float32, pos0=pos0, theta0=theta0)
     # Endpoint rays (theta = 0, pi/2) sit on cost-function symmetries where
@@ -72,11 +75,62 @@ def test_golden_kernel_momentum_conservation():
     m0 = momenta_np(theta0[:r0], pos0[:r0], scen.gamma)
     mf = momenta_np(np.asarray(ang)[:r0], np.asarray(pos)[:r0], scen.gamma)
     rel = np.abs(mf[1:-1, 0] - m0[1:-1, 0]) / np.abs(m0[1:-1, 0])
-    # float32 golden argmin noise is ~sqrt(eps_f32) per step, a ~1 % random
-    # walk over 100 steps — identical to the jnp engine at float32.  The
-    # 0.05 % reference threshold is a float64 figure, covered by the CPU
-    # oracle tests (test_oracles.py).
-    assert np.median(rel) < 5e-2, rel
+    # The default schedule (coarse bracket + Newton polish, GOLD_POLISH)
+    # holds the angle to f32 roundoff per step; end-to-end drift over 100
+    # steps stays ~1e-4 — the pure f32 bracket's ~1 % walk is gone.
+    assert np.median(rel) < 1e-3, rel
+
+
+@pytest.mark.parametrize("scen_name,op,gamma", [
+    ("vert", "op5", 1.0), ("aniso", "op11", 3.0)])
+def test_golden_polish_cv_meets_reference_bar(scen_name, op, gamma):
+    """The round-3 headline fix: the polished golden kernels conserve p_x to
+    the reference's own acceptance bar (scenario-average interior-ray CV
+    < 0.05 %, RT_bench.py:1310,1352-1360) in pure float32 — no relaxed
+    threshold.  The pure f32 bracket measures ~0.6 % on the same slice."""
+    import dataclasses
+    from raytracing_tpu.calibrated import calibrated
+    scen = rt.scenario(scen_name)
+    ds, _ = calibrated(op, scen_name)
+    # ~1000 calibrated steps: enough walk to discriminate (parity-bracket
+    # CV here is >10x the bar) while keeping interpret mode quick
+    scen = dataclasses.replace(scen, s_max=1000 * float(ds))
+    steps = scen.max_size(float(ds)) - 1
+    r0, pos0, theta0 = _pad(scen)
+    res = golden_trace_final(
+        pos0, theta0, np.float32(ds), np.float32(gamma), field=scen.field,
+        op=op, steps=steps, box=tuple(scen.box), block_rays=128,
+        interpret=True, with_stats=True)
+    cnt = np.asarray(res.mom_count)[:r0]
+    mean = np.asarray(res.mom_mean)[:r0]
+    m2 = np.asarray(res.mom_m2)[:r0]
+    cv = 100.0 * np.sqrt(m2 / np.maximum(cnt, 1)) / np.abs(mean)
+    avg_cv = np.mean(cv[1:-1])          # interior rays, reference metric
+    assert avg_cv < 0.05, f"scenario-average CV {avg_cv}% >= 0.05%"
+
+
+def test_golden_polish_matches_float64_mirror():
+    """Polish is the same minimizer at a tighter tolerance: the polished f32
+    kernel lands on the float64 engine's trajectory (which runs the golden
+    bracket at the reference's sqrt(eps_f64) tolerance), while the pure-f32
+    bracket wanders ~1e-2 over the same arc.  Endpoint rays excluded: the
+    theta=pi/2 ray runs along the box edge and exits on f32 noise."""
+    import dataclasses
+    scen = dataclasses.replace(rt.scenario("aniso"), s_max=1.5)
+    med = rt.analytic_medium("vert_heterogeneous")
+    ds = np.float32(0.02)
+    steps = scen.max_size(float(ds)) - 1
+    r0, pos0, theta0 = _pad(scen)
+    polished = golden_trace_final(
+        pos0, theta0, ds, np.float32(scen.gamma), field="vert_heterogeneous",
+        op="op11", steps=steps, box=tuple(scen.box), block_rays=128,
+        interpret=True)
+    res = rt.trace("op11", scen, med, delta_s=float(ds), mode="metrics",
+                   dtype=np.float64, pos0=pos0.astype(np.float64),
+                   theta0=theta0.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(polished.pos)[1:r0 - 1],
+                               np.asarray(res.final.pos)[1:r0 - 1],
+                               atol=1e-3)
 
 
 def test_golden_kernel_rejects_unknown_op():
@@ -122,7 +176,7 @@ def test_golden_strat_medium_matches_scan():
                            np.float32(scen.gamma), field=scen.field,
                            op="op10", steps=steps, box=tuple(scen.box),
                            block_rays=128, interpret=True, medium=med,
-                           with_stats=True)
+                           with_stats=True, polish=0)
     res = rt.trace("op10", scen, med, delta_s=ds, mode="metrics",
                    dtype=np.float32, max_size=steps + 1,
                    pos0=pos0, theta0=theta0)

@@ -157,9 +157,14 @@ def test_tiled_golden_ops_on_grid(fisheye_media):
     theta0 = (np.pi / 2 + np.linspace(-0.01, 0.01, r)).astype(np.float32)
     pos0 = np.tile(np.array([1.0, 0.0], np.float32), (r, 1))
     ds = 2 * np.pi / 325
+    # parity bracket schedule: the f32 scan engine this test compares
+    # against follows the pure-bracket angle sequence (polish validated in
+    # test_golden_kernel.py)
+    from raytracing_tpu.config import golden_iters
+    parity = (golden_iters(np.float32), 0)
     res = grid_trace_tiled("op5", pos0, theta0, np.float32(ds), hm,
                            steps=200, box=tuple(scen.box), block_rays=128,
-                           interpret=True)
+                           interpret=True, gold_schedule=parity)
     ref = rt.trace("op5", scen, gm, delta_s=ds, mode="metrics",
                    dtype=np.float32, max_size=201, pos0=pos0, theta0=theta0)
     np.testing.assert_allclose(np.asarray(res.pos),
@@ -172,7 +177,8 @@ def test_tiled_golden_ops_on_grid(fisheye_media):
     pos0 = np.tile(sca.pos0[:1].astype(np.float32), (r, 1))
     res = grid_trace_tiled("op11", pos0, theta0, np.float32(0.0193), hma,
                            steps=150, box=tuple(sca.box), block_rays=128,
-                           interpret=True, gamma=3.0, with_stats=True)
+                           interpret=True, gamma=3.0, with_stats=True,
+                           gold_schedule=parity)
     ref = rt.trace("op11", sca, gma, delta_s=0.0193, mode="metrics",
                    dtype=np.float32, max_size=151, pos0=pos0, theta0=theta0)
     np.testing.assert_allclose(np.asarray(res.pos),

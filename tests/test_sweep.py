@@ -243,7 +243,9 @@ def test_fused_sweep_supported_matrix():
 
 def test_fused_sweep_aniso_golden_cv_matches_scan():
     """Aniso kernel-tier sweep: golden op10 with the in-kernel anisotropic
-    Welford tracker agrees with the scan tier."""
+    Welford tracker agrees with the FLOAT64 scan tier — the polished golden
+    kernel (kernels.golden.GOLD_POLISH) resolves the discretization CV that
+    the f32 scan tier's own bracket noise (~0.3 %) used to bury."""
     import raytracing_tpu as rt
     from raytracing_tpu.parallel.sweep import run_candidates, run_candidates_fused
     scen = rt.scenario("aniso")
@@ -253,8 +255,60 @@ def test_fused_sweep_aniso_golden_cv_matches_scan():
     fused = run_candidates_fused("op10", scen, ds, sizes - 1,
                                  int(sizes.max()) - 1, block_rays=128,
                                  rays=128)
-    scan = run_candidates("op10", scen, med, ds, sizes - 1, int(sizes.max()))
-    np.testing.assert_allclose(fused["cv_pct"], scan["cv_pct"], atol=5e-3)
+    scan = run_candidates("op10", scen, med, ds, sizes - 1, int(sizes.max()),
+                          dtype=np.float64)
+    np.testing.assert_allclose(fused["cv_pct"], scan["cv_pct"], atol=1e-3)
+
+
+def test_grid_sweep_rejects_op7_and_small_grids():
+    """ADVICE r2 #1/#3: the batched sweep kernel's fixed n_state layout
+    cannot carry op7's position window (named error, not a shape crash),
+    and window classes larger than the medium go to the fallback list
+    instead of slicing off the node table."""
+    import raytracing_tpu as rt
+    from raytracing_tpu.engine.segmented import grid_sweep_tiled
+    from raytracing_tpu.media.hermite import build_hermite_medium
+    from raytracing_tpu.media.spline import grid_medium_from_samples
+
+    scen = rt.scenario("fisheye")
+    x = np.linspace(-1.5, 1.5, 9)
+    X, Y = np.meshgrid(x, x)
+    small = build_hermite_medium(grid_medium_from_samples(
+        1.0 / (1.0 + X ** 2 + Y ** 2), x, x, dtype=np.float32))
+    pos = np.tile(np.array([[1.0, 0.0]], np.float32), (2, 1))
+    th = np.full(2, np.pi / 2, np.float32)
+    with pytest.raises(ValueError, match="minus op7"):
+        grid_sweep_tiled("op7", pos, th, np.float32([0.1, 0.2]),
+                         np.float32([10, 10]), small, box=tuple(scen.box),
+                         interpret=True)
+    # 9-node grid (8 cells) fits no window class: every candidate falls back
+    final, fb = grid_sweep_tiled("op1", pos, th, np.float32([0.1, 0.2]),
+                                 np.float32([10, 10]), small,
+                                 box=tuple(scen.box), interpret=True)
+    assert fb == [0, 1]
+    assert np.all(np.isnan(final))
+
+
+def test_grid_sweep_op7_routes_per_candidate():
+    """run_candidates_fused('op7', grid medium) must route through
+    grid_trace_tiled per candidate (which provisions op7's window state)
+    instead of the batched kernel (ADVICE r2 #1)."""
+    import raytracing_tpu as rt
+    from raytracing_tpu.media.spline import build_grid_medium
+    from raytracing_tpu.parallel.sweep import (run_candidates,
+                                               run_candidates_fused)
+
+    scen = rt.scenario("fisheye")
+    gm = build_grid_medium("fisheye", scen.box, dtype=np.float32)
+    divs = np.array([60], np.int64)
+    ds = (2 * np.pi / divs).astype(np.float32)
+    sizes = 1 * divs
+    g = run_candidates_fused("op7", scen, ds, sizes - 1,
+                             int(sizes.max()) - 1, medium=gm, rays=1024,
+                             block_rays=1024, interpret=True)
+    s = run_candidates("op7", scen, gm, ds, sizes - 1, int(sizes.max()),
+                       n_turns=1, dtype=np.float32)
+    np.testing.assert_allclose(g["closure_pct"], s["closure_pct"], atol=5e-3)
 
 
 def test_grid_medium_sweep_matches_scan():
