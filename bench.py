@@ -399,6 +399,27 @@ def run_oracles(path: str = "ORACLES.json"):
         "pass": err < 1e-5}
     assert err < 1e-5, err
 
+    # df32 on the SAMPLED fisheye spline (engine/df_grid.py): ten turns at
+    # the precision divisor through the split-table evaluator.  Closure
+    # here is limited by the MEDIUM, not the arithmetic — the sampled
+    # spline's periodic orbit departs from the analytic circle by its own
+    # ~1.5e-4 fit error (docs/PRECISION.md "df32 on the sampled media"),
+    # so the asserted bound is the medium's, while arithmetic accuracy is
+    # pinned by the f64 cross-check in tests/test_df_grid.py (~1e-7/turn).
+    from raytracing_tpu.engine.df_grid import (build_df_grid_medium,
+                                               df_grid_trace)
+    dfm = build_df_grid_medium("fisheye", rt.scenario("fisheye").box)
+    pg = df_grid_trace(pos0[:256], theta0[:256],
+                       np.float32(2 * np.pi / 4587), dfm, steps=4587 * 10)
+    gerr = float(np.linalg.norm(pg[0] - [1.0, 0.0]))
+    out["df32_grid_10turn_closure_abs"] = {
+        "value": gerr, "threshold": 5e-3, "divisor": 4587, "turns": 10,
+        "medium": "sampled-2d-spline",
+        "note": "medium-limited (spline vs analytic ~1.5e-4/turn); "
+                "arithmetic proven vs f64 in tests/test_df_grid.py",
+        "pass": gerr < 5e-3}
+    assert gerr < 5e-3, gerr
+
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"# oracles -> {path}: all pass", file=sys.stderr)

@@ -216,9 +216,24 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
     # Mosaic compile time scales with the kernel trip count; beyond a few
     # thousand steps the one-shot kernels become compile hazards, so long
     # traces chain bounded segments instead (identical results, tested).
-    if too_long and seg_eligible:
+    #
+    # Exit scenarios (the interface/vert fans leave the box midway,
+    # RT_bench.py:878-879's data-dependent break) also take the segmented
+    # tier BY DEFAULT, with the batch sorted by launch angle so rays that
+    # exit together share kernel blocks and all-frozen blocks bypass the
+    # step loop on device (segmented_trace(skip_frozen=True) — 2-3x on
+    # boundary-exit workloads).  Per-ray results do not depend on block
+    # membership, and the sort is undone, so skipping changes nothing but
+    # the wasted lane work.
+    exit_scen = scen.is_interface or scen.name == "vert"
+    if (too_long or exit_scen) and seg_eligible:
         from raytracing_tpu.engine.segmented import segmented_trace
 
+        inv = None
+        if exit_scen:
+            perm = jnp.argsort(theta0)
+            inv = jnp.argsort(perm)
+            pos0, theta0 = pos0[perm], theta0[perm]
         strat = isinstance(medium, StratifiedGridMedium)
         f = segmented_trace(
             op, pos0, theta0, jnp.float32(delta_s), steps=int(steps),
@@ -227,12 +242,19 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
             medium=medium if strat else None,
             segment=1024 if op in FUSED_OPS else 256,
             block_rays=block_rays, interpret=interpret,
-            gamma=float(scen.gamma))
+            gamma=float(scen.gamma), skip_frozen=exit_scen)
+
+        def undo(a):
+            if a is None:
+                return None
+            return (a if inv is None else a[inv])[:r]
+
         eng = "golden" if op in GOLDEN_OPS else "fused"
-        return FastResult(pos=f.pos[:r], traveltime=f.traveltime[:r],
-                          dist_sim=f.dist_sim[:r], active=f.active[:r],
-                          engine=(f"{eng}-strat-seg" if strat
-                                  else f"{eng}-seg"))
+        eng += "-strat" if strat else ""
+        eng += "-seg-skip" if exit_scen else "-seg"
+        return FastResult(pos=undo(f.pos), traveltime=undo(f.traveltime),
+                          dist_sim=undo(f.dist_sim), active=undo(f.active),
+                          engine=eng)
 
     if isinstance(medium, StratifiedGridMedium) and op in GOLDEN_OPS:
         g = golden_trace_final(

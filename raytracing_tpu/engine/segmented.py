@@ -410,10 +410,57 @@ def _refresh_windows(st, flag, nodes3d, meta, th, tw, nblocks, block_rays,
     return flag, tiles, bases
 
 
+def _refresh_windows_rows(st, flag, nodes3d, meta, th, tw, nblocks, rows,
+                          margin_x, margin_y):
+    """Per-sublane-ROW window refresh: one <=128-cell window per 128 rays.
+
+    Same contract as :func:`_refresh_windows`, but the window unit is a
+    sublane row (LANES Morton-adjacent rays) instead of a whole kernel
+    block: tighter bounding boxes, and the kernel gathers each row from its
+    own window slice at single-chunk cost (``tpu.dynamic_gather`` indexes
+    per sublane row — see ``kernels.fused._make_kernel(row_tile=True)``), so
+    a block's effective coverage is rows x 128 cells with the same 36
+    gathers/step a single 121-cell block window needs.  Returns
+    ``(flag', tiles, bases)`` with tiles (nblocks, 36, rows, LANES) and
+    bases (nblocks, 2, rows, LANES) lane-broadcast f32 cell indices.
+    """
+    x0, y0, inv_hx, inv_hy, nx, ny = meta
+    ngroups = nblocks * rows
+    pad_cells = LANES - th * tw
+    ix, iy = _cells(st[0].reshape(ngroups, LANES),
+                    st[1].reshape(ngroups, LANES), meta)
+    ixm, ixM = jnp.min(ix, axis=1), jnp.max(ix, axis=1)
+    iym, iyM = jnp.min(iy, axis=1), jnp.max(iy, axis=1)
+    need_x = (ixM - ixm) + 2.0 * margin_x - float(tw - 1)
+    need_y = (iyM - iym) + 2.0 * margin_y - float(th - 1)
+    flag = jnp.maximum(flag, jnp.maximum(jnp.max(need_x), jnp.max(need_y)))
+    bix = jnp.clip(ixm - jnp.floor((float(tw - 1) - (ixM - ixm)) * 0.5),
+                   0.0, float(nx - 1 - tw)).astype(jnp.int32)
+    biy = jnp.clip(iym - jnp.floor((float(th - 1) - (iyM - iym)) * 0.5),
+                   0.0, float(ny - 1 - th)).astype(jnp.int32)
+    win = jax.vmap(lambda by, bx: jax.lax.dynamic_slice(
+        nodes3d, (by, bx, jnp.int32(0)), (th + 1, tw + 1, 9)))(biy, bix)
+    cells = jnp.stack([win[:, :-1, :-1], win[:, :-1, 1:],
+                       win[:, 1:, :-1], win[:, 1:, 1:]],
+                      axis=-1).reshape(ngroups, th * tw, 36)
+    if pad_cells:
+        cells = jnp.concatenate(
+            [cells, jnp.zeros((ngroups, pad_cells, 36), cells.dtype)],
+            axis=1)
+    tiles = jnp.transpose(cells.reshape(nblocks, rows, LANES, 36),
+                          (0, 3, 1, 2))
+    b2 = jnp.stack([bix, biy], axis=-1).astype(jnp.float32)  # (ngroups, 2)
+    bases = jnp.broadcast_to(
+        jnp.transpose(b2.reshape(nblocks, rows, 2, 1), (0, 2, 1, 3)),
+        (nblocks, 2, rows, LANES))
+    return flag, tiles, bases
+
+
 def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
                               n_seg, gamma, *, op, segment, box, block_rays,
                               interpret, meta, tile_shape, stats=False,
-                              n_state=9, gold_schedule=None):
+                              n_state=9, gold_schedule=None,
+                              row_windows=False):
     """Chain tiled-kernel launches; slice block windows between them.
 
     Each iteration (all inside ONE jit): compute every kernel block's cell
@@ -434,6 +481,10 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
     r = state[0].shape[0] * LANES
     rows = block_rays // LANES
     nblocks = r // block_rays
+    if row_windows and (th * tw > LANES or rows < 8):
+        raise ValueError("row windows need th*tw <= 128 cells and >= 8 "
+                         f"sublane rows per block, got {tile_shape} / "
+                         f"block_rays {block_rays}")
     nchunks = -(-th * tw // LANES)
     n_ch = nchunks * 36
     shape2 = state[0].shape
@@ -445,17 +496,29 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
         iters, polish = gold_schedule or golden_schedule()
         kernel = _make_golden_kernel(
             "hermite-tile", op, segment, box, iters, gold_tol(np.float32),
-            resume=True, tile=meta + tile_shape, stats=stats, polish=polish)
+            resume=True, tile=meta + tile_shape, stats=stats, polish=polish,
+            row_tile=row_windows)
     else:
         kernel = _make_kernel("hermite-tile", op, segment, box,
                               gold_tol(np.float32), resume=True,
-                              tile=meta + tile_shape, stats=stats)
+                              tile=meta + tile_shape, stats=stats,
+                              row_tile=row_windows)
     blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
-    tile_spec = pl.BlockSpec((1, n_ch, LANES), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-    # full bases table in SMEM; the kernel indexes its row by program_id
-    base_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if row_windows:
+        tile_spec = pl.BlockSpec((1, 36, rows, LANES),
+                                 lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        base_spec = pl.BlockSpec((1, 2, rows, LANES),
+                                 lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        tile_bytes = nblocks * (36 + 2) * rows * LANES
+    else:
+        tile_spec = pl.BlockSpec((1, n_ch, LANES), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        # full bases table in SMEM; the kernel indexes its row by program_id
+        base_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        tile_bytes = nblocks * n_ch * LANES
     call = pl.pallas_call(
         kernel,
         grid=(nblocks,),
@@ -465,7 +528,7 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
         out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * n_state,
         cost_estimate=pl.CostEstimate(
             flops=200 * r * segment,
-            bytes_accessed=(2 * n_state * r + nblocks * n_ch * LANES) * 4,
+            bytes_accessed=(2 * n_state * r + tile_bytes) * 4,
             transcendentals=3 * r * segment),
         interpret=interpret,
     )
@@ -477,9 +540,14 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
 
     def seg_body(k, carry):
         st, flag = carry
-        flag, tiles, bases = _refresh_windows(
-            st, flag, nodes3d, meta, th, tw, nblocks, block_rays,
-            margin_x, margin_y, nchunks, n_ch)
+        if row_windows:
+            flag, tiles, bases = _refresh_windows_rows(
+                st, flag, nodes3d, meta, th, tw, nblocks, rows,
+                margin_x, margin_y)
+        else:
+            flag, tiles, bases = _refresh_windows(
+                st, flag, nodes3d, meta, th, tw, nblocks, block_rays,
+                margin_x, margin_y, nchunks, n_ch)
         offset = offset0 + k.astype(jnp.float32) * segment
         if golden:
             ds_vec = golden_scalars(delta_s, gamma, limit, offset, iters)
@@ -495,14 +563,14 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
 
 @functools.partial(jax.jit, static_argnames=(
     "op", "segment", "box", "block_rays", "interpret", "meta", "tile_shape",
-    "stats", "n_state", "gold_schedule"))
+    "stats", "n_state", "gold_schedule", "row_windows"))
 def _tiled_run_segments(*args, **kw):
     return _tiled_run_segments_inner(*args, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "op", "segment", "box", "block_rays", "interpret", "meta", "tile_shape",
-    "stats", "n_state", "mesh", "mesh_axes", "gold_schedule"))
+    "stats", "n_state", "mesh", "mesh_axes", "gold_schedule", "row_windows"))
 def _tiled_run_segments_sharded(state, nodes3d, delta_s, limit, offset0,
                                 n_seg, gamma, *, mesh, mesh_axes, **kw):
     """The round body under ``shard_map``: rays sharded, windows local.
@@ -711,24 +779,34 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
                      tile_shape: tuple = (11, 11), refreshes_per_round: int = 32,
                      interpret: bool = False, with_stats: bool = False,
                      sort: bool = True, gamma: float = 1.0,
-                     mesh=None, gold_schedule: tuple | None = None) -> FusedFinal:
+                     mesh=None, gold_schedule: tuple | None = None,
+                     row_windows: bool | None = None) -> FusedFinal:
     """Production-tier tracing through a 2-D sampled-spline medium.
 
     The block-shared-window successor to :func:`grid_trace`: rays are
-    sorted once along a Morton curve of grid cells, each kernel block
-    carries ONE (th, tw)-CELL window of the table in VMEM shared by all its
+    sorted once along a Morton curve of grid cells, and each kernel unit
+    carries a (th, tw)-CELL window of the table in VMEM shared by all its
     rays — in per-cell packed form, so each evaluation is 36
     ``tpu.dynamic_gather`` rows at a single flat cell index (same spline,
     bit-identical blend — see ``kernels.fused._hermite_blend`` /
-    ``_tile_nag``).  Window refreshes are coherent per-*block* slices, so
-    the refresh cost that capped the supercell path no longer scales with
-    the ray count x 144.
+    ``_tile_nag``).  Window refreshes are coherent slices, so the refresh
+    cost that capped the supercell path no longer scales with the ray
+    count x 144.
+
+    The window unit defaults to a sublane ROW (``row_windows=None`` —
+    auto): each row of 128 Morton-adjacent rays gathers from its own
+    <=128-cell window, so a block effectively covers rows x 128 cells at
+    single-chunk gather cost (``tpu.dynamic_gather`` indexes per sublane
+    row).  ``row_windows=False`` forces the per-BLOCK window mode, where
+    windows above 128 cells pay ``ceil(cells/128)`` chunk-selected gather
+    sets per step — kept as the escalation fallback for batches too
+    dispersed for per-row windows, and for sub-8-row blocks.
 
     Unlike :func:`grid_trace` this has NO ``delta_s < cell`` restriction —
     the coarse calibrated fisheye divisors (278-325, RT_bench.py:1431-1450)
     run at kernel tier too; at such steps the window just refreshes more
     often.  Containment is *verified*, not assumed: every refresh checks
-    that each block's cell bbox plus worst-case travel fits its window; a
+    that each unit's cell bbox plus worst-case travel fits its window; a
     violation re-sorts the rays and replays that round from its checkpoint
     (runs on reference workloads never trip it — fisheye ray fans are
     spatially coherent).  Raises ``RuntimeError`` if a freshly sorted batch
@@ -762,20 +840,38 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
             float(medium.inv_hy), int(medium.nx), int(medium.ny))
     pitch = min(1.0 / meta[2], 1.0 / meta[3])
 
+    rows_per_block = block_rays // LANES
+
+    def use_rows(tile):
+        """Row-window mode for this tile?  Rows need >= (8, 128) Mosaic
+        tiles and a <=128-cell window; escalated block tiles leave it."""
+        if row_windows is False:
+            return False
+        return tile[0] * tile[1] <= LANES and rows_per_block >= 8
+
+    if row_windows and not use_rows((th, tw)):
+        raise ValueError("row_windows=True needs th*tw <= 128 cells and "
+                         f">= 8 sublane rows per block, got {tile_shape} / "
+                         f"block_rays {block_rays}")
+
     def _default_segment(tile):
-        # capacity is min(tile) cells: ~4 for the block bbox, the rest
+        # capacity is min(tile) cells: ~4 for the unit bbox, the rest
         # split between both travel directions
         budget = max(1.0, (min(tile) - 1 - 4) * 0.5)
         return max(1, min(64, int(budget * pitch / float(delta_s))))
 
     if segment is None:
-        # coarse steps cross >1 cell each; starting with a larger window
-        # amortizes refreshes (refresh = several XLA ops + a launch) at
-        # the cost of more gather chunks per step
-        grow = {(11, 11): (16, 16), (16, 16): (22, 22), (22, 22): (32, 32)}
-        while (_default_segment((th, tw)) < 4 and (th, tw) in grow
-               and 2 * th <= medium.ny - 1 and 2 * tw <= medium.nx - 1):
-            th, tw = grow[(th, tw)]
+        if not use_rows((th, tw)):
+            # block mode at coarse steps: a ray crosses >1 cell each step;
+            # starting with a larger window amortizes refreshes (refresh =
+            # several XLA ops + a launch) at the cost of more gather
+            # chunks per step.  Row mode skips this: its coverage is
+            # already rows x 128 cells at single-chunk cost, so short
+            # segments beat paying the chunk multiplier every step.
+            grow = {(11, 11): (16, 16), (16, 16): (22, 22), (22, 22): (32, 32)}
+            while (_default_segment((th, tw)) < 4 and (th, tw) in grow
+                   and 2 * th <= medium.ny - 1 and 2 * tw <= medium.nx - 1):
+                th, tw = grow[(th, tw)]
         segment = _default_segment((th, tw))
     window = op == "op7"
     if golden:
@@ -840,7 +936,7 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
         kw = dict(op=op, segment=seg, box=tuple(box), block_rays=block_rays,
                   interpret=interpret, meta=meta, tile_shape=tile,
                   stats=with_stats, n_state=n_state,
-                  gold_schedule=gold_schedule)
+                  gold_schedule=gold_schedule, row_windows=use_rows(tile))
         if mesh is None:
             return _tiled_run_segments(
                 state, nodes3d, jnp.float32(delta_s), limit,

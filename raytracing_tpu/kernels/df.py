@@ -103,60 +103,26 @@ def _apply_rotation(uxh, uxl, uyh, uyl, dth_h, dth_l):
 DF_FIELDS = ("fisheye", "vert_heterogeneous")
 
 
-def _df_rk4_kernel(field: str, steps: int, resume: bool, *refs):
-    if resume:
-        (xh_ref, xl_ref, yh_ref, yl_ref, uxh_ref, uxl_ref, uyh_ref, uyl_ref,
-         zero_ref, ds_ref, oxh, oxl, oyh, oyl, ouxh, ouxl, ouyh, ouyl) = refs
-    else:
-        (xh_ref, yh_ref, uxh_ref, uyh_ref, zero_ref, ds_ref,
-         oxh, oxl, oyh, oyl) = refs
-    ds = ds_ref[0]
+def _df_recip(dh, dl):
+    """1/(dh + dl) as df via one Newton refinement of the f32 quotient."""
+    n0 = 1.0 / dh
+    th, tl = _two_prod(dh, n0)
+    resid = ((1.0 - th) - tl) - dl * n0
+    return n0, n0 * resid
+
+
+def make_df_rk4_body(df_k, ds):
+    """One double-word RK4 step as a ``fori_loop`` body.
+
+    ``df_k(pxh, pxl, pyh, pyl, vxh, vxl, vyh, vyl) -> (kh, kl)`` is the
+    df angle rate (u x grad n)/n at a df position/tangent.  The body is
+    pure jnp, so the SAME step serves the Pallas kernel (analytic fields,
+    below) and the jnp-level sampled-media tracer
+    (engine/df_grid.py) — one definition of the accuracy-critical
+    compensation choreography.
+    """
     h2 = ds * 0.5
     h6 = ds * (1.0 / 6.0)
-    zero = zero_ref[...]
-
-    def _df_recip(dh, dl):
-        """1/(dh + dl) as df via one Newton refinement of the f32 quotient."""
-        n0 = 1.0 / dh
-        th, tl = _two_prod(dh, n0)
-        resid = ((1.0 - th) - tl) - dl * n0
-        return n0, n0 * resid
-
-    if field == "fisheye":
-        def df_k(pxh, pxl, pyh, pyl, vxh, vxl, vyh, vyl):
-            """Angle rate k = -2 n (v_x y - v_y x) at df position/tangent.
-
-            The fisheye simplification (u x grad n)/n = -2 n (u_x y - u_y x)
-            removes the division; n = 1/(1 + r^2) is Newton-refined so the
-            whole rate is df-accurate.  f32 stage evaluations were the
-            dominant error: their rounding varies *smoothly* along the
-            trajectory, so it integrates linearly, not as a random walk.
-            """
-            ah, al = _two_prod(vxh, pyh)
-            al = al + (vxh * pyl + vxl * pyh)
-            bh, bl = _two_prod(vyh, pxh)
-            bl = bl + (vyh * pxl + vyl * pxh)
-            ch, ce = _two_sum(ah, -bh)
-            cl = ce + (al - bl)
-            xxh, xxl = _two_prod(pxh, pxh)
-            xxl = xxl + 2.0 * pxh * pxl
-            yyh, yyl = _two_prod(pyh, pyh)
-            yyl = yyl + 2.0 * pyh * pyl
-            sh, se = _two_sum(xxh, yyh)
-            dh, de = _two_sum(1.0, sh)
-            dl = de + se + xxl + yyl
-            n0, nl = _df_recip(dh, dl)
-            kh, ke = _two_prod(-2.0 * n0, ch)
-            kl = ke + (-2.0) * (nl * ch + n0 * cl)
-            return kh, kl
-    else:  # vert_heterogeneous: n = 1/(18 + 2y), k = (u x g)/n = -2 n u_x
-        def df_k(pxh, pxl, pyh, pyl, vxh, vxl, vyh, vyl):
-            dh, de = _two_sum(18.0, 2.0 * pyh)   # 2*y exact in binary
-            dl = de + 2.0 * pyl
-            n0, nl = _df_recip(dh, dl)
-            kh, ke = _two_prod(-2.0 * n0, vxh)
-            kl = ke + (-2.0) * (nl * vxh + n0 * vxl)
-            return kh, kl
 
     def body(_, carry):
         xh, xl, yh, yl, uxh, uxl, uyh, uyl = carry
@@ -212,8 +178,60 @@ def _df_rk4_kernel(field: str, steps: int, resume: bool, *refs):
         # it biases dth by ~eps*dth per step, a systematic phase drift
         ah, al = _two_prod(ph, _SIXTH_HI)
         dth_h, dth_l = _fast_two_sum(ah, al + ph * _SIXTH_LO + pe * _SIXTH_HI)
-        uxh, uxl, uyh, uyl = _apply_rotation(uxh, uxl, uyh, uyl, dth_h, dth_l)
+        uxh, uxl, uyh, uyl = _apply_rotation(uxh, uxl, uyh, uyl,
+                                             dth_h, dth_l)
         return xh, xl, yh, yl, uxh, uxl, uyh, uyl
+
+    return body
+
+
+def _df_rk4_kernel(field: str, steps: int, resume: bool, *refs):
+    if resume:
+        (xh_ref, xl_ref, yh_ref, yl_ref, uxh_ref, uxl_ref, uyh_ref, uyl_ref,
+         zero_ref, ds_ref, oxh, oxl, oyh, oyl, ouxh, ouxl, ouyh, ouyl) = refs
+    else:
+        (xh_ref, yh_ref, uxh_ref, uyh_ref, zero_ref, ds_ref,
+         oxh, oxl, oyh, oyl) = refs
+    ds = ds_ref[0]
+    zero = zero_ref[...]
+
+    if field == "fisheye":
+        def df_k(pxh, pxl, pyh, pyl, vxh, vxl, vyh, vyl):
+            """Angle rate k = -2 n (v_x y - v_y x) at df position/tangent.
+
+            The fisheye simplification (u x grad n)/n = -2 n (u_x y - u_y x)
+            removes the division; n = 1/(1 + r^2) is Newton-refined so the
+            whole rate is df-accurate.  f32 stage evaluations were the
+            dominant error: their rounding varies *smoothly* along the
+            trajectory, so it integrates linearly, not as a random walk.
+            """
+            ah, al = _two_prod(vxh, pyh)
+            al = al + (vxh * pyl + vxl * pyh)
+            bh, bl = _two_prod(vyh, pxh)
+            bl = bl + (vyh * pxl + vyl * pxh)
+            ch, ce = _two_sum(ah, -bh)
+            cl = ce + (al - bl)
+            xxh, xxl = _two_prod(pxh, pxh)
+            xxl = xxl + 2.0 * pxh * pxl
+            yyh, yyl = _two_prod(pyh, pyh)
+            yyl = yyl + 2.0 * pyh * pyl
+            sh, se = _two_sum(xxh, yyh)
+            dh, de = _two_sum(1.0, sh)
+            dl = de + se + xxl + yyl
+            n0, nl = _df_recip(dh, dl)
+            kh, ke = _two_prod(-2.0 * n0, ch)
+            kl = ke + (-2.0) * (nl * ch + n0 * cl)
+            return kh, kl
+    else:  # vert_heterogeneous: n = 1/(18 + 2y), k = (u x g)/n = -2 n u_x
+        def df_k(pxh, pxl, pyh, pyl, vxh, vxl, vyh, vyl):
+            dh, de = _two_sum(18.0, 2.0 * pyh)   # 2*y exact in binary
+            dl = de + 2.0 * pyl
+            n0, nl = _df_recip(dh, dl)
+            kh, ke = _two_prod(-2.0 * n0, vxh)
+            kl = ke + (-2.0) * (nl * vxh + n0 * vxl)
+            return kh, kl
+
+    body = make_df_rk4_body(df_k, ds)
 
     if resume:
         # full df state rides between segment launches (bounded compiles)

@@ -203,7 +203,10 @@ def _tile_nag(T, bix, biy, meta):
     form: every cell carries its own 4 corner nodes x 9 channels (36
     floats), row-major flattened into 128-lane chunks and broadcast over
     sublanes (the ``tpu.dynamic_gather`` layout, see ``_strat_nag``).
-    ``bix``/``biy`` are the window's base CELL indices (per-block scalars).
+    ``bix``/``biy`` are the window's base CELL indices — per-block scalars,
+    or (rows, LANES) f32 vectors in per-ROW window mode (each sublane row
+    gathers from its own window slice, so the local index just subtracts
+    that row's base; see ``_make_kernel(row_tile=True)``).
 
     The 4x corner duplication buys the hot path: one flat *cell* index per
     evaluation, so a <=128-cell window needs exactly 36 gathers and ZERO
@@ -299,7 +302,7 @@ def _custom_nag(medium):
 def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
                  strat=None, stats: bool = False, resume: bool = False,
                  supercell=None, custom=None, tile=None, skip: bool = False,
-                 per_block_scal: bool = False):
+                 per_block_scal: bool = False, row_tile: bool = False):
     """Build the fused step kernel.
 
     ``stats`` adds a Welford tracker of the horizontal momentum m_x = n*u_x
@@ -613,21 +616,43 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
     elif tile is not None:
         if not resume:
             raise ValueError("tiled grid kernels are segment-resumable only")
-        n_ch = (-(-tile[6] * tile[7] // LANES)) * 36
+        if row_tile:
+            # Per-sublane-ROW windows: ``tpu.dynamic_gather`` indexes each
+            # sublane row independently, so giving every row of 128
+            # Morton-adjacent rays its OWN <=128-cell window covers
+            # rows x 128 cells per block at single-chunk cost — the same
+            # 36 gathers/step a (11, 11) block window needs, where the
+            # equivalent block-window coverage (32x32 cells) pays
+            # 8 chunks x 36 gathers plus selects.  tile_ref block is
+            # (1, 36, rows, LANES) — channel ch of row r's window lives at
+            # [0, ch, r, :] — and the window bases ride along as
+            # (1, 2, rows, LANES) lane-broadcast vectors (SMEM would need
+            # an in-kernel scalar->vector row build, which Mosaic rejects
+            # below (8, 128)).
+            def kernel(tile_ref, base_ref, *refs):
+                tv = tile_ref[...]
+                bb = base_ref[...]
+                T = [tv[0, i] for i in range(36)]
+                kernel_impl(_tile_nag(T, bb[0, 0], bb[0, 1], tile), *refs)
+        else:
+            n_ch = (-(-tile[6] * tile[7] // LANES)) * 36
 
-        def kernel(tile_ref, base_ref, *refs):
-            rows = refs[0].shape[0]
-            tv = tile_ref[0]
-            # hoist the sublane broadcasts out of the step loop: the tile is
-            # loop-invariant, so each (chunk, channel) row becomes one
-            # (rows, LANES) value the per-step gathers index into
-            T = [jnp.broadcast_to(tv[i:i + 1, :], (rows, LANES))
-                 for i in range(n_ch)]
-            # base_ref is the FULL (nblocks, 2) SMEM table (Mosaic rejects
-            # sub-(8, 128) blocked specs); pick this block's row by grid id
-            b = pl.program_id(0)
-            kernel_impl(_tile_nag(T, base_ref[b, 0], base_ref[b, 1], tile),
-                        *refs)
+            def kernel(tile_ref, base_ref, *refs):
+                rows = refs[0].shape[0]
+                tv = tile_ref[0]
+                # hoist the sublane broadcasts out of the step loop: the
+                # tile is loop-invariant, so each (chunk, channel) row
+                # becomes one (rows, LANES) value the per-step gathers
+                # index into
+                T = [jnp.broadcast_to(tv[i:i + 1, :], (rows, LANES))
+                     for i in range(n_ch)]
+                # base_ref is the FULL (nblocks, 2) SMEM table (Mosaic
+                # rejects sub-(8, 128) blocked specs); pick this block's
+                # row by grid id
+                b = pl.program_id(0)
+                kernel_impl(
+                    _tile_nag(T, base_ref[b, 0], base_ref[b, 1], tile),
+                    *refs)
     elif strat is None:
         def kernel(*refs):
             kernel_impl(nag, *refs)

@@ -110,7 +110,8 @@ def _golden_offsets(iters: int):
 def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                  curv_tol: float, strat=None, stats: bool = False,
                  custom=None, resume: bool = False, tile=None,
-                 skip: bool = False, polish: int = 0):
+                 skip: bool = False, polish: int = 0,
+                 row_tile: bool = False):
     """Build the fused golden/Newton step kernel.
 
     ``resume`` makes the kernel segmentable (mirrors fused._make_kernel):
@@ -451,16 +452,25 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
     if tile is not None:
         if not resume:
             raise ValueError("tiled golden kernels are segment-resumable only")
-        n_ch = (-(-tile[6] * tile[7] // LANES)) * 36
+        if row_tile:
+            # per-sublane-row windows — see fused._make_kernel(row_tile=True)
+            def kernel(tile_ref, base_ref, *refs):
+                tv = tile_ref[...]
+                bb = base_ref[...]
+                T = [tv[0, i] for i in range(36)]
+                kernel_impl(_tile_nag(T, bb[0, 0], bb[0, 1], tile), *refs)
+        else:
+            n_ch = (-(-tile[6] * tile[7] // LANES)) * 36
 
-        def kernel(tile_ref, base_ref, *refs):
-            rows = refs[0].shape[0]
-            tv = tile_ref[0]
-            T = [jnp.broadcast_to(tv[i:i + 1, :], (rows, LANES))
-                 for i in range(n_ch)]
-            b = pl.program_id(0)
-            kernel_impl(_tile_nag(T, base_ref[b, 0], base_ref[b, 1], tile),
-                        *refs)
+            def kernel(tile_ref, base_ref, *refs):
+                rows = refs[0].shape[0]
+                tv = tile_ref[0]
+                T = [jnp.broadcast_to(tv[i:i + 1, :], (rows, LANES))
+                     for i in range(n_ch)]
+                b = pl.program_id(0)
+                kernel_impl(
+                    _tile_nag(T, base_ref[b, 0], base_ref[b, 1], tile),
+                    *refs)
     elif strat is None:
         def kernel(*refs):
             kernel_impl(nag_analytic, *refs)

@@ -219,6 +219,34 @@ def compact_stratified(medium: StratifiedGridMedium, margin: int = 2,
         ny=hi - lo + 2)
 
 
+def _gradient_tables_f64(Z, x, y, gs: float, backend: str = "auto"):
+    """(cx, cy) per-cell bicubic tables of np.gradient(Z) in FULL float64.
+
+    The host-side heart of the reference pipeline (np.gradient ->
+    not-a-knot bicubic fit, RT_bench.py:435-464) kept at f64 so callers
+    choose their own device precision — GridMedium casts once; the df32
+    tier (engine/df_grid.py) splits hi/lo words instead.
+    """
+    if backend == "auto":
+        from raytracing_tpu import native
+        backend = "native" if native.available() else "scipy"
+
+    if backend == "native":
+        from raytracing_tpu import native
+        dndx, dndy = native.gradient2(Z, gs)
+        cx = native.bicubic_cells(dndx).reshape(-1, 16)
+        cy = native.bicubic_cells(dndy).reshape(-1, 16)
+    else:
+        from scipy.interpolate import RectBivariateSpline
+
+        dndx, dndy = _grid.gradient_grids(Z, gs)
+        sx = RectBivariateSpline(y, x, dndx, kx=3, ky=3)
+        sy = RectBivariateSpline(y, x, dndy, kx=3, ky=3)
+        cx = _spline_to_cells(sx, y, x).reshape(-1, 16)
+        cy = _spline_to_cells(sy, y, x).reshape(-1, 16)
+    return cx, cy
+
+
 def build_grid_medium(field: str, box, delta: float = config.DELTA,
                       dtype=np.float32, backend: str = "auto") -> GridMedium:
     """Sample ``field`` on the padded grid and build device tables.
@@ -273,23 +301,7 @@ def grid_medium_from_samples(Z, x, y, *, dtype=np.float32,
     gs = float(gradient_spacing if gradient_spacing is not None
                else 0.5 * (hx + hy))
 
-    if backend == "auto":
-        from raytracing_tpu import native
-        backend = "native" if native.available() else "scipy"
-
-    if backend == "native":
-        from raytracing_tpu import native
-        dndx, dndy = native.gradient2(Z, gs)
-        cx = native.bicubic_cells(dndx).reshape(-1, 16)
-        cy = native.bicubic_cells(dndy).reshape(-1, 16)
-    else:
-        from scipy.interpolate import RectBivariateSpline
-
-        dndx, dndy = _grid.gradient_grids(Z, gs)
-        sx = RectBivariateSpline(y, x, dndx, kx=3, ky=3)
-        sy = RectBivariateSpline(y, x, dndy, kx=3, ky=3)
-        cx = _spline_to_cells(sx, y, x).reshape(-1, 16)
-        cy = _spline_to_cells(sy, y, x).reshape(-1, 16)
+    cx, cy = _gradient_tables_f64(Z, x, y, gs, backend)
     return GridMedium(
         Z=jnp.asarray(Z, dtype), cx=jnp.asarray(cx, dtype),
         cy=jnp.asarray(cy, dtype),

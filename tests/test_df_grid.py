@@ -1,0 +1,77 @@
+"""df32 on the sampled 2-D spline (engine/df_grid.py).
+
+Accuracy claims follow docs/PRECISION.md's rule: always df32 vs the FLOAT64
+evaluation of the same object, never f32-vs-f32.
+"""
+import numpy as np
+import pytest
+
+import raytracing_tpu as rt
+from raytracing_tpu.engine.df_grid import (_make_df_nag, _split64,
+                                           build_df_grid_medium,
+                                           df_grid_trace)
+from raytracing_tpu.media.spline import build_grid_medium
+
+
+@pytest.fixture(scope="module")
+def media():
+    scen = rt.scenario("fisheye")
+    dfm = build_df_grid_medium("fisheye", scen.box)
+    gm64 = build_grid_medium("fisheye", scen.box, dtype=np.float64)
+    return scen, dfm, gm64
+
+
+def test_df_tables_match_f64_spline(media):
+    """The split-table evaluator reproduces the f64 spline to ~double-word
+    resolution (hi+lo carries ~2^-48): bilinear n AND both bicubic
+    gradient components."""
+    import jax.numpy as jnp
+
+    scen, dfm, gm64 = media
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1.4, 1.4, 512)
+    y = rng.uniform(-1.4, 1.4, 512)
+    n64, (gx64, gy64) = gm64.n_and_grad(jnp.asarray(x), jnp.asarray(y))
+    xh, xl = _split64(x)
+    yh, yl = _split64(y)
+    nag = _make_df_nag(dfm)
+    (nh, nl), (gxh, gxl), (gyh, gyl) = nag(
+        jnp.asarray(xh), jnp.asarray(xl), jnp.asarray(yh), jnp.asarray(yl))
+
+    def err(h, l, ref):
+        v = np.asarray(h, np.float64) + np.asarray(l, np.float64)
+        return np.max(np.abs(v - np.asarray(ref)))
+
+    assert err(nh, nl, n64) < 1e-10
+    assert err(gxh, gxl, gx64) < 1e-9
+    assert err(gyh, gyl, gy64) < 1e-9
+
+
+def test_df_grid_matches_f64_scan(media):
+    """One fisheye turn on the exact sampled spline: df32 RK4 vs the f64
+    scan engine's op12 on the same GridMedium — ~1e-7 grade (the analytic
+    df tier's bound, test_df.py), proving the arithmetic, not the medium."""
+    scen, dfm, gm64 = media
+    div = 1000
+    ds = float(np.float32(2 * np.pi / div))
+    r = 4
+    pos0 = np.stack([np.ones(r), np.zeros(r)], -1)
+    theta0 = np.full(r, np.pi / 2)
+    p = df_grid_trace(pos0, theta0, ds, dfm, steps=div)
+    ref = rt.trace("op12", scen, gm64, delta_s=ds, max_size=div + 1,
+                   mode="metrics", dtype=np.float64,
+                   pos0=pos0, theta0=theta0)
+    err = np.linalg.norm(p[0] - np.asarray(ref.final.pos)[0])
+    assert err < 1e-6, err
+
+
+def test_df_grid_segmented_equals_oneshot(media):
+    """Chained segments are exactly the loop carry — bit-identical."""
+    scen, dfm, _ = media
+    ds = float(np.float32(2 * np.pi / 300))
+    r = 4
+    pos0 = np.stack([np.ones(r), np.zeros(r)], -1)
+    theta0 = np.full(r, np.pi / 2)
+    a = df_grid_trace(pos0, theta0, ds, dfm, steps=300, segment=512)
+    b = df_grid_trace(pos0, theta0, ds, dfm, steps=300, segment=64)
+    np.testing.assert_array_equal(a, b)

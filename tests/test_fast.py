@@ -282,3 +282,40 @@ def test_fast_trace_sharded_grid_medium():
     single = fast_trace("op6", scen, gm, delta_s=0.01, pos0=pos0,
                         theta0=theta0, steps=100, interpret=True)
     np.testing.assert_array_equal(np.asarray(s.pos), np.asarray(single.pos))
+
+
+def test_fast_trace_exit_scenarios_default_skip():
+    """interface/vert batches route through segmented block-skipping by
+    default (VERDICT r2 #6): the fan is sorted by launch angle on the way
+    in, frozen blocks bypass the step loop, the sort is undone on the way
+    out, and results are bit-identical to the plain segmented path."""
+    from raytracing_tpu.engine.segmented import segmented_trace
+
+    scen = rt.scenario("interface")
+    med = rt.analytic_medium("interface")
+    r = 128
+    pos0 = np.tile(scen.pos0[:1].astype(np.float32), (r, 1))
+    rng = np.random.default_rng(0)
+    theta0 = rng.permutation(np.linspace(0.3, 1.2, r)).astype(np.float32)
+    out = fast_trace("op6", scen, med, delta_s=0.02, steps=200,
+                     pos0=pos0, theta0=theta0, block_rays=128,
+                     interpret=True)
+    assert out.engine == "fused-seg-skip"
+    ref = segmented_trace("op6", pos0, theta0, np.float32(0.02), steps=200,
+                          box=tuple(scen.box), field=scen.field,
+                          segment=1024, block_rays=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.pos), np.asarray(ref.pos))
+    np.testing.assert_array_equal(np.asarray(out.traveltime),
+                                  np.asarray(ref.traveltime))
+
+    vscen = rt.scenario("vert")
+    vmed = rt.analytic_medium("vert_heterogeneous")
+    vpos = np.tile(vscen.pos0[:1].astype(np.float32), (r, 1))
+    vth = rng.permutation(np.linspace(0.2, 1.2, r)).astype(np.float32)
+    g = fast_trace("op5", vscen, vmed, delta_s=0.02, steps=120,
+                   pos0=vpos, theta0=vth, block_rays=128, interpret=True)
+    assert g.engine == "golden-seg-skip"
+    gref = segmented_trace("op5", vpos, vth, np.float32(0.02), steps=120,
+                           box=tuple(vscen.box), field=vscen.field,
+                           segment=256, block_rays=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(g.pos), np.asarray(gref.pos))

@@ -251,3 +251,79 @@ def test_tiled_sharded_matches_single(fisheye_media):
     np.testing.assert_array_equal(np.asarray(a.traveltime),
                                   np.asarray(b.traveltime))
     assert len(b.pos.sharding.device_set) == 8
+
+
+def test_row_windows_match_block_windows(fisheye_media):
+    """Per-sublane-row windows == per-block windows bit-for-bit.
+
+    The row-mode kernel gathers the same node values from per-row window
+    slices (different bases, same cells), so trajectories must be
+    identical to the block-window mode whose parity with grid_trace /
+    the scan engine is pinned above.
+    """
+    scen, gm, hm = fisheye_media
+    r = 1024                       # one block of 8 sublane rows
+    pos0, theta0 = _fan(r)
+    ds = 2 * np.pi / 4587
+    a = grid_trace_tiled("op6", pos0, theta0, np.float32(ds), hm, steps=120,
+                         box=tuple(scen.box), block_rays=1024,
+                         interpret=True, row_windows=False)
+    b = grid_trace_tiled("op6", pos0, theta0, np.float32(ds), hm, steps=120,
+                         box=tuple(scen.box), block_rays=1024,
+                         interpret=True, row_windows=True)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_array_equal(np.asarray(a.traveltime),
+                                  np.asarray(b.traveltime))
+    np.testing.assert_array_equal(np.asarray(a.active), np.asarray(b.active))
+
+
+def test_row_windows_coarse_step_matches_scan(fisheye_media):
+    """Row mode at a coarse calibrated divisor (delta_s > cell pitch) —
+    the regime the row design targets (short segments, single-chunk
+    gathers) — stays in agreement with the scan engine."""
+    scen, gm, hm = fisheye_media
+    r = 1024
+    pos0, theta0 = _fan(r)
+    ds = 2 * np.pi / 303
+    steps = 150
+    res = grid_trace_tiled("op6", pos0, theta0, np.float32(ds), hm,
+                           steps=steps, box=tuple(scen.box),
+                           block_rays=1024, interpret=True, row_windows=True)
+    ref = rt.trace("op6", scen, gm, delta_s=ds, mode="metrics",
+                   dtype=np.float32, max_size=steps + 1,
+                   pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(res.pos),
+                               np.asarray(ref.final.pos), atol=3e-4)
+
+
+def test_row_windows_golden_op(fisheye_media):
+    """The golden family rides the row-window evaluator too."""
+    scen, gm, hm = fisheye_media
+    r = 1024
+    pos0, theta0 = _fan(r)
+    ds = 2 * np.pi / 303
+    parity = (16, 0)
+    a = grid_trace_tiled("op5", pos0, theta0, np.float32(ds), hm, steps=80,
+                         box=tuple(scen.box), block_rays=1024,
+                         interpret=True, gold_schedule=parity,
+                         row_windows=False)
+    b = grid_trace_tiled("op5", pos0, theta0, np.float32(ds), hm, steps=80,
+                         box=tuple(scen.box), block_rays=1024,
+                         interpret=True, gold_schedule=parity,
+                         row_windows=True)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+
+
+def test_row_windows_rejects_bad_config(fisheye_media):
+    scen, gm, hm = fisheye_media
+    pos0, theta0 = _fan(256)
+    with pytest.raises(ValueError, match="row_windows"):
+        grid_trace_tiled("op6", pos0, theta0, np.float32(0.001), hm,
+                         steps=10, box=tuple(scen.box), block_rays=256,
+                         interpret=True, row_windows=True)
+    pos1k, th1k = _fan(1024)
+    with pytest.raises(ValueError, match="row_windows"):
+        grid_trace_tiled("op6", pos1k, th1k, np.float32(0.001), hm,
+                         steps=10, box=tuple(scen.box), block_rays=1024,
+                         tile_shape=(16, 16), interpret=True,
+                         row_windows=True)
