@@ -133,11 +133,20 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
         build_stratified_medium("interface", scen.box, dtype=np.float32),
         y_range=(scen.box[2] - 0.05, scen.box[3] + 0.05))
     pos0, theta0 = _fan(scen, r)
-    ds = config.SIGMA / 2.55
-    steps = scen.max_size(ds) - 1
+    # per-medium calibrated steps: the sampled row at the reference's own
+    # divisor (2.55, RT_bench.py:1413-1430, measured on its SIGMA/3 grid),
+    # the analytic rows at the self-calibrated analytic divisor
+    # (calibrated.ANALYTIC_INTERFACE_DIVISOR — the sigmoid is sharper than
+    # its sampled fit, so the 0.2-deg Snell bar needs a finer step)
+    from raytracing_tpu.calibrated import calibrated_analytic
+    ds_an, _ = calibrated_analytic("op6", "interface")
+    ds_ref = config.SIGMA / 2.55
 
-    for tag, med in (("interface", None), ("interface_strat", imed)):
-        def run_i(med=med):
+    for tag, med, ds in (("interface", None, ds_an),
+                         ("interface_strat", imed, ds_ref)):
+        steps = scen.max_size(ds) - 1
+
+        def run_i(med=med, ds=ds, steps=steps):
             if med is None:
                 f = fused_trace_final(pos0, theta0, np.float32(ds),
                                       field="interface", op="op6",
@@ -155,6 +164,7 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
         out[tag] = {
             "op": "op6", "rays": r, "steps": int(steps),
             "medium": "analytic" if med is None else "sampled-1d-tables",
+            "delta_s_divisor": 4.5 if med is None else 2.55,
             "seconds": round(t, 4),
             "gsteps_per_sec": round(r * steps / t / 1e9, 2),
             "gsteps_live": round(eff / t / 1e9, 2),
@@ -162,11 +172,9 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
             "snell_max_err_deg": round(max_err, 4),
             "note": "gsteps_per_sec is lane throughput (frozen lanes keep "
                     "executing after boundary exit); gsteps_live counts only "
-                    "integrated steps"
-                    + ("" if med is not None else
-                       ".  The 0.2-deg oracle holds on the sampled medium "
-                       "the step was calibrated on (see interface_strat); "
-                       "the analytic sigmoid is sharper at the same step")}
+                    "integrated steps; each medium runs at the step "
+                    "calibrated ON that medium (analytic: self-calibrated, "
+                    "sampled: reference table)"}
 
     # -- interface with block-skip: exit-ordered fan + per-block liveness ---
     # (the device-side equivalent of the reference's data-dependent break,
@@ -176,10 +184,11 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
     theta_v = np.asarray(scen.theta0, np.float32)
     k = r // len(theta_v) + 1
     theta_sorted = jax.device_put(np.repeat(theta_v, k)[:r].astype(np.float32))
+    steps_an = scen.max_size(ds_an) - 1
 
     def run_skip():
-        f = segmented_trace("op6", pos0, theta_sorted, np.float32(ds),
-                            steps=int(steps), box=tuple(scen.box),
+        f = segmented_trace("op6", pos0, theta_sorted, np.float32(ds_an),
+                            steps=int(steps_an), box=tuple(scen.box),
                             field="interface", segment=128,
                             block_rays=4096, skip_frozen=True)
         np.asarray(f.pos[:1])
@@ -187,11 +196,12 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
 
     t, f = best_of(run_skip)
     mean_err, max_err = snell_stats(np.asarray(f.tangent)[::k], scen)
-    eff = float(np.asarray(f.dist_sim).sum()) / ds
+    eff = float(np.asarray(f.dist_sim).sum()) / ds_an
     out["interface_skip"] = {
-        "op": "op6", "rays": r, "steps": int(steps), "medium": "analytic",
+        "op": "op6", "rays": r, "steps": int(steps_an), "medium": "analytic",
+        "delta_s_divisor": 4.5,
         "seconds": round(t, 4),
-        "gsteps_per_sec": round(r * steps / t / 1e9, 2),
+        "gsteps_per_sec": round(r * steps_an / t / 1e9, 2),
         "gsteps_live": round(eff / t / 1e9, 2),
         "snell_mean_err_deg": round(mean_err, 4),
         "snell_max_err_deg": round(max_err, 4),

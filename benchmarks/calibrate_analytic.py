@@ -1,119 +1,89 @@
-"""Self-calibrate DELTA_S for the ANALYTIC media (VERDICT r2 missing #4).
+"""Self-calibrate DELTA_S on the ANALYTIC media (VERDICT r2 #2).
 
-The reference's calibrated tables (calibrated.py) were measured on its
-SIGMA/3 sampled grid (RT_bench.py:1413 comment); reusing them on the
-analytic fields leaves the interface Snell oracle failing (mean 0.444 deg
-vs the 0.2 deg bar — BENCH_SUITE.json r2).  This script runs the existing
-kernel-tier DELTA_S search (parallel/sweep.delta_s_search) per
-(op, scenario) directly on the analytic fields and regenerates
-``raytracing_tpu/analytic_calibrated.py`` so every analytic BENCH_SUITE row
-can run at a step whose own acceptance oracle passes.
+The reference's calibrated divisors were measured on its SIGMA/3 sampled
+grid (RT_bench.py:1413 comment — "valores medidos sobre la grilla"); the
+repo's `calibrated.py` keeps them for the sampled (parity) media.  Reused
+on the *analytic* fields they are off-provenance: the analytic interface
+sigmoid is sharper than its sampled fit at the same step, and the Snell
+oracle fails (BENCH_SUITE "interface": mean 0.444 deg > 0.2).
 
-Run on the TPU (the fused sweep tier makes the full grid of candidates a
-few seconds per op); CPU falls back to the scan tier and takes hours:
+This driver runs the existing kernel-tier DELTA_S search — the same
+candidate grids and acceptance policies as the reference
+(RT_bench.py:1296-1406) — per (op, scenario) ON the analytic fields, and
+emits the ANALYTIC_* divisor tables for `raytracing_tpu/calibrated.py`
+plus a JSON artifact.  Run on the TPU (the fused sweep is 10-40x the scan
+tier); each (op, scenario) is one compiled kernel + ~300-2000 launches.
 
-    python benchmarks/calibrate_analytic.py [--scenario S] [--out PATH]
+    python benchmarks/calibrate_analytic.py [--scenarios interface,vert,...]
 """
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
 
 import numpy as np
 
 import raytracing_tpu as rt
+from raytracing_tpu.media.medium import analytic_medium
 from raytracing_tpu.parallel.sweep import delta_s_search
 
-#: (scenario, ops) pairs to calibrate.  op10/op11 ride the vert-style CV
-#: acceptance on the aniso scenario (RT_bench.py:1352-1373).
 PLAN = {
     "interface": [f"op{i}" for i in range(1, 10)],
-    "fisheye": [f"op{i}" for i in range(1, 10)],
     "vert": [f"op{i}" for i in range(1, 10)],
+    "fisheye": [f"op{i}" for i in range(1, 10)],
     "aniso": ["op10", "op11"],
 }
-
-HEADER = '''"""Self-calibrated DELTA_S for the ANALYTIC media.
-
-AUTO-GENERATED by benchmarks/calibrate_analytic.py — do not hand-edit.
-
-The reference's own tables (calibrated.py) were measured on its SIGMA/3
-sampled grid (RT_bench.py:1413); these divisors were measured by the same
-acceptance policies (parallel/sweep.find_index_*) but ON the analytic
-fields, through the fused kernel tier, so the analytic benchmark rows run
-at steps whose accuracy oracles actually pass on that medium.  Sampled
-(parity) media keep using calibrated.py.
-
-Provenance: {prov}
-"""
-from __future__ import annotations
-
-import numpy as np
-
-from raytracing_tpu.config import SIGMA
-
-'''
-
-FOOTER = '''
-
-def analytic_calibrated(op_name: str, scenario_name: str):
-    """(delta_s, divisor_or_None) measured on the analytic field.
-
-    Falls back to the reference (sampled-grid) table via
-    ``calibrated.calibrated_with_fallback`` for combos the analytic search
-    did not accept (documented per-entry above).
-    """
-    base = "op8" if op_name == "op12" else op_name.rstrip("n")
-    table = ANALYTIC_DIVISOR.get(scenario_name, {})
-    div = table.get(base)
-    if div is None:
-        from raytracing_tpu.calibrated import calibrated_with_fallback
-        return calibrated_with_fallback(op_name, scenario_name)
-    if scenario_name == "fisheye":
-        return 2.0 * np.pi / div, div
-    return SIGMA / div, None
-'''
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scenario", choices=list(PLAN), default=None)
-    ap.add_argument("--out", default="raytracing_tpu/analytic_calibrated.py")
+    ap.add_argument("--scenarios", default="interface,vert,fisheye,aniso")
+    ap.add_argument("--out", default="ANALYTIC_CALIBRATED.json")
     args = ap.parse_args(argv)
 
-    scenarios = [args.scenario] if args.scenario else list(PLAN)
-    results: dict[str, dict[str, float | None]] = {}
-    t0 = time.time()
-    for scen_name in scenarios:
+    tables: dict[str, dict[str, float]] = {}
+    metrics: dict[str, dict] = {}
+    for scen_name in args.scenarios.split(","):
         scen = rt.scenario(scen_name)
-        row: dict[str, float | None] = {}
+        med = analytic_medium(scen.field)
+        tables[scen_name] = {}
+        metrics[scen_name] = {}
         for op in PLAN[scen_name]:
-            t = time.time()
-            res = delta_s_search(op, scen, None)
-            row[op] = res.divisor
-            print(f"# {scen_name}/{op}: divisor={res.divisor} "
-                  f"({time.time() - t:.1f}s)", file=sys.stderr)
-        results[scen_name] = row
+            # The ANALYTIC interface sigmoid is sharper than the
+            # reference's SIGMA/3 sampled fit: the 0.2-deg Snell bar is
+            # unreachable inside the reference's divisor grid (3.0 -> 1.0,
+            # RT_bench.py:1302; every candidate floors at ~0.25 deg,
+            # f64-verified) — extend the grid upward so the acceptance
+            # crossing exists.  The first-order family needs a far finer
+            # range still (the reference's own sampled calibration put
+            # op1/op2/op7 at divisors 30-39, RT_bench.py:1413-1430).
+            divisors = None
+            if scen_name == "interface":
+                divisors = (np.arange(80.0, 8.0, -0.05)
+                            if op in ("op1", "op2", "op7")
+                            else np.arange(8.0, 1.0, -0.01))
+            t0 = time.time()
+            res = delta_s_search(op, scen, med, engine="fused",
+                                 divisors=divisors)
+            dt = time.time() - t0
+            tables[scen_name][op] = res.divisor
+            metrics[scen_name][op] = {
+                k: np.asarray(v).tolist() for k, v in res.metrics.items()}
+            print(f"{scen_name:10s} {op:5s} divisor={res.divisor} "
+                  f"delta_s={res.delta_s_selected} ({dt:.1f}s)",
+                  file=sys.stderr)
 
-    import jax
-    prov = (f"backend={jax.default_backend()}, "
-            f"devices={len(jax.devices())}, "
-            f"elapsed={time.time() - t0:.0f}s")
-    lines = [HEADER.format(prov=prov)]
-    lines.append("#: scenario -> op -> accepted divisor (None = no candidate\n"
-                 "#: passed; resolution falls back to the reference table)\n")
-    lines.append("ANALYTIC_DIVISOR = {\n")
-    for scen_name, row in results.items():
-        lines.append(f"    {scen_name!r}: {{\n")
-        for op, div in row.items():
-            lines.append(f"        {op!r}: {div!r},\n")
-        lines.append("    },\n")
-    lines.append("}\n")
-    lines.append(FOOTER)
     with open(args.out, "w") as f:
-        f.write("".join(lines))
-    print(f"# wrote {args.out}", file=sys.stderr)
+        json.dump({"divisors": tables, "metrics": metrics}, f, indent=1)
+    print(f"# -> {args.out}", file=sys.stderr)
+
+    # paste-ready tables for raytracing_tpu/calibrated.py
+    for scen_name, tbl in tables.items():
+        name = f"ANALYTIC_{scen_name.upper()}_DIVISOR"
+        rows = ", ".join(f'"{k}": {v}' for k, v in tbl.items())
+        print(f"{name} = {{{rows}}}")
 
 
 if __name__ == "__main__":

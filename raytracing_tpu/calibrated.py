@@ -31,6 +31,78 @@ FISHEYE_DIVISOR_N10 = {
 #: anisotropic scenario (RT_bench.py:1452-1455)
 ANISO_DIVISOR = {"op10": 2.53, "op11": 2.74}
 
+# ---------------------------------------------------------------------------
+# Self-calibrated divisors for the ANALYTIC media.
+#
+# The reference's tables above were measured on its SIGMA/3 sampled grid
+# (RT_bench.py:1413 "valores medidos sobre la grilla"); reused on the
+# analytic fields they are off-provenance — the analytic interface sigmoid
+# is sharper than its sampled fit, and the Snell oracle fails at the
+# reference step (round-2 BENCH_SUITE "interface": mean 0.444 deg > 0.2).
+# These tables were measured ON-CHIP by benchmarks/calibrate_analytic.py
+# (2026-08-17) with the same candidate grids and acceptance policies as the
+# reference search (RT_bench.py:1296-1406), on the analytic fields, fused
+# sweep, 1M-lane batches; grids extended where the reference grid has no
+# acceptance crossing (docs/PARITY.md #28).
+#
+# ``None`` = the op's error FLOORS above the scenario bar on the analytic
+# medium at every step (verified across an extended grid; e.g. interface
+# op7 bottoms out at mean 0.49 deg vs the 0.2 deg bar near divisor ~29 and
+# worsens in both directions).  Callers should treat None as "this op does
+# not meet the reference acceptance bar on this medium" — the fallback
+# chain below substitutes the scenario's second-order-Taylor entry.
+
+#: interface, analytic sigmoid: DELTA_S = SIGMA / divisor
+ANALYTIC_INTERFACE_DIVISOR = {
+    "op1": 67.2, "op2": 67.2, "op3": 3.89, "op4": 3.66, "op5": 3.66,
+    "op6": 4.5, "op7": None, "op8": 4.25, "op9": 4.27,
+}
+
+#: vert-heterogeneous, analytic linear gradient: DELTA_S = SIGMA / divisor.
+#: The gentle analytic gradient conserves momentum at far coarser steps
+#: than the sampled fit (divisors well below 1).
+ANALYTIC_VERT_DIVISOR = {
+    "op1": 0.89, "op2": 0.89, "op3": None, "op4": 0.06, "op5": 0.06,
+    "op6": 0.03, "op7": 0.83, "op8": 0.05, "op9": 0.05,
+}
+
+#: fisheye, analytic Maxwell field: unit-circle segments.  Lands within a
+#: few % of the reference's own N10 set (FISHEYE_DIVISOR_N10 above) — an
+#: independent cross-validation of the sweep machinery, since that set was
+#: calibrated by the reference author to the same <=5 % closure policy.
+ANALYTIC_FISHEYE_DIVISOR = {
+    "op1": 146.0, "op2": 166.0, "op3": 179.0, "op4": 176.0, "op5": 176.0,
+    "op6": 179.0, "op7": 188.0, "op8": 176.0, "op9": 176.0,
+}
+
+#: anisotropic scenario, analytic medium
+ANALYTIC_ANISO_DIVISOR = {"op10": 1.2, "op11": 1.2}
+
+_ANALYTIC_TABLES = {
+    "interface": ANALYTIC_INTERFACE_DIVISOR,
+    "vert": ANALYTIC_VERT_DIVISOR,
+    "fisheye": ANALYTIC_FISHEYE_DIVISOR,
+    "aniso": ANALYTIC_ANISO_DIVISOR,
+}
+
+
+def calibrated_analytic(op_name: str, scenario_name: str):
+    """(delta_s, divisor) for an op/scenario pair on the ANALYTIC medium.
+
+    Same return convention as :func:`calibrated`.  Raises ``KeyError`` for
+    an op the table lacks; returns ``(None, None)`` for an op whose error
+    floors above the scenario acceptance bar on the analytic medium
+    (table value ``None``) — the caller decides whether to substitute
+    (see :func:`calibrated_with_fallback`'s chain) or skip.
+    """
+    div = _ANALYTIC_TABLES[scenario_name][op_name]
+    if div is None:
+        return None, None
+    if scenario_name == "fisheye":
+        import numpy as np
+        return 2.0 * np.pi / div, div
+    return SIGMA / div, div
+
 
 def calibrated(op_name: str, scenario_name: str, fisheye_set: str = "bench"):
     """Return (delta_s, fisheye_divisor_or_None) for an op/scenario pair."""

@@ -437,8 +437,8 @@ def delta_s_search(op_name: str, scen: config.ScenarioConfig, medium, *,
                    n_turns: int = config.N_TURNS, dtype=np.float32,
                    chunk: int | None = None, mesh=None,
                    checkpoint: str | None = None, engine: str = "auto",
-                   rays: int | None = None,
-                   block_rays: int = 4096) -> SweepResult:
+                   rays: int | None = None, block_rays: int = 4096,
+                   divisors: np.ndarray | None = None) -> SweepResult:
     """Full DELTA_S search: sweep + acceptance + selection.
 
     Mirrors the reference flow RT_bench.py:1296-1406, returning the selected
@@ -449,6 +449,14 @@ def delta_s_search(op_name: str, scen: config.ScenarioConfig, medium, *,
     ``engine``: "scan" runs every candidate through the reference-parity
     scan engine; "fused" through the Pallas kernels (10-40x faster; requires
     a fused-covered op/medium); "auto" picks fused when supported.
+
+    ``divisors`` overrides the reference candidate grid
+    (RT_bench.py:1302-1312), descending, same units as that grid (fisheye:
+    circle segments; otherwise SIGMA divisors).  Needed e.g. to calibrate
+    the ANALYTIC interface medium: its sigmoid is sharper than the
+    reference's SIGMA/3 sampled fit, and the 0.2-deg Snell bar only becomes
+    reachable at divisors above the reference grid's 3.0 ceiling
+    (benchmarks/calibrate_analytic.py; docs/PARITY.md #28).
     """
     from raytracing_tpu.ops.registry import canonical
 
@@ -466,7 +474,14 @@ def delta_s_search(op_name: str, scen: config.ScenarioConfig, medium, *,
     if engine not in ("scan", "fused"):
         raise ValueError(f"engine must be scan/fused/auto, got {engine!r}")
 
-    divisors, delta_s, trace_divs = candidates(scen)
+    if divisors is None:
+        divisors, delta_s, trace_divs = candidates(scen)
+    else:
+        divisors = np.asarray(divisors, np.float64)
+        if scen.is_fisheye:
+            delta_s, trace_divs = 2.0 * np.pi / divisors, divisors + 1
+        else:
+            delta_s, trace_divs = config.SIGMA / divisors, None
     sizes = _max_sizes(scen, delta_s, trace_divs, n_turns)
     max_size = int(sizes.max())
     if engine == "fused":

@@ -53,6 +53,37 @@ def test_interface_snell_analytic_converges():
     assert errs[1.0] < 0.5
 
 
+@pytest.mark.parametrize("op", ["op4", "op6", "op8"])
+def test_interface_snell_analytic_calibrated(op):
+    """The ANALYTIC self-calibrated step meets the reference Snell bar.
+
+    The table was measured on-chip (benchmarks/calibrate_analytic.py, fused
+    sweep); this is the independent float64 scan-engine check of the same
+    acceptance criterion (RT_bench.py:896-916 thresholds) at the stored
+    divisor — the analytic analogue of the sampled-medium test above.
+    """
+    scen = rt.scenario("interface")
+    med = rt.analytic_medium("interface")
+    ds, _ = calibrated.calibrated_analytic(op, "interface")
+    res = rt.trace(op, scen, med, delta_s=ds, dtype=np.float64)
+    errs = np.asarray(oracles.snell_errors_deg(res, scen.theta0))
+    assert errs.mean() < config.MAX_DEVIATION, errs.mean()
+    assert errs.max() < config.MAX_DEVIATION_SINGLE_RAY, errs.max()
+
+
+def test_calibrated_analytic_accessor():
+    """Units and the None (floored-op) convention of the analytic table."""
+    ds, div = calibrated.calibrated_analytic("op6", "fisheye")
+    assert div == 179.0 and np.isclose(ds, 2 * np.pi / 179.0)
+    ds, div = calibrated.calibrated_analytic("op6", "interface")
+    assert np.isclose(ds, config.SIGMA / 4.5)
+    # interface op7's Snell error floors at ~0.49 deg on the analytic
+    # sigmoid (> the 0.2 bar at every step) — stored as None
+    assert calibrated.calibrated_analytic("op7", "interface") == (None, None)
+    with pytest.raises(KeyError):
+        calibrated.calibrated_analytic("op12", "interface")
+
+
 # -- fisheye: closure oracle ------------------------------------------------
 @pytest.mark.parametrize("op", [f"op{i}" for i in range(1, 10)])
 def test_fisheye_closure_calibrated_n10(op):
@@ -146,7 +177,7 @@ def test_model_zoo_one_call_run():
     ds, div = m.delta_s("op6")
     assert ds > 0 and div is None
     out = m.run("op6", block_rays=128)
-    assert out.engine == "fused-strat"
+    assert out.engine == "fused-strat-seg-skip"
     # extension/fallback resolution
     ds12, _ = m.delta_s("op12")
     ds8, _ = m.delta_s("op8")
