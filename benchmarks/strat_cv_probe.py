@@ -25,6 +25,14 @@ from __future__ import annotations
 
 import sys
 
+import jax
+
+# CPU-pinned: the probe needs float64 columns, and the scan engine is the
+# right tier for a 42-ray diagnostic (the env var is ignored — see
+# CLAUDE.md; config.update works)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 
 import raytracing_tpu as rt

@@ -366,25 +366,66 @@ def _sort_perm(x, y, meta):
     return jnp.argsort(key)
 
 
-def _refresh_windows(st, flag, nodes3d, meta, th, tw, nblocks, block_rays,
-                     margin_x, margin_y, nchunks, n_ch):
-    """One window refresh: (flag', tiles, bases) for the current positions.
+def _cells36(nodes3d):
+    """Per-CELL packed node table, built once per jitted round.
 
-    Computes every block's cell bounding box, accumulates the containment
-    flag (bbox + 2 x travel margin must fit the (th, tw)-cell window;
-    margins may be per-block vectors — the batched sweep's candidates
-    travel at different rates), centers a window on each bbox, slices its
-    (th+1, tw+1) nodes from the table with a vmapped ``dynamic_slice``,
-    and packs them per-cell: channel index ``ch * 4 + corner`` with
-    corners (00, +x, +y, +xy) — the layout ``kernels.fused._tile_nag``
-    gathers from.
+    (ny, nx, 9) nodes -> ((ny-1)*(nx-1), 36) rows: every cell carries its
+    own 4 corner nodes x 9 channels at channel index ``ch * 4 + corner``
+    with corners (00, +x, +y, +xy) — exactly the layout
+    ``kernels.fused._tile_nag`` gathers from.  Window refreshes then
+    reduce to ONE flat row gather (36 contiguous floats per cell) instead
+    of a vmapped ``dynamic_slice`` + corner stacking per window — the
+    slice/stack/transpose pipeline was ~20 ms per refresh at 1M rays in
+    per-row mode, the flat gather ~1 ms.
+    """
+    return jnp.stack(
+        [nodes3d[:-1, :-1], nodes3d[:-1, 1:],
+         nodes3d[1:, :-1], nodes3d[1:, 1:]],
+        axis=-1).reshape(-1, 36)
+
+
+def _window_ids(bix, biy, th, tw, n_lanes, ncx):
+    """Flat cell ids of each window's row-major lane layout.
+
+    ``bix``/``biy`` are (G,) window bases; returns (G, n_lanes) int32 into
+    the ``_cells36`` table.  Lanes past th*tw (chunk padding) clamp to the
+    window's last row — real, finite cells that the kernel never selects
+    (the containment contract keeps every local index < th*tw).
+    """
+    j = jnp.arange(n_lanes, dtype=jnp.int32)
+    jy = jnp.minimum(j // tw, th - 1)
+    jx = j % tw
+    return (biy[:, None] + jy[None, :]) * ncx + (bix[:, None] + jx[None, :])
+
+
+def _window_bases(st, flag, meta, th, tw, ngroups, group_rays,
+                  margin_x, margin_y, pred=None):
+    """Containment check + window placement for G groups of rays.
+
+    Computes every group's cell bounding box, accumulates the containment
+    flag (bbox + 2 x margin must fit the (th, tw)-cell window; margins may
+    be per-group vectors — the batched sweep's candidates travel at
+    different rates), and centers a window on each bbox.
+
+    ``pred=(xe, ye)``: drift-predicted end-of-segment positions.  When
+    given, the bbox covers current AND predicted cells, so ``margin``
+    only needs the path's deviation from each ray's chord (the sagitta
+    bound computed in :func:`_tiled_run_segments_inner`) instead of the
+    full worst-case travel — the lever that lets coarse-step segments
+    run several times longer between refreshes.
     """
     x0, y0, inv_hx, inv_hy, nx, ny = meta
-    pad_cells = nchunks * LANES - th * tw
-    ix, iy = _cells(st[0].reshape(nblocks, block_rays),
-                    st[1].reshape(nblocks, block_rays), meta)
+    ix, iy = _cells(st[0].reshape(ngroups, group_rays),
+                    st[1].reshape(ngroups, group_rays), meta)
     ixm, ixM = jnp.min(ix, axis=1), jnp.max(ix, axis=1)
     iym, iyM = jnp.min(iy, axis=1), jnp.max(iy, axis=1)
+    if pred is not None:
+        ixe, iye = _cells(pred[0].reshape(ngroups, group_rays),
+                          pred[1].reshape(ngroups, group_rays), meta)
+        ixm = jnp.minimum(ixm, jnp.min(ixe, axis=1))
+        ixM = jnp.maximum(ixM, jnp.max(ixe, axis=1))
+        iym = jnp.minimum(iym, jnp.min(iye, axis=1))
+        iyM = jnp.maximum(iyM, jnp.max(iye, axis=1))
     # window capacity is tw x th CELLS: local cell index in [0, tw-1]
     need_x = (ixM - ixm) + 2.0 * margin_x - float(tw - 1)
     need_y = (iyM - iym) + 2.0 * margin_y - float(th - 1)
@@ -394,15 +435,22 @@ def _refresh_windows(st, flag, nodes3d, meta, th, tw, nblocks, block_rays,
                    0.0, float(nx - 1 - tw)).astype(jnp.int32)
     biy = jnp.clip(iym - jnp.floor((float(th - 1) - (iyM - iym)) * 0.5),
                    0.0, float(ny - 1 - th)).astype(jnp.int32)
-    win = jax.vmap(lambda by, bx: jax.lax.dynamic_slice(
-        nodes3d, (by, bx, jnp.int32(0)), (th + 1, tw + 1, 9)))(biy, bix)
-    cells = jnp.stack([win[:, :-1, :-1], win[:, :-1, 1:],
-                       win[:, 1:, :-1], win[:, 1:, 1:]],
-                      axis=-1).reshape(nblocks, th * tw, 36)
-    if pad_cells:
-        cells = jnp.concatenate(
-            [cells, jnp.zeros((nblocks, pad_cells, 36), cells.dtype)],
-            axis=1)
+    return flag, bix, biy
+
+
+def _refresh_windows(st, flag, c36, meta, th, tw, nblocks, block_rays,
+                     margin_x, margin_y, nchunks, n_ch, pred=None):
+    """One per-BLOCK window refresh: (flag', tiles, bases).
+
+    ``c36`` is the :func:`_cells36` table; tiles come back as
+    (nblocks, n_ch, LANES) with channel index ``chunk * 36 + ch * 4 +
+    corner``, bases as (nblocks, 2) f32 for the kernel's SMEM row.
+    """
+    x0, y0, inv_hx, inv_hy, nx, ny = meta
+    flag, bix, biy = _window_bases(st, flag, meta, th, tw, nblocks,
+                                   block_rays, margin_x, margin_y, pred)
+    wid = _window_ids(bix, biy, th, tw, nchunks * LANES, nx - 1)
+    cells = c36[wid]                      # (nblocks, nchunks*LANES, 36)
     tiles = jnp.transpose(
         cells.reshape(nblocks, nchunks, LANES, 36),
         (0, 1, 3, 2)).reshape(nblocks, n_ch, LANES)
@@ -410,8 +458,8 @@ def _refresh_windows(st, flag, nodes3d, meta, th, tw, nblocks, block_rays,
     return flag, tiles, bases
 
 
-def _refresh_windows_rows(st, flag, nodes3d, meta, th, tw, nblocks, rows,
-                          margin_x, margin_y):
+def _refresh_windows_rows(st, flag, c36T, meta, th, tw, nblocks, rows,
+                          margin_x, margin_y, pred=None):
     """Per-sublane-ROW window refresh: one <=128-cell window per 128 rays.
 
     Same contract as :func:`_refresh_windows`, but the window unit is a
@@ -420,35 +468,22 @@ def _refresh_windows_rows(st, flag, nodes3d, meta, th, tw, nblocks, rows,
     own window slice at single-chunk cost (``tpu.dynamic_gather`` indexes
     per sublane row — see ``kernels.fused._make_kernel(row_tile=True)``), so
     a block's effective coverage is rows x 128 cells with the same 36
-    gathers/step a single 121-cell block window needs.  Returns
-    ``(flag', tiles, bases)`` with tiles (nblocks, 36, rows, LANES) and
-    bases (nblocks, 2, rows, LANES) lane-broadcast f32 cell indices.
+    gathers/step a single 121-cell block window needs.
+
+    ``c36T`` is the TRANSPOSED cell table (36, ncells): gathering channel
+    planes writes tiles directly in their kernel layout
+    (36, nblocks, rows, LANES) — channel-major, block second, so the
+    BlockSpec indexes axis 1 — avoiding a 143 MB/refresh layout transpose
+    (measured 10.7 ms, half the refresh).  Returns ``(flag', tiles,
+    bases)`` with bases (nblocks, 2, rows, LANES) lane-broadcast f32 cell
+    indices.
     """
     x0, y0, inv_hx, inv_hy, nx, ny = meta
     ngroups = nblocks * rows
-    pad_cells = LANES - th * tw
-    ix, iy = _cells(st[0].reshape(ngroups, LANES),
-                    st[1].reshape(ngroups, LANES), meta)
-    ixm, ixM = jnp.min(ix, axis=1), jnp.max(ix, axis=1)
-    iym, iyM = jnp.min(iy, axis=1), jnp.max(iy, axis=1)
-    need_x = (ixM - ixm) + 2.0 * margin_x - float(tw - 1)
-    need_y = (iyM - iym) + 2.0 * margin_y - float(th - 1)
-    flag = jnp.maximum(flag, jnp.maximum(jnp.max(need_x), jnp.max(need_y)))
-    bix = jnp.clip(ixm - jnp.floor((float(tw - 1) - (ixM - ixm)) * 0.5),
-                   0.0, float(nx - 1 - tw)).astype(jnp.int32)
-    biy = jnp.clip(iym - jnp.floor((float(th - 1) - (iyM - iym)) * 0.5),
-                   0.0, float(ny - 1 - th)).astype(jnp.int32)
-    win = jax.vmap(lambda by, bx: jax.lax.dynamic_slice(
-        nodes3d, (by, bx, jnp.int32(0)), (th + 1, tw + 1, 9)))(biy, bix)
-    cells = jnp.stack([win[:, :-1, :-1], win[:, :-1, 1:],
-                       win[:, 1:, :-1], win[:, 1:, 1:]],
-                      axis=-1).reshape(ngroups, th * tw, 36)
-    if pad_cells:
-        cells = jnp.concatenate(
-            [cells, jnp.zeros((ngroups, pad_cells, 36), cells.dtype)],
-            axis=1)
-    tiles = jnp.transpose(cells.reshape(nblocks, rows, LANES, 36),
-                          (0, 3, 1, 2))
+    flag, bix, biy = _window_bases(st, flag, meta, th, tw, ngroups, LANES,
+                                   margin_x, margin_y, pred)
+    wid = _window_ids(bix, biy, th, tw, LANES, nx - 1)
+    tiles = c36T[:, wid].reshape(36, nblocks, rows, LANES)
     b2 = jnp.stack([bix, biy], axis=-1).astype(jnp.float32)  # (ngroups, 2)
     bases = jnp.broadcast_to(
         jnp.transpose(b2.reshape(nblocks, rows, 2, 1), (0, 2, 1, 3)),
@@ -460,7 +495,7 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
                               n_seg, gamma, *, op, segment, box, block_rays,
                               interpret, meta, tile_shape, stats=False,
                               n_state=9, gold_schedule=None,
-                              row_windows=False):
+                              row_windows=False, use_pred=False):
     """Chain tiled-kernel launches; slice block windows between them.
 
     Each iteration (all inside ONE jit): compute every kernel block's cell
@@ -506,8 +541,9 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
     blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     if row_windows:
-        tile_spec = pl.BlockSpec((1, 36, rows, LANES),
-                                 lambda i: (i, 0, 0, 0),
+        # channel-major tiles (see _refresh_windows_rows): block on axis 1
+        tile_spec = pl.BlockSpec((36, 1, rows, LANES),
+                                 lambda i: (0, i, 0, 0),
                                  memory_space=pltpu.VMEM)
         base_spec = pl.BlockSpec((1, 2, rows, LANES),
                                  lambda i: (i, 0, 0, 0),
@@ -532,22 +568,54 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
             transcendentals=3 * r * segment),
         interpret=interpret,
     )
-    # per-axis cell margin a ray can drift during one segment: positions
-    # move at most segment * ds in each coordinate
     travel = segment * delta_s
-    margin_x = jnp.ceil(travel * inv_hx)
-    margin_y = jnp.ceil(travel * inv_hy)
+    if use_pred:
+        # Drift-predicted windows: the refresh bbox includes each ray's
+        # straight-line end p + travel * u, so the margin only needs the
+        # true path's deviation from that prediction — at most
+        # travel^2 * kappa / 2 (a ray on the tightest turning circle),
+        # with the curvature bound kappa = max|grad n| / min n straight
+        # off the node table (|du/ds| = |grad_perp n| / n; x gamma covers
+        # the anisotropic family's faster turning) — plus a cell of slack
+        # absorbing O(delta_s^2 kappa) stage deviation and index
+        # truncation.  Containment is still VERIFIED per refresh: a bound
+        # violation trips the flag and replays, never silently clamps.
+        n_min = jnp.maximum(jnp.min(nodes3d[..., 0]), jnp.float32(1e-6))
+        g_max = jnp.sqrt(
+            jnp.max(nodes3d[..., 1] ** 2 + nodes3d[..., 5] ** 2))
+        kappa = g_max / n_min * jnp.maximum(jnp.float32(1.0),
+                                            jnp.abs(gamma))
+        sag = travel * travel * kappa * 0.5
+        margin_x = jnp.ceil(sag * inv_hx) + 1.0
+        margin_y = jnp.ceil(sag * inv_hy) + 1.0
+    else:
+        # legacy symmetric margins: positions move at most travel in each
+        # coordinate during one segment
+        margin_x = jnp.ceil(travel * inv_hx)
+        margin_y = jnp.ceil(travel * inv_hy)
+    c36 = jnp.transpose(_cells36(nodes3d)) if row_windows \
+        else _cells36(nodes3d)
 
     def seg_body(k, carry):
         st, flag = carry
+        if not use_pred:
+            pred = None
+        else:
+            if golden:
+                live = st[7]
+                ue = (jnp.cos(st[4]) * live, jnp.sin(st[4]) * live)
+            else:
+                live = st[8]
+                ue = (st[2] * live, st[3] * live)
+            pred = (st[0] + travel * ue[0], st[1] + travel * ue[1])
         if row_windows:
             flag, tiles, bases = _refresh_windows_rows(
-                st, flag, nodes3d, meta, th, tw, nblocks, rows,
-                margin_x, margin_y)
+                st, flag, c36, meta, th, tw, nblocks, rows,
+                margin_x, margin_y, pred)
         else:
             flag, tiles, bases = _refresh_windows(
-                st, flag, nodes3d, meta, th, tw, nblocks, block_rays,
-                margin_x, margin_y, nchunks, n_ch)
+                st, flag, c36, meta, th, tw, nblocks, block_rays,
+                margin_x, margin_y, nchunks, n_ch, pred)
         offset = offset0 + k.astype(jnp.float32) * segment
         if golden:
             ds_vec = golden_scalars(delta_s, gamma, limit, offset, iters)
@@ -563,14 +631,15 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
 
 @functools.partial(jax.jit, static_argnames=(
     "op", "segment", "box", "block_rays", "interpret", "meta", "tile_shape",
-    "stats", "n_state", "gold_schedule", "row_windows"))
+    "stats", "n_state", "gold_schedule", "row_windows", "use_pred"))
 def _tiled_run_segments(*args, **kw):
     return _tiled_run_segments_inner(*args, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "op", "segment", "box", "block_rays", "interpret", "meta", "tile_shape",
-    "stats", "n_state", "mesh", "mesh_axes", "gold_schedule", "row_windows"))
+    "stats", "n_state", "mesh", "mesh_axes", "gold_schedule", "row_windows",
+    "use_pred"))
 def _tiled_run_segments_sharded(state, nodes3d, delta_s, limit, offset0,
                                 n_seg, gamma, *, mesh, mesh_axes, **kw):
     """The round body under ``shard_map``: rays sharded, windows local.
@@ -654,11 +723,12 @@ def _tiled_sweep_segments(state, nodes3d, scal, n_seg, *, op, segment, box,
     ds_col = scal[:, 0]
     margin_x = jnp.ceil(segment * ds_col * inv_hx)     # per block
     margin_y = jnp.ceil(segment * ds_col * inv_hy)
+    c36 = _cells36(nodes3d)
 
     def seg_body(k, carry):
         st, flag = carry
         flag, tiles, bases = _refresh_windows(
-            st, flag, nodes3d, meta, th, tw, nblocks, block_rays,
+            st, flag, c36, meta, th, tw, nblocks, block_rays,
             margin_x, margin_y, nchunks, n_ch)
         scal_k = scal.at[:, 2].set(k.astype(jnp.float32) * segment)
         args = (tiles, bases) + st + (zero, scal_k)
@@ -793,14 +863,15 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
     cost that capped the supercell path no longer scales with the ray
     count x 144.
 
-    The window unit defaults to a sublane ROW (``row_windows=None`` —
-    auto): each row of 128 Morton-adjacent rays gathers from its own
-    <=128-cell window, so a block effectively covers rows x 128 cells at
-    single-chunk gather cost (``tpu.dynamic_gather`` indexes per sublane
-    row).  ``row_windows=False`` forces the per-BLOCK window mode, where
-    windows above 128 cells pay ``ceil(cells/128)`` chunk-selected gather
-    sets per step — kept as the escalation fallback for batches too
-    dispersed for per-row windows, and for sub-8-row blocks.
+    The window unit is a kernel BLOCK (``row_windows`` default): one
+    (th, tw)-cell window shared by ``block_rays`` rays; windows above 128
+    cells pay ``ceil(cells/128)`` chunk-selected gather sets per step.
+    ``row_windows=True`` opts into per-sublane-ROW windows (each row of
+    128 Morton-adjacent rays gathers from its own <=128-cell window at
+    single-chunk cost) — measured SLOWER on-chip at both the fine and the
+    coarse calibrated divisors (1.7 vs 3.0 G, 0.14 vs 0.44 G: the per-row
+    refresh's 128x window count dominates its per-step gather saving), so
+    it is kept as an experiment knob, not the default.
 
     Unlike :func:`grid_trace` this has NO ``delta_s < cell`` restriction —
     the coarse calibrated fisheye divisors (278-325, RT_bench.py:1431-1450)
@@ -843,9 +914,10 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
     rows_per_block = block_rays // LANES
 
     def use_rows(tile):
-        """Row-window mode for this tile?  Rows need >= (8, 128) Mosaic
-        tiles and a <=128-cell window; escalated block tiles leave it."""
-        if row_windows is False:
+        """Row-window mode for this tile?  Opt-in only (measured slower
+        than block windows on-chip — see the class docstring); rows need
+        >= (8, 128) Mosaic tiles and a <=128-cell window."""
+        if not row_windows:
             return False
         return tile[0] * tile[1] <= LANES and rows_per_block >= 8
 
@@ -854,11 +926,34 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
                          f">= 8 sublane rows per block, got {tile_shape} / "
                          f"block_rays {block_rays}")
 
+    # host-side curvature estimate for segment sizing / margin-scheme
+    # choice (the traced margins recompute the bound from the live table;
+    # g_max == 0.0 means a pre-round-3 medium without the statics — the
+    # 1.0 guess only affects sizing, never correctness)
+    kappa_h = (medium.g_max / max(medium.n_min, 1e-6)
+               if medium.g_max > 0.0 else 1.0) * max(1.0, abs(gamma))
+
+    def _pred_slack(travel):
+        # cells of margin under drift prediction (see
+        # _tiled_run_segments_inner): turning-circle deviation + 1
+        return np.ceil(travel * travel * kappa_h * 0.5 / pitch) + 1.0
+
+    def _pred_wins(seg):
+        travel = seg * float(delta_s)
+        return _pred_slack(travel) < np.ceil(travel / pitch)
+
     def _default_segment(tile):
-        # capacity is min(tile) cells: ~4 for the unit bbox, the rest
-        # split between both travel directions
-        budget = max(1.0, (min(tile) - 1 - 4) * 0.5)
-        return max(1, min(64, int(budget * pitch / float(delta_s))))
+        # capacity is min(tile) cells; ~4 reserved for the unit bbox
+        cap = max(1.0, float(min(tile) - 1 - 4))
+        # legacy symmetric margins: travel <= cap / 2 on each side
+        seg_old = int(cap * 0.5 * pitch / float(delta_s))
+        # drift-predicted margins: travel <= cap - 2 * slack(travel)
+        # (fixed point; slack grows with travel, so iterate to closure)
+        travel = cap * pitch
+        for _ in range(4):
+            travel = max(0.0, (cap - 2.0 * _pred_slack(travel)) * pitch)
+        seg_pred = int(travel / float(delta_s))
+        return max(1, min(64, max(seg_old, seg_pred)))
 
     if segment is None:
         if not use_rows((th, tw)):
@@ -936,7 +1031,8 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
         kw = dict(op=op, segment=seg, box=tuple(box), block_rays=block_rays,
                   interpret=interpret, meta=meta, tile_shape=tile,
                   stats=with_stats, n_state=n_state,
-                  gold_schedule=gold_schedule, row_windows=use_rows(tile))
+                  gold_schedule=gold_schedule, row_windows=use_rows(tile),
+                  use_pred=_pred_wins(seg))
         if mesh is None:
             return _tiled_run_segments(
                 state, nodes3d, jnp.float32(delta_s), limit,

@@ -624,15 +624,17 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
             # 36 gathers/step a (11, 11) block window needs, where the
             # equivalent block-window coverage (32x32 cells) pays
             # 8 chunks x 36 gathers plus selects.  tile_ref block is
-            # (1, 36, rows, LANES) — channel ch of row r's window lives at
-            # [0, ch, r, :] — and the window bases ride along as
-            # (1, 2, rows, LANES) lane-broadcast vectors (SMEM would need
-            # an in-kernel scalar->vector row build, which Mosaic rejects
-            # below (8, 128)).
+            # (36, 1, rows, LANES), CHANNEL-major — the refresh's plane
+            # gather writes that layout directly, with no 143 MB/refresh
+            # transpose (engine/segmented._refresh_windows_rows) — and the
+            # window bases ride along as (1, 2, rows, LANES)
+            # lane-broadcast vectors (SMEM would need an in-kernel
+            # scalar->vector row build, which Mosaic rejects below
+            # (8, 128)).
             def kernel(tile_ref, base_ref, *refs):
                 tv = tile_ref[...]
                 bb = base_ref[...]
-                T = [tv[0, i] for i in range(36)]
+                T = [tv[i, 0] for i in range(36)]
                 kernel_impl(_tile_nag(T, bb[0, 0], bb[0, 1], tile), *refs)
         else:
             n_ch = (-(-tile[6] * tile[7] // LANES)) * 36

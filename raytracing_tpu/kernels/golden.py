@@ -457,7 +457,7 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
             def kernel(tile_ref, base_ref, *refs):
                 tv = tile_ref[...]
                 bb = base_ref[...]
-                T = [tv[0, i] for i in range(36)]
+                T = [tv[i, 0] for i in range(36)]
                 kernel_impl(_tile_nag(T, bb[0, 0], bb[0, 1], tile), *refs)
         else:
             n_ch = (-(-tile[6] * tile[7] // LANES)) * 36

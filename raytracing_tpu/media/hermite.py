@@ -89,6 +89,12 @@ class HermiteGridMedium:
     inv_hy: float = struct.field(pytree_node=False)
     nx: int = struct.field(pytree_node=False)
     ny: int = struct.field(pytree_node=False)
+    #: table-wide bounds for the ray-curvature estimate
+    #: kappa <= g_max / n_min (|du/ds| = |grad_perp n| / n): sizes the
+    #: drift-predicted window margins in engine/segmented.  0.0 = unknown
+    #: (pre-round-3 pickles); consumers fall back to a fixed slack.
+    n_min: float = struct.field(pytree_node=False, default=1.0)
+    g_max: float = struct.field(pytree_node=False, default=0.0)
 
     def _cell(self, x, y):
         fx = (x - self.x0) * self.inv_hx
@@ -150,7 +156,10 @@ def build_hermite_medium(gm: GridMedium, dtype=np.float32) -> HermiteGridMedium:
     nodes[..., 0] = np.asarray(gm.Z, np.float64)
     nodes[..., 1:5] = _node_data(cx)
     nodes[..., 5:9] = _node_data(cy)
+    g_mag = np.sqrt(nodes[..., 1] ** 2 + nodes[..., 5] ** 2)
     return HermiteGridMedium(
         nodes=jnp.asarray(nodes.reshape(ny * nx, 9), dtype),
         x0=gm.x0, y0=gm.y0, inv_hx=gm.inv_hx, inv_hy=gm.inv_hy,
-        nx=nx, ny=ny)
+        nx=nx, ny=ny,
+        n_min=float(max(nodes[..., 0].min(), 1e-6)),
+        g_max=float(g_mag.max()))
