@@ -13,8 +13,24 @@ if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # The JAX_PLATFORMS env var alone is not enough here: the environment's TPU
 # plugin pre-populates jax_platforms, so pin it through the config API too.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables after each test module.
+
+    The full suite accumulates ~1000 XLA:CPU executables in one process;
+    past ~250 tests the NEXT backend compile segfaults inside XLA (the
+    crash point moves with test order — a cumulative backend state issue,
+    not any single test; each module passes alone).  Per-module cache
+    clearing keeps the resident executable count bounded; cross-module
+    cache reuse is near zero anyway (different programs).
+    """
+    yield
+    jax.clear_caches()

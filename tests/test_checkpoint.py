@@ -6,6 +6,10 @@ import raytracing_tpu as rt
 from raytracing_tpu.parallel import sweep as sw
 from raytracing_tpu.utils.checkpoint import SweepCheckpoint
 
+# heavyweight module: segmented chains / sharded meshes / full sweeps /
+# interpret-mode kernel parity.  Deselect with -m 'not slow' (CLAUDE.md).
+pytestmark = pytest.mark.slow
+
 
 def test_checkpoint_roundtrip(tmp_path):
     p = str(tmp_path / "ck.npz")

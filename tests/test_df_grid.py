@@ -12,6 +12,10 @@ from raytracing_tpu.engine.df_grid import (_make_df_nag, _split64,
                                            df_grid_trace)
 from raytracing_tpu.media.spline import build_grid_medium
 
+# heavyweight module: segmented chains / sharded meshes / full sweeps /
+# interpret-mode kernel parity.  Deselect with -m 'not slow' (CLAUDE.md).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def media():

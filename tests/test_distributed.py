@@ -6,6 +6,11 @@ import raytracing_tpu as rt
 from raytracing_tpu.parallel.distributed import (
     ray_batch_sharding, summarize_sharded, trace_sharded)
 from raytracing_tpu.parallel.mesh import make_mesh
+import pytest
+
+# heavyweight module: segmented chains / sharded meshes / full sweeps /
+# interpret-mode kernel parity.  Deselect with -m 'not slow' (CLAUDE.md).
+pytestmark = pytest.mark.slow
 
 
 def _batch(r):

@@ -7,6 +7,10 @@ import pytest
 import raytracing_tpu as rt
 from raytracing_tpu.engine.fast import fast_trace, supports
 
+# heavyweight module: segmented chains / sharded meshes / full sweeps /
+# interpret-mode kernel parity.  Deselect with -m 'not slow' (CLAUDE.md).
+pytestmark = pytest.mark.slow
+
 
 def _batch(r):
     theta0 = np.full(r, np.pi / 2.0, np.float32)

@@ -7,6 +7,10 @@ import pytest
 import raytracing_tpu as rt
 from raytracing_tpu.kernels.golden import GOLDEN_OPS, golden_trace_final
 
+# heavyweight module: segmented chains / sharded meshes / full sweeps /
+# interpret-mode kernel parity.  Deselect with -m 'not slow' (CLAUDE.md).
+pytestmark = pytest.mark.slow
+
 
 def _pad(scen, pad_to=128):
     r0 = scen.ray_count

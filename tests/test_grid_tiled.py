@@ -22,6 +22,10 @@ from raytracing_tpu.engine.segmented import grid_trace, grid_trace_tiled
 from raytracing_tpu.media.hermite import build_hermite_medium
 from raytracing_tpu.media.spline import build_grid_medium
 
+# heavyweight module: segmented chains / sharded meshes / full sweeps /
+# interpret-mode kernel parity.  Deselect with -m 'not slow' (CLAUDE.md).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def fisheye_media():

@@ -7,6 +7,10 @@ import raytracing_tpu as rt
 from raytracing_tpu.engine.segmented import segmented_trace
 from raytracing_tpu.kernels.fused import fused_trace_final
 
+# heavyweight module: segmented chains / sharded meshes / full sweeps /
+# interpret-mode kernel parity.  Deselect with -m 'not slow' (CLAUDE.md).
+pytestmark = pytest.mark.slow
+
 
 def _fan(scen, r):
     theta0 = np.linspace(scen.theta0[0], scen.theta0[-1], r).astype(np.float32)

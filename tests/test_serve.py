@@ -104,7 +104,7 @@ def test_trace_stratified_medium(server):
                         "medium": "stratified"})
     assert code == 200, body
     assert body["medium"] == "stratified"
-    assert body["engine"] in ("fused-strat", "scan")
+    assert body["engine"] in ("fused-strat-seg-skip", "scan")
     code, body = _post(server + "/v1/trace",
                        {"scenario": "fisheye", "medium": "stratified"})
     assert code == 400 and "x-independent" in body["error"]

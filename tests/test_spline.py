@@ -148,7 +148,7 @@ def test_compact_stratified_kernel_route():
     pos0 = np.tile(scen.pos0[:1].astype(np.float32), (r, 1))
     out = fast_trace("op6", scen, med, delta_s=0.01, steps=400,
                      pos0=pos0, theta0=theta0, block_rays=128)
-    assert out.engine == "fused-strat"
+    assert out.engine == "fused-strat-seg-skip"
     ref = rt.trace("op6", scen, med, delta_s=0.01, mode="metrics",
                    dtype=np.float32, max_size=401, pos0=pos0, theta0=theta0)
     np.testing.assert_allclose(np.asarray(out.pos),

@@ -5,6 +5,11 @@ import numpy as np
 
 import raytracing_tpu as rt
 from raytracing_tpu.engine.streaming import stream_history
+import pytest
+
+# heavyweight module: segmented chains / sharded meshes / full sweeps /
+# interpret-mode kernel parity.  Deselect with -m 'not slow' (CLAUDE.md).
+pytestmark = pytest.mark.slow
 
 
 def test_streamed_equals_oneshot_fisheye():

@@ -8,6 +8,10 @@ from raytracing_tpu import config
 from raytracing_tpu.parallel import mesh as meshlib
 from raytracing_tpu.parallel import sweep as sw
 
+# heavyweight module: segmented chains / sharded meshes / full sweeps /
+# interpret-mode kernel parity.  Deselect with -m 'not slow' (CLAUDE.md).
+pytestmark = pytest.mark.slow
+
 
 # -- find_index policies (pure host logic, RT_bench.py:1320-1375) -----------
 def test_find_index_interface():
