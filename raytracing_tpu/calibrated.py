@@ -60,9 +60,14 @@ ANALYTIC_INTERFACE_DIVISOR = {
 
 #: vert-heterogeneous, analytic linear gradient: DELTA_S = SIGMA / divisor.
 #: The gentle analytic gradient conserves momentum at far coarser steps
-#: than the sampled fit (divisors well below 1).
+#: than the sampled fit (divisors well below 1).  op3 (cost-function angle
+#: solve) conserves p_x BY CONSTRUCTION here: its CV never crosses the
+#: 0.05 % bar anywhere in the candidate grid (f32 scan probe: 1.3e-4 % at
+#: divisor 2.0 falling monotonically to 1e-5 % at 0.025 — the CV is pure
+#: float noise, shrinking with step count), so the acceptance policy has
+#: no crossing to find; recorded at the sweep's coarse edge.
 ANALYTIC_VERT_DIVISOR = {
-    "op1": 0.89, "op2": 0.89, "op3": None, "op4": 0.06, "op5": 0.06,
+    "op1": 0.89, "op2": 0.89, "op3": 0.025, "op4": 0.06, "op5": 0.06,
     "op6": 0.03, "op7": 0.83, "op8": 0.05, "op9": 0.05,
 }
 

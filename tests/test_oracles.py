@@ -125,6 +125,23 @@ def test_vert_momentum_cv_calibrated(op):
     assert avg < config.MAX_MOMENTUM_CV_PCT, avg
 
 
+@pytest.mark.parametrize("op", ["op3", "op4", "op8"])
+def test_vert_momentum_cv_analytic_calibrated(op):
+    """The ANALYTIC self-calibrated vert steps meet the reference CV bar.
+
+    op3's entry sits at the sweep's coarse edge because its CV never
+    crosses the bar anywhere in the candidate grid (the cost-function
+    angle solve conserves p_x by construction; see calibrated.py note).
+    """
+    scen = rt.scenario("vert")
+    med = rt.analytic_medium("vert_heterogeneous")
+    ds, _ = calibrated.calibrated_analytic(op, "vert")
+    res = rt.trace(op, scen, med, delta_s=ds, mode="metrics", dtype=np.float64)
+    cv = oracles.momentum_cv_pct_from_stats(res)
+    avg = float(oracles.scenario_average_cv_pct(cv))
+    assert avg < config.MAX_MOMENTUM_CV_PCT, avg
+
+
 @pytest.mark.parametrize("op", ["op10", "op11"])
 def test_aniso_momentum_cv_calibrated(op):
     scen = rt.scenario("aniso")
