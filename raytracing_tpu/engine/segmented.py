@@ -580,11 +580,13 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
         # absorbing O(delta_s^2 kappa) stage deviation and index
         # truncation.  Containment is still VERIFIED per refresh: a bound
         # violation trips the flag and replays, never silently clamps.
-        n_min = jnp.maximum(jnp.min(nodes3d[..., 0]), jnp.float32(1e-6))
-        g_max = jnp.sqrt(
-            jnp.max(nodes3d[..., 1] ** 2 + nodes3d[..., 5] ** 2))
-        kappa = g_max / n_min * jnp.maximum(jnp.float32(1.0),
-                                            jnp.abs(gamma))
+        # pointwise max of |grad n| / n — NOT max|grad| / min(n), whose
+        # extremes come from different table regions (the reference's +-3
+        # grid padding alone inflated the factored form 27x on fisheye)
+        g2 = nodes3d[..., 1] ** 2 + nodes3d[..., 5] ** 2
+        n_safe = jnp.maximum(nodes3d[..., 0], jnp.float32(1e-6))
+        kappa = jnp.sqrt(jnp.max(g2 / (n_safe * n_safe)))
+        kappa = kappa * jnp.maximum(jnp.float32(1.0), jnp.abs(gamma))
         sag = travel * travel * kappa * 0.5
         margin_x = jnp.ceil(sag * inv_hx) + 1.0
         margin_y = jnp.ceil(sag * inv_hy) + 1.0
@@ -928,10 +930,13 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
 
     # host-side curvature estimate for segment sizing / margin-scheme
     # choice (the traced margins recompute the bound from the live table;
-    # g_max == 0.0 means a pre-round-3 medium without the statics — the
-    # 1.0 guess only affects sizing, never correctness)
-    kappa_h = (medium.g_max / max(medium.n_min, 1e-6)
-               if medium.g_max > 0.0 else 1.0) * max(1.0, abs(gamma))
+    # 0.0 statics mean a pre-round-3 medium — the 1.0 guess only affects
+    # sizing, never correctness).  kappa_max is the pointwise
+    # max |grad n| / n; the factored g_max / n_min fallback overestimates
+    # badly on padded grids (see media/hermite.HermiteGridMedium).
+    kappa_h = (getattr(medium, "kappa_max", 0.0)
+               or (medium.g_max / max(medium.n_min, 1e-6)
+                   if medium.g_max > 0.0 else 1.0)) * max(1.0, abs(gamma))
 
     def _pred_slack(travel):
         # cells of margin under drift prediction (see
@@ -939,20 +944,35 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
         return np.ceil(travel * travel * kappa_h * 0.5 / pitch) + 1.0
 
     def _pred_wins(seg):
+        # Compare TOTAL window consumption, not just the margins: the
+        # prediction rides in the refresh bbox, so pred mode spends
+        # travel + 2*slack cells where legacy spends 2*ceil(travel)
+        # (margins on both sides, bbox travel-free).  Comparing margins
+        # alone flipped fine-step traces (travel ~3 cells, slack 2) into
+        # pred mode where they consume MORE window and refresh more often
+        # (measured 3.12 -> 2.75 G at divisor 4587).
         travel = seg * float(delta_s)
-        return _pred_slack(travel) < np.ceil(travel / pitch)
+        return (travel / pitch + 2.0 * _pred_slack(travel)
+                < 2.0 * np.ceil(travel / pitch))
 
     def _default_segment(tile):
         # capacity is min(tile) cells; ~4 reserved for the unit bbox
         cap = max(1.0, float(min(tile) - 1 - 4))
         # legacy symmetric margins: travel <= cap / 2 on each side
         seg_old = int(cap * 0.5 * pitch / float(delta_s))
-        # drift-predicted margins: travel <= cap - 2 * slack(travel)
-        # (fixed point; slack grows with travel, so iterate to closure)
-        travel = cap * pitch
-        for _ in range(4):
-            travel = max(0.0, (cap - 2.0 * _pred_slack(travel)) * pitch)
-        seg_pred = int(travel / float(delta_s))
+        # drift-predicted margins: the prediction span rides in the bbox,
+        # so a segment is feasible iff its travel (in cells) plus both
+        # slack margins fits the capacity.  Search the largest feasible
+        # segment directly — a re-substitution fixed point here oscillates
+        # when kappa is large, and one round-3 regression took the
+        # infeasible side of such an oscillation (margins could never fit
+        # the window, every refresh replayed: 0.44 -> 0.16 G at div 303).
+        seg_pred = 0
+        for s in range(1, 65):
+            travel = s * float(delta_s)
+            if travel / pitch + 2.0 * _pred_slack(travel) > cap:
+                break
+            seg_pred = s
         return max(1, min(64, max(seg_old, seg_pred)))
 
     if segment is None:

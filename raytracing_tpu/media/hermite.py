@@ -89,12 +89,18 @@ class HermiteGridMedium:
     inv_hy: float = struct.field(pytree_node=False)
     nx: int = struct.field(pytree_node=False)
     ny: int = struct.field(pytree_node=False)
-    #: table-wide bounds for the ray-curvature estimate
-    #: kappa <= g_max / n_min (|du/ds| = |grad_perp n| / n): sizes the
-    #: drift-predicted window margins in engine/segmented.  0.0 = unknown
-    #: (pre-round-3 pickles); consumers fall back to a fixed slack.
+    #: table-wide bounds for the ray-curvature estimate (sizes the window
+    #: margins in engine/segmented; 0.0 = unknown pre-round-3 pickles,
+    #: consumers fall back to a fixed slack).  ``kappa_max`` is the
+    #: POINTWISE max of |grad n| / n over the nodes — the actual bound on
+    #: |du/ds| = |grad_perp n| / n.  Do NOT reconstruct it as
+    #: g_max / n_min: the factored form pairs extremes from different
+    #: table regions (the reference's +-3 grid padding puts n_min in
+    #: corners no ray visits) and overestimated kappa by 27x on the
+    #: fisheye grid, mis-sizing every coarse-divisor window.
     n_min: float = struct.field(pytree_node=False, default=1.0)
     g_max: float = struct.field(pytree_node=False, default=0.0)
+    kappa_max: float = struct.field(pytree_node=False, default=0.0)
 
     def _cell(self, x, y):
         fx = (x - self.x0) * self.inv_hx
@@ -162,4 +168,5 @@ def build_hermite_medium(gm: GridMedium, dtype=np.float32) -> HermiteGridMedium:
         x0=gm.x0, y0=gm.y0, inv_hx=gm.inv_hx, inv_hy=gm.inv_hy,
         nx=nx, ny=ny,
         n_min=float(max(nodes[..., 0].min(), 1e-6)),
-        g_max=float(g_mag.max()))
+        g_max=float(g_mag.max()),
+        kappa_max=float((g_mag / np.maximum(nodes[..., 0], 1e-6)).max()))
