@@ -127,6 +127,29 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
         "note": "closure floor ~0.02% is the bilinear spline's own "
                 "discretization (kx=ky=1, RT_bench.py:455), not the kernel"}
 
+    # -- same medium at the reference's COARSE calibrated divisor (op6 at
+    # 303, RT_bench.py:1431-1450): each step crosses >1 cell, so this is
+    # the refresh-bound regime of the tiled kernel -----------------------
+    cdiv = 303
+    csteps = cdiv - 1
+    cds = 2 * np.pi / cdiv
+
+    def run_grid_coarse():
+        g = grid_trace_tiled("op6", pos0, theta0, np.float32(cds), hmed,
+                             steps=csteps, box=tuple(scen.box))
+        np.asarray(g.pos[:1])
+        return g
+
+    t, g = best_of(run_grid_coarse, reps=2)
+    gclo = 100 * np.linalg.norm(
+        np.asarray(g.pos) - [1, 0], axis=1).mean() / (2 * np.pi)
+    out["fisheye_grid_coarse"] = {
+        "op": "op6", "rays": r, "steps": csteps,
+        "medium": "sampled-2d-spline", "delta_s_divisor": cdiv,
+        "seconds": round(t, 4),
+        "gsteps_per_sec": round(r * csteps / t / 1e9, 2),
+        "closure_error_pct": round(float(gclo), 5)}
+
     # -- interface: analytic AND sampled (stratified) media, op6 ------------
     scen = rt.scenario("interface")
     imed = compact_stratified(

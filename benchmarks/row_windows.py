@@ -34,8 +34,13 @@ def main(argv=None):
     scen = rt.scenario("fisheye")
     hm = _as_hermite(build_grid_medium("fisheye", scen.box, dtype=np.float32))
     r = args.rays
-    theta0 = (np.pi / 2 + np.linspace(-0.02, 0.02, r)).astype(np.float32)
-    pos0 = np.tile(np.array([1.0, 0.0], np.float32), (r, 1))
+    # device_put ONCE: numpy inputs re-upload ~12 MB through the tunnel on
+    # every call, a ~0.5-0.8 s fixed cost that polluted every earlier
+    # grid-tier number from this script (found via a steps-sweep whose
+    # time barely depended on steps)
+    theta0 = jax.device_put(
+        (np.pi / 2 + np.linspace(-0.02, 0.02, r)).astype(np.float32))
+    pos0 = jax.device_put(np.tile(np.array([1.0, 0.0], np.float32), (r, 1)))
 
     for div in [int(d) for d in args.divisors.split(",")]:
         ds = 2 * np.pi / div
