@@ -133,9 +133,21 @@ def make_fisheye_runner(rays: int, divisor: int, n_turns: int,
     theta0 = jax.device_put(np.full(n, np.pi / 2.0, np.float32))
     ds = np.float32(2.0 * np.pi / divisor)
 
-    def run():
-        pos, _ = fisheye_trace_final(pos0, theta0, ds, steps=steps,
-                                     block_rays=block_rays)
+    def run(pipeline: int = 1):
+        """One barrier over ``pipeline`` back-to-back launches.
+
+        pipeline=1 is the single-shot protocol: every run pays one full
+        tunnel round-trip (~38 ms dispatch+sync measured on the axon
+        tunnel — latency a directly-attached host does not have).
+        pipeline>1 queues the launches and takes ONE completion barrier;
+        all work still finishes before the clock stops, so time/pipeline
+        is the honest SUSTAINED per-launch cost (the production serving
+        shape: keep the device fed).
+        """
+        pos = None
+        for _ in range(pipeline):
+            pos, _ = fisheye_trace_final(pos0, theta0, ds, steps=steps,
+                                         block_rays=block_rays)
         np.asarray(pos[:1])  # honest completion barrier through the tunnel
         return pos[:rays]
 
