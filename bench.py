@@ -61,13 +61,25 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
     from raytracing_tpu.media.spline import (build_stratified_medium,
                                              compact_stratified)
 
-    def best_of(fn, reps=3):
+    def best_of(fn, reps=3, pipeline=1):
+        """min over reps of (pipeline back-to-back calls) / pipeline.
+
+        With pipeline > 1, fn(sync=False) must queue its launch without a
+        completion barrier; the final call syncs.  This amortizes the
+        ~38 ms tunnel round trip per launch (BASELINE.md "Sustained vs
+        single-shot") for PURE-KERNEL rows; rows whose engine takes host
+        round-trips inside a call (tiled containment flag, segmented
+        replay chains) stay at pipeline=1 — a mid-pipeline sync would
+        serialize anyway and the row would just re-measure the tunnel.
+        """
         out = fn()
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
+            for _ in range(pipeline - 1):
+                fn(sync=False)
             out = fn()
-            ts.append(time.perf_counter() - t0)
+            ts.append((time.perf_counter() - t0) / pipeline)
         return min(ts), out
 
     out = {}
@@ -84,13 +96,14 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
     pos0, theta0 = _fan(scen, r)
     ds, steps = 2 * np.pi / 303, 303
 
-    def run_fish():
+    def run_fish(sync=True):
         f = fused_trace_final(pos0, theta0, np.float32(ds), field="fisheye",
                               op="op6", steps=steps, box=tuple(scen.box))
-        np.asarray(f.pos[:1])
+        if sync:
+            np.asarray(f.pos[:1])
         return f
 
-    t, f = best_of(run_fish)
+    t, f = best_of(run_fish, pipeline=4)
     clo = 100 * np.linalg.norm(np.asarray(f.pos)[0] - [1, 0]) / (2 * np.pi)
     out["fisheye"] = {"op": "op6", "rays": r, "steps": steps,
                       "seconds": round(t, 4),
@@ -169,7 +182,7 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
                          ("interface_strat", imed, ds_ref)):
         steps = scen.max_size(ds) - 1
 
-        def run_i(med=med, ds=ds, steps=steps):
+        def run_i(med=med, ds=ds, steps=steps, sync=True):
             if med is None:
                 f = fused_trace_final(pos0, theta0, np.float32(ds),
                                       field="interface", op="op6",
@@ -178,10 +191,11 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
                 f = fused_trace_final_strat(pos0, theta0, np.float32(ds),
                                             med, op="op6", steps=steps,
                                             box=tuple(scen.box))
-            np.asarray(f.pos[:1])
+            if sync:
+                np.asarray(f.pos[:1])
             return f
 
-        t, f = best_of(run_i)
+        t, f = best_of(run_i, pipeline=4)
         mean_err, max_err = snell_stats(f.tangent, scen)
         eff = float(np.asarray(f.dist_sim).sum()) / ds
         out[tag] = {
@@ -242,7 +256,7 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
     steps = min(scen.max_size(ds) - 1, 3000)
 
     for tag, med in (("vert", None), ("vert_strat", vmed)):
-        def run_v(med=med):
+        def run_v(med=med, sync=True):
             if med is None:
                 f = fused_trace_final(pos0, theta0, np.float32(ds),
                                       field="vert_heterogeneous", op="op8",
@@ -253,10 +267,11 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
                                             med, op="op8", steps=steps,
                                             box=tuple(scen.box),
                                             with_stats=True)
-            np.asarray(f.pos[:1])
+            if sync:
+                np.asarray(f.pos[:1])
             return f
 
-        t, f = best_of(run_v)
+        t, f = best_of(run_v, pipeline=4)
         nf = len(scen.theta0)
         cv = 100 * np.sqrt(np.asarray(f.mom_m2[:nf]) / np.asarray(f.mom_count[:nf])) \
             / np.asarray(f.mom_mean[:nf])
@@ -304,16 +319,17 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
     for op in ("op5", "op11", "op11n"):
         gamma = 1.0 if op == "op5" else 3.0
 
-        def run_g(op=op, gamma=gamma):
+        def run_g(op=op, gamma=gamma, sync=True):
             g = golden_trace_final(pos0, theta0, np.float32(0.0193),
                                    np.float32(gamma),
                                    field="vert_heterogeneous", op=op,
                                    steps=2000, box=tuple(scen.box),
                                    with_stats=True)
-            np.asarray(g.pos[:1])
+            if sync:
+                np.asarray(g.pos[:1])
             return g
 
-        t, g = best_of(run_g)
+        t, g = best_of(run_g, pipeline=4)
         nf = len(scen.theta0)
         cv = 100 * np.sqrt(np.asarray(g.mom_m2[:nf]) / np.asarray(g.mom_count[:nf])) \
             / np.asarray(g.mom_mean[:nf])
