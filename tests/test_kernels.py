@@ -37,3 +37,28 @@ def test_pallas_fisheye_closure():
                                  block_rays=256, interpret=True)
     closure = 100 * np.linalg.norm(np.asarray(pos)[0] - [1, 0]) / (2 * np.pi)
     assert closure < 0.1, closure
+
+
+def test_runner_pipeline_results_identical():
+    """make_fisheye_runner(pipeline=k) returns the same final positions as
+    single-shot — the k queued launches are identical programs; only the
+    completion-barrier placement differs (bench.py sustained protocol)."""
+    from raytracing_tpu.kernels import fisheye as fk
+
+    calls = []
+    orig = fk.fisheye_trace_final
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, interpret=True, **kw)
+
+    fk.fisheye_trace_final, run = counting, None
+    try:
+        run = fk.make_fisheye_runner(256, 64, 1, block_rays=256)
+        p1 = np.asarray(run())
+        n1 = len(calls)
+        p3 = np.asarray(run(3))
+        assert len(calls) - n1 == 3
+        np.testing.assert_array_equal(p1, p3)
+    finally:
+        fk.fisheye_trace_final = orig

@@ -249,3 +249,25 @@ def test_user_samples_trace_at_kernel_tier():
                    theta0=theta0)
     np.testing.assert_allclose(np.asarray(out.pos),
                                np.asarray(ref.final.pos), atol=5e-4)
+
+
+def test_hermite_kappa_statics_pointwise():
+    """kappa_max is the pointwise max |grad n|/n — NOT g_max/n_min, whose
+    extremes come from different table regions (the +-3 reference padding
+    put fisheye's n_min in corners no ray visits and inflated the factored
+    bound 27x, mis-sizing every coarse-divisor window; ARCHITECTURE #6)."""
+    import raytracing_tpu as rt
+    from raytracing_tpu.media.hermite import build_hermite_medium
+    from raytracing_tpu.media.spline import build_grid_medium
+
+    scen = rt.scenario("fisheye")
+    hm = build_hermite_medium(build_grid_medium("fisheye", scen.box,
+                                                dtype=np.float32))
+    nodes = np.asarray(hm.nodes, np.float64).reshape(hm.ny, hm.nx, 9)
+    g = np.sqrt(nodes[..., 1] ** 2 + nodes[..., 5] ** 2)
+    expect = (g / np.maximum(nodes[..., 0], 1e-6)).max()
+    assert np.isclose(hm.kappa_max, expect, rtol=1e-5)
+    # the pointwise bound is ~1 on the Maxwell fisheye (max of 2r/(1+r^2));
+    # the factored form exceeds 20 — the regression this guards against
+    assert hm.kappa_max < 2.0
+    assert hm.g_max / hm.n_min > 20.0
