@@ -404,8 +404,8 @@ def run_oracles(path: str = "ORACLES.json"):
     assert cv < 0.05, cv
 
     # golden-family momentum CV at the reference bar, ON-CHIP: the polished
-    # golden kernels (kernels.golden.GOLD_POLISH — coarse bracket + Newton
-    # polish to f32 roundoff) conserve p_x to the reference's own acceptance
+    # golden kernels (kernels.golden.GOLD_SEED_ITERS — closed-form minimizer
+    # + Newton polish to f32 roundoff) conserve p_x to the reference's own
     # threshold (scenario-average interior-ray CV < 0.05 %,
     # RT_bench.py:1310,1352-1360) in pure float32.  op11 is the reference's
     # headline anisotropic momentum algorithm (RT_bench.py:30-32).

@@ -17,6 +17,11 @@ evaluation; the probed angle sequence is identical to the reference's to
 f32 rounding.  The angles themselves ride along as cheap +-constant updates
 for the final midpoint.
 
+The production default dispenses with the search entirely: the cost has a
+CLOSED-FORM minimizer (iso, exact) / seed (aniso, O(ds) + Newton polish to
+roundoff) — see GOLD_SEED_ITERS.  The bracket schedule above remains the
+reference-parity mode (``polish=0``) and an A/B option (``gold_iters>0``).
+
 The isotropic cost is exactly the gamma=1 limit of the anisotropic momentum
 cost (moments reduce to n*(cos t, sin t)), so op5/op9 are op10/op11 with
 gamma=1 — one kernel family, four ops (+ the op10n/op11n Newton extensions).
@@ -58,24 +63,38 @@ GOLDEN_OPS = {"op5": ("curv", "golden"), "op9": ("t2", "golden"),
 #: ``polish=0`` restores the pure-bracket schedule (the f32 parity mode the
 #: engine-comparison tests pin).
 GOLD_POLISH: int = 2
-#: Bracket iterations used when polishing: 12 shrinks the pi-wide bracket to
-#: ~9.7e-3 rad — comfortably inside the cost's quadratic basin, where two
-#: Newton steps land at roundoff.  Without polish the bracket must carry the
-#: full tolerance itself (config.golden_iters -> 16 at f32).
+#: Bracket iterations when a bracket is requested alongside polish: 12
+#: shrinks the pi-wide bracket to ~9.7e-3 rad — comfortably inside the
+#: cost's quadratic basin, where two Newton steps land at roundoff.
+#: Without polish the bracket must carry the full tolerance itself
+#: (config.golden_iters -> 16 at f32).
 GOLD_COARSE_ITERS: int = 12
+#: ``iters == 0`` selects the CLOSED-FORM schedule (the production
+#: default): the iso momentum cost (n2*ct - kx)^2 + (n2*st - ky)^2 over a
+#: unit (ct, st) is a nearest-point-on-circle problem whose exact global
+#: minimizer is k/|k| — one rsqrt, no search at all; the aniso cost's
+#: manifold (n2*ct, n2*g^2*st)/cf is an ellipse shifted by the O(ds)
+#: cf*h term, and normalize(kx, ky/g^2) is its ray-intersection seed,
+#: O(ds) from the minimizer, which the Newton polish then takes to f32
+#: roundoff.  Same minimizer the reference's pi-wide golden bracket
+#: localizes (k sits within O(ds) of the incoming tangent, so branch
+#: selection is unambiguous); docs/PARITY.md #26.
+GOLD_SEED_ITERS: int = 0
 
 
 def golden_schedule(polish: int | None = None, iters: int | None = None):
     """Resolve the (bracket iterations, polish steps) pair for a kernel.
 
-    Defaults to the production schedule (coarse bracket + Newton polish);
-    ``polish=0`` selects the reference-parity pure-bracket schedule at the
-    dtype tolerance (config.golden_iters).
+    Defaults to the production schedule (closed-form seed + Newton polish,
+    ``iters == 0`` — see GOLD_SEED_ITERS); ``polish=0`` selects the
+    reference-parity pure-bracket schedule at the dtype tolerance
+    (config.golden_iters); ``iters > 0`` with polish selects the coarse
+    bracket + polish schedule (the round-3 intermediate, kept for A/B).
     """
     if polish is None:
         polish = GOLD_POLISH
     if iters is None:
-        iters = GOLD_COARSE_ITERS if polish else golden_iters(np.float32)
+        iters = GOLD_SEED_ITERS if polish else golden_iters(np.float32)
     return int(iters), int(polish)
 
 
@@ -90,6 +109,15 @@ def _rot_small(d):
     sd = d * (1.0 - d2 * (1.0 / 6.0) * (1.0 - d2 * 0.05))
     cd = 1.0 - d2 * 0.5 * (1.0 - d2 * (1.0 / 12.0))
     return sd, cd
+
+
+def _asin_small(s):
+    """asin by its odd series — below f32 roundoff for |s| <~ 0.15 (next
+    term 15 s^7/336), covering every per-step angle change at calibrated
+    steps.  Converts a closed-form minimizer's cross product with the
+    incoming tangent into the angle increment without atan2."""
+    s2 = s * s
+    return s * (1.0 + s2 * ((1.0 / 6.0) + s2 * (3.0 / 40.0)))
 
 
 def _golden_offsets(iters: int):
@@ -180,6 +208,7 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
         offset = scal_ref[3]  # applied steps before this segment (global)
 
         g2 = gamma * gamma
+        inv_g2 = 1.0 / g2
 
         def coef_of(ct, st):
             if iso:
@@ -275,31 +304,61 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                     ry = n2g2 * st * inv - ky - cf * hy
                     return rx * rx + ry * ry
 
-            if solver == "newton":
+            def newton_polish(mc, ms, t0, n_steps, clip_b):
                 # Newton on d(cost)/d(delta) via nested forward-mode jvp
-                # (ops/newton.py): quadratic convergence from the O(ds)
-                # seed.  The offset delta is measured from the CURRENT
-                # tangent and probed by small-angle polynomial rotations
-                # (_rot_small) — zero transcendentals in the solve; the
-                # per-step angle change at calibrated steps is O(ds*curv)
-                # << the 0.45 poly-validity clip.
+                # (ops/newton.py): quadratic convergence.  The offset delta
+                # is measured from the seed unit vector (mc, ms) and probed
+                # by small-angle polynomial rotations (_rot_small) — zero
+                # transcendentals in the solve; every offset stays well
+                # under the poly validity range (clip_b <= 0.45).
                 def cost_d(dd):
                     sd, cd = _rot_small(dd)
-                    return cost_uv(ux * cd - uy * sd, ux * sd + uy * cd)
+                    return cost_uv(mc * cd - ms * sd, mc * sd + ms * cd)
 
                 def dcost(dd):
                     return jax.jvp(cost_d, (dd,), (jnp.ones_like(dd),))[1]
 
-                dlt = jnp.zeros_like(ang)
-                for _ in range(3):
-                    d1, d2 = jax.jvp(dcost, (dlt,), (jnp.ones_like(dlt),))
-                    safe = jnp.where(jnp.abs(d2) < 1e-12, 1e-12, jnp.abs(d2))
-                    dlt = dlt - jnp.clip(d1 / safe, -0.3, 0.3)
-                dlt = jnp.clip(dlt, -0.45, 0.45)
-                t_new = ang + dlt
+                dlt = jnp.zeros_like(t0)
+                for _ in range(n_steps):
+                    d1, d2v = jax.jvp(dcost, (dlt,), (jnp.ones_like(dlt),))
+                    safe = jnp.where(jnp.abs(d2v) < 1e-12, 1e-12,
+                                     jnp.abs(d2v))
+                    dlt = dlt - jnp.clip(d1 / safe, -clip_b, clip_b)
+                dlt = jnp.clip(dlt, -clip_b, clip_b)
                 sd, cd = _rot_small(dlt)
-                tc = ux * cd - uy * sd
-                ts = ux * sd + uy * cd
+                return t0 + dlt, mc * cd - ms * sd, mc * sd + ms * cd
+
+            def seed_uv():
+                # Closed-form minimizer / seed (GOLD_SEED_ITERS): the iso
+                # cost is nearest-point-on-circle — k/|k| is the EXACT
+                # global minimizer; the aniso manifold (n2 ct, n2 g^2 st)/cf
+                # is an ellipse shifted by the O(ds) cf*h term, and
+                # normalize(kx, ky/g^2) is its ray-intersection point,
+                # O(ds) from the true minimizer.
+                if iso:
+                    inv_k = jax.lax.rsqrt(kx * kx + ky * ky)
+                    return kx * inv_k, ky * inv_k
+                kyg = ky * inv_g2
+                inv_k = jax.lax.rsqrt(kx * kx + kyg * kyg)
+                return kx * inv_k, kyg * inv_k
+
+            if solver == "newton":
+                # seeded Newton: start at the closed-form direction (O(ds)
+                # from the minimizer) instead of the incoming tangent
+                # (O(ds*curv)) — same per-step cost, one contraction ahead
+                mc, ms = seed_uv()
+                t0 = ang + _asin_small(ux * ms - uy * mc)
+                t_new, tc, ts = newton_polish(mc, ms, t0, 3, 0.3)
+            elif gold_iters_n == 0:
+                # closed-form schedule (production default, GOLD_SEED_ITERS)
+                mc, ms = seed_uv()
+                t_new = ang + _asin_small(ux * ms - uy * mc)
+                if iso or not polish:
+                    # iso: the seed IS the exact minimizer; polish is moot
+                    tc, ts = mc, ms
+                else:
+                    t_new, tc, ts = newton_polish(mc, ms, t_new, polish,
+                                                  0.15)
             else:
                 # Transcendental-free golden schedule (module docstring):
                 # probe unit vectors advance by the compile-time constant
@@ -347,34 +406,15 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                 if polish:
                     # midpoint unit vector = final probe c rotated by the
                     # compile-time constant mid_off; Newton offsets from it
-                    # are small-angle rotations (see GOLD_POLISH)
+                    # are small-angle rotations (see GOLD_POLISH).  Per-
+                    # update clip: the minimizer is bracketed within
+                    # +-L_final/2 of the midpoint (plus f32 bracket noise).
                     mc = pc * cos_m - ps * sin_m
                     ms = pc * sin_m + ps * cos_m
-
-                    def cost_d(dd):
-                        sd, cd = _rot_small(dd)
-                        return cost_uv(mc * cd - ms * sd, mc * sd + ms * cd)
-
-                    def dcost(dd):
-                        return jax.jvp(cost_d, (dd,),
-                                       (jnp.ones_like(dd),))[1]
-
-                    dlt = jnp.zeros_like(t_new)
-                    for _ in range(polish):
-                        d1, d2v = jax.jvp(dcost, (dlt,),
-                                          (jnp.ones_like(dlt),))
-                        safe = jnp.where(jnp.abs(d2v) < 1e-12, 1e-12,
-                                         jnp.abs(d2v))
-                        # per-update clip: the minimizer is bracketed within
-                        # +-L_final/2 of the midpoint (plus f32 bracket noise)
-                        dlt = dlt - jnp.clip(d1 / safe, -L_final, L_final)
-                    dlt = jnp.clip(dlt, -L_final, L_final)
-                    t_new = t_new + dlt
-                    sd, cd = _rot_small(dlt)
-                    tc = mc * cd - ms * sd
-                    ts = mc * sd + ms * cd
+                    t_new, tc, ts = newton_polish(mc, ms, t_new, polish,
+                                                  L_final)
             nang = jnp.where(significant, t_new, ang)
-            if solver == "newton" or polish:
+            if solver == "newton" or polish or gold_iters_n == 0:
                 # tangent by rotation (tc, ts) — zero per-step
                 # transcendentals; one rsqrt renormalization stops ulp-level
                 # norm drift compounding across steps
@@ -547,7 +587,8 @@ def golden_trace_final(pos0, theta0, delta_s, gamma, *, field: str, op: str,
     on-device CV oracles.  ``step_limit`` (traced, default ``steps``)
     freezes rays after that many steps — one compiled kernel serves a whole
     DELTA_S candidate sweep.  ``gold_iters``/``polish`` select the golden
-    schedule (default: coarse bracket + Newton polish, see GOLD_POLISH;
+    schedule (default: closed-form seed + Newton polish, ``gold_iters=0``
+    — see GOLD_SEED_ITERS; ``gold_iters>0`` a golden bracket;
     ``polish=0`` restores the pure f32 reference-parity bracket).
     """
     if op not in GOLDEN_OPS:

@@ -79,9 +79,10 @@ def test_golden_kernel_momentum_conservation():
     m0 = momenta_np(theta0[:r0], pos0[:r0], scen.gamma)
     mf = momenta_np(np.asarray(ang)[:r0], np.asarray(pos)[:r0], scen.gamma)
     rel = np.abs(mf[1:-1, 0] - m0[1:-1, 0]) / np.abs(m0[1:-1, 0])
-    # The default schedule (coarse bracket + Newton polish, GOLD_POLISH)
-    # holds the angle to f32 roundoff per step; end-to-end drift over 100
-    # steps stays ~1e-4 — the pure f32 bracket's ~1 % walk is gone.
+    # The default schedule (closed-form seed + Newton polish,
+    # GOLD_SEED_ITERS) holds the angle to f32 roundoff per step; end-to-end
+    # drift over 100 steps stays ~1e-4 — the pure f32 bracket's ~1 % walk
+    # is gone.
     assert np.median(rel) < 1e-3, rel
 
 
@@ -194,3 +195,34 @@ def test_golden_strat_medium_matches_scan():
                                   np.asarray(res.final.mom_count))
     np.testing.assert_allclose(np.asarray(g.mom_mean),
                                np.asarray(res.final.mom_mean), rtol=2e-3)
+
+
+@pytest.mark.parametrize("op,gamma", [
+    ("op5", 1.0), ("op9", 1.0), ("op10", 3.0), ("op11", 3.0)])
+def test_closed_form_schedule_matches_bracket(op, gamma):
+    """The production closed-form schedule (gold_iters=0, GOLD_SEED_ITERS)
+    lands on the SAME minimizer the coarse-bracket+polish schedule does:
+    full-arc endpoints agree to ~1e-5 and the momentum CV is equal or
+    better.  (The iso seed is the exact nearest-point-on-circle minimizer;
+    the aniso seed is the ellipse ray-intersection, polished to roundoff.)
+    """
+    scen = dataclasses.replace(rt.scenario("aniso"), s_max=2.0)
+    ds = np.float32(0.02)
+    steps = scen.max_size(float(ds)) - 1
+    r0, pos0, theta0 = _pad(scen)
+    kw = dict(field="vert_heterogeneous", op=op, steps=steps,
+              box=tuple(scen.box), block_rays=128, interpret=True,
+              with_stats=True)
+    seed = golden_trace_final(pos0, theta0, ds, np.float32(gamma), **kw)
+    brk = golden_trace_final(pos0, theta0, ds, np.float32(gamma),
+                             gold_iters=12, polish=2, **kw)
+    np.testing.assert_allclose(np.asarray(seed.pos)[1:r0 - 1],
+                               np.asarray(brk.pos)[1:r0 - 1], atol=5e-5)
+
+    def cv(g):
+        c = np.sqrt(np.asarray(g.mom_m2)[1:r0 - 1]
+                    / np.asarray(g.mom_count)[1:r0 - 1]) \
+            / np.abs(np.asarray(g.mom_mean)[1:r0 - 1])
+        return np.mean(c)
+
+    assert cv(seed) <= cv(brk) * 1.05
