@@ -73,6 +73,18 @@ def main():
                                       steps=2000, box=tuple(aniso.box)).pos
         out[f"golden_{op}"] = round(R * 2000 / best_of(run) / 1e9, 2)
 
+    # golden on the sampled 1-D tables (aniso production medium)
+    from raytracing_tpu.media.spline import build_stratified_medium
+    smed = build_stratified_medium("vert_heterogeneous", aniso.box,
+                                   dtype=np.float32)
+
+    def run_gs():
+        return golden_trace_final(vpos, vth, np.float32(0.0193),
+                                  np.float32(3.0), field=aniso.field,
+                                  op="op11", steps=2000,
+                                  box=tuple(aniso.box), medium=smed).pos
+    out["golden_strat_op11"] = round(R * 2000 / best_of(run_gs) / 1e9, 2)
+
     # 2-D sampled-spline medium via the tiled window kernel (per-cell packed
     # windows, Morton-sorted blocks) — the reference's production pipeline
     from raytracing_tpu.engine.segmented import grid_trace_tiled
@@ -88,6 +100,14 @@ def main():
     # internal host round-loop syncs per round; time single calls
     t = best_of(run_tiled, per=1)
     out["tiled_grid_op1"] = round(R * (DIV - 1) / t / 1e9, 2)
+
+    # golden family on the 2-D spline (closed-form minimizer + window
+    # gathers): iso op5 on the sampled fisheye medium
+    def run_tiled_gold():
+        return grid_trace_tiled("op5", pos0, theta0, ds, hmed,
+                                steps=DIV - 1, box=tuple(scen.box)).pos
+    t = best_of(run_tiled_gold, per=1)
+    out["tiled_grid_op5"] = round(R * (DIV - 1) / t / 1e9, 2)
 
     from raytracing_tpu.kernels.df import _df_core_segmented
 

@@ -645,7 +645,10 @@ def golden_trace_final(pos0, theta0, delta_s, gamma, *, field: str, op: str,
         out_specs=[blk] * n_out,
         out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * n_out,
         cost_estimate=pl.CostEstimate(
-            flops=(150 + 45 * iters + 30 * nch) * r * steps,
+            # bracket iterations ~45 flops each; a Newton polish step costs
+            # ~4 cost evaluations through the nested jvp (~180 flops); the
+            # closed-form seed itself is ~20
+            flops=(170 + 45 * iters + 180 * polish + 30 * nch) * r * steps,
             bytes_accessed=16 * 4 * r,
             transcendentals=8 * r * steps),
         interpret=interpret,

@@ -331,3 +331,23 @@ def test_row_windows_rejects_bad_config(fisheye_media):
                          steps=10, box=tuple(scen.box), block_rays=1024,
                          tile_shape=(16, 16), interpret=True,
                          row_windows=True)
+
+
+def test_tiled_golden_seed_schedule_on_grid(fisheye_media):
+    """The production closed-form schedule (gold_schedule default,
+    GOLD_SEED_ITERS) on the 2-D grid medium lands on the same trajectory
+    as the coarse-bracket+polish schedule — the window-gather evaluator
+    feeds the same cost constants either way."""
+    scen, gm, hm = fisheye_media
+    r = 128
+    theta0 = (np.pi / 2 + np.linspace(-0.01, 0.01, r)).astype(np.float32)
+    pos0 = np.tile(np.array([1.0, 0.0], np.float32), (r, 1))
+    ds = 2 * np.pi / 325
+    seed = grid_trace_tiled("op5", pos0, theta0, np.float32(ds), hm,
+                            steps=200, box=tuple(scen.box), block_rays=128,
+                            interpret=True)
+    brk = grid_trace_tiled("op5", pos0, theta0, np.float32(ds), hm,
+                           steps=200, box=tuple(scen.box), block_rays=128,
+                           interpret=True, gold_schedule=(12, 2))
+    np.testing.assert_allclose(np.asarray(seed.pos), np.asarray(brk.pos),
+                               atol=5e-5)
