@@ -30,6 +30,7 @@ def test_df_matches_f64_rk4(div, bound):
     assert err < bound, err
 
 
+@pytest.mark.slow  # heavyweight: deselected by -m 'not slow' (CLAUDE.md smoke tier)
 def test_df_meets_north_star_rms():
     """BASELINE.json: RMS trajectory error <= 1e-6 vs the analytic fisheye
     circle, at the benchmark divisor, in pure float32 arithmetic.

@@ -66,6 +66,7 @@ def test_native_grid_medium_matches_scipy_backend():
                                rtol=1e-7, atol=1e-10)
 
 
+@pytest.mark.slow  # heavyweight: deselected by -m 'not slow' (CLAUDE.md smoke tier)
 def test_native_builder_is_faster_on_reference_grid():
     """The point of going native: the interface-scenario grid (~1M points).
 
