@@ -390,22 +390,27 @@ def _window_ids(bix, biy, th, tw, n_lanes, ncx):
     ``bix``/``biy`` are (G,) window bases; returns (G, n_lanes) int32 into
     the ``_cells36`` table.  Lanes past th*tw (chunk padding) clamp to the
     window's last row — real, finite cells that the kernel never selects
-    (the containment contract keeps every local index < th*tw).
+    (the containment contract keeps every local index < th*tw).  ``th``/
+    ``tw`` may be python ints (one shape for every group) or (G,) int32
+    vectors (per-group oriented shapes — see :func:`_window_bases`).
     """
-    j = jnp.arange(n_lanes, dtype=jnp.int32)
-    jy = jnp.minimum(j // tw, th - 1)
-    jx = j % tw
-    return (biy[:, None] + jy[None, :]) * ncx + (bix[:, None] + jx[None, :])
+    j = jnp.arange(n_lanes, dtype=jnp.int32)[None, :]
+    thv = jnp.asarray(th, jnp.int32).reshape(-1, 1)
+    twv = jnp.asarray(tw, jnp.int32).reshape(-1, 1)
+    jy = jnp.minimum(j // twv, thv - 1)
+    jx = j % twv
+    return (biy[:, None] + jy) * ncx + (bix[:, None] + jx)
 
 
 def _window_bases(st, flag, meta, th, tw, ngroups, group_rays,
-                  margin_x, margin_y, pred=None):
+                  margin_x, margin_y, pred=None, shapes=None):
     """Containment check + window placement for G groups of rays.
 
     Computes every group's cell bounding box, accumulates the containment
     flag (bbox + 2 x margin must fit the (th, tw)-cell window; margins may
     be per-group vectors — the batched sweep's candidates travel at
-    different rates), and centers a window on each bbox.
+    different rates), and centers a window on each bbox.  Returns
+    ``(flag, bix, biy, tw_v, th_v)`` with per-group (G,) int32 shapes.
 
     ``pred=(xe, ye)``: drift-predicted end-of-segment positions.  When
     given, the bbox covers current AND predicted cells, so ``margin``
@@ -413,6 +418,14 @@ def _window_bases(st, flag, meta, th, tw, ngroups, group_rays,
     bound computed in :func:`_tiled_run_segments_inner`) instead of the
     full worst-case travel — the lever that lets coarse-step segments
     run several times longer between refreshes.
+
+    ``shapes``: optional tuple of (th, tw) candidates sharing one gather
+    chunk count.  Each group independently picks the candidate with the
+    most containment slack for ITS bbox — oriented rectangles let a
+    group whose drift is axis-dominated trade cross-axis cells for
+    along-axis cells at the same per-step gather cost, where a square
+    window of equal lane capacity would overflow and force escalation to
+    a 2-chunk class.  The flag trips only when NO candidate fits.
     """
     x0, y0, inv_hx, inv_hy, nx, ny = meta
     ix, iy = _cells(st[0].reshape(ngroups, group_rays),
@@ -426,35 +439,55 @@ def _window_bases(st, flag, meta, th, tw, ngroups, group_rays,
         ixM = jnp.maximum(ixM, jnp.max(ixe, axis=1))
         iym = jnp.minimum(iym, jnp.min(iye, axis=1))
         iyM = jnp.maximum(iyM, jnp.max(iye, axis=1))
+    span_x = ixM - ixm
+    span_y = iyM - iym
+    if shapes is None:
+        shapes = ((th, tw),)
     # window capacity is tw x th CELLS: local cell index in [0, tw-1]
-    need_x = (ixM - ixm) + 2.0 * margin_x - float(tw - 1)
-    need_y = (iyM - iym) + 2.0 * margin_y - float(th - 1)
-    flag = jnp.maximum(flag, jnp.maximum(jnp.max(need_x), jnp.max(need_y)))
+    needs = jnp.stack([
+        jnp.maximum(span_x + 2.0 * margin_x - float(tw_s - 1),
+                    span_y + 2.0 * margin_y - float(th_s - 1))
+        for th_s, tw_s in shapes])                       # (S, G)
+    flag = jnp.maximum(flag, jnp.max(jnp.min(needs, axis=0)))
+    if len(shapes) == 1:
+        th_v = jnp.full(ngroups, shapes[0][0], jnp.int32)
+        tw_v = jnp.full(ngroups, shapes[0][1], jnp.int32)
+    else:
+        best = jnp.argmin(needs, axis=0)                 # (G,)
+        th_v = jnp.asarray([s[0] for s in shapes], jnp.int32)[best]
+        tw_v = jnp.asarray([s[1] for s in shapes], jnp.int32)[best]
+    twf = tw_v.astype(jnp.float32)
+    thf = th_v.astype(jnp.float32)
     # center the window's slack on the bbox
-    bix = jnp.clip(ixm - jnp.floor((float(tw - 1) - (ixM - ixm)) * 0.5),
-                   0.0, float(nx - 1 - tw)).astype(jnp.int32)
-    biy = jnp.clip(iym - jnp.floor((float(th - 1) - (iyM - iym)) * 0.5),
-                   0.0, float(ny - 1 - th)).astype(jnp.int32)
-    return flag, bix, biy
+    bix = jnp.clip(ixm - jnp.floor((twf - 1.0 - span_x) * 0.5),
+                   0.0, float(nx - 1) - twf).astype(jnp.int32)
+    biy = jnp.clip(iym - jnp.floor((thf - 1.0 - span_y) * 0.5),
+                   0.0, float(ny - 1) - thf).astype(jnp.int32)
+    return flag, bix, biy, tw_v, th_v
 
 
 def _refresh_windows(st, flag, c36, meta, th, tw, nblocks, block_rays,
-                     margin_x, margin_y, nchunks, n_ch, pred=None):
+                     margin_x, margin_y, nchunks, n_ch, pred=None,
+                     shapes=None):
     """One per-BLOCK window refresh: (flag', tiles, bases).
 
     ``c36`` is the :func:`_cells36` table; tiles come back as
     (nblocks, n_ch, LANES) with channel index ``chunk * 36 + ch * 4 +
-    corner``, bases as (nblocks, 2) f32 for the kernel's SMEM row.
+    corner``, bases as (nblocks, 4) f32 rows (bix, biy, tw, th) for the
+    kernel's SMEM table — the kernel's flat local index uses the
+    per-block tw (``kernels.fused._tile_nag``), which is how oriented
+    shape sets (``shapes``) reach the device without a recompile.
     """
     x0, y0, inv_hx, inv_hy, nx, ny = meta
-    flag, bix, biy = _window_bases(st, flag, meta, th, tw, nblocks,
-                                   block_rays, margin_x, margin_y, pred)
-    wid = _window_ids(bix, biy, th, tw, nchunks * LANES, nx - 1)
+    flag, bix, biy, tw_v, th_v = _window_bases(
+        st, flag, meta, th, tw, nblocks, block_rays, margin_x, margin_y,
+        pred, shapes)
+    wid = _window_ids(bix, biy, th_v, tw_v, nchunks * LANES, nx - 1)
     cells = c36[wid]                      # (nblocks, nchunks*LANES, 36)
     tiles = jnp.transpose(
         cells.reshape(nblocks, nchunks, LANES, 36),
         (0, 1, 3, 2)).reshape(nblocks, n_ch, LANES)
-    bases = jnp.stack([bix, biy], axis=-1).astype(jnp.float32)
+    bases = jnp.stack([bix, biy, tw_v, th_v], axis=-1).astype(jnp.float32)
     return flag, tiles, bases
 
 
@@ -480,8 +513,8 @@ def _refresh_windows_rows(st, flag, c36T, meta, th, tw, nblocks, rows,
     """
     x0, y0, inv_hx, inv_hy, nx, ny = meta
     ngroups = nblocks * rows
-    flag, bix, biy = _window_bases(st, flag, meta, th, tw, ngroups, LANES,
-                                   margin_x, margin_y, pred)
+    flag, bix, biy, _, _ = _window_bases(st, flag, meta, th, tw, ngroups,
+                                         LANES, margin_x, margin_y, pred)
     wid = _window_ids(bix, biy, th, tw, LANES, nx - 1)
     tiles = c36T[:, wid].reshape(36, nblocks, rows, LANES)
     b2 = jnp.stack([bix, biy], axis=-1).astype(jnp.float32)  # (ngroups, 2)
@@ -495,7 +528,8 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
                               n_seg, gamma, *, op, segment, box, block_rays,
                               interpret, meta, tile_shape, stats=False,
                               n_state=9, gold_schedule=None,
-                              row_windows=False, use_pred=False):
+                              row_windows=False, use_pred=False,
+                              shapes=None):
     """Chain tiled-kernel launches; slice block windows between them.
 
     Each iteration (all inside ONE jit): compute every kernel block's cell
@@ -521,6 +555,12 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
                          f"sublane rows per block, got {tile_shape} / "
                          f"block_rays {block_rays}")
     nchunks = -(-th * tw // LANES)
+    if shapes is not None:
+        if row_windows:
+            raise ValueError("oriented shape sets are a block-window mode")
+        if any(-(-t * w // LANES) != nchunks for t, w in shapes):
+            raise ValueError(f"oriented shapes {shapes} must all use the "
+                             f"tile class's {nchunks} gather chunk(s)")
     n_ch = nchunks * 36
     shape2 = state[0].shape
     zero = jnp.zeros(shape2, jnp.float32)
@@ -617,7 +657,7 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
         else:
             flag, tiles, bases = _refresh_windows(
                 st, flag, c36, meta, th, tw, nblocks, block_rays,
-                margin_x, margin_y, nchunks, n_ch, pred)
+                margin_x, margin_y, nchunks, n_ch, pred, shapes)
         offset = offset0 + k.astype(jnp.float32) * segment
         if golden:
             ds_vec = golden_scalars(delta_s, gamma, limit, offset, iters)
@@ -633,7 +673,8 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
 
 @functools.partial(jax.jit, static_argnames=(
     "op", "segment", "box", "block_rays", "interpret", "meta", "tile_shape",
-    "stats", "n_state", "gold_schedule", "row_windows", "use_pred"))
+    "stats", "n_state", "gold_schedule", "row_windows", "use_pred",
+    "shapes"))
 def _tiled_run_segments(*args, **kw):
     return _tiled_run_segments_inner(*args, **kw)
 
@@ -641,7 +682,7 @@ def _tiled_run_segments(*args, **kw):
 @functools.partial(jax.jit, static_argnames=(
     "op", "segment", "box", "block_rays", "interpret", "meta", "tile_shape",
     "stats", "n_state", "mesh", "mesh_axes", "gold_schedule", "row_windows",
-    "use_pred"))
+    "use_pred", "shapes"))
 def _tiled_run_segments_sharded(state, nodes3d, delta_s, limit, offset0,
                                 n_seg, gamma, *, mesh, mesh_axes, **kw):
     """The round body under ``shard_map``: rays sharded, windows local.
@@ -846,13 +887,35 @@ def grid_sweep_tiled(op: str, pos0, theta0, delta_s, step_limits, medium, *,
     return final, fallback
 
 
+#: oriented single-/double-chunk window shape sets, keyed by gather chunk
+#: count: same lane capacity (and so per-step gather cost) as the square
+#: class, but a block whose drift is axis-dominated picks the rectangle
+#: that trades cross-axis for along-axis cells (see _window_bases).
+_ORIENT_SHAPES = {
+    1: ((4, 32), (8, 16), (11, 11), (16, 8), (32, 4)),
+    2: ((8, 32), (16, 16), (32, 8)),
+}
+
+
+def _oriented_shapes(tile, medium):
+    """The oriented shape set for ``tile``'s chunk class, or None."""
+    nch = -(-tile[0] * tile[1] // LANES)
+    cand = _ORIENT_SHAPES.get(nch)
+    if cand is None:
+        return None
+    out = tuple(s for s in cand
+                if s[0] <= medium.ny - 1 and s[1] <= medium.nx - 1)
+    return out if len(out) > 1 else None
+
+
 def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
                      box, segment: int | None = None, block_rays: int = 1024,
                      tile_shape: tuple = (11, 11), refreshes_per_round: int = 32,
                      interpret: bool = False, with_stats: bool = False,
                      sort: bool = True, gamma: float = 1.0,
                      mesh=None, gold_schedule: tuple | None = None,
-                     row_windows: bool | None = None) -> FusedFinal:
+                     row_windows: bool | None = None,
+                     oriented: bool = False) -> FusedFinal:
     """Production-tier tracing through a 2-D sampled-spline medium.
 
     The block-shared-window successor to :func:`grid_trace`: rays are
@@ -1048,11 +1111,14 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
     state = pin(tuple(c.reshape(-1, LANES) for c in comps))
 
     def attempt(state, seg, n_run, done_steps, tile):
+        rows_mode = use_rows(tile)
+        shp = (_oriented_shapes(tile, medium)
+               if oriented and not rows_mode else None)
         kw = dict(op=op, segment=seg, box=tuple(box), block_rays=block_rays,
                   interpret=interpret, meta=meta, tile_shape=tile,
                   stats=with_stats, n_state=n_state,
-                  gold_schedule=gold_schedule, row_windows=use_rows(tile),
-                  use_pred=_pred_wins(seg))
+                  gold_schedule=gold_schedule, row_windows=rows_mode,
+                  use_pred=_pred_wins(seg), shapes=shp)
         if mesh is None:
             return _tiled_run_segments(
                 state, nodes3d, jnp.float32(delta_s), limit,

@@ -194,7 +194,7 @@ def _supercell_nag(tbl, bix, biy, meta):
     return nag
 
 
-def _tile_nag(T, bix, biy, meta):
+def _tile_nag(T, bix, biy, meta, tw_dyn=None):
     """n/grad gathered from a ray-block-shared per-CELL window in VMEM.
 
     ``T`` is a list of (rows, LANES) values — one per (chunk, channel) with
@@ -218,8 +218,15 @@ def _tile_nag(T, bix, biy, meta):
     Containment (every ray's cell inside the window for a whole segment) is
     the caller's contract, verified by the overflow flag in
     engine/segmented._tiled_run_segments.
+
+    ``tw_dyn``: per-block window WIDTH as a runtime scalar (SMEM bases
+    column 2) — block mode passes it so one compiled kernel serves every
+    shape of an oriented set (engine/segmented._window_bases ``shapes``);
+    the local flat index is exact in f32 (ly*tw + lx < 1024 << 2^24).
+    ``None`` (row-window mode) folds the static ``tw`` instead.
     """
     x0, y0, inv_hx, inv_hy, nx, ny, th, tw = meta
+    twf = float(tw) if tw_dyn is None else tw_dyn
     nchunks = (len(T) + 35) // 36
 
     def nag(x, y):
@@ -231,7 +238,7 @@ def _tile_nag(T, bix, biy, meta):
         v = fy - iy
         lx = ix - bix          # in [0, tw-1] by the containment contract
         ly = iy - biy
-        t = (ly * float(tw) + lx).astype(jnp.int32)
+        t = (ly * twf + lx).astype(jnp.int32)
         if nchunks == 1:
             lane = t
 
@@ -648,12 +655,15 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
                 # index into
                 T = [jnp.broadcast_to(tv[i:i + 1, :], (rows, LANES))
                      for i in range(n_ch)]
-                # base_ref is the FULL (nblocks, 2) SMEM table (Mosaic
-                # rejects sub-(8, 128) blocked specs); pick this block's
-                # row by grid id
+                # base_ref is the FULL (nblocks, 4) SMEM table of
+                # (bix, biy, tw, th) rows (Mosaic rejects sub-(8, 128)
+                # blocked specs); pick this block's row by grid id.  The
+                # per-block tw makes the kernel shape-agnostic within its
+                # chunk class — oriented windows need no recompile.
                 b = pl.program_id(0)
                 kernel_impl(
-                    _tile_nag(T, base_ref[b, 0], base_ref[b, 1], tile),
+                    _tile_nag(T, base_ref[b, 0], base_ref[b, 1], tile,
+                              tw_dyn=base_ref[b, 2]),
                     *refs)
     elif strat is None:
         def kernel(*refs):

@@ -508,8 +508,10 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                 T = [jnp.broadcast_to(tv[i:i + 1, :], (rows, LANES))
                      for i in range(n_ch)]
                 b = pl.program_id(0)
+                # (bix, biy, tw, th) SMEM row — see fused._make_kernel
                 kernel_impl(
-                    _tile_nag(T, base_ref[b, 0], base_ref[b, 1], tile),
+                    _tile_nag(T, base_ref[b, 0], base_ref[b, 1], tile,
+                              tw_dyn=base_ref[b, 2]),
                     *refs)
     elif strat is None:
         def kernel(*refs):

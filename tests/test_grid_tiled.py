@@ -351,3 +351,82 @@ def test_tiled_golden_seed_schedule_on_grid(fisheye_media):
                            interpret=True, gold_schedule=(12, 2))
     np.testing.assert_allclose(np.asarray(seed.pos), np.asarray(brk.pos),
                                atol=5e-5)
+
+
+def test_oriented_windows_bit_identical(fisheye_media):
+    """Per-block ORIENTED windows (engine/segmented._window_bases shapes):
+    same evaluator, same blend — trajectories must be BIT-identical to
+    square block windows in both kernel families (the window only decides
+    which table cells ride in VMEM, never their values)."""
+    scen, gm, hm = fisheye_media
+    pos0, theta0 = _fan(2048)
+    ds = 2 * np.pi / 500
+    kw = dict(steps=300, box=tuple(scen.box), block_rays=1024,
+              interpret=True, segment=8)
+    a = grid_trace_tiled("op1", pos0, theta0, np.float32(ds), hm, **kw)
+    b = grid_trace_tiled("op1", pos0, theta0, np.float32(ds), hm,
+                         oriented=True, **kw)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_array_equal(np.asarray(a.traveltime),
+                                  np.asarray(b.traveltime))
+    g1 = grid_trace_tiled("op10", pos0, theta0, np.float32(ds), hm,
+                          gamma=3.0, **kw)
+    g2 = grid_trace_tiled("op10", pos0, theta0, np.float32(ds), hm,
+                          gamma=3.0, oriented=True, **kw)
+    np.testing.assert_array_equal(np.asarray(g1.pos), np.asarray(g2.pos))
+
+
+def test_oriented_shape_choice_axial_drift():
+    """_window_bases picks the rectangle matching an elongated bbox, and
+    the containment flag only trips when NO candidate shape fits."""
+    import jax.numpy as jnp
+    from raytracing_tpu.engine.segmented import _window_bases
+
+    meta = (0.0, 0.0, 1.0, 1.0, 201, 201)  # unit cells, 200x200
+    shapes = ((4, 32), (8, 16), (11, 11), (16, 8), (32, 4))
+    # group 0: x-elongated bbox (20 cells wide, 1 tall) -> needs tw >= 24
+    # group 1: y-elongated                              -> needs th >= 24
+    # group 2: compact                                  -> square fits best
+    gx = np.array([[100.0, 120.0], [100.0, 100.0], [100.0, 101.0]])
+    gy = np.array([[100.0, 100.0], [100.0, 120.0], [100.0, 101.0]])
+    st = (jnp.asarray(gx.reshape(-1), jnp.float32),
+          jnp.asarray(gy.reshape(-1), jnp.float32))
+    flag, bix, biy, tw_v, th_v = _window_bases(
+        st, jnp.float32(-np.inf), meta, 11, 11, 3, 2, 1.5, 1.5,
+        shapes=shapes)
+    assert float(flag) <= 0.0
+    tw_v, th_v = np.asarray(tw_v), np.asarray(th_v)
+    assert tw_v[0] == 32 and th_v[0] == 4        # x-drift -> wide window
+    assert tw_v[1] == 4 and th_v[1] == 32        # y-drift -> tall window
+    assert (tw_v[2], th_v[2]) == (11, 11)        # compact -> most slack
+    # windows must contain the padded bboxes
+    assert bix[0] <= 98 and bix[0] + 32 >= 123
+    assert biy[1] <= 98 and biy[1] + 32 >= 123
+    # a 40-cell diagonal bbox fits nothing in the set -> flag trips
+    gx2 = np.array([[100.0, 140.0]])
+    gy2 = np.array([[100.0, 140.0]])
+    st2 = (jnp.asarray(gx2.reshape(-1), jnp.float32),
+           jnp.asarray(gy2.reshape(-1), jnp.float32))
+    flag2, *_ = _window_bases(st2, jnp.float32(-np.inf), meta, 11, 11, 1, 2,
+                              1.5, 1.5, shapes=shapes)
+    assert float(flag2) > 0.0
+
+
+def test_oriented_coarse_axial_matches_square(fisheye_media):
+    """Coarse steps with axis-dominated drift: the oriented run (which
+    actually engages rectangles) stays bit-identical to the square-window
+    escalated run on the same segment."""
+    scen, gm, hm = fisheye_media
+    r = 1024
+    # rays sweeping mostly horizontally through the fisheye grid
+    theta0 = np.linspace(-0.02, 0.02, r).astype(np.float32)
+    pos0 = np.tile(np.array([-1.2, 0.4], np.float32), (r, 1))
+    ds = 2 * np.pi / 303                 # coarse: > 1 cell per step
+    kw = dict(steps=60, box=tuple(scen.box), block_rays=1024,
+              interpret=True, segment=3)
+    a = grid_trace_tiled("op6", pos0, theta0, np.float32(ds), hm,
+                         tile_shape=(16, 16), **kw)
+    b = grid_trace_tiled("op6", pos0, theta0, np.float32(ds), hm,
+                         oriented=True, **kw)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
+                               atol=5e-7)
