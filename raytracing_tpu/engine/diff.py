@@ -1,0 +1,156 @@
+"""Differentiable tracing: gradients THROUGH the integrator.
+
+The reference is a forward simulator only — fitting a medium to observed
+rays means hand-tuned parameter sweeps re-running the whole program
+(its only search loop is the DELTA_S calibration, RT_bench.py:1296-1406,
+and it optimizes the step size, never the physics).  Because this
+framework's integrator is a pure ``lax.scan`` of pure step kernels
+(ops/registry.build_op), the whole trace is a differentiable function of
+everything it closes over: medium parameters, launch positions/angles,
+the step size, the anisotropy gamma.  That turns inverse problems —
+"which medium bends rays like THIS?" — into ordinary gradient descent,
+something the reference cannot express at all.
+
+Two pieces:
+
+* :class:`ParametricMedium` — a medium whose refractive index is
+  ``n_fn(params, x, y)`` with ``params`` a pytree LEAF (traced), so
+  ``jax.grad`` w.r.t. the parameters flows through every spline-free
+  evaluation.  The x/y gradient the step kernels need comes from
+  forward-mode autodiff, like :class:`media.medium.CustomMedium`.
+* :func:`trace_diff` — a compact jit/grad-compatible integrator over the
+  SAME op matrix as the production engine (any of op1-op12): fixed trip
+  count, masked boundary exit, vmapped over rays, and no data-dependent
+  host control flow, so it composes with ``jax.grad``, ``jax.vmap``,
+  ``jax.jit`` and mesh sharding like any other JAX function.
+
+Use the scan/kernel tiers for production forward tracing (they carry
+Kahan compensation, history streaming, oracles); use this module when
+the trace sits inside an optimization loop.  See
+examples/inverse_medium.py and tests/test_diff.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from raytracing_tpu.ops.registry import RayPoint, build_op, canonical
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ParametricMedium:
+    """Medium ``n = n_fn(params, x, y)`` with TRACED parameters.
+
+    Unlike :class:`media.medium.CustomMedium` (a static pytree whose
+    closure is hashed into the jit cache), the parameters here are pytree
+    leaves: a new parameter value re-uses the compiled trace, and
+    ``jax.grad`` w.r.t. ``params`` differentiates through every index
+    evaluation along every ray.  The x/y gradient the Fermat equations
+    need is forward-mode autodiff of ``n_fn`` (exact, no finite
+    differences), matching CustomMedium's treatment.
+    """
+
+    n_fn: Any                    # static: (params, x, y) -> n, elementwise
+    params: Any                  # traced pytree
+
+    def tree_flatten(self):
+        return (self.params,), self.n_fn
+
+    @classmethod
+    def tree_unflatten(cls, n_fn, children):
+        return cls(n_fn, children[0])
+
+    def n(self, x, y):
+        return self.n_fn(self.params, x, y)
+
+    def n_and_grad(self, x, y):
+        def f(xx, yy):
+            return self.n_fn(self.params, xx, yy)
+
+        n = f(x, y)
+        ones = jnp.ones_like(x)
+        zeros = jnp.zeros_like(x)
+        _, dndx = jax.jvp(f, (x, y), (ones, zeros))
+        _, dndy = jax.jvp(f, (x, y), (zeros, ones))
+        return n, (dndx, dndy)
+
+
+def trace_diff(op_name: str, medium, pos0, theta0, delta_s, *, steps: int,
+               box=None, gamma: float = 1.0):
+    """Differentiable fixed-step trace; returns the final ray state.
+
+    ``pos0`` (r, 2) and ``theta0`` (r,) launch the fan; all ``steps``
+    steps run with a fixed trip count, and once a ray leaves ``box``
+    (xi, xs, yi, ys) its state freezes via masks — the same semantics as
+    the production engine (RT_bench.py:878-879), expressed without
+    data-dependent control flow so the whole thing is reverse-mode
+    differentiable.  Returns ``(pos, angle, traveltime, active)``.
+
+    Differentiable in: ``medium`` parameters (ParametricMedium leaves),
+    ``pos0``, ``theta0``, ``delta_s``, ``gamma``.  Gradient cost is one
+    reverse sweep over the scan (O(steps) memory checkpointed by XLA);
+    wrap in ``jax.checkpoint`` segments for very long traces.
+    """
+    op = canonical(op_name)
+    dtype = jnp.asarray(pos0).dtype
+    step_fn = build_op(op, dtype=dtype)
+
+    pos0 = jnp.asarray(pos0)
+    theta0 = jnp.asarray(theta0, dtype)
+    n0, g0 = medium.n_and_grad(pos0[..., 0], pos0[..., 1])
+    unitv0 = jnp.stack([jnp.cos(theta0), jnp.sin(theta0)], axis=-1)
+    grad0 = jnp.stack([g0[0], g0[1]], axis=-1)
+    if gamma != 1.0:
+        st, ct = jnp.sin(theta0), jnp.cos(theta0)
+        coef0 = jnp.sqrt((gamma * st) ** 2 + ct * ct)
+    else:
+        coef0 = jnp.ones_like(theta0)
+    window0 = jnp.broadcast_to(pos0[..., None, :],
+                               pos0.shape[:-1] + (4, 2))
+    pt0 = RayPoint(pos=pos0, angle=theta0, unitv=unitv0, n=n0,
+                   grad=grad0, coef=coef0, window=window0)
+    active0 = jnp.ones_like(theta0)
+    tt0 = jnp.zeros_like(theta0)
+
+    if box is not None:
+        xi, xs, yi, ys = [jnp.asarray(v, dtype) for v in box]
+
+    def body(carry, i):
+        pt, tt, active = carry
+        res = step_fn(pt, i, medium, jnp.asarray(gamma, dtype),
+                      jnp.asarray(delta_s, dtype))
+        n1, grad1 = res.n, res.grad      # ops return the final-point eval
+        dist = jnp.sqrt(jnp.sum((res.pos - pt.pos) ** 2, axis=-1))
+        # optical path: trapezoid of n along the chord (RT_bench.py:874)
+        tt1 = tt + active * dist * 0.5 * (pt.n + n1)
+        keep = active > 0.5
+        pos = jnp.where(keep[..., None], res.pos, pt.pos)
+        ang = jnp.where(keep, res.angle, pt.angle)
+        unitv = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+        if gamma != 1.0:
+            st, ct = jnp.sin(ang), jnp.cos(ang)
+            coef = jnp.sqrt((gamma * st) ** 2 + ct * ct)
+        else:
+            coef = pt.coef
+        window = jnp.where(keep[..., None, None],
+                           jnp.concatenate([pt.window[..., 1:, :],
+                                            pos[..., None, :]], axis=-2),
+                           pt.window)
+        npt = RayPoint(pos=pos, angle=ang,
+                       unitv=unitv,
+                       n=jnp.where(keep, n1, pt.n),
+                       grad=jnp.where(keep[..., None], grad1, pt.grad),
+                       coef=coef, window=window)
+        if box is not None:
+            inside = ((pos[..., 0] >= xi) & (pos[..., 0] <= xs)
+                      & (pos[..., 1] >= yi) & (pos[..., 1] <= ys))
+            active = active * inside.astype(dtype)
+        return (npt, tt1, active), None
+
+    (ptf, ttf, activef), _ = jax.lax.scan(
+        body, (pt0, tt0, active0), jnp.arange(steps))
+    return ptf.pos, ptf.angle, ttf, activef

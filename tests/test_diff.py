@@ -1,0 +1,125 @@
+"""Differentiable tracing (engine/diff.py): gradients through the integrator.
+
+The reference is forward-only; these tests pin the new capability:
+forward parity with the production scan engine, gradient correctness
+against finite differences, and an end-to-end inverse problem (recover a
+medium parameter from observed ray exits by gradient descent).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import raytracing_tpu as rt
+from raytracing_tpu.engine.diff import ParametricMedium, trace_diff
+from raytracing_tpu.engine.trace import trace
+
+
+def _fisheye_pm(curv=1.0):
+    # n = 1 / (1 + curv*(x^2 + y^2)); curv=1 is the reference fisheye
+    # (RT_bench.py:110-112).  The parameter must change the GEOMETRY:
+    # a pure amplitude is a null direction (rays follow grad log n).
+    return ParametricMedium(
+        lambda p, x, y: 1.0 / (1.0 + p * (x * x + y * y)),
+        jnp.float64(curv))
+
+
+def test_forward_matches_scan_engine():
+    """trace_diff runs the SAME op matrix: forward results must match the
+    production scan engine on the fisheye circle."""
+    scen = rt.scenario("fisheye")
+    div = 400
+    ds = 2 * np.pi / div
+    r = 8
+    theta0 = np.full(r, np.pi / 2)
+    pos0 = np.tile(np.array([[1.0, 0.0]]), (r, 1))
+    res = trace("op1", scen, rt.analytic_medium("fisheye"), delta_s=ds,
+                divisor=div + 1, n_turns=1, dtype=np.float64, mode="metrics")
+    pos, ang, tt, act = trace_diff(
+        "op1", _fisheye_pm(), jnp.asarray(pos0), jnp.asarray(theta0),
+        jnp.float64(ds), steps=div, box=tuple(scen.box))
+    ref = np.asarray(res.final.pos)       # fisheye scenario: 1 ray
+    np.testing.assert_allclose(np.asarray(pos)[:, 0], ref[0, 0],
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pos)[:, 1], ref[0, 1],
+                               atol=1e-12)
+
+
+@pytest.mark.parametrize("op", ["op1", "op6", "op12"])
+def test_grad_matches_finite_difference(op):
+    """d(closure miss)/d(lens curvature) through the trace == central FD."""
+    div = 200
+    ds = 2 * np.pi / div
+    pos0 = jnp.asarray(np.tile(np.array([[1.0, 0.0]]), (4, 1)))
+    th0 = jnp.full(4, jnp.pi / 2, jnp.float64)
+
+    def miss(curv):
+        med = ParametricMedium(
+            lambda p, x, y: 1.0 / (1.0 + p * (x * x + y * y)), curv)
+        pos, *_ = trace_diff(op, med, pos0, th0, jnp.float64(ds),
+                             steps=div)
+        tgt = jnp.asarray([1.0, 0.0])
+        return jnp.mean(jnp.sum((pos - tgt) ** 2, axis=-1))
+
+    g = jax.grad(miss)(jnp.float64(1.1))
+    h = 1e-6
+    fd = (miss(jnp.float64(1.1 + h)) - miss(jnp.float64(1.1 - h))) / (2 * h)
+    np.testing.assert_allclose(float(g), float(fd), rtol=5e-5)
+
+
+def test_inverse_problem_recovers_interface_thickness():
+    """Recover the sigmoid interface's thickness parameter from observed
+    exit positions — the inverse problem the forward-only reference cannot
+    pose.  Synthetic truth at thck=0.12; start the fit at 0.2."""
+    true_thck = 0.12
+
+    def n_fn(p, x, y):
+        # the reference interface profile with free thickness
+        # (RT_bench.py:106-108)
+        return jnp.sqrt(2.0) - (jnp.sqrt(2.0) - 1.0) / (1.0 + jnp.exp(-y / p))
+
+    r = 9
+    theta0 = jnp.asarray(np.linspace(np.pi / 5, np.pi / 2.2, r))
+    pos0 = jnp.asarray(np.tile(np.array([[-2.0, -1.0]]), (r, 1)))
+    ds = 0.02
+    steps = 250
+
+    def exits(thck):
+        med = ParametricMedium(n_fn, thck)
+        pos, *_ = trace_diff("op6", med, pos0, theta0, jnp.float64(ds),
+                             steps=steps)
+        return pos
+
+    target = exits(jnp.float64(true_thck))
+
+    def loss(thck):
+        return jnp.mean(jnp.sum((exits(thck) - target) ** 2, axis=-1))
+
+    import optax
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    opt = optax.adam(optax.exponential_decay(0.02, 50, 0.3))
+    p = jnp.float64(0.2)
+    state = opt.init(p)
+    for _ in range(150):
+        _, g = vg(p)
+        up, state = opt.update(g, state)
+        p = p + up
+    assert abs(float(p) - true_thck) < 1e-4, float(p)
+    assert float(loss(p)) < 1e-7
+
+
+def test_grad_wrt_launch_and_step():
+    """Launch angle and step size are differentiable inputs too."""
+    pos0 = jnp.asarray([[1.0, 0.0]] * 2)
+    th0 = jnp.full(2, jnp.pi / 2, jnp.float64)
+
+    def endx(th, ds):
+        pos, *_ = trace_diff("op1", _fisheye_pm(), pos0, th0 + th,
+                             ds, steps=50)
+        return jnp.sum(pos[:, 0])
+
+    g_th, g_ds = jax.grad(endx, argnums=(0, 1))(
+        jnp.float64(0.0), jnp.float64(0.01))
+    assert np.isfinite(float(g_th)) and abs(float(g_th)) > 0
+    assert np.isfinite(float(g_ds)) and abs(float(g_ds)) > 0
