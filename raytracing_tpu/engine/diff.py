@@ -91,24 +91,37 @@ def trace_diff(op_name: str, medium, pos0, theta0, delta_s, *, steps: int,
     differentiable.  Returns ``(pos, angle, traveltime, active)``.
 
     Differentiable in: ``medium`` parameters (ParametricMedium leaves),
-    ``pos0``, ``theta0``, ``delta_s``, ``gamma``.  Gradient cost is one
-    reverse sweep over the scan (O(steps) memory checkpointed by XLA);
-    wrap in ``jax.checkpoint`` segments for very long traces.
+    ``pos0``, ``theta0``, ``delta_s``, ``gamma`` (pass a traced array to
+    fit the anisotropy itself).  Gradient cost is one reverse sweep over
+    the scan (O(steps) memory checkpointed by XLA); wrap in
+    ``jax.checkpoint`` segments for very long traces.
+
+    Solver caveat: the golden-section ops (op5/op9/op10/op11) are
+    piecewise CONSTANT in their cost function — the search's output angle
+    depends on the physics only through comparison outcomes — so autodiff
+    through them yields zero parameter gradients almost everywhere
+    (verified in tests/test_diff.py).  Inside optimization loops use the
+    smooth solvers (op1-op4, op6-op8, op12) or the Newton anisotropic
+    extensions op10n/op11n, whose fixed smooth iterations carry exact
+    gradients (gamma-gradient matches finite differences to ~1e-7).
     """
     op = canonical(op_name)
     dtype = jnp.asarray(pos0).dtype
     step_fn = build_op(op, dtype=dtype)
+    # gamma may be a TRACER (fit the anisotropy itself); only a concrete
+    # python 1.0 selects the cheaper isotropic coef path
+    iso = isinstance(gamma, (int, float)) and gamma == 1.0
 
     pos0 = jnp.asarray(pos0)
     theta0 = jnp.asarray(theta0, dtype)
     n0, g0 = medium.n_and_grad(pos0[..., 0], pos0[..., 1])
     unitv0 = jnp.stack([jnp.cos(theta0), jnp.sin(theta0)], axis=-1)
     grad0 = jnp.stack([g0[0], g0[1]], axis=-1)
-    if gamma != 1.0:
+    if iso:
+        coef0 = jnp.ones_like(theta0)
+    else:
         st, ct = jnp.sin(theta0), jnp.cos(theta0)
         coef0 = jnp.sqrt((gamma * st) ** 2 + ct * ct)
-    else:
-        coef0 = jnp.ones_like(theta0)
     window0 = jnp.broadcast_to(pos0[..., None, :],
                                pos0.shape[:-1] + (4, 2))
     pt0 = RayPoint(pos=pos0, angle=theta0, unitv=unitv0, n=n0,
@@ -131,11 +144,11 @@ def trace_diff(op_name: str, medium, pos0, theta0, delta_s, *, steps: int,
         pos = jnp.where(keep[..., None], res.pos, pt.pos)
         ang = jnp.where(keep, res.angle, pt.angle)
         unitv = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
-        if gamma != 1.0:
+        if iso:
+            coef = pt.coef
+        else:
             st, ct = jnp.sin(ang), jnp.cos(ang)
             coef = jnp.sqrt((gamma * st) ** 2 + ct * ct)
-        else:
-            coef = pt.coef
         window = jnp.where(keep[..., None, None],
                            jnp.concatenate([pt.window[..., 1:, :],
                                             pos[..., None, :]], axis=-2),

@@ -123,3 +123,32 @@ def test_grad_wrt_launch_and_step():
         jnp.float64(0.0), jnp.float64(0.01))
     assert np.isfinite(float(g_th)) and abs(float(g_th)) > 0
     assert np.isfinite(float(g_ds)) and abs(float(g_ds)) > 0
+
+
+@pytest.mark.slow
+def test_gamma_gradients_newton_vs_golden():
+    """Anisotropy gamma is a fittable parameter THROUGH the Newton ops:
+    grad matches finite differences.  The golden-section ops are
+    piecewise constant in their cost (the bracket's output angle depends
+    on the physics only through comparisons), so their autodiff gamma
+    gradient is zero a.e. — pinned here so the documented caveat stays
+    true."""
+    pm = ParametricMedium(
+        lambda p, x, y: 1.0 / (18.0 + 2.0 * y) + 0.0 * x + 0.0 * p,
+        jnp.float64(1.0))
+    pos0 = jnp.asarray([[0.0, -1.0]] * 4)
+    th0 = jnp.full(4, np.pi / 4, jnp.float64)
+
+    def endsum(op, gam):
+        pos, *_ = trace_diff(op, pm, pos0, th0, jnp.float64(0.01),
+                             steps=200, gamma=gam)
+        return pos.sum()
+
+    h = 1e-5
+    g = jax.grad(lambda v: endsum("op10n", v))(jnp.float64(3.0))
+    fd = (endsum("op10n", jnp.float64(3.0 + h))
+          - endsum("op10n", jnp.float64(3.0 - h))) / (2 * h)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
+    assert abs(float(fd)) > 1e-4          # the dependence is real
+    g_gold = jax.grad(lambda v: endsum("op10", v))(jnp.float64(3.0))
+    assert float(g_gold) == 0.0           # golden: zero a.e. (documented)
