@@ -152,3 +152,70 @@ def test_gamma_gradients_newton_vs_golden():
     assert abs(float(fd)) > 1e-4          # the dependence is real
     g_gold = jax.grad(lambda v: endsum("op10", v))(jnp.float64(3.0))
     assert float(g_gold) == 0.0           # golden: zero a.e. (documented)
+
+
+@pytest.mark.slow
+def test_traveltime_tomography_recovers_anomaly():
+    """Many-parameter inverse problem: reconstruct a 12x12 n-grid (144
+    parameters) from exit travel times + positions of 160 crossing rays —
+    classic travel-time tomography, impossible in the forward-only
+    reference.  Asserts the recovered anomaly correlates with truth in
+    the ray-covered interior."""
+    import optax
+
+    NG = 12
+
+    def n_fn(grid, x, y):
+        fx = jnp.clip((x + 1.0) * (NG - 1) / 2.0, 0.0, NG - 1 - 1e-9)
+        fy = jnp.clip((y + 1.0) * (NG - 1) / 2.0, 0.0, NG - 1 - 1e-9)
+        ix = jnp.floor(fx).astype(jnp.int32)
+        iy = jnp.floor(fy).astype(jnp.int32)
+        u, v = fx - ix, fy - iy
+        g = grid
+        return (g[iy, ix] * (1 - u) * (1 - v) + g[iy, ix + 1] * u * (1 - v)
+                + g[iy + 1, ix] * (1 - u) * v + g[iy + 1, ix + 1] * u * v)
+
+    X, Y = np.meshgrid(np.linspace(-1, 1, NG), np.linspace(-1, 1, NG))
+    truth = jnp.asarray(
+        1.0 + 0.15 * np.exp(-((X - 0.2) ** 2 + (Y + 0.1) ** 2) / 0.08))
+    m = 40
+    t = np.linspace(-0.9, 0.9, m)
+    sp = np.linspace(-0.7, 0.7, m)
+    pos0 = jnp.asarray(np.concatenate([
+        np.stack([np.full(m, -1.0), t], 1),
+        np.stack([t, np.full(m, -1.0)], 1),
+        np.stack([np.full(m, 1.0), t], 1),
+        np.stack([t, np.full(m, 1.0)], 1)]))
+    th0 = jnp.asarray(np.concatenate(
+        [sp, np.pi / 2 + sp, np.pi + sp, -np.pi / 2 + sp]))
+    steps, ds = 170, 0.015
+    box = (-1.0, 1.0, -1.0, 1.0)
+
+    def observe(grid):
+        med = ParametricMedium(n_fn, grid)
+        pos, _, tt, _ = trace_diff("op6", med, pos0, th0, jnp.float64(ds),
+                                   steps=steps, box=box)
+        return tt, pos
+
+    target_tt, target_pos = observe(truth)
+
+    def loss(grid):
+        tt, pos = observe(grid)
+        data = (jnp.mean((tt - target_tt) ** 2)
+                + jnp.mean(jnp.sum((pos - target_pos) ** 2, -1)))
+        dgx = grid[:, 1:] - grid[:, :-1]
+        dgy = grid[1:, :] - grid[:-1, :]
+        return data + 0.02 * (jnp.mean(dgx ** 2) + jnp.mean(dgy ** 2))
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    opt = optax.adam(optax.exponential_decay(0.01, 200, 0.3))
+    p = jnp.ones((NG, NG), jnp.float64)
+    state = opt.init(p)
+    for _ in range(600):
+        _, g = vg(p)
+        up, state = opt.update(g, state)
+        p = p + up
+    rec, tr = np.asarray(p), np.asarray(truth)
+    ci = np.corrcoef((rec - 1)[2:-2, 2:-2].ravel(),
+                     (tr - 1)[2:-2, 2:-2].ravel())[0, 1]
+    assert ci > 0.85, ci
