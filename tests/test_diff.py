@@ -219,3 +219,36 @@ def test_traveltime_tomography_recovers_anomaly():
     ci = np.corrcoef((rec - 1)[2:-2, 2:-2].ravel(),
                      (tr - 1)[2:-2, 2:-2].ravel())[0, 1]
     assert ci > 0.85, ci
+
+
+@pytest.mark.slow
+def test_grad_sharded_over_mesh():
+    """Inverse problems scale like forward traces: shard the ray batch of
+    a trace_diff loss over the 8-device mesh and check the medium-parameter
+    gradient matches the single-device value (ray fans are data-parallel;
+    the loss mean is the only cross-shard reduction)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from raytracing_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    r = 64
+    theta0 = jnp.asarray(np.linspace(np.pi / 5, np.pi / 2.2, r))
+    pos0 = jnp.asarray(np.tile(np.array([[-2.0, -1.0]]), (r, 1)))
+
+    def n_fn(p, x, y):
+        return jnp.sqrt(2.0) - (jnp.sqrt(2.0) - 1.0) / (1.0 + jnp.exp(-y / p))
+
+    def loss(thck, pos0, theta0):
+        med = ParametricMedium(n_fn, thck)
+        pos, *_ = trace_diff("op6", med, pos0, theta0, jnp.float64(0.02),
+                             steps=120)
+        return jnp.mean(jnp.sum(pos ** 2, axis=-1))
+
+    g_single = jax.grad(loss)(jnp.float64(0.15), pos0, theta0)
+    ray_sh = NamedSharding(mesh, P(mesh.axis_names[0] if len(
+        mesh.axis_names) == 1 else mesh.axis_names))
+    pos_sh = jax.device_put(pos0, ray_sh)
+    th_sh = jax.device_put(theta0, ray_sh)
+    g_mesh = jax.jit(jax.grad(loss))(jnp.float64(0.15), pos_sh, th_sh)
+    np.testing.assert_allclose(float(g_mesh), float(g_single), rtol=1e-12)
