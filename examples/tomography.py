@@ -27,18 +27,6 @@ NG = 12                                   # reconstruction grid (NG x NG)
 BOX = (-1.0, 1.0, -1.0, 1.0)
 
 
-def n_fn(grid, x, y):
-    """Bilinear interpolation of the parameter grid — differentiable."""
-    fx = jnp.clip((x + 1.0) * (NG - 1) / 2.0, 0.0, NG - 1 - 1e-9)
-    fy = jnp.clip((y + 1.0) * (NG - 1) / 2.0, 0.0, NG - 1 - 1e-9)
-    ix = jnp.floor(fx).astype(jnp.int32)
-    iy = jnp.floor(fy).astype(jnp.int32)
-    u, v = fx - ix, fy - iy
-    g = grid
-    return (g[iy, ix] * (1 - u) * (1 - v) + g[iy, ix + 1] * u * (1 - v)
-            + g[iy + 1, ix] * (1 - u) * v + g[iy + 1, ix + 1] * u * v)
-
-
 def make_fans(m=40):
     """Fans of rays entering from all four sides of the box."""
     t = np.linspace(-0.9, 0.9, m)
@@ -65,8 +53,10 @@ def main():
     pos0, th0 = make_fans()
     steps, ds = 170, 0.015
 
+    h = 2.0 / (NG - 1)
+
     def observe(grid):
-        med = rt.ParametricMedium(n_fn, grid)
+        med = rt.parametric_grid_medium(grid, -1.0, -1.0, h, h)
         pos, _, tt, _ = rt.trace_diff("op6", med, pos0, th0,
                                       jnp.float64(ds), steps=steps, box=BOX)
         return tt, pos

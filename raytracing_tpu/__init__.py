@@ -18,7 +18,11 @@ from raytracing_tpu.config import (  # noqa: F401
     ScenarioConfig,
     scenario,
 )
-from raytracing_tpu.engine.diff import ParametricMedium, trace_diff  # noqa: F401
+from raytracing_tpu.engine.diff import (  # noqa: F401
+    ParametricMedium,
+    parametric_grid_medium,
+    trace_diff,
+)
 from raytracing_tpu.engine.trace import TraceResult, trace  # noqa: F401
 from raytracing_tpu.media.medium import AnalyticMedium, analytic_medium  # noqa: F401
 from raytracing_tpu.media.spline import grid_medium_from_samples  # noqa: F401
@@ -32,6 +36,6 @@ from raytracing_tpu.ops.registry import (  # noqa: F401
 __all__ = [
     "DELTA_S", "SIGMA", "ScenarioConfig", "scenario", "TraceResult", "trace",
     "AnalyticMedium", "analytic_medium", "grid_medium_from_samples",
-    "ParametricMedium", "trace_diff",
+    "ParametricMedium", "parametric_grid_medium", "trace_diff",
     "ALIASES", "ANISO_OPS", "EXTENSION_OPS", "OP_NAMES",
 ]

@@ -79,6 +79,37 @@ class ParametricMedium:
         return n, (dndx, dndy)
 
 
+def parametric_grid_medium(values, x0: float, y0: float, hx: float,
+                           hy: float) -> ParametricMedium:
+    """A sampled medium whose NODE VALUES are the traced parameters.
+
+    ``values`` is a (ny, nx) array of n samples on a uniform grid with
+    origin (x0, y0) and pitch (hx, hy); evaluation is bilinear (clamped at
+    the edges), so ``jax.grad`` of any trace_diff loss w.r.t. ``values``
+    is the tomography adjoint — see examples/tomography.py, which fits
+    144 node values from crossing-ray travel times.  This is the
+    differentiable counterpart of ``rt.grid_medium_from_samples`` (whose
+    coefficient tables are precomputed host-side and therefore opaque to
+    autodiff).
+    """
+    values = jnp.asarray(values)
+    ny, nx = values.shape
+    inv_hx, inv_hy = 1.0 / float(hx), 1.0 / float(hy)
+
+    def n_fn(grid, x, y):
+        fx = jnp.clip((x - x0) * inv_hx, 0.0, nx - 1 - 1e-9)
+        fy = jnp.clip((y - y0) * inv_hy, 0.0, ny - 1 - 1e-9)
+        ix = jnp.floor(fx).astype(jnp.int32)
+        iy = jnp.floor(fy).astype(jnp.int32)
+        u, v = fx - ix, fy - iy
+        return (grid[iy, ix] * (1 - u) * (1 - v)
+                + grid[iy, ix + 1] * u * (1 - v)
+                + grid[iy + 1, ix] * (1 - u) * v
+                + grid[iy + 1, ix + 1] * u * v)
+
+    return ParametricMedium(n_fn, values)
+
+
 def trace_diff(op_name: str, medium, pos0, theta0, delta_s, *, steps: int,
                box=None, gamma: float = 1.0):
     """Differentiable fixed-step trace; returns the final ray state.

@@ -11,7 +11,8 @@ import numpy as np
 import pytest
 
 import raytracing_tpu as rt
-from raytracing_tpu.engine.diff import ParametricMedium, trace_diff
+from raytracing_tpu.engine.diff import (ParametricMedium,
+                                        parametric_grid_medium, trace_diff)
 from raytracing_tpu.engine.trace import trace
 
 
@@ -165,15 +166,6 @@ def test_traveltime_tomography_recovers_anomaly():
 
     NG = 12
 
-    def n_fn(grid, x, y):
-        fx = jnp.clip((x + 1.0) * (NG - 1) / 2.0, 0.0, NG - 1 - 1e-9)
-        fy = jnp.clip((y + 1.0) * (NG - 1) / 2.0, 0.0, NG - 1 - 1e-9)
-        ix = jnp.floor(fx).astype(jnp.int32)
-        iy = jnp.floor(fy).astype(jnp.int32)
-        u, v = fx - ix, fy - iy
-        g = grid
-        return (g[iy, ix] * (1 - u) * (1 - v) + g[iy, ix + 1] * u * (1 - v)
-                + g[iy + 1, ix] * (1 - u) * v + g[iy + 1, ix + 1] * u * v)
 
     X, Y = np.meshgrid(np.linspace(-1, 1, NG), np.linspace(-1, 1, NG))
     truth = jnp.asarray(
@@ -191,8 +183,10 @@ def test_traveltime_tomography_recovers_anomaly():
     steps, ds = 170, 0.015
     box = (-1.0, 1.0, -1.0, 1.0)
 
+    h = 2.0 / (NG - 1)
+
     def observe(grid):
-        med = ParametricMedium(n_fn, grid)
+        med = parametric_grid_medium(grid, -1.0, -1.0, h, h)
         pos, _, tt, _ = trace_diff("op6", med, pos0, th0, jnp.float64(ds),
                                    steps=steps, box=box)
         return tt, pos
@@ -252,3 +246,26 @@ def test_grad_sharded_over_mesh():
     th_sh = jax.device_put(theta0, ray_sh)
     g_mesh = jax.jit(jax.grad(loss))(jnp.float64(0.15), pos_sh, th_sh)
     np.testing.assert_allclose(float(g_mesh), float(g_single), rtol=1e-12)
+
+
+def test_parametric_grid_medium_adjoint_sparsity():
+    """The node-value gradient of a straight ray's travel time touches
+    ONLY the nodes bracketing the path — the tomography adjoint is local,
+    as the physics demands."""
+    NG = 8
+    h = 2.0 / (NG - 1)
+    vals = jnp.ones((NG, NG), jnp.float64)
+    pos0 = jnp.asarray([[-1.0, 0.0]] * 2)
+    th0 = jnp.zeros(2, jnp.float64)     # straight horizontal rays at y=0
+
+    def loss(v):
+        m = parametric_grid_medium(v, -1.0, -1.0, h, h)
+        *_, tt, _ = trace_diff("op6", m, pos0, th0, jnp.float64(0.02),
+                               steps=60)
+        return tt.sum()
+
+    g = np.asarray(jax.grad(loss)(vals))
+    nz_rows = np.unique(np.nonzero(np.abs(g) > 0)[0])
+    # y=0 sits between node rows 3 and 4 on an 8-node grid over [-1, 1]
+    assert set(nz_rows) <= {3, 4}, nz_rows
+    assert (np.abs(g) > 0).sum() > 0
