@@ -111,7 +111,7 @@ def parametric_grid_medium(values, x0: float, y0: float, hx: float,
 
 
 def trace_diff(op_name: str, medium, pos0, theta0, delta_s, *, steps: int,
-               box=None, gamma: float = 1.0):
+               box=None, gamma: float = 1.0, remat_segments: int = 1):
     """Differentiable fixed-step trace; returns the final ray state.
 
     ``pos0`` (r, 2) and ``theta0`` (r,) launch the fan; all ``steps``
@@ -124,8 +124,12 @@ def trace_diff(op_name: str, medium, pos0, theta0, delta_s, *, steps: int,
     Differentiable in: ``medium`` parameters (ParametricMedium leaves),
     ``pos0``, ``theta0``, ``delta_s``, ``gamma`` (pass a traced array to
     fit the anisotropy itself).  Gradient cost is one reverse sweep over
-    the scan (O(steps) memory checkpointed by XLA); wrap in
-    ``jax.checkpoint`` segments for very long traces.
+    the scan; reverse-mode stores O(steps) residuals, so for long traces
+    set ``remat_segments=k`` to rematerialize: the scan splits into k
+    ``jax.checkpoint`` segments, cutting residual memory ~k-fold for one
+    extra forward pass (the standard sqrt(steps) trade — HBM is the
+    binding resource for million-ray fans on TPU).  ``steps`` must then
+    divide by k.  Gradients are identical either way (tested).
 
     Solver caveat: the golden-section ops (op5/op9/op10/op11) are
     piecewise CONSTANT in their cost function — the search's output angle
@@ -195,6 +199,22 @@ def trace_diff(op_name: str, medium, pos0, theta0, delta_s, *, steps: int,
             active = active * inside.astype(dtype)
         return (npt, tt1, active), None
 
+    if remat_segments <= 1:
+        (ptf, ttf, activef), _ = jax.lax.scan(
+            body, (pt0, tt0, active0), jnp.arange(steps))
+        return ptf.pos, ptf.angle, ttf, activef
+
+    if steps % remat_segments:
+        raise ValueError(f"steps {steps} must divide by remat_segments "
+                         f"{remat_segments}")
+    inner = steps // remat_segments
+
+    @jax.checkpoint
+    def segment(carry, k0):
+        out, _ = jax.lax.scan(body, carry, k0 + jnp.arange(inner))
+        return out, None
+
     (ptf, ttf, activef), _ = jax.lax.scan(
-        body, (pt0, tt0, active0), jnp.arange(steps))
+        segment, (pt0, tt0, active0),
+        jnp.arange(remat_segments) * inner)
     return ptf.pos, ptf.angle, ttf, activef

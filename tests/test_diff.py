@@ -269,3 +269,25 @@ def test_parametric_grid_medium_adjoint_sparsity():
     # y=0 sits between node rows 3 and 4 on an 8-node grid over [-1, 1]
     assert set(nz_rows) <= {3, 4}, nz_rows
     assert (np.abs(g) > 0).sum() > 0
+
+
+def test_remat_segments_identical_gradients():
+    """remat_segments trades recompute for O(k)-smaller residual memory;
+    values AND gradients must be identical to the plain scan."""
+    def miss(curv, k):
+        med = ParametricMedium(
+            lambda p, x, y: 1.0 / (1.0 + p * (x * x + y * y)), curv)
+        pos, *_ = trace_diff("op6", med,
+                             jnp.asarray([[1.0, 0.0]] * 2),
+                             jnp.full(2, jnp.pi / 2, jnp.float64),
+                             jnp.float64(0.02), steps=120,
+                             remat_segments=k)
+        return jnp.sum(pos ** 2)
+
+    v1, g1 = jax.value_and_grad(miss)(jnp.float64(1.1), 1)
+    v4, g4 = jax.value_and_grad(miss)(jnp.float64(1.1), 4)
+    assert float(v1) == float(v4)
+    # backward reassociation may differ in the last ulp
+    np.testing.assert_allclose(float(g1), float(g4), rtol=1e-13)
+    with pytest.raises(ValueError, match="divide"):
+        miss(jnp.float64(1.1), 7)
