@@ -1018,7 +1018,20 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
         return (travel / pitch + 2.0 * _pred_slack(travel)
                 < 2.0 * np.ceil(travel / pitch))
 
-    def _default_segment(tile):
+    def _fits_oriented(travel_cells, m, shapes):
+        # a direction phi fits iff SOME shape holds both axis projections
+        # plus margins and the 4-cell bbox reserve; scan the worst phi
+        # over [0, 45deg] (axis symmetry makes that the whole space)
+        for k in range(9):
+            phi = math.pi / 4.0 * k / 8.0
+            need_x = travel_cells * math.cos(phi) + m
+            need_y = travel_cells * math.sin(phi) + m
+            if not any(need_x <= tw_s - 1 - 4 and need_y <= th_s - 1 - 4
+                       for th_s, tw_s in shapes):
+                return False
+        return True
+
+    def _default_segment(tile, shapes=None):
         # capacity is min(tile) cells; ~4 reserved for the unit bbox
         cap = max(1.0, float(min(tile) - 1 - 4))
         # legacy symmetric margins: travel <= cap / 2 on each side
@@ -1030,10 +1043,18 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
         # when kappa is large, and one round-3 regression took the
         # infeasible side of such an oscillation (margins could never fit
         # the window, every refresh replayed: 0.44 -> 0.16 G at div 303).
+        # With an oriented shape set the capacity is direction-dependent:
+        # a segment is feasible iff for EVERY drift direction some shape
+        # holds it — rectangles extend the axis-dominated directions well
+        # past the square's min(tile) bound.
         seg_pred = 0
         for s in range(1, 65):
             travel = s * float(delta_s)
-            if travel / pitch + 2.0 * _pred_slack(travel) > cap:
+            m = 2.0 * _pred_slack(travel)
+            if shapes is not None:
+                if not _fits_oriented(travel / pitch, m, shapes):
+                    break
+            elif travel / pitch + m > cap:
                 break
             seg_pred = s
         return max(1, min(64, max(seg_old, seg_pred)))
@@ -1047,10 +1068,16 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
             # already rows x 128 cells at single-chunk cost, so short
             # segments beat paying the chunk multiplier every step.
             grow = {(11, 11): (16, 16), (16, 16): (22, 22), (22, 22): (32, 32)}
-            while (_default_segment((th, tw)) < 4 and (th, tw) in grow
+            while (_default_segment(
+                       (th, tw),
+                       _oriented_shapes((th, tw), medium) if oriented
+                       else None) < 4
+                   and (th, tw) in grow
                    and 2 * th <= medium.ny - 1 and 2 * tw <= medium.nx - 1):
                 th, tw = grow[(th, tw)]
-        segment = _default_segment((th, tw))
+        segment = _default_segment(
+            (th, tw),
+            _oriented_shapes((th, tw), medium) if oriented else None)
     window = op == "op7"
     if golden:
         n_state = 8 + (3 if with_stats else 0)
