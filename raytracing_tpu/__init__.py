@@ -19,6 +19,7 @@ from raytracing_tpu.config import (  # noqa: F401
     scenario,
 )
 from raytracing_tpu.engine.diff import (  # noqa: F401
+    DiffTrace,
     ParametricMedium,
     parametric_grid_medium,
     trace_diff,
@@ -36,6 +37,6 @@ from raytracing_tpu.ops.registry import (  # noqa: F401
 __all__ = [
     "DELTA_S", "SIGMA", "ScenarioConfig", "scenario", "TraceResult", "trace",
     "AnalyticMedium", "analytic_medium", "grid_medium_from_samples",
-    "ParametricMedium", "parametric_grid_medium", "trace_diff",
+    "DiffTrace", "ParametricMedium", "parametric_grid_medium", "trace_diff",
     "ALIASES", "ANISO_OPS", "EXTENSION_OPS", "OP_NAMES",
 ]

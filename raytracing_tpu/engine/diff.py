@@ -32,7 +32,7 @@ examples/inverse_medium.py and tests/test_diff.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +77,15 @@ class ParametricMedium:
         _, dndx = jax.jvp(f, (x, y), (ones, zeros))
         _, dndy = jax.jvp(f, (x, y), (zeros, ones))
         return n, (dndx, dndy)
+
+
+class DiffTrace(NamedTuple):
+    """Final ray state of :func:`trace_diff` (unpacks like a 4-tuple)."""
+
+    pos: Any          # (r, 2) final positions
+    angle: Any        # (r,) final angles
+    traveltime: Any   # (r,) optical path (trapezoid of n, RT_bench.py:874)
+    active: Any       # (r,) 1.0 while inside the box, 0.0 after exit
 
 
 def parametric_grid_medium(values, x0: float, y0: float, hx: float,
@@ -202,7 +211,7 @@ def trace_diff(op_name: str, medium, pos0, theta0, delta_s, *, steps: int,
     if remat_segments <= 1:
         (ptf, ttf, activef), _ = jax.lax.scan(
             body, (pt0, tt0, active0), jnp.arange(steps))
-        return ptf.pos, ptf.angle, ttf, activef
+        return DiffTrace(ptf.pos, ptf.angle, ttf, activef)
 
     if steps % remat_segments:
         raise ValueError(f"steps {steps} must divide by remat_segments "
@@ -217,4 +226,4 @@ def trace_diff(op_name: str, medium, pos0, theta0, delta_s, *, steps: int,
     (ptf, ttf, activef), _ = jax.lax.scan(
         segment, (pt0, tt0, active0),
         jnp.arange(remat_segments) * inner)
-    return ptf.pos, ptf.angle, ttf, activef
+    return DiffTrace(ptf.pos, ptf.angle, ttf, activef)
