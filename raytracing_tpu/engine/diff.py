@@ -208,9 +208,11 @@ def trace_diff(op_name: str, medium, pos0, theta0, delta_s, *, steps: int,
             active = active * inside.astype(dtype)
         return (npt, tt1, active), None
 
+    # step indices start at 1 (engine/trace.py:162): op7's backward-diff
+    # order ramp keys on them (fd1 at step 1, fd2 at 2, fd3 from 3)
     if remat_segments <= 1:
         (ptf, ttf, activef), _ = jax.lax.scan(
-            body, (pt0, tt0, active0), jnp.arange(steps))
+            body, (pt0, tt0, active0), jnp.arange(1, steps + 1))
         return DiffTrace(ptf.pos, ptf.angle, ttf, activef)
 
     if steps % remat_segments:
@@ -220,7 +222,7 @@ def trace_diff(op_name: str, medium, pos0, theta0, delta_s, *, steps: int,
 
     @jax.checkpoint
     def segment(carry, k0):
-        out, _ = jax.lax.scan(body, carry, k0 + jnp.arange(inner))
+        out, _ = jax.lax.scan(body, carry, k0 + jnp.arange(1, inner + 1))
         return out, None
 
     (ptf, ttf, activef), _ = jax.lax.scan(

@@ -291,3 +291,44 @@ def test_remat_segments_identical_gradients():
     np.testing.assert_allclose(float(g1), float(g4), rtol=1e-13)
     with pytest.raises(ValueError, match="divide"):
         miss(jnp.float64(1.1), 7)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("op", ["op2", "op3", "op4", "op5", "op7", "op8",
+                                "op9"])
+def test_forward_parity_all_iso_ops(op):
+    """Every isotropic op traces identically (<= ~1e-14) to the scan
+    engine through the diff tier — op7's backward-diff order ramp keys on
+    the 1-based step index (engine/trace.py:162), pinned here."""
+    scen = rt.scenario("fisheye")
+    div = 300
+    ds = 2 * np.pi / div
+    pm = _fisheye_pm()
+    pos0 = np.tile(np.array([[1.0, 0.0]]), (2, 1))
+    th0 = np.full(2, np.pi / 2)
+    res = trace(op, scen, rt.analytic_medium("fisheye"), delta_s=ds,
+                divisor=div + 1, n_turns=1, dtype=np.float64,
+                mode="metrics")
+    d = trace_diff(op, pm, jnp.asarray(pos0), jnp.asarray(th0),
+                   jnp.float64(ds), steps=div, box=tuple(scen.box))
+    np.testing.assert_allclose(np.asarray(d.pos)[0],
+                               np.asarray(res.final.pos)[0], atol=1e-13)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("op", ["op10", "op11", "op10n", "op11n"])
+def test_forward_parity_aniso_ops(op):
+    """Anisotropic ops (gamma=3) match the scan engine through the diff
+    tier on the reference's aniso scenario fan."""
+    scen = rt.scenario("4")
+    pm = ParametricMedium(
+        lambda p, x, y: p / (18.0 + 2.0 * y) + 0.0 * x, jnp.float64(1.0))
+    res = trace(op, scen, rt.analytic_medium(scen.field), delta_s=0.01,
+                dtype=np.float64, mode="metrics", max_size=300)
+    d = trace_diff(op, pm,
+                   jnp.asarray(np.asarray(scen.pos0, np.float64)),
+                   jnp.asarray(np.asarray(scen.theta0, np.float64)),
+                   jnp.float64(0.01), steps=299, box=tuple(scen.box),
+                   gamma=scen.gamma)
+    np.testing.assert_allclose(np.asarray(d.pos),
+                               np.asarray(res.final.pos), atol=1e-12)
