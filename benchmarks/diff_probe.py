@@ -50,15 +50,18 @@ def main(argv=None):
     fwd = jax.jit(loss)
     vgrad = jax.jit(jax.value_and_grad(loss))
 
+    def barrier(out):
+        # honest completion through the tunnel: a device->host readback,
+        # not block_until_ready, which can return early (CLAUDE.md)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+
     for tag, fn in (("forward", lambda: fwd(grid0)),
                     ("value_and_grad", lambda: vgrad(grid0))):
         t0 = time.time()
-        out = fn()
-        jax.block_until_ready(out)
+        barrier(fn())
         cold = time.time() - t0
         t0 = time.time()
-        out = fn()
-        jax.block_until_ready(out)
+        barrier(fn())
         warm = time.time() - t0
         g = r * steps / warm / 1e9
         print(json.dumps({"config": tag, "rays": r, "steps": steps,

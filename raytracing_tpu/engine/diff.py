@@ -37,6 +37,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from raytracing_tpu.media import fields as _fields
 from raytracing_tpu.ops.registry import RayPoint, build_op, canonical
 
 
@@ -161,13 +162,15 @@ def trace_diff(op_name: str, medium, pos0, theta0, delta_s, *, steps: int,
     n0, g0 = medium.n_and_grad(pos0[..., 0], pos0[..., 1])
     unitv0 = jnp.stack([jnp.cos(theta0), jnp.sin(theta0)], axis=-1)
     grad0 = jnp.stack([g0[0], g0[1]], axis=-1)
-    if iso:
-        coef0 = jnp.ones_like(theta0)
+    coef0 = (jnp.ones_like(theta0) if iso
+             else _fields.anisotropy(theta0, gamma))
+    if step_fn.uses_window:
+        window0 = jnp.broadcast_to(pos0[..., None, :],
+                                   pos0.shape[:-1] + (4, 2))
     else:
-        st, ct = jnp.sin(theta0), jnp.cos(theta0)
-        coef0 = jnp.sqrt((gamma * st) ** 2 + ct * ct)
-    window0 = jnp.broadcast_to(pos0[..., None, :],
-                               pos0.shape[:-1] + (4, 2))
+        # don't carry (and store reverse-mode residuals for) op7's
+        # rolling window when the solver never reads it
+        window0 = None
     pt0 = RayPoint(pos=pos0, angle=theta0, unitv=unitv0, n=n0,
                    grad=grad0, coef=coef0, window=window0)
     active0 = jnp.ones_like(theta0)
@@ -182,21 +185,22 @@ def trace_diff(op_name: str, medium, pos0, theta0, delta_s, *, steps: int,
                       jnp.asarray(delta_s, dtype))
         n1, grad1 = res.n, res.grad      # ops return the final-point eval
         dist = jnp.sqrt(jnp.sum((res.pos - pt.pos) ** 2, axis=-1))
-        # optical path: trapezoid of n along the chord (RT_bench.py:874)
-        tt1 = tt + active * dist * 0.5 * (pt.n + n1)
         keep = active > 0.5
         pos = jnp.where(keep[..., None], res.pos, pt.pos)
         ang = jnp.where(keep, res.angle, pt.angle)
         unitv = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
-        if iso:
-            coef = pt.coef
+        coef = pt.coef if iso else _fields.anisotropy(ang, gamma)
+        # optical path: trapezoid of the EFFECTIVE index coef*n along the
+        # chord (RT_bench.py:784-790, 874; engine/trace.py n_eff)
+        tt1 = tt + active * dist * 0.5 * (pt.coef * pt.n + coef * n1)
+        if pt.window is None:
+            window = None
         else:
-            st, ct = jnp.sin(ang), jnp.cos(ang)
-            coef = jnp.sqrt((gamma * st) ** 2 + ct * ct)
-        window = jnp.where(keep[..., None, None],
-                           jnp.concatenate([pt.window[..., 1:, :],
-                                            pos[..., None, :]], axis=-2),
-                           pt.window)
+            window = jnp.where(keep[..., None, None],
+                               jnp.concatenate([pt.window[..., 1:, :],
+                                                pos[..., None, :]],
+                                               axis=-2),
+                               pt.window)
         npt = RayPoint(pos=pos, angle=ang,
                        unitv=unitv,
                        n=jnp.where(keep, n1, pt.n),

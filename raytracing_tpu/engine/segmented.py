@@ -960,6 +960,12 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
     if not golden and op not in FUSED_OPS:
         raise ValueError(f"grid_trace_tiled supports {FUSED_OPS} and "
                          f"{tuple(GOLDEN_OPS)}, got {op!r}")
+    if oriented and row_windows:
+        # rows-mode kernels gather per sublane row with a static shape;
+        # silently dropping the shape set would size segments for
+        # rectangle capacity the run can't use (flag replays every round)
+        raise ValueError("oriented shape sets are a block-window mode; "
+                         "drop row_windows or oriented")
     th, tw = tile_shape                  # window size in CELLS
     r = pos0.shape[0]
     if r % block_rays:

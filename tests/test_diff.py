@@ -332,3 +332,6 @@ def test_forward_parity_aniso_ops(op):
                    gamma=scen.gamma)
     np.testing.assert_allclose(np.asarray(d.pos),
                                np.asarray(res.final.pos), atol=1e-12)
+    # travel time uses the EFFECTIVE index coef*n (RT_bench.py:784-790)
+    np.testing.assert_allclose(np.asarray(d.traveltime),
+                               np.asarray(res.final.traveltime), rtol=1e-12)

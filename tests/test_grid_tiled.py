@@ -412,6 +412,18 @@ def test_oriented_shape_choice_axial_drift():
     assert float(flag2) > 0.0
 
 
+def test_oriented_rejects_row_windows(fisheye_media):
+    """oriented + row_windows is an explicit conflict (rows-mode kernels
+    cannot consume a shape set; sizing for one would replay every
+    refresh)."""
+    scen, gm, hm = fisheye_media
+    pos0, theta0 = _fan(1024)
+    with pytest.raises(ValueError, match="block-window"):
+        grid_trace_tiled("op6", pos0, theta0, np.float32(0.001), hm,
+                         steps=10, box=tuple(scen.box), block_rays=1024,
+                         interpret=True, oriented=True, row_windows=True)
+
+
 def test_oriented_coarse_axial_matches_square(fisheye_media):
     """Coarse steps with axis-dominated drift: the oriented run (which
     actually engages rectangles) stays bit-identical to the square-window
