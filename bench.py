@@ -175,8 +175,9 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
     # (calibrated.ANALYTIC_INTERFACE_DIVISOR — the sigmoid is sharper than
     # its sampled fit, so the 0.2-deg Snell bar needs a finer step)
     from raytracing_tpu.calibrated import calibrated_analytic
-    ds_an, _ = calibrated_analytic("op6", "interface")
-    ds_ref = config.SIGMA / 2.55
+    ds_an, div_an = calibrated_analytic("op6", "interface")
+    ref_div = 2.55                      # RT_bench.py:1413-1430 (op6)
+    ds_ref = config.SIGMA / ref_div
 
     for tag, med, ds in (("interface", None, ds_an),
                          ("interface_strat", imed, ds_ref)):
@@ -201,7 +202,7 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
         out[tag] = {
             "op": "op6", "rays": r, "steps": int(steps),
             "medium": "analytic" if med is None else "sampled-1d-tables",
-            "delta_s_divisor": 4.5 if med is None else 2.55,
+            "delta_s_divisor": div_an if med is None else ref_div,
             "seconds": round(t, 4),
             "gsteps_per_sec": round(r * steps / t / 1e9, 2),
             "gsteps_live": round(eff / t / 1e9, 2),
@@ -236,7 +237,7 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
     eff = float(np.asarray(f.dist_sim).sum()) / ds_an
     out["interface_skip"] = {
         "op": "op6", "rays": r, "steps": int(steps_an), "medium": "analytic",
-        "delta_s_divisor": 4.5,
+        "delta_s_divisor": div_an,
         "seconds": round(t, 4),
         "gsteps_per_sec": round(r * steps_an / t / 1e9, 2),
         "gsteps_live": round(eff / t / 1e9, 2),
@@ -550,11 +551,16 @@ def main():
     pipeline = int(os.environ.get("RT_BENCH_PIPELINE", 8))
     result_1 = benchmark(lambda: runner(), rays * steps, trials=trials,
                          warmup=2)
-    try:
+    # decide pipelining by SIGNATURE, not by catching TypeError — a bare
+    # except around the timed call would mask real TypeErrors inside the
+    # runner as a protocol choice
+    import inspect
+    accepts_pipeline = bool(inspect.signature(runner).parameters)
+    if accepts_pipeline:
         result = benchmark(lambda: runner(pipeline),
                            rays * steps * pipeline, trials=max(3, trials // 2),
                            warmup=1)
-    except TypeError:           # jax-engine fallback runner: no pipelining
+    else:                       # jax-engine fallback runner: no pipelining
         pipeline, result = 1, result_1
 
     # Accuracy companion: closure error of the benchmark configuration.

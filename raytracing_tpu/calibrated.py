@@ -48,9 +48,13 @@ ANISO_DIVISOR = {"op10": 2.53, "op11": 2.74}
 # ``None`` = the op's error FLOORS above the scenario bar on the analytic
 # medium at every step (verified across an extended grid; e.g. interface
 # op7 bottoms out at mean 0.49 deg vs the 0.2 deg bar near divisor ~29 and
-# worsens in both directions).  Callers should treat None as "this op does
-# not meet the reference acceptance bar on this medium" — the fallback
-# chain below substitutes the scenario's second-order-Taylor entry.
+# worsens in both directions).  ``calibrated_analytic`` returns
+# (None, None) for such entries; the CALLER decides whether to skip the
+# op on this medium or substitute another entry (there is deliberately no
+# automatic fallback here — an op that cannot meet the scenario's
+# acceptance bar should not silently run at a step calibrated for a
+# different op).  calibrated_with_fallback's chain covers only the
+# SAMPLED reference tables.
 
 #: interface, analytic sigmoid: DELTA_S = SIGMA / divisor
 ANALYTIC_INTERFACE_DIVISOR = {

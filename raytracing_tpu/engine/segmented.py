@@ -614,18 +614,38 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
         # straight-line end p + travel * u, so the margin only needs the
         # true path's deviation from that prediction — at most
         # travel^2 * kappa / 2 (a ray on the tightest turning circle),
-        # with the curvature bound kappa = max|grad n| / min n straight
-        # off the node table (|du/ds| = |grad_perp n| / n; x gamma covers
-        # the anisotropic family's faster turning) — plus a cell of slack
+        # with kappa a PER-CELL bound on |grad n| / n that holds BETWEEN
+        # nodes (|du/ds| = |grad_perp n| / n; x gamma covers the
+        # anisotropic family's faster turning) — plus a cell of slack
         # absorbing O(delta_s^2 kappa) stage deviation and index
         # truncation.  Containment is still VERIFIED per refresh: a bound
         # violation trips the flag and replays, never silently clamps.
-        # pointwise max of |grad n| / n — NOT max|grad| / min(n), whose
-        # extremes come from different table regions (the reference's +-3
-        # grid padding alone inflated the factored form 27x on fisheye)
-        g2 = nodes3d[..., 1] ** 2 + nodes3d[..., 5] ** 2
-        n_safe = jnp.maximum(nodes3d[..., 0], jnp.float32(1e-6))
-        kappa = jnp.sqrt(jnp.max(g2 / (n_safe * n_safe)))
+        # The bound mirrors media.hermite.kappa_cell_bound: corner maxima
+        # of each Hermite channel weighted by the basis extrema (4/27),
+        # so a bicubic gradient overshooting its node samples inside a
+        # cell (sharp user grids) cannot under-size the margin; each cell
+        # pairs its OWN gradient bound with its OWN n — never
+        # max|grad| / min(n), whose extremes come from different table
+        # regions (the reference's +-3 grid padding alone inflated that
+        # factored form 27x on fisheye).
+        hd = jnp.float32(4.0 / 27.0)
+
+        def _cmax(a):
+            a = jnp.abs(a)
+            return jnp.maximum(jnp.maximum(a[:-1, :-1], a[:-1, 1:]),
+                               jnp.maximum(a[1:, :-1], a[1:, 1:]))
+
+        def _gbound(ch):
+            return (_cmax(ch[..., 0])
+                    + hd * (_cmax(ch[..., 1]) + _cmax(ch[..., 2]))
+                    + hd * hd * _cmax(ch[..., 3]))
+
+        gb = jnp.sqrt(_gbound(nodes3d[..., 1:5]) ** 2
+                      + _gbound(nodes3d[..., 5:9]) ** 2)
+        n0 = nodes3d[..., 0]
+        nmin = jnp.minimum(jnp.minimum(n0[:-1, :-1], n0[:-1, 1:]),
+                           jnp.minimum(n0[1:, :-1], n0[1:, 1:]))
+        kappa = jnp.max(gb / jnp.maximum(nmin, jnp.float32(1e-6)))
         kappa = kappa * jnp.maximum(jnp.float32(1.0), jnp.abs(gamma))
         sag = travel * travel * kappa * 0.5
         margin_x = jnp.ceil(sag * inv_hx) + 1.0

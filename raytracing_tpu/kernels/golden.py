@@ -221,7 +221,8 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
             # = g^2 st^2 + ct^2 - st^2 g^2 + st^2 = 1, so m_x = n*ct/cf.
             # Same algebra, but cancellation-free in f32 — the long form's
             # O(g^2) subtraction was the kernel tier's CV floor
-            # (docs/PRECISION.md "sampled-media and anisotropic CV floors").
+            # (docs/PRECISION.md "the golden family's f32 conservation
+            # floor").
             if iso:
                 return nv * ct
             return nv * ct / cf
@@ -247,13 +248,11 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                 d = curv * ds
                 sgn = jnp.where(gx * uy - gy * ux > 0, -1.0, 1.0)
                 half = sgn * d * 0.5
-                # degree-5 small-angle polynomials: |half| = curv*ds/2 stays
-                # well under ~0.2 at calibrated steps, so the d^5/120 trunc
-                # (~2e-6) is far below the golden bracket tolerance — and
-                # dodges two VPU transcendentals per step
-                h2 = half * half
-                sh = half * (1.0 - h2 * (1.0 / 6.0) * (1.0 - h2 * 0.05))
-                ch = 1.0 - h2 * 0.5 * (1.0 - h2 * (1.0 / 12.0))
+                # small-angle rotation (_rot_small): |half| = curv*ds/2
+                # stays well under ~0.2 at calibrated steps, so the
+                # truncation is far below the golden bracket tolerance —
+                # and dodges two VPU transcendentals per step
+                sh, ch = _rot_small(half)
                 coefc = 2.0 * sh * sgn / safe
                 # cos(ang+half), sin(ang+half) by rotation of (ux, uy)
                 arc_dx = (ux * ch - uy * sh) * coefc

@@ -153,6 +153,46 @@ def _hermite2d(c00, c01, c10, c11, v, u):
             + corner(c10, hv1, gv1, hu0, gu0) + corner(c11, hv1, gv1, hu1, gu1))
 
 
+#: max of the 1-D cubic Hermite derivative basis |h10|=|h11| on [0,1]
+#: (attained at t=1/3: t(1-t)^2 = 4/27); the value bases h00+h01
+#: partition unity, so a per-cell interpolant bound needs only corner
+#: maxima of each channel weighted by these
+_HERM_D = 4.0 / 27.0
+
+
+def kappa_cell_bound(nodes):
+    """Rigorous per-CELL bound on |grad n| / n over the whole table.
+
+    The drift-predicted window margins (engine/segmented) need a bound on
+    the ray curvature |du/ds| = |grad_perp n| / n that holds BETWEEN
+    nodes: the bicubic gradient can overshoot its node samples inside a
+    cell (sharp features in a user grid from grid_medium_from_samples),
+    and a node-sampled max would then under-size the sagitta margin —
+    a mid-segment window escape the containment flag cannot see (it
+    re-checks at refresh time, after _tile_nag already gathered wrong
+    cells).  Per cell: |p(u,v)| <= max|f_corner| + 4/27 (max|f_u| +
+    max|f_v|) + (4/27)^2 max|f_uv| from the Hermite basis extrema, n's
+    bilinear minimum is a corner minimum, and each cell pairs ITS OWN
+    gradient bound with ITS OWN n (no cross-table extremes — see the
+    kappa_max field note).  ``nodes`` is (ny, nx, 9) float.
+    """
+    def cmax(a):
+        a = np.abs(a)
+        return np.maximum(np.maximum(a[:-1, :-1], a[:-1, 1:]),
+                          np.maximum(a[1:, :-1], a[1:, 1:]))
+
+    def gbound(ch):                        # ch: (ny, nx, 4) per component
+        return (cmax(ch[..., 0])
+                + _HERM_D * (cmax(ch[..., 1]) + cmax(ch[..., 2]))
+                + _HERM_D * _HERM_D * cmax(ch[..., 3]))
+
+    g = np.sqrt(gbound(nodes[..., 1:5]) ** 2 + gbound(nodes[..., 5:9]) ** 2)
+    n0 = nodes[..., 0]
+    nmin = np.minimum(np.minimum(n0[:-1, :-1], n0[:-1, 1:]),
+                      np.minimum(n0[1:, :-1], n0[1:, 1:]))
+    return float((g / np.maximum(nmin, 1e-6)).max())
+
+
 def build_hermite_medium(gm: GridMedium, dtype=np.float32) -> HermiteGridMedium:
     """Convert a GridMedium's per-cell tables to packed Hermite node form."""
     ny, nx = gm.ny, gm.nx
@@ -169,4 +209,4 @@ def build_hermite_medium(gm: GridMedium, dtype=np.float32) -> HermiteGridMedium:
         nx=nx, ny=ny,
         n_min=float(max(nodes[..., 0].min(), 1e-6)),
         g_max=float(g_mag.max()),
-        kappa_max=float((g_mag / np.maximum(nodes[..., 0], 1e-6)).max()))
+        kappa_max=kappa_cell_bound(nodes))
