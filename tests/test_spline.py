@@ -265,8 +265,11 @@ def test_hermite_kappa_statics_pointwise():
                                                 dtype=np.float32))
     nodes = np.asarray(hm.nodes, np.float64).reshape(hm.ny, hm.nx, 9)
     g = np.sqrt(nodes[..., 1] ** 2 + nodes[..., 5] ** 2)
-    expect = (g / np.maximum(nodes[..., 0], 1e-6)).max()
-    assert np.isclose(hm.kappa_max, expect, rtol=1e-5)
+    node_max = (g / np.maximum(nodes[..., 0], 1e-6)).max()
+    # kappa_max is the rigorous per-CELL bound (media/hermite.
+    # kappa_cell_bound): at least the node max (it must hold between
+    # nodes too), and within a few % of it on this smooth field
+    assert node_max <= hm.kappa_max <= 1.1 * node_max
     # the pointwise bound is ~1 on the Maxwell fisheye (max of 2r/(1+r^2));
     # the factored form exceeds 20 — the regression this guards against
     assert hm.kappa_max < 2.0
