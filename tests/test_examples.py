@@ -1,0 +1,52 @@
+"""Examples stay runnable: each examples/*.py executes end-to-end on CPU.
+
+The examples are the front door a reference user meets first; this module
+keeps them from bit-rotting.  Scripts with benchmark-scale defaults run
+in a subprocess with a CPU pin and (where supported) reduced settings.
+"""
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+_PRELUDE = (
+    "import sys; sys.path.insert(0, {root!r}); "
+    "import jax; jax.config.update('jax_platforms', 'cpu'); "
+    "import runpy; ").format(root=str(ROOT))
+
+
+def _run(script, extra="", timeout=420):
+    code = (_PRELUDE + extra
+            + f"runpy.run_path({str(ROOT / 'examples' / script)!r}, "
+              "run_name='__main__')")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd=ROOT, timeout=timeout)
+    assert r.returncode == 0, f"{script}\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
+    return r.stdout
+
+
+def test_inverse_medium_example(tmp_path):
+    out = _run("inverse_medium.py")
+    assert "recovered THCK" in out
+
+
+def test_tomography_example():
+    out = _run("tomography.py")
+    assert "correlation" in out
+
+
+def test_delta_s_search_example(tmp_path):
+    # run from a tmp cwd so the checkpoint file lands there
+    code = (_PRELUDE
+            + f"import os; os.chdir({str(tmp_path)!r}); "
+            + f"runpy.run_path({str(ROOT / 'examples' / 'delta_s_search.py')!r}, "
+              "run_name='__main__')")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd=ROOT, timeout=420)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "selected divisor" in r.stdout
