@@ -50,3 +50,9 @@ def test_delta_s_search_example(tmp_path):
                        text=True, cwd=ROOT, timeout=420)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "selected divisor" in r.stdout
+
+
+def test_sampled_medium_production_example():
+    out = _run("sampled_medium_production.py",
+               extra="sys.argv = ['x', '4096']; ")
+    assert "grid-tiled" in out and "DELTA_S search" in out
