@@ -555,7 +555,7 @@ def main():
     # except around the timed call would mask real TypeErrors inside the
     # runner as a protocol choice
     import inspect
-    accepts_pipeline = bool(inspect.signature(runner).parameters)
+    accepts_pipeline = "pipeline" in inspect.signature(runner).parameters
     if accepts_pipeline:
         result = benchmark(lambda: runner(pipeline),
                            rays * steps * pipeline, trials=max(3, trials // 2),

@@ -240,7 +240,8 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
             box=tuple(scen.box),
             field=None if strat else scen.field,
             medium=medium if strat else None,
-            segment=1024 if op in FUSED_OPS else 256,
+            segment=max(1, min(int(steps),
+                               1024 if op in FUSED_OPS else 256)),
             block_rays=block_rays, interpret=interpret,
             gamma=float(scen.gamma), skip_frozen=exit_scen)
 

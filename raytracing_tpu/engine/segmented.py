@@ -329,9 +329,12 @@ def _morton_key(ix, iy):
     compact in BOTH axes, so each block's node window stays small — the
     property the tiled kernel's containment contract depends on.
 
-    The combined key is built in int64: part(iy) occupies odd bits up to
-    bit 31, so shifting it in int32 would set the sign bit for grids taller
-    than 32768 cells and silently misorder the argsort (ADVICE r2 #4).
+    The combined key is built in uint32: part(iy) occupies odd bits up to
+    bit 31, so shifting it in a SIGNED word would set the sign bit for
+    grids taller than 32768 cells and silently misorder the argsort
+    (ADVICE r2 #4).  uint32 — not int64 — because with jax_enable_x64 off
+    (the production default) an astype(int64) silently truncates back to
+    int32, reintroducing the overflow.
     """
     def part(v):
         v = jnp.bitwise_and(v, jnp.int32(0x0000FFFF))
@@ -345,8 +348,8 @@ def _morton_key(ix, iy):
                             jnp.int32(0x55555555))
         return v
 
-    return jnp.bitwise_or(part(ix).astype(jnp.int64),
-                          jnp.left_shift(part(iy).astype(jnp.int64), 1))
+    return jnp.bitwise_or(part(ix).astype(jnp.uint32),
+                          jnp.left_shift(part(iy).astype(jnp.uint32), 1))
 
 
 def _cells(x, y, meta):
