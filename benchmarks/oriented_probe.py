@@ -74,7 +74,11 @@ def main(argv=None):
         return res
 
     ref = run("auto (square ladder)")
-    segs = [int(s) for s in args.segs.split(",")]
+    res = run("auto oriented", oriented=True)
+    print(f"  bit-identical to auto: "
+          f"{bool(np.array_equal(np.asarray(ref.pos), np.asarray(res.pos)))}",
+          flush=True)
+    segs = [int(s) for s in args.segs.split(",") if s]
     for seg in segs:
         res = run(f"oriented 1-chunk seg={seg}", oriented=True,
                   tile_shape=(11, 11), segment=seg)
