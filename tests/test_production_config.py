@@ -64,6 +64,41 @@ def test_grid_tiled_matches_across_configs():
                                atol=1e-6)
 
 
+def test_golden_aniso_kernel_across_configs():
+    from raytracing_tpu.kernels.golden import golden_trace_final
+
+    scen = rt.scenario("aniso")
+    r = 1024
+    pos0 = np.tile(scen.pos0[:1].astype(np.float32), (r, 1))
+    theta0 = np.resize(np.asarray(scen.theta0, np.float32), r)
+    kw = dict(field="vert_heterogeneous", op="op10", steps=64,
+              box=tuple(scen.box), block_rays=1024, interpret=True)
+    ref = golden_trace_final(pos0, theta0, np.float32(0.01),
+                             np.float32(scen.gamma), **kw)
+    with jax.enable_x64(False):
+        got = golden_trace_final(pos0, theta0, np.float32(0.01),
+                                 np.float32(scen.gamma), **kw)
+    assert np.all(np.isfinite(np.asarray(got.pos)))
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),
+                               atol=1e-6)
+
+
+def test_scan_sweep_selection_across_configs():
+    from raytracing_tpu.parallel.sweep import delta_s_search
+
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    divisors = np.array([40.0, 32.0, 24.0, 16.0])
+    kw = dict(n_turns=1, engine="scan", rays=8, divisors=divisors)
+    ref = delta_s_search("op1", scen, med, **kw)
+    with jax.enable_x64(False):
+        got = delta_s_search("op1", scen, med, **kw)
+    assert got.index == ref.index
+    assert got.metrics.keys() == ref.metrics.keys()
+    for k in ref.metrics:
+        np.testing.assert_allclose(got.metrics[k], ref.metrics[k], rtol=1e-4)
+
+
 def test_segmented_skip_frozen_across_configs():
     from raytracing_tpu.engine.segmented import segmented_trace
 
