@@ -1,0 +1,289 @@
+"""Consistent-gradient ("C1") sampled media: n and grad n from ONE spline.
+
+The reference's sampled pipeline interpolates n *bilinearly* from Z but
+takes its gradient from independently fitted *bicubic* splines of
+``np.gradient(Z)`` (RT_bench.py:455-458).  The two fields are therefore
+inconsistent — grad n is NOT the derivative of the n the integrator
+consumes — and that inconsistency is the measured floor on momentum
+conservation for sampled media (docs/PRECISION.md "the sampled-media CV
+floor": CV ~0.006 % at the reference pitch, unchanged at float64, so no
+arithmetic fixes it; the medium itself breaks the conservation law).
+
+This module is the repaired design the reference cannot express: fit ONE
+not-a-knot bicubic spline S to the SAME samples Z and evaluate both fields
+from it — n = S, grad n = the exact analytic derivative of S.  Momentum
+conservation then holds at the medium level again, and the evaluation
+needs only the 16 numbers of one spline patch per cell instead of the
+parity form's 36 independent floats (4 bilinear corners + 16 + 16
+gradient-spline coefficients) — 16/36 the gather traffic and window
+refresh bytes on the kernel tier.
+
+These media deliberately DIVERGE from reference parity (documented in
+docs/PARITY.md): n is the bicubic interpolant of Z rather than the
+bilinear one (closer to the true field — the bilinear n dominates the
+parity medium's ~1.5e-4 deviation from the analytic fisheye), and grad n
+interpolates the same nodal data through S's derivative rather than an
+independent fit.  Use the parity builders (media/spline.py) to reproduce
+the reference bit-for-bit; use these for production accuracy/conservation.
+
+Layout mirrors media/hermite.py: per-NODE Hermite data of S —
+``(f, f_v, f_u, f_vu)`` in cell-normalized units, 4 channels/node (the
+parity Hermite form carries 9) — so the tiled-window kernel machinery
+(engine/segmented) applies with a quarter-size table.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from raytracing_tpu import config
+from raytracing_tpu.media import grid as _grid
+from raytracing_tpu.media.hermite import _node_data, hermite_basis
+
+#: extrema of the 1-D Hermite bases on [0, 1] used by the rigorous
+#: per-cell gradient bound: value-basis derivative |h00'| <= 3/2 (and
+#: h01' = -h00', so the value pair contributes through the corner
+#: DIFFERENCE), tangent-basis derivatives |h10'|, |h11'| <= 1 with
+#: |h10'| + |h11'| <= 1; tangent value bases |h10| = |h11| <= 4/27.
+_HERM_D = 4.0 / 27.0
+
+
+def hermite_dbasis(t):
+    """Derivatives (h00', h10', h01', h11') of the Hermite basis at t."""
+    t2 = t * t
+    return (6.0 * t2 - 6.0 * t, 3.0 * t2 - 4.0 * t + 1.0,
+            -6.0 * t2 + 6.0 * t, 3.0 * t2 - 2.0 * t)
+
+
+def _hermite1(c, h):
+    """Blend one corner-column stack c = (c0, c1) pairs with basis h."""
+    h0, g0, h1, g1 = h
+    return c[0] * h0 + c[1] * g0 + c[2] * h1 + c[3] * g1
+
+
+@struct.dataclass
+class C1GridMedium:
+    """2-D sampled medium with grad n == the exact gradient of n.
+
+    ``nodes`` is (ny*nx, 4): the Hermite node data ``(f, f_v, f_u, f_vu)``
+    of one not-a-knot bicubic spline of the samples, in cell-normalized
+    units.  ``n_and_grad`` evaluates the spline and its analytic partial
+    derivatives from the same 4x4-number patch.
+    """
+
+    nodes: Any       # (ny*nx, 4)
+    x0: float = struct.field(pytree_node=False)
+    y0: float = struct.field(pytree_node=False)
+    inv_hx: float = struct.field(pytree_node=False)
+    inv_hy: float = struct.field(pytree_node=False)
+    nx: int = struct.field(pytree_node=False)
+    ny: int = struct.field(pytree_node=False)
+    #: window-sizing bounds, same semantics as HermiteGridMedium's
+    n_min: float = struct.field(pytree_node=False, default=1.0)
+    g_max: float = struct.field(pytree_node=False, default=0.0)
+    kappa_max: float = struct.field(pytree_node=False, default=0.0)
+
+    def _cell(self, x, y):
+        fx = (x - self.x0) * self.inv_hx
+        fy = (y - self.y0) * self.inv_hy
+        fx = jnp.clip(fx, 0.0, float(self.nx - 1))
+        fy = jnp.clip(fy, 0.0, float(self.ny - 1))
+        ix = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, self.nx - 2)
+        iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, self.ny - 2)
+        return ix, iy, fx - ix, fy - iy
+
+    def n_and_grad(self, x, y):
+        """Gather-based evaluation (scan tier); kernels carry windows."""
+        ix, iy, ux, uy = self._cell(x, y)
+        flat = iy * self.nx + ix
+        c00 = self.nodes[flat]
+        c01 = self.nodes[flat + 1]
+        c10 = self.nodes[flat + self.nx]
+        c11 = self.nodes[flat + self.nx + 1]
+
+        hv, dv = hermite_basis(uy), hermite_dbasis(uy)
+        hu, du = hermite_basis(ux), hermite_dbasis(ux)
+
+        # v-blend each corner COLUMN pair into cubic-in-u Hermite data:
+        # p0/p1 = S at u=0/1 edges, m0/m1 = dS/du there (all functions of v)
+        def vblend(basis):
+            p0 = _hermite1((c00[..., 0], c00[..., 1],
+                            c10[..., 0], c10[..., 1]), basis)
+            p1 = _hermite1((c01[..., 0], c01[..., 1],
+                            c11[..., 0], c11[..., 1]), basis)
+            m0 = _hermite1((c00[..., 2], c00[..., 3],
+                            c10[..., 2], c10[..., 3]), basis)
+            m1 = _hermite1((c01[..., 2], c01[..., 3],
+                            c11[..., 2], c11[..., 3]), basis)
+            return p0, m0, p1, m1
+
+        col = vblend(hv)
+        n = _hermite1(col, hu)
+        gu = _hermite1(col, du)
+        gv = _hermite1(vblend(dv), hu)
+        return n, (gu * self.inv_hx, gv * self.inv_hy)
+
+    def n(self, x, y):
+        return self.n_and_grad(x, y)[0]
+
+
+@struct.dataclass
+class C1StratifiedMedium:
+    """1-D consistent medium for x-independent fields (interface, vert).
+
+    ``cn`` is (ny-1, 4): per-cell power coefficients (normalized offset)
+    of one not-a-knot cubic spline of the y-samples; n is the spline,
+    dn/dy its exact derivative — 4 floats/cell serve both fields (the
+    parity StratifiedGridMedium gathers 2 value + 4 gradient floats).
+    """
+
+    cn: Any          # (ny-1, 4)
+    y0: float = struct.field(pytree_node=False)
+    inv_hy: float = struct.field(pytree_node=False)
+    ny: int = struct.field(pytree_node=False)
+
+    def n_and_grad(self, x, y):
+        fy = (y - self.y0) * self.inv_hy
+        fy = jnp.clip(fy, 0.0, float(self.ny - 1))
+        iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, self.ny - 2)
+        uy = fy - iy
+        c = self.cn[iy]
+        n = c[..., 0] + uy * (c[..., 1] + uy * (c[..., 2] + uy * c[..., 3]))
+        gy = (c[..., 1] + uy * (2.0 * c[..., 2] + uy * 3.0 * c[..., 3])
+              ) * self.inv_hy
+        return n, (jnp.zeros_like(gy), gy)
+
+    def n(self, x, y):
+        return self.n_and_grad(x, y)[0]
+
+
+def c1_kappa_cell_bound(nodes, inv_hx, inv_hy):
+    """Rigorous per-cell bound on |grad n| / n for a C1 medium.
+
+    Same role as hermite.kappa_cell_bound (sizes the tiled kernel's
+    drift-predicted window margins), adapted to the single-spline form.
+    Within a cell, dS/du is a cubic with Hermite data (p0'=..., built from
+    the corner columns); bounding each piece by the basis extrema:
+
+        |dS/du| <= 3/2 (|Dx f| + 4/27 |Dx f_v|)      (value pair: h00'=-h01',
+                 + max|f_u| + 4/27 max|f_uv|          so only the x-DIFFERENCE
+                                                      of the value columns
+                                                      enters — an O(h) term)
+
+    with Dx the max in-cell x-difference and max over the cell's corners;
+    symmetrically for dS/dv.  n's in-cell lower bound subtracts the
+    tangent-channel overshoot from the corner minimum.  ``nodes`` is
+    (ny, nx, 4) float64.
+    """
+    f, fv, fu, fvu = (nodes[..., k] for k in range(4))
+
+    def cmax(a):
+        a = np.abs(a)
+        return np.maximum(np.maximum(a[:-1, :-1], a[:-1, 1:]),
+                          np.maximum(a[1:, :-1], a[1:, 1:]))
+
+    def dmax_x(a):
+        d = np.abs(a[:, 1:] - a[:, :-1])
+        return np.maximum(d[:-1, :], d[1:, :])
+
+    def dmax_y(a):
+        d = np.abs(a[1:, :] - a[:-1, :])
+        return np.maximum(d[:, :-1], d[:, 1:])
+
+    gu = (1.5 * (dmax_x(f) + _HERM_D * dmax_x(fv))
+          + cmax(fu) + _HERM_D * cmax(fvu))
+    gv = (1.5 * (dmax_y(f) + _HERM_D * dmax_y(fu))
+          + cmax(fv) + _HERM_D * cmax(fvu))
+    g = np.sqrt((gu * inv_hx) ** 2 + (gv * inv_hy) ** 2)
+
+    f0 = nodes[..., 0]
+    nmin_c = np.minimum(np.minimum(f0[:-1, :-1], f0[:-1, 1:]),
+                        np.minimum(f0[1:, :-1], f0[1:, 1:]))
+    overshoot = (_HERM_D * (cmax(fv) + cmax(fu))
+                 + _HERM_D * _HERM_D * cmax(fvu))
+    nmin_c = np.maximum(nmin_c - overshoot, 1e-6)
+    return float((g / nmin_c).max())
+
+
+def _n_spline_cells(Z, y, x, backend: str = "auto"):
+    """Per-cell (ncy, ncx, 4, 4) power coefficients of the not-a-knot
+    bicubic interpolant of Z itself (float64)."""
+    if backend == "auto":
+        from raytracing_tpu import native
+        backend = "native" if native.available() else "scipy"
+    if backend == "native":
+        from raytracing_tpu import native
+        return native.bicubic_cells(np.asarray(Z, np.float64))
+    from scipy.interpolate import RectBivariateSpline
+
+    from raytracing_tpu.media.spline import _spline_to_cells
+    spl = RectBivariateSpline(y, x, Z, kx=3, ky=3)
+    return _spline_to_cells(spl, y, x)
+
+
+def c1_medium_from_samples(Z, x, y, *, dtype=np.float32,
+                           backend: str = "auto") -> C1GridMedium:
+    """Consistent-gradient 2-D medium from user index samples.
+
+    Same entry contract as spline.grid_medium_from_samples (uniform grids,
+    >= 4x4), different field model: see the module docstring.
+    """
+    Z = np.asarray(Z, np.float64)
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    if Z.shape != (len(y), len(x)):
+        raise ValueError(f"Z shape {Z.shape} != (len(y), len(x)) = "
+                         f"({len(y)}, {len(x)})")
+    if len(x) < 4 or len(y) < 4:
+        raise ValueError("bicubic fitting needs at least a 4x4 grid")
+    hx = float(x[1] - x[0])
+    hy = float(y[1] - y[0])
+    for name, v, h in (("x", x, hx), ("y", y, hy)):
+        if not np.allclose(np.diff(v), h, rtol=1e-6, atol=1e-12):
+            raise ValueError(f"{name} grid must be uniformly spaced")
+
+    cells = _n_spline_cells(Z, y, x, backend)
+    nodes = _node_data(np.ascontiguousarray(cells))          # (ny, nx, 4)
+    ny, nx = nodes.shape[:2]
+    inv_hx, inv_hy = 1.0 / hx, 1.0 / hy
+    g_nodes = np.sqrt((nodes[..., 2] * inv_hx) ** 2
+                      + (nodes[..., 1] * inv_hy) ** 2)
+    return C1GridMedium(
+        nodes=jnp.asarray(nodes.reshape(ny * nx, 4), dtype),
+        x0=float(x[0]), y0=float(y[0]), inv_hx=float(inv_hx),
+        inv_hy=float(inv_hy), nx=nx, ny=ny,
+        n_min=float(max(nodes[..., 0].min(), 1e-6)),
+        g_max=float(g_nodes.max()),
+        kappa_max=c1_kappa_cell_bound(nodes, inv_hx, inv_hy))
+
+
+def build_c1_medium(field: str, box, delta: float = config.DELTA,
+                    dtype=np.float32, backend: str = "auto") -> C1GridMedium:
+    """Sample ``field`` on the reference's padded grid, build a C1 medium."""
+    x, y, Z = _grid.gen_grid(field, box, delta)
+    return c1_medium_from_samples(Z, x, y, dtype=dtype, backend=backend)
+
+
+def build_c1_stratified(field: str, box, delta: float = config.DELTA,
+                        dtype=np.float32) -> C1StratifiedMedium:
+    """1-D consistent medium for the x-independent fields."""
+    if field == "fisheye":
+        raise ValueError("fisheye varies in x; use build_c1_medium")
+    x, y, Z = _grid.gen_grid(field, box, delta)
+    col = np.asarray(Z[:, 0], np.float64)
+    from raytracing_tpu import native
+
+    if native.available():
+        cells = native.bicubic_cells(np.stack([col, col, col, col], -1))
+        cn = cells[:, 0, :, 0]
+    else:
+        from scipy.interpolate import CubicSpline
+
+        spl = CubicSpline(np.arange(len(col)), col, bc_type="not-a-knot")
+        cn = np.stack([spl.c[3], spl.c[2], spl.c[1], spl.c[0]], axis=-1)
+    return C1StratifiedMedium(
+        cn=jnp.asarray(cn, dtype),
+        y0=float(y[0]), inv_hy=float(1.0 / (y[1] - y[0])), ny=len(y))

@@ -1,0 +1,166 @@
+"""Consistent-gradient (C1) media: exactness, consistency, conservation.
+
+Three claims pinned here (media/c1.py):
+
+1. the 2-D medium IS the not-a-knot bicubic interpolant of the samples
+   (scipy RectBivariateSpline parity to ~1e-9 at f64), and its reported
+   gradient IS that spline's analytic derivative;
+2. grad n is consistent with n — jax.grad of medium.n reproduces
+   n_and_grad's gradient (the property the reference's sampled pipeline
+   lacks, RT_bench.py:455-458);
+3. consistency repairs the sampled-media momentum-CV floor documented in
+   docs/PRECISION.md: the vert scenario's CV at the reference grid pitch
+   drops from ~6e-3 % (parity medium) to the analytic path's territory.
+"""
+import jax
+import numpy as np
+import pytest
+
+import raytracing_tpu as rt
+from raytracing_tpu.media.c1 import (
+    build_c1_medium,
+    build_c1_stratified,
+    c1_medium_from_samples,
+)
+
+scipy = pytest.importorskip("scipy")
+
+
+def _sample_grid():
+    x = np.linspace(-2.0, 2.0, 25)
+    y = np.linspace(-1.5, 1.5, 19)
+    X, Y = np.meshgrid(x, y)
+    Z = 1.0 / (1.0 + 0.3 * X * X + 0.5 * Y * Y) + 0.05 * np.sin(1.7 * X)
+    return Z, x, y
+
+
+def test_c1_matches_scipy_spline_and_derivatives():
+    from scipy.interpolate import RectBivariateSpline
+
+    Z, x, y = _sample_grid()
+    med = c1_medium_from_samples(Z, x, y, dtype=np.float64, backend="scipy")
+    spl = RectBivariateSpline(y, x, Z, kx=3, ky=3)
+
+    rng = np.random.default_rng(1)
+    qx = rng.uniform(x[0], x[-1], 257)
+    qy = rng.uniform(y[0], y[-1], 257)
+    n, (gx, gy) = med.n_and_grad(qx, qy)
+    np.testing.assert_allclose(np.asarray(n), spl(qy, qx, grid=False),
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gx),
+                               spl(qy, qx, dx=0, dy=1, grid=False),
+                               rtol=0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gy),
+                               spl(qy, qx, dx=1, dy=0, grid=False),
+                               rtol=0, atol=1e-8)
+
+
+def test_c1_native_builder_matches_scipy_builder():
+    from raytracing_tpu import native
+
+    if not native.available():
+        pytest.skip("native builder unavailable")
+    Z, x, y = _sample_grid()
+    a = c1_medium_from_samples(Z, x, y, dtype=np.float64, backend="native")
+    b = c1_medium_from_samples(Z, x, y, dtype=np.float64, backend="scipy")
+    np.testing.assert_allclose(np.asarray(a.nodes), np.asarray(b.nodes),
+                               rtol=0, atol=1e-9)
+
+
+def test_c1_gradient_is_gradient_of_n():
+    Z, x, y = _sample_grid()
+    med = c1_medium_from_samples(Z, x, y, dtype=np.float64)
+
+    rng = np.random.default_rng(2)
+    qx = rng.uniform(x[1], x[-2], 64)
+    qy = rng.uniform(y[1], y[-2], 64)
+    _, (gx, gy) = med.n_and_grad(qx, qy)
+    ax = jax.vmap(jax.grad(lambda a, b: med.n(a, b), argnums=0))(qx, qy)
+    ay = jax.vmap(jax.grad(lambda a, b: med.n(a, b), argnums=1))(qx, qy)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(ax),
+                               rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(ay),
+                               rtol=0, atol=1e-10)
+
+
+def test_c1_stratified_matches_1d_spline():
+    from scipy.interpolate import CubicSpline
+
+    scen = rt.scenario("vert")
+    med = build_c1_stratified("vert_heterogeneous", scen.box,
+                              dtype=np.float64)
+    ny = med.ny
+    ys = np.linspace(med.y0, med.y0 + (ny - 1) / med.inv_hy, 501)
+    n, (gx, gy) = med.n_and_grad(np.zeros_like(ys), ys)
+
+    from raytracing_tpu.media import grid as _grid
+    x, y, Z = _grid.gen_grid("vert_heterogeneous", scen.box)
+    spl = CubicSpline(y, np.asarray(Z[:, 0], np.float64),
+                      bc_type="not-a-knot")
+    np.testing.assert_allclose(np.asarray(n), spl(ys), rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gy), spl(ys, 1), rtol=0, atol=1e-8)
+    assert np.all(np.asarray(gx) == 0.0)
+
+
+def test_c1_kappa_bound_dominates_sampled_gradient():
+    Z, x, y = _sample_grid()
+    med = c1_medium_from_samples(Z, x, y, dtype=np.float64)
+    rng = np.random.default_rng(3)
+    qx = rng.uniform(x[0], x[-1], 4096)
+    qy = rng.uniform(y[0], y[-1], 4096)
+    n, (gx, gy) = med.n_and_grad(qx, qy)
+    kappa = np.sqrt(np.asarray(gx) ** 2 + np.asarray(gy) ** 2) / np.asarray(n)
+    assert kappa.max() <= med.kappa_max * (1 + 1e-12)
+
+
+def test_c1_repairs_vert_momentum_cv():
+    """The headline: consistency beats the parity medium's CV floor.
+
+    docs/PRECISION.md table (op8, vert, scan engine, f64): analytic
+    1.1e-5 %, sampled-parity 5.7e-3 %.  The C1 medium uses the same grid
+    pitch and samples but a consistent (n, grad n) pair; its CV must land
+    well below the parity floor.
+    """
+    from raytracing_tpu.engine.oracles import momentum_cv_pct_from_history
+    from raytracing_tpu.media.spline import build_stratified_medium
+
+    from raytracing_tpu import config
+
+    scen = rt.scenario("vert")
+    # op8's calibrated step; protocol as in benchmarks/strat_cv_probe.py
+    # (scenario-average over interior rays, RT_bench.py:1352-1360)
+    kw = dict(delta_s=config.SIGMA / 2.74, mode="history", dtype=np.float64)
+    ref = rt.trace("op8", scen,
+                   build_stratified_medium("vert_heterogeneous", scen.box,
+                                           dtype=np.float64), **kw)
+    c1 = rt.trace("op8", scen,
+                  build_c1_stratified("vert_heterogeneous", scen.box,
+                                      dtype=np.float64), **kw)
+
+    def cv(res):
+        per_ray = np.asarray(momentum_cv_pct_from_history(res))
+        return float(np.mean(per_ray[1:-1]))
+
+    cv_ref, cv_c1 = cv(ref), cv(c1)
+    assert cv_c1 < cv_ref / 10.0, (cv_c1, cv_ref)
+    assert cv_c1 < 5e-4, cv_c1
+
+
+def test_c1_grid_fisheye_closure():
+    """2-D C1 medium closure is at least as good as the parity medium's."""
+    from raytracing_tpu.engine.oracles import closure_error_pct
+    from raytracing_tpu.media.spline import build_grid_medium
+
+    scen = rt.scenario("fisheye")
+    div = 300
+    kw = dict(delta_s=2 * np.pi / div, divisor=div + 1, n_turns=1,
+              dtype=np.float64, mode="metrics")
+    ref = rt.trace("op1", scen,
+                   build_grid_medium("fisheye", scen.box, dtype=np.float64),
+                   **kw)
+    c1 = rt.trace("op1", scen,
+                  build_c1_medium("fisheye", scen.box, dtype=np.float64),
+                  **kw)
+    e_ref = float(np.max(np.asarray(closure_error_pct(ref))))
+    e_c1 = float(np.max(np.asarray(closure_error_pct(c1))))
+    assert e_c1 <= e_ref * 1.5, (e_c1, e_ref)
