@@ -140,6 +140,31 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
         "note": "closure floor ~0.02% is the bilinear spline's own "
                 "discretization (kx=ky=1, RT_bench.py:455), not the kernel"}
 
+    # -- consistent-gradient C1 medium, same samples + divisor: 16-float
+    # cells instead of 36 (media/c1.py) — less gather traffic per step and
+    # fewer refresh bytes, and closure tracks the ANALYTIC field ----------
+    from raytracing_tpu.media.c1 import build_c1_medium
+
+    c1med = build_c1_medium("fisheye", scen.box, dtype=np.float32)
+
+    def run_grid_c1():
+        g = grid_trace_tiled("op1", pos0, theta0, np.float32(gds), c1med,
+                             steps=gsteps, box=tuple(scen.box))
+        np.asarray(g.pos[:1])
+        return g
+
+    t, g = best_of(run_grid_c1, reps=2)
+    gclo = 100 * np.linalg.norm(
+        np.asarray(g.pos) - [1, 0], axis=1).mean() / (2 * np.pi)
+    out["fisheye_c1_grid"] = {
+        "op": "op1", "rays": r, "steps": gsteps,
+        "medium": "sampled-2d-c1-spline",
+        "seconds": round(t, 4),
+        "gsteps_per_sec": round(r * gsteps / t / 1e9, 2),
+        "closure_error_pct": round(float(gclo), 5),
+        "note": "consistent n/grad from one spline (PARITY.md #29): "
+                "16 floats/cell/eval vs the parity form's 36"}
+
     # -- same medium at the reference's COARSE calibrated divisor (op6 at
     # 303, RT_bench.py:1431-1450): each step crosses >1 cell, so this is
     # the refresh-bound regime of the tiled kernel -----------------------
@@ -256,7 +281,11 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
     ds = config.SIGMA / 2.74
     steps = min(scen.max_size(ds) - 1, 3000)
 
-    for tag, med in (("vert", None), ("vert_strat", vmed)):
+    from raytracing_tpu.media.c1 import build_c1_stratified
+    c1vmed = build_c1_stratified("vert_heterogeneous", scen.box,
+                                 dtype=np.float32)
+    for tag, med in (("vert", None), ("vert_strat", vmed),
+                     ("vert_c1_strat", c1vmed)):
         def run_v(med=med, sync=True):
             if med is None:
                 f = fused_trace_final(pos0, theta0, np.float32(ds),
@@ -279,7 +308,9 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
         eff = float(np.asarray(f.dist_sim).sum()) / ds
         out[tag] = {
             "op": "op8", "rays": r, "steps": int(steps),
-            "medium": "analytic" if med is None else "sampled-1d-tables",
+            "medium": ("analytic" if med is None
+                       else "sampled-1d-c1" if tag == "vert_c1_strat"
+                       else "sampled-1d-tables"),
             "seconds": round(t, 4),
             "gsteps_per_sec": round(r * steps / t / 1e9, 2),
             "gsteps_live": round(eff / t / 1e9, 2),

@@ -21,6 +21,7 @@ from raytracing_tpu.kernels.fused import (
     FUSED_FIELDS, FUSED_OPS, fused_trace_final, fused_trace_final_strat)
 from raytracing_tpu.kernels.golden import GOLDEN_OPS, golden_trace_final
 from raytracing_tpu.kernels.fused import fused_trace_final_custom
+from raytracing_tpu.media.c1 import C1GridMedium, C1StratifiedMedium
 from raytracing_tpu.media.hermite import HermiteGridMedium
 from raytracing_tpu.media.medium import AnalyticMedium, CustomMedium
 from raytracing_tpu.media.spline import GridMedium, StratifiedGridMedium
@@ -60,9 +61,9 @@ class FastResult(NamedTuple):
 def supports(op_name: str, medium) -> bool:
     """True when a fused kernel covers this (op, medium) pairing."""
     op = canonical(op_name)
-    if isinstance(medium, StratifiedGridMedium):
+    if isinstance(medium, (StratifiedGridMedium, C1StratifiedMedium)):
         return op in FUSED_OPS or op in GOLDEN_OPS
-    if isinstance(medium, (HermiteGridMedium, GridMedium)):
+    if isinstance(medium, (HermiteGridMedium, GridMedium, C1GridMedium)):
         return op in FUSED_OPS or op in GOLDEN_OPS
     if isinstance(medium, CustomMedium):
         return op in FUSED_OPS or op in GOLDEN_OPS
@@ -132,7 +133,7 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
         # layout — 2-D grid media route through it automatically
         medium = _as_hermite(medium)
 
-    if (isinstance(medium, HermiteGridMedium)
+    if (isinstance(medium, (HermiteGridMedium, C1GridMedium))
             and (op in FUSED_OPS or op in GOLDEN_OPS)):
         from raytracing_tpu.engine.segmented import grid_trace, grid_trace_tiled
 
@@ -166,7 +167,10 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
                 pass  # batch too dispersed for tiling -> supercell / scan
 
         cell = min(1.0 / medium.inv_hx, 1.0 / medium.inv_hy)
-        if op in FUSED_OPS and float(delta_s) < 0.9 * cell:
+        if (op in FUSED_OPS and float(delta_s) < 0.9 * cell
+                and isinstance(medium, HermiteGridMedium)):
+            # supercell fallback is parity-form only; C1 media fall
+            # through to the scan tier (n_and_grad works everywhere)
             pad = (-r) % block_rays
             pos0 = jnp.asarray(pos0, jnp.float32)
             theta0 = jnp.asarray(theta0, jnp.float32)
@@ -188,11 +192,13 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
     # config is ~3300 steps).
     too_long = int(steps) > SEGMENT_THRESHOLD
     seg_eligible = ((op in FUSED_OPS or op in GOLDEN_OPS)
-                    and (isinstance(medium, StratifiedGridMedium)
+                    and (isinstance(medium, (StratifiedGridMedium,
+                                             C1StratifiedMedium))
                          or (isinstance(medium, AnalyticMedium)
                              and medium.field in FUSED_FIELDS)))
 
-    if (not supports(op, medium) or isinstance(medium, HermiteGridMedium)
+    if (not supports(op, medium)
+            or isinstance(medium, (HermiteGridMedium, C1GridMedium))
             or (too_long and not seg_eligible)):
         res = trace(op, scen, medium, delta_s=float(delta_s), divisor=divisor,
                     n_turns=n_turns, mode="metrics", dtype=np.float32,
@@ -234,7 +240,7 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
             perm = jnp.argsort(theta0)
             inv = jnp.argsort(perm)
             pos0, theta0 = pos0[perm], theta0[perm]
-        strat = isinstance(medium, StratifiedGridMedium)
+        strat = isinstance(medium, (StratifiedGridMedium, C1StratifiedMedium))
         f = segmented_trace(
             op, pos0, theta0, jnp.float32(delta_s), steps=int(steps),
             box=tuple(scen.box),
@@ -257,14 +263,15 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
                           dist_sim=undo(f.dist_sim), active=undo(f.active),
                           engine=eng)
 
-    if isinstance(medium, StratifiedGridMedium) and op in GOLDEN_OPS:
+    if isinstance(medium, (StratifiedGridMedium, C1StratifiedMedium)) \
+            and op in GOLDEN_OPS:
         g = golden_trace_final(
             pos0, theta0, jnp.float32(delta_s), jnp.float32(scen.gamma),
             field=scen.field, op=op, steps=int(steps), box=tuple(scen.box),
             block_rays=block_rays, interpret=interpret, medium=medium)
         pos, tt, dsim, act = g.pos, g.traveltime, g.dist_sim, g.active
         eng = "golden-strat"
-    elif isinstance(medium, StratifiedGridMedium):
+    elif isinstance(medium, (StratifiedGridMedium, C1StratifiedMedium)):
         f = fused_trace_final_strat(
             pos0, theta0, jnp.float32(delta_s), medium, op=op,
             steps=int(steps), box=tuple(scen.box), block_rays=block_rays,
@@ -345,7 +352,8 @@ def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
 
     # only media this function actually dispatches on — the wider supports()
     # set would silently trace the wrong field here
-    sharded_ok = (isinstance(medium, (StratifiedGridMedium, CustomMedium))
+    sharded_ok = (isinstance(medium, (StratifiedGridMedium,
+                                      C1StratifiedMedium, CustomMedium))
                   or (isinstance(medium, AnalyticMedium)
                       and medium.field in FUSED_FIELDS))
     if not (sharded_ok and op in FUSED_OPS):
@@ -353,9 +361,10 @@ def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
             f"fast_trace_sharded covers the fused ops on analytic/"
             f"stratified/custom media and the full op set on 2-D grid "
             f"media; got {op!r} on {type(medium).__name__}")
-    use_strat = isinstance(medium, StratifiedGridMedium)
+    use_strat = isinstance(medium, (StratifiedGridMedium, C1StratifiedMedium))
     use_custom = isinstance(medium, CustomMedium)
-    if use_strat:
+    if isinstance(medium, StratifiedGridMedium):
+        # table trim is parity-form only; C1 tables route untrimmed
         from raytracing_tpu.media.spline import compact_stratified
 
         medium = compact_stratified(

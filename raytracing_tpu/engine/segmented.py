@@ -77,7 +77,7 @@ def _run_segments(state, tables, delta_s, limit, offset0, n_seg,
         # full (nblocks,) liveness table in SMEM; indexed by program_id
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
     if tables is not None:
-        in_specs = [pl.BlockSpec((6, nch, rows, LANES),
+        in_specs = [pl.BlockSpec((tables.shape[0], nch, rows, LANES),
                                  lambda i: (0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)] + in_specs
     call = pl.pallas_call(
@@ -157,7 +157,9 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
     if not golden and op not in FUSED_OPS:
         raise ValueError(f"segmented trace supports ops {FUSED_OPS} and "
                          f"{tuple(GOLDEN_OPS)}, got {op!r}")
-    use_strat = isinstance(medium, StratifiedGridMedium)
+    from raytracing_tpu.media.c1 import C1StratifiedMedium
+
+    use_strat = isinstance(medium, (StratifiedGridMedium, C1StratifiedMedium))
     if not use_strat and field is None:
         raise ValueError("pass field= (analytic) or medium= (stratified)")
     r = pos0.shape[0]
@@ -372,19 +374,22 @@ def _sort_perm(x, y, meta):
 def _cells36(nodes3d):
     """Per-CELL packed node table, built once per jitted round.
 
-    (ny, nx, 9) nodes -> ((ny-1)*(nx-1), 36) rows: every cell carries its
-    own 4 corner nodes x 9 channels at channel index ``ch * 4 + corner``
-    with corners (00, +x, +y, +xy) — exactly the layout
-    ``kernels.fused._tile_nag`` gathers from.  Window refreshes then
-    reduce to ONE flat row gather (36 contiguous floats per cell) instead
-    of a vmapped ``dynamic_slice`` + corner stacking per window — the
+    (ny, nx, CH) nodes -> ((ny-1)*(nx-1), 4*CH) rows: every cell carries
+    its own 4 corner nodes x CH channels at channel index ``ch * 4 +
+    corner`` with corners (00, +x, +y, +xy) — exactly the layout
+    ``kernels.fused._tile_nag`` gathers from.  CH = 9 for the parity
+    Hermite form (36 floats/cell), 4 for the consistent-gradient C1 form
+    (16 floats/cell, media/c1.py).  Window refreshes then reduce to ONE
+    flat row gather (the cell's contiguous floats) instead of a vmapped
+    ``dynamic_slice`` + corner stacking per window — the
     slice/stack/transpose pipeline was ~20 ms per refresh at 1M rays in
     per-row mode, the flat gather ~1 ms.
     """
+    ch = nodes3d.shape[-1]
     return jnp.stack(
         [nodes3d[:-1, :-1], nodes3d[:-1, 1:],
          nodes3d[1:, :-1], nodes3d[1:, 1:]],
-        axis=-1).reshape(-1, 36)
+        axis=-1).reshape(-1, 4 * ch)
 
 
 def _window_ids(bix, biy, th, tw, n_lanes, ncx):
@@ -486,9 +491,10 @@ def _refresh_windows(st, flag, c36, meta, th, tw, nblocks, block_rays,
         st, flag, meta, th, tw, nblocks, block_rays, margin_x, margin_y,
         pred, shapes)
     wid = _window_ids(bix, biy, th_v, tw_v, nchunks * LANES, nx - 1)
-    cells = c36[wid]                      # (nblocks, nchunks*LANES, 36)
+    cell_ch = c36.shape[-1]               # 36 parity / 16 C1
+    cells = c36[wid]                      # (nblocks, nchunks*LANES, cell_ch)
     tiles = jnp.transpose(
-        cells.reshape(nblocks, nchunks, LANES, 36),
+        cells.reshape(nblocks, nchunks, LANES, cell_ch),
         (0, 1, 3, 2)).reshape(nblocks, n_ch, LANES)
     bases = jnp.stack([bix, biy, tw_v, th_v], axis=-1).astype(jnp.float32)
     return flag, tiles, bases
@@ -564,7 +570,11 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
         if any(-(-t * w // LANES) != nchunks for t, w in shapes):
             raise ValueError(f"oriented shapes {shapes} must all use the "
                              f"tile class's {nchunks} gather chunk(s)")
-    n_ch = nchunks * 36
+    node_ch = nodes3d.shape[-1]           # 9 parity / 4 C1 (media/c1.py)
+    cell_ch = 4 * node_ch
+    if row_windows and node_ch != 9:
+        raise ValueError("row windows support the 9-channel parity form only")
+    n_ch = nchunks * cell_ch
     shape2 = state[0].shape
     zero = jnp.zeros(shape2, jnp.float32)
     from raytracing_tpu.config import gold_tol
@@ -575,12 +585,12 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
         kernel = _make_golden_kernel(
             "hermite-tile", op, segment, box, iters, gold_tol(np.float32),
             resume=True, tile=meta + tile_shape, stats=stats, polish=polish,
-            row_tile=row_windows)
+            row_tile=row_windows, tile_channels=cell_ch)
     else:
         kernel = _make_kernel("hermite-tile", op, segment, box,
                               gold_tol(np.float32), resume=True,
                               tile=meta + tile_shape, stats=stats,
-                              row_tile=row_windows)
+                              row_tile=row_windows, tile_channels=cell_ch)
     blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     if row_windows:
@@ -643,11 +653,35 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
                     + hd * (_cmax(ch[..., 1]) + _cmax(ch[..., 2]))
                     + hd * hd * _cmax(ch[..., 3]))
 
-        gb = jnp.sqrt(_gbound(nodes3d[..., 1:5]) ** 2
-                      + _gbound(nodes3d[..., 5:9]) ** 2)
         n0 = nodes3d[..., 0]
         nmin = jnp.minimum(jnp.minimum(n0[:-1, :-1], n0[:-1, 1:]),
                            jnp.minimum(n0[1:, :-1], n0[1:, 1:]))
+        if node_ch == 9:
+            gb = jnp.sqrt(_gbound(nodes3d[..., 1:5]) ** 2
+                          + _gbound(nodes3d[..., 5:9]) ** 2)
+        else:
+            # C1 form: grad n is the derivative of the n spline; bound it
+            # per cell from the Hermite basis extrema (the jnp twin of
+            # media.c1.c1_kappa_cell_bound — value pairs enter through
+            # their corner DIFFERENCE, an O(h) term), and subtract the
+            # tangent-channel overshoot from n's corner minimum
+            f, fv, fu, fw = (nodes3d[..., k] for k in range(4))
+
+            def _dmax_x(a):
+                d = jnp.abs(a[:, 1:] - a[:, :-1])
+                return jnp.maximum(d[:-1, :], d[1:, :])
+
+            def _dmax_y(a):
+                d = jnp.abs(a[1:, :] - a[:-1, :])
+                return jnp.maximum(d[:, :-1], d[:, 1:])
+
+            gu = (1.5 * (_dmax_x(f) + hd * _dmax_x(fv))
+                  + _cmax(fu) + hd * _cmax(fw))
+            gv = (1.5 * (_dmax_y(f) + hd * _dmax_y(fu))
+                  + _cmax(fv) + hd * _cmax(fw))
+            gb = jnp.sqrt((gu * inv_hx) ** 2 + (gv * inv_hy) ** 2)
+            nmin = nmin - (hd * (_cmax(fv) + _cmax(fu))
+                           + hd * hd * _cmax(fw))
         kappa = jnp.max(gb / jnp.maximum(nmin, jnp.float32(1e-6)))
         kappa = kappa * jnp.maximum(jnp.float32(1.0), jnp.abs(gamma))
         sag = travel * travel * kappa * 0.5
@@ -974,11 +1008,16 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
 
     Results are returned in the caller's ray order regardless of sorting.
     """
+    from raytracing_tpu.media.c1 import C1GridMedium
     from raytracing_tpu.media.hermite import HermiteGridMedium
 
-    if not isinstance(medium, HermiteGridMedium):
-        raise ValueError("grid_trace_tiled needs a HermiteGridMedium, got "
-                         f"{type(medium).__name__}")
+    if not isinstance(medium, (HermiteGridMedium, C1GridMedium)):
+        raise ValueError("grid_trace_tiled needs a HermiteGridMedium or "
+                         f"C1GridMedium, got {type(medium).__name__}")
+    node_ch = int(medium.nodes.shape[-1])
+    if row_windows and node_ch != 9:
+        raise ValueError("row windows support the parity (9-channel) "
+                         "Hermite form only; C1 media use block windows")
     golden = op in GOLDEN_OPS
     if not golden and op not in FUSED_OPS:
         raise ValueError(f"grid_trace_tiled supports {FUSED_OPS} and "
@@ -1146,7 +1185,7 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
         comps, orig_idx = apply_perm(comps, orig_idx)
 
     nodes3d = jnp.asarray(medium.nodes, jnp.float32).reshape(
-        medium.ny, medium.nx, 9)
+        medium.ny, medium.nx, node_ch)
     limit = jnp.float32(steps)
 
     if mesh is None:

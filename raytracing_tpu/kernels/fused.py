@@ -75,6 +75,7 @@ def _strat_nag(tables, y0: float, inv_hy: float, ny: int):
     (6, NCH, rows, 128) VMEM value; channels: Zy[i], Zy[i+1], cy[i, 0..3].
     """
     nch = tables.shape[1]
+    chans = tables.shape[0]              # 6 parity / 4 C1 (see strat_tables)
 
     def nag(x, y):
         fy = jnp.clip((y - y0) * inv_hy, 0.0, float(ny - 1))
@@ -83,12 +84,19 @@ def _strat_nag(tables, y0: float, inv_hy: float, ny: int):
         ii = iy.astype(jnp.int32)
         local = jnp.bitwise_and(ii, jnp.int32(LANES - 1))      # ii % 128
         chunk = jnp.right_shift(ii, jnp.int32(7))              # ii // 128
-        vals = [jnp.zeros_like(y) for _ in range(6)]
+        vals = [jnp.zeros_like(y) for _ in range(chans)]
         for k in range(nch):
             hit = chunk == k
-            for c in range(6):
+            for c in range(chans):
                 g = jnp.take_along_axis(tables[c, k], local, axis=1)
                 vals[c] = jnp.where(hit, g, vals[c])
+        if chans == 4:
+            # consistent C1 cubic: n and dn/dy from the same coefficients
+            # (the expressions mirror media.c1.C1StratifiedMedium.n_and_grad)
+            c0, c1, c2, c3 = vals
+            n = c0 + uy * (c1 + uy * (c2 + uy * c3))
+            gy = (c1 + uy * (2.0 * c2 + uy * 3.0 * c3)) * inv_hy
+            return n, jnp.zeros_like(x), gy
         zlo, zhi, c0, c1, c2, c3 = vals
         n = (1.0 - uy) * zlo + uy * zhi
         gy = c0 + uy * (c1 + uy * (c2 + uy * c3))
@@ -194,7 +202,7 @@ def _supercell_nag(tbl, bix, biy, meta):
     return nag
 
 
-def _tile_nag(T, bix, biy, meta, tw_dyn=None):
+def _tile_nag(T, bix, biy, meta, tw_dyn=None, cell_ch: int = 36):
     """n/grad gathered from a ray-block-shared per-CELL window in VMEM.
 
     ``T`` is a list of (rows, LANES) values — one per (chunk, channel) with
@@ -224,10 +232,16 @@ def _tile_nag(T, bix, biy, meta, tw_dyn=None):
     shape of an oriented set (engine/segmented._window_bases ``shapes``);
     the local flat index is exact in f32 (ly*tw + lx < 1024 << 2^24).
     ``None`` (row-window mode) folds the static ``tw`` instead.
+
+    ``cell_ch``: floats per packed cell — 36 for the parity Hermite form
+    (9 node channels x 4 corners, ``_hermite_blend``), 16 for the
+    consistent-gradient C1 form (4 channels x 4 corners, ``media.c1
+    .c1_blend``: n and grad n from ONE spline patch — 16/36 the gathers
+    per step and refresh bytes).
     """
     x0, y0, inv_hx, inv_hy, nx, ny, th, tw = meta
     twf = float(tw) if tw_dyn is None else tw_dyn
-    nchunks = (len(T) + 35) // 36
+    nchunks = (len(T) + cell_ch - 1) // cell_ch
 
     def nag(x, y):
         fx = jnp.clip((x - x0) * inv_hx, 0.0, float(nx - 1))
@@ -255,38 +269,51 @@ def _tile_nag(T, bix, biy, meta, tw_dyn=None):
                 for c in range(4):
                     val = jnp.zeros_like(x)
                     for k in range(nchunks):
-                        g = jnp.take_along_axis(T[k * 36 + ch * 4 + c],
+                        g = jnp.take_along_axis(T[k * cell_ch + ch * 4 + c],
                                                 lane, axis=1)
                         val = jnp.where(chk == k, g, val)
                     out.append(val)
                 return tuple(out)
 
+        if cell_ch == 16:
+            from raytracing_tpu.media.c1 import c1_blend
+            return c1_blend(corners, u, v, inv_hx, inv_hy)
         return _hermite_blend(corners, u, v)
 
     return nag
 
 
 def strat_tables(medium, rows: int):
-    """Pack a StratifiedGridMedium into the kernels' channel-table layout.
+    """Pack a 1-D stratified medium into the kernels' channel-table layout.
 
-    Returns (tables, strat_meta, nch): tables is (6, NCH, rows, 128) —
-    channels Zy[i], Zy[i+1], cy[i, 0..3] as 128-entry lane chunks replicated
-    over sublanes (the dynamic_gather layout, see `_strat_nag`); strat_meta
-    is the (y0, inv_hy, ny) literal tuple for `_make_kernel(strat=...)`.
-    The ONE definition shared by the fused, golden, and segmented wrappers.
+    Returns (tables, strat_meta, nch): tables is (C, NCH, rows, 128) as
+    128-entry lane chunks replicated over sublanes (the dynamic_gather
+    layout, see `_strat_nag`); strat_meta is the (y0, inv_hy, ny) literal
+    tuple for `_make_kernel(strat=...)`.  C = 6 for the parity
+    StratifiedGridMedium (channels Zy[i], Zy[i+1], cy[i, 0..3]); C = 4 for
+    the consistent-gradient C1StratifiedMedium (channels cn[i, 0..3] — one
+    cubic serves n AND dn/dy, media/c1.py).  The ONE definition shared by
+    the fused, golden, and segmented wrappers.
     """
     ny = medium.ny
     nch = -(-ny // LANES)
     T = nch * LANES
-    zy = jnp.asarray(medium.Zy, jnp.float32)
-    cy = jnp.asarray(medium.cy, jnp.float32)
-    zlo = jnp.pad(zy, (0, T - ny), mode="edge")
-    zhi = jnp.pad(zy[1:], (0, T - ny + 1), mode="edge")
-    cpad = jnp.pad(cy, ((0, T - ny + 1), (0, 0)))
-    tables = jnp.stack([zlo, zhi, cpad[:, 0], cpad[:, 1], cpad[:, 2],
-                        cpad[:, 3]])
-    tables = jnp.broadcast_to(tables.reshape(6, nch, 1, LANES),
-                              (6, nch, rows, LANES))
+    if hasattr(medium, "cn"):            # C1StratifiedMedium
+        cpad = jnp.pad(jnp.asarray(medium.cn, jnp.float32),
+                       ((0, T - ny + 1), (0, 0)))
+        tables = jnp.stack([cpad[:, 0], cpad[:, 1], cpad[:, 2], cpad[:, 3]])
+        chans = 4
+    else:
+        zy = jnp.asarray(medium.Zy, jnp.float32)
+        cy = jnp.asarray(medium.cy, jnp.float32)
+        zlo = jnp.pad(zy, (0, T - ny), mode="edge")
+        zhi = jnp.pad(zy[1:], (0, T - ny + 1), mode="edge")
+        cpad = jnp.pad(cy, ((0, T - ny + 1), (0, 0)))
+        tables = jnp.stack([zlo, zhi, cpad[:, 0], cpad[:, 1], cpad[:, 2],
+                            cpad[:, 3]])
+        chans = 6
+    tables = jnp.broadcast_to(tables.reshape(chans, nch, 1, LANES),
+                              (chans, nch, rows, LANES))
     strat = (float(medium.y0), float(medium.inv_hy), int(ny))
     return tables, strat, nch
 
@@ -309,7 +336,8 @@ def _custom_nag(medium):
 def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
                  strat=None, stats: bool = False, resume: bool = False,
                  supercell=None, custom=None, tile=None, skip: bool = False,
-                 per_block_scal: bool = False, row_tile: bool = False):
+                 per_block_scal: bool = False, row_tile: bool = False,
+                 tile_channels: int = 36):
     """Build the fused step kernel.
 
     ``stats`` adds a Welford tracker of the horizontal momentum m_x = n*u_x
@@ -638,13 +666,17 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
             # lane-broadcast vectors (SMEM would need an in-kernel
             # scalar->vector row build, which Mosaic rejects below
             # (8, 128)).
+            if tile_channels != 36:
+                raise ValueError("row windows support the 36-channel parity "
+                                 "form only")
+
             def kernel(tile_ref, base_ref, *refs):
                 tv = tile_ref[...]
                 bb = base_ref[...]
                 T = [tv[i, 0] for i in range(36)]
                 kernel_impl(_tile_nag(T, bb[0, 0], bb[0, 1], tile), *refs)
         else:
-            n_ch = (-(-tile[6] * tile[7] // LANES)) * 36
+            n_ch = (-(-tile[6] * tile[7] // LANES)) * tile_channels
 
             def kernel(tile_ref, base_ref, *refs):
                 rows = refs[0].shape[0]
@@ -663,7 +695,8 @@ def _make_kernel(field: str, op: str, steps: int, box, curv_tol: float = 0.0,
                 b = pl.program_id(0)
                 kernel_impl(
                     _tile_nag(T, base_ref[b, 0], base_ref[b, 1], tile,
-                              tw_dyn=base_ref[b, 2]),
+                              tw_dyn=base_ref[b, 2],
+                              cell_ch=tile_channels),
                     *refs)
     elif strat is None:
         def kernel(*refs):
@@ -700,7 +733,7 @@ def _call_kernel(kernel, tables, x, y, ux, uy, ds, *, steps, r, rows,
                 pl.BlockSpec(memory_space=pltpu.SMEM)]
     args = (x, y, ux, uy, jnp.zeros(shape2, jnp.float32), ds)
     if tables is not None:
-        in_specs = [pl.BlockSpec((6, nch, rows, LANES),
+        in_specs = [pl.BlockSpec((tables.shape[0], nch, rows, LANES),
                                  lambda i: (0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)] + in_specs
         args = (tables,) + args

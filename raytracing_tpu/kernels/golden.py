@@ -139,7 +139,7 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                  curv_tol: float, strat=None, stats: bool = False,
                  custom=None, resume: bool = False, tile=None,
                  skip: bool = False, polish: int = 0,
-                 row_tile: bool = False):
+                 row_tile: bool = False, tile_channels: int = 36):
     """Build the fused golden/Newton step kernel.
 
     ``resume`` makes the kernel segmentable (mirrors fused._make_kernel):
@@ -492,6 +492,10 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
         if not resume:
             raise ValueError("tiled golden kernels are segment-resumable only")
         if row_tile:
+            if tile_channels != 36:
+                raise ValueError("row windows support the 36-channel parity "
+                                 "form only")
+
             # per-sublane-row windows — see fused._make_kernel(row_tile=True)
             def kernel(tile_ref, base_ref, *refs):
                 tv = tile_ref[...]
@@ -499,7 +503,7 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                 T = [tv[i, 0] for i in range(36)]
                 kernel_impl(_tile_nag(T, bb[0, 0], bb[0, 1], tile), *refs)
         else:
-            n_ch = (-(-tile[6] * tile[7] // LANES)) * 36
+            n_ch = (-(-tile[6] * tile[7] // LANES)) * tile_channels
 
             def kernel(tile_ref, base_ref, *refs):
                 rows = refs[0].shape[0]
@@ -510,7 +514,8 @@ def _make_kernel(field: str, op: str, steps: int, box, gold_iters_n: int,
                 # (bix, biy, tw, th) SMEM row — see fused._make_kernel
                 kernel_impl(
                     _tile_nag(T, base_ref[b, 0], base_ref[b, 1], tile,
-                              tw_dyn=base_ref[b, 2]),
+                              tw_dyn=base_ref[b, 2],
+                              cell_ch=tile_channels),
                     *refs)
     elif strat is None:
         def kernel(*refs):
@@ -622,9 +627,12 @@ def golden_trace_final(pos0, theta0, delta_s, gamma, *, field: str, op: str,
             custom = medium
             medium = None
     if medium is not None:
-        if not isinstance(medium, StratifiedGridMedium):
+        from raytracing_tpu.media.c1 import C1StratifiedMedium
+
+        if not isinstance(medium, (StratifiedGridMedium, C1StratifiedMedium)):
             raise ValueError("golden kernel media support is limited to "
-                             "StratifiedGridMedium/CustomMedium, got "
+                             "StratifiedGridMedium/C1StratifiedMedium/"
+                             "CustomMedium, got "
                              f"{type(medium).__name__}")
         tables, strat, nch = strat_tables(medium, rows)
 
@@ -634,7 +642,7 @@ def golden_trace_final(pos0, theta0, delta_s, gamma, *, field: str, op: str,
     in_specs = [blk, blk, blk, blk, pl.BlockSpec(memory_space=pltpu.SMEM)]
     args = (x, y, ang, zero, scal)
     if tables is not None:
-        in_specs = [pl.BlockSpec((6, nch, rows, LANES),
+        in_specs = [pl.BlockSpec((tables.shape[0], nch, rows, LANES),
                                  lambda i: (0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)] + in_specs
         args = (tables,) + args

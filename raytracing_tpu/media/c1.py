@@ -64,6 +64,39 @@ def _hermite1(c, h):
     return c[0] * h0 + c[1] * g0 + c[2] * h1 + c[3] * g1
 
 
+def c1_blend(corners, u, v, inv_hx, inv_hy):
+    """(n, gx, gy) of the C1 spline from a 4-channel corner accessor.
+
+    ``corners(ch) -> (c00, c01, c10, c11)`` fetches channel ``ch``'s 2x2
+    corner node values (c01 = +x neighbor, c10 = +y); how they are fetched
+    — table gathers here, VMEM window gathers in kernels.fused._tile_nag —
+    is the caller's concern.  One shared definition means bit-identical
+    trajectories across the scan and tiled-kernel tiers (the same contract
+    as kernels.fused._hermite_blend for the 9-channel parity form).
+    """
+    f = corners(0)
+    fv = corners(1)
+    fu = corners(2)
+    fw = corners(3)
+    hv, dv = hermite_basis(v), hermite_dbasis(v)
+    hu, du = hermite_basis(u), hermite_dbasis(u)
+
+    def vblend(basis):
+        # v-blend each corner COLUMN pair into cubic-in-u Hermite data:
+        # p0/p1 = S at the u=0/1 edges, m0/m1 = dS/du there (functions of v)
+        p0 = _hermite1((f[0], fv[0], f[2], fv[2]), basis)
+        p1 = _hermite1((f[1], fv[1], f[3], fv[3]), basis)
+        m0 = _hermite1((fu[0], fw[0], fu[2], fw[2]), basis)
+        m1 = _hermite1((fu[1], fw[1], fu[3], fw[3]), basis)
+        return p0, m0, p1, m1
+
+    col = vblend(hv)
+    n = _hermite1(col, hu)
+    gu = _hermite1(col, du)
+    gv = _hermite1(vblend(dv), hu)
+    return n, gu * inv_hx, gv * inv_hy
+
+
 @struct.dataclass
 class C1GridMedium:
     """2-D sampled medium with grad n == the exact gradient of n.
@@ -104,27 +137,11 @@ class C1GridMedium:
         c10 = self.nodes[flat + self.nx]
         c11 = self.nodes[flat + self.nx + 1]
 
-        hv, dv = hermite_basis(uy), hermite_dbasis(uy)
-        hu, du = hermite_basis(ux), hermite_dbasis(ux)
+        def corners(ch):
+            return (c00[..., ch], c01[..., ch], c10[..., ch], c11[..., ch])
 
-        # v-blend each corner COLUMN pair into cubic-in-u Hermite data:
-        # p0/p1 = S at u=0/1 edges, m0/m1 = dS/du there (all functions of v)
-        def vblend(basis):
-            p0 = _hermite1((c00[..., 0], c00[..., 1],
-                            c10[..., 0], c10[..., 1]), basis)
-            p1 = _hermite1((c01[..., 0], c01[..., 1],
-                            c11[..., 0], c11[..., 1]), basis)
-            m0 = _hermite1((c00[..., 2], c00[..., 3],
-                            c10[..., 2], c10[..., 3]), basis)
-            m1 = _hermite1((c01[..., 2], c01[..., 3],
-                            c11[..., 2], c11[..., 3]), basis)
-            return p0, m0, p1, m1
-
-        col = vblend(hv)
-        n = _hermite1(col, hu)
-        gu = _hermite1(col, du)
-        gv = _hermite1(vblend(dv), hu)
-        return n, (gu * self.inv_hx, gv * self.inv_hy)
+        n, gx, gy = c1_blend(corners, ux, uy, self.inv_hx, self.inv_hy)
+        return n, (gx, gy)
 
     def n(self, x, y):
         return self.n_and_grad(x, y)[0]

@@ -146,6 +146,130 @@ def test_c1_repairs_vert_momentum_cv():
     assert cv_c1 < 5e-4, cv_c1
 
 
+@pytest.fixture(scope="module")
+def c1_fisheye():
+    scen = rt.scenario("fisheye")
+    med = build_c1_medium("fisheye", scen.box, dtype=np.float32)
+    r = 1024
+    pos0 = np.tile(np.array([[1.0, 0.0]], np.float32), (r, 1))
+    theta0 = (np.pi / 2 + np.linspace(-0.02, 0.02, r)).astype(np.float32)
+    return scen, med, pos0, theta0
+
+
+@pytest.mark.slow
+def test_c1_tiled_kernel_matches_scan(c1_fisheye):
+    """The 16-channel tiled window kernel evaluates the same C1 spline as
+    the scan tier (shared media.c1.c1_blend definition)."""
+    from raytracing_tpu.engine.segmented import grid_trace_tiled
+
+    scen, med, pos0, theta0 = c1_fisheye
+    ds = np.float32(2 * np.pi / 303)
+    g = grid_trace_tiled("op1", pos0, theta0, ds, med, steps=48,
+                         box=tuple(scen.box), block_rays=1024,
+                         interpret=True)
+    ref = rt.trace("op1", scen, med, delta_s=float(ds), mode="metrics",
+                   dtype=np.float32, max_size=49, pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(g.pos),
+                               np.asarray(ref.final.pos), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(g.traveltime),
+                               np.asarray(ref.final.traveltime), atol=5e-5)
+
+
+@pytest.mark.slow
+def test_c1_tiled_golden_op(c1_fisheye):
+    from raytracing_tpu.engine.segmented import grid_trace_tiled
+
+    scen, med, pos0, theta0 = c1_fisheye
+    ds = np.float32(2 * np.pi / 303)
+    # parity bracket schedule: the f32 scan engine follows the pure-bracket
+    # angle sequence (same convention as test_tiled_golden_ops_on_grid)
+    from raytracing_tpu.config import golden_iters
+    parity = (golden_iters(np.float32), 0)
+    g = grid_trace_tiled("op5", pos0, theta0, ds, med, steps=32,
+                         box=tuple(scen.box), block_rays=1024,
+                         interpret=True, gold_schedule=parity)
+    ref = rt.trace("op5", scen, med, delta_s=float(ds), mode="metrics",
+                   dtype=np.float32, max_size=33, pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(g.pos),
+                               np.asarray(ref.final.pos), atol=3e-4)
+
+
+@pytest.mark.slow
+def test_c1_tiled_oriented_bit_identical(c1_fisheye):
+    from raytracing_tpu.engine.segmented import grid_trace_tiled
+
+    scen, med, pos0, theta0 = c1_fisheye
+    ds = np.float32(2 * np.pi / 303)
+    kw = dict(steps=40, box=tuple(scen.box), block_rays=1024, interpret=True)
+    a = grid_trace_tiled("op1", pos0, theta0, ds, med, **kw)
+    b = grid_trace_tiled("op1", pos0, theta0, ds, med, oriented=True, **kw)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+
+
+@pytest.mark.slow
+def test_fast_trace_routes_c1_to_tiled(c1_fisheye):
+    from raytracing_tpu.engine.fast import fast_trace
+
+    scen, med, pos0, theta0 = c1_fisheye
+    out = fast_trace("op1", scen, med, delta_s=2 * np.pi / 303,
+                     pos0=pos0, theta0=theta0, steps=48, block_rays=1024,
+                     interpret=True)
+    assert out.engine == "grid-tiled"
+    assert np.all(np.isfinite(np.asarray(out.pos)))
+    # row-window mode stays parity-only
+    from raytracing_tpu.engine.segmented import grid_trace_tiled
+    with pytest.raises(ValueError, match="row windows"):
+        grid_trace_tiled("op1", pos0, theta0, np.float32(0.01), med,
+                         steps=8, box=tuple(scen.box), block_rays=1024,
+                         interpret=True, row_windows=True)
+
+
+@pytest.mark.slow
+def test_c1_strat_kernel_matches_scan():
+    """The 4-channel stratified kernel (one cubic for n AND dn/dy) agrees
+    with the scan tier on the same C1 medium; fast_trace routes it."""
+    from raytracing_tpu.engine.fast import fast_trace
+
+    scen = rt.scenario("interface")
+    med = build_c1_stratified("interface", scen.box, dtype=np.float32)
+    r = 256
+    pos0 = np.tile(scen.pos0[:1].astype(np.float32), (r, 1))
+    theta0 = np.sort(np.resize(np.asarray(scen.theta0, np.float32), r))
+    out = fast_trace("op6", scen, med, delta_s=0.01, pos0=pos0,
+                     theta0=theta0, steps=300, block_rays=128,
+                     interpret=True)
+    assert out.engine == "fused-strat-seg-skip"
+    ref = rt.trace("op6", scen, med, delta_s=0.01, mode="metrics",
+                   dtype=np.float32, max_size=301, pos0=pos0, theta0=theta0)
+    np.testing.assert_allclose(np.asarray(out.pos),
+                               np.asarray(ref.final.pos), atol=3e-4)
+
+
+@pytest.mark.slow
+def test_c1_strat_golden_on_device_cv():
+    """The on-device Welford CV oracle through the golden kernel reads the
+    C1 medium's repaired conservation: ~1e-4 % where the parity medium
+    floors at ~5e-3 % (docs/PRECISION.md)."""
+    from raytracing_tpu.kernels.golden import golden_trace_final
+
+    vs = rt.scenario("vert")
+    med = build_c1_stratified("vert_heterogeneous", vs.box,
+                              dtype=np.float32)
+    r = 256
+    pos0 = np.tile(vs.pos0[:1].astype(np.float32), (r, 1))
+    # interior launch angles: theta near 0 / pi/2 make p_x ~ 0 and CV
+    # meaningless (the reference masks those, RT_bench.py:957-958)
+    theta0 = np.linspace(0.2, 1.2, r).astype(np.float32)
+    g = golden_trace_final(pos0, theta0, np.float32(0.0193),
+                           np.float32(1.0), field="vert_heterogeneous",
+                           op="op5", steps=200, box=tuple(vs.box),
+                           block_rays=128, interpret=True, medium=med,
+                           with_stats=True)
+    cv = (100.0 * np.sqrt(np.asarray(g.mom_m2) / np.asarray(g.mom_count))
+          / np.abs(np.asarray(g.mom_mean)))
+    assert float(np.nanmax(cv)) < 5e-4, float(np.nanmax(cv))
+
+
 def test_c1_grid_fisheye_closure():
     """2-D C1 medium closure is at least as good as the parity medium's."""
     from raytracing_tpu.engine.oracles import closure_error_pct
