@@ -659,30 +659,14 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
         if node_ch == 9:
             gb = jnp.sqrt(_gbound(nodes3d[..., 1:5]) ** 2
                           + _gbound(nodes3d[..., 5:9]) ** 2)
+            kappa = jnp.max(gb / jnp.maximum(nmin, jnp.float32(1e-6)))
         else:
-            # C1 form: grad n is the derivative of the n spline; bound it
-            # per cell from the Hermite basis extrema (the jnp twin of
-            # media.c1.c1_kappa_cell_bound — value pairs enter through
-            # their corner DIFFERENCE, an O(h) term), and subtract the
-            # tangent-channel overshoot from n's corner minimum
-            f, fv, fu, fw = (nodes3d[..., k] for k in range(4))
-
-            def _dmax_x(a):
-                d = jnp.abs(a[:, 1:] - a[:, :-1])
-                return jnp.maximum(d[:-1, :], d[1:, :])
-
-            def _dmax_y(a):
-                d = jnp.abs(a[1:, :] - a[:-1, :])
-                return jnp.maximum(d[:, :-1], d[:, 1:])
-
-            gu = (1.5 * (_dmax_x(f) + hd * _dmax_x(fv))
-                  + _cmax(fu) + hd * _cmax(fw))
-            gv = (1.5 * (_dmax_y(f) + hd * _dmax_y(fu))
-                  + _cmax(fv) + hd * _cmax(fw))
-            gb = jnp.sqrt((gu * inv_hx) ** 2 + (gv * inv_hy) ** 2)
-            nmin = nmin - (hd * (_cmax(fv) + _cmax(fu))
-                           + hd * hd * _cmax(fw))
-        kappa = jnp.max(gb / jnp.maximum(nmin, jnp.float32(1e-6)))
+            # C1 form: grad n is the derivative of the n spline — the ONE
+            # chord-decomposition bound shared with the host sizing path
+            # (media.c1.c1_kappa_cell_bound, xp=jnp for the traced twin)
+            from raytracing_tpu.media.c1 import c1_kappa_cell_bound
+            kappa = c1_kappa_cell_bound(nodes3d, jnp.float32(inv_hx),
+                                        jnp.float32(inv_hy), xp=jnp)
         kappa = kappa * jnp.maximum(jnp.float32(1.0), jnp.abs(gamma))
         sag = travel * travel * kappa * 0.5
         margin_x = jnp.ceil(sag * inv_hx) + 1.0

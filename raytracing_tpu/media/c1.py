@@ -177,52 +177,76 @@ class C1StratifiedMedium:
         return self.n_and_grad(x, y)[0]
 
 
-def c1_kappa_cell_bound(nodes, inv_hx, inv_hy):
+def c1_kappa_cell_bound(nodes, inv_hx, inv_hy, xp=np):
     """Rigorous per-cell bound on |grad n| / n for a C1 medium.
 
     Same role as hermite.kappa_cell_bound (sizes the tiled kernel's
     drift-predicted window margins), adapted to the single-spline form.
-    Within a cell, dS/du is a cubic with Hermite data (p0'=..., built from
-    the corner columns); bounding each piece by the basis extrema:
+    Along a v-slice of a cell, dS/du is the cubic-Hermite derivative with
+    data (p0, m0, p1, m1); the chord decomposition
 
-        |dS/du| <= 3/2 (|Dx f| + 4/27 |Dx f_v|)      (value pair: h00'=-h01',
-                 + max|f_u| + 4/27 max|f_uv|          so only the x-DIFFERENCE
-                                                      of the value columns
-                                                      enters — an O(h) term)
+        p'(t) = D + (m0 - D) h10'(t) + (m1 - D) h11'(t),   D = p1 - p0,
 
-    with Dx the max in-cell x-difference and max over the cell's corners;
-    symmetrically for dS/dv.  n's in-cell lower bound subtracts the
-    tangent-channel overshoot from the corner minimum.  ``nodes`` is
-    (ny, nx, 4) float64.
+    (exact — substitute m0 = m1 = D to check) with |h10'| + |h11'| <= 1 on
+    [0, 1] gives |p'| <= |D| + max(|m0 - D|, |m1 - D|): the chord slope
+    plus the tangents' deviation FROM the chord.  For smooth media the
+    deviation is O(h^2), so the bound tracks the true gradient (the naive
+    basis-extrema bound |h00'| <= 3/2 overestimates ~2.5x and would
+    over-shrink C1 windows).  D, m0, m1 are themselves v-Hermite blends of
+    corner data, bounded by corner maxima with the tangent-pair constant
+    1/4 (max_t (h10 + |h11|) = t(1-t) <= 1/4).  Symmetrically for dS/dv.
+    n's in-cell lower bound subtracts the tangent-channel overshoot from
+    the corner minimum.  ``nodes`` is (ny, nx, 4); pass ``xp=jnp`` for the
+    traced twin used inside engine/segmented's refresh margins.
     """
     f, fv, fu, fvu = (nodes[..., k] for k in range(4))
+    q = 0.25
 
     def cmax(a):
-        a = np.abs(a)
-        return np.maximum(np.maximum(a[:-1, :-1], a[:-1, 1:]),
-                          np.maximum(a[1:, :-1], a[1:, 1:]))
+        a = xp.abs(a)
+        return xp.maximum(xp.maximum(a[:-1, :-1], a[:-1, 1:]),
+                          xp.maximum(a[1:, :-1], a[1:, 1:]))
 
-    def dmax_x(a):
-        d = np.abs(a[:, 1:] - a[:, :-1])
-        return np.maximum(d[:-1, :], d[1:, :])
+    def du(a):
+        """SIGNED in-cell +x differences, stacked over the two y-rows."""
+        d = a[:, 1:] - a[:, :-1]
+        return xp.stack([d[:-1, :], d[1:, :]], axis=-1)
 
-    def dmax_y(a):
-        d = np.abs(a[1:, :] - a[:-1, :])
-        return np.maximum(d[:, :-1], d[:, 1:])
+    def dv(a):
+        d = a[1:, :] - a[:-1, :]
+        return xp.stack([d[:, :-1], d[:, 1:]], axis=-1)
 
-    gu = (1.5 * (dmax_x(f) + _HERM_D * dmax_x(fv))
-          + cmax(fu) + _HERM_D * cmax(fvu))
-    gv = (1.5 * (dmax_y(f) + _HERM_D * dmax_y(fu))
-          + cmax(fv) + _HERM_D * cmax(fvu))
-    g = np.sqrt((gu * inv_hx) ** 2 + (gv * inv_hy) ** 2)
+    def u_edges(a):
+        """``a`` at the cell's x=0 / x=1 edges, stacked over y-rows."""
+        return (xp.stack([a[:-1, :-1], a[1:, :-1]], axis=-1),
+                xp.stack([a[:-1, 1:], a[1:, 1:]], axis=-1))
+
+    def v_edges(a):
+        return (xp.stack([a[:-1, :-1], a[:-1, 1:]], axis=-1),
+                xp.stack([a[1:, :-1], a[1:, 1:]], axis=-1))
+
+    def axis_bound(diff, edges, tan, ttan, val, vtan):
+        Dv = diff(val)            # chord of the value column, per row
+        Dt = diff(vtan)           # chord of the transverse-tangent column
+        Db = xp.abs(Dv).max(-1) + q * xp.abs(Dt).max(-1)
+        t0, t1 = edges(tan)       # tangent columns at the two edges
+        w0, w1 = edges(ttan)
+        dev0 = xp.abs(t0 - Dv).max(-1) + q * xp.abs(w0 - Dt).max(-1)
+        dev1 = xp.abs(t1 - Dv).max(-1) + q * xp.abs(w1 - Dt).max(-1)
+        return Db + xp.maximum(dev0, dev1)
+
+    gu = axis_bound(du, u_edges, fu, fvu, f, fv)
+    gv = axis_bound(dv, v_edges, fv, fvu, f, fu)
+    g = xp.sqrt((gu * inv_hx) ** 2 + (gv * inv_hy) ** 2)
 
     f0 = nodes[..., 0]
-    nmin_c = np.minimum(np.minimum(f0[:-1, :-1], f0[:-1, 1:]),
-                        np.minimum(f0[1:, :-1], f0[1:, 1:]))
+    nmin_c = xp.minimum(xp.minimum(f0[:-1, :-1], f0[:-1, 1:]),
+                        xp.minimum(f0[1:, :-1], f0[1:, 1:]))
     overshoot = (_HERM_D * (cmax(fv) + cmax(fu))
                  + _HERM_D * _HERM_D * cmax(fvu))
-    nmin_c = np.maximum(nmin_c - overshoot, 1e-6)
-    return float((g / nmin_c).max())
+    nmin_c = xp.maximum(nmin_c - overshoot, 1e-6)
+    kappa = (g / nmin_c).max()
+    return kappa if xp is not np else float(kappa)
 
 
 def _n_spline_cells(Z, y, x, backend: str = "auto"):
