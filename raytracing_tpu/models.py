@@ -1,14 +1,18 @@
 """Model zoo: ready-to-trace (scenario, medium) pairings with calibrated steps.
 
 The framework's "model families" are the four physics scenarios
-(RT_bench.py:104-119, 247-295), each available with three medium backends:
+(RT_bench.py:104-119, 247-295), each available with five medium backends:
 
-* ``analytic``   — closed-form n / grad n (exact; fastest kernels)
-* ``stratified`` — the reference's sampled-spline pipeline collapsed to 1-D
-  tables for the x-independent fields (production medium; kernel-speed on
-  TPU via the table-gather kernels)
-* ``grid``       — the full 2-D sampled-spline pipeline (bit-faithful to
-  FITPACK; scan-engine tier)
+* ``analytic``      — closed-form n / grad n (exact; fastest kernels)
+* ``stratified``    — the reference's sampled-spline pipeline collapsed to
+  1-D tables for the x-independent fields (production medium; kernel-speed
+  on TPU via the table-gather kernels)
+* ``grid``          — the full 2-D sampled-spline pipeline (bit-faithful
+  to FITPACK; tiled-window kernel tier)
+* ``c1``            — consistent-gradient 2-D medium (media/c1.py): one
+  spline serves n AND grad n — conservation at the analytic floor,
+  16-float kernel cells (PARITY.md #29)
+* ``c1-stratified`` — the 1-D consistent form for x-independent fields
 
 A model resolves calibrated step sizes (RT_bench.py:1413-1455, with the
 base-op fallback for extension ops) and runs either execution tier in one
@@ -28,7 +32,7 @@ import numpy as np
 from raytracing_tpu import config
 from raytracing_tpu.media.medium import analytic_medium
 
-MEDIUM_KINDS = ("analytic", "stratified", "grid")
+MEDIUM_KINDS = ("analytic", "stratified", "grid", "c1", "c1-stratified")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,6 +115,17 @@ def get(name: str, medium: str = "analytic", dtype=np.float32,
         from raytracing_tpu.media.spline import build_stratified_medium
 
         med = build_stratified_medium(scen.field, scen.box, dtype=dtype)
+    elif medium == "c1":
+        # consistent-gradient family (media/c1.py): grad n is exactly the
+        # gradient of n — conservation at the analytic floor, 16-float
+        # kernel cells (PARITY.md #29)
+        from raytracing_tpu.media.c1 import build_c1_medium
+
+        med = build_c1_medium(scen.field, scen.box, dtype=dtype)
+    elif medium == "c1-stratified":
+        from raytracing_tpu.media.c1 import build_c1_stratified
+
+        med = build_c1_stratified(scen.field, scen.box, dtype=dtype)
     elif medium == "analytic":
         med = analytic_medium(scen.field)
     else:

@@ -270,6 +270,37 @@ def test_c1_strat_golden_on_device_cv():
     assert float(np.nanmax(cv)) < 5e-4, float(np.nanmax(cv))
 
 
+@pytest.mark.slow
+def test_c1_model_zoo_and_diff_tier():
+    """models.get exposes the C1 backends; trace_diff differentiates
+    through the C1 gather evaluation."""
+    import jax.numpy as jnp
+
+    from raytracing_tpu import models
+    from raytracing_tpu.engine.diff import trace_diff
+
+    m = models.get("vert", medium="c1-stratified")
+    out = m.run("op8", block_rays=128)
+    assert out.engine == "fused-strat-seg-skip"
+    assert np.all(np.isfinite(np.asarray(out.pos)))
+    m2 = models.get("fisheye", medium="c1")
+    out2 = m2.run("op1", block_rays=128)
+    assert out2.engine == "grid-tiled"
+
+    scen = rt.scenario("fisheye")
+    c1 = build_c1_medium("fisheye", scen.box, dtype=np.float32)
+    pos0 = np.tile(np.array([[1.0, 0.0]], np.float32), (8, 1))
+    th = np.full(8, np.pi / 2, np.float32)
+
+    def loss(ds):
+        r = trace_diff("op1", c1, pos0, th, ds, steps=32,
+                       box=tuple(scen.box))
+        return jnp.sum(r.pos ** 2)
+
+    g = jax.grad(loss)(jnp.float32(0.02))
+    assert np.isfinite(float(g)) and float(g) != 0.0
+
+
 def test_c1_grid_fisheye_closure():
     """2-D C1 medium closure is at least as good as the parity medium's."""
     from raytracing_tpu.engine.oracles import closure_error_pct
