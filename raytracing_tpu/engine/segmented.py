@@ -778,13 +778,15 @@ def _tiled_sweep_segments(state, nodes3d, scal, n_seg, *, op, segment, box,
     rows = block_rays // LANES
     nblocks = r // block_rays
     nchunks = -(-th * tw // LANES)
-    n_ch = nchunks * 36
+    cell_ch = 4 * nodes3d.shape[-1]       # 36 parity / 16 C1
+    n_ch = nchunks * cell_ch
     shape2 = state[0].shape
     zero = jnp.zeros(shape2, jnp.float32)
     from raytracing_tpu.config import gold_tol
     kernel = _make_kernel("hermite-tile", op, segment, box,
                           gold_tol(np.float32), resume=True,
-                          tile=meta + tile_shape, per_block_scal=True)
+                          tile=meta + tile_shape, per_block_scal=True,
+                          tile_channels=cell_ch)
     blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     tile_spec = pl.BlockSpec((1, n_ch, LANES), lambda i: (i, 0, 0),
@@ -847,10 +849,12 @@ def grid_sweep_tiled(op: str, pos0, theta0, delta_s, step_limits, medium, *,
     ``(final_pos, fallback_idx)`` with ``final_pos`` (n_candidates, 2) —
     NaN rows for fallback candidates.
     """
+    from raytracing_tpu.media.c1 import C1GridMedium
     from raytracing_tpu.media.hermite import HermiteGridMedium
 
-    if not isinstance(medium, HermiteGridMedium):
-        raise ValueError("grid_sweep_tiled needs a HermiteGridMedium")
+    if not isinstance(medium, (HermiteGridMedium, C1GridMedium)):
+        raise ValueError("grid_sweep_tiled needs a HermiteGridMedium or "
+                         "C1GridMedium")
     if op not in FUSED_OPS or op == "op7":
         # op7 carries a 4-component position window the batched kernel's
         # n_state=9 layout does not provision (ADVICE r2 #1)
@@ -866,7 +870,7 @@ def grid_sweep_tiled(op: str, pos0, theta0, delta_s, step_limits, medium, *,
     pos0 = np.asarray(pos0, np.float32).reshape(n_cand, 2)
     theta0 = np.asarray(theta0, np.float32).reshape(n_cand)
     nodes3d = jnp.asarray(medium.nodes, jnp.float32).reshape(
-        medium.ny, medium.nx, 9)
+        medium.ny, medium.nx, int(medium.nodes.shape[-1]))
 
     # window class per candidate: segment chosen per class from its
     # coarsest member so every refresh's travel fits with ~2 bbox cells of

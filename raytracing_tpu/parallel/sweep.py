@@ -152,7 +152,10 @@ def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
 
     if interpret is None:
         interpret = _jax.default_backend() == "cpu"
-    use_grid = isinstance(medium, (GridMedium, HermiteGridMedium))
+    from raytracing_tpu.media.c1 import C1GridMedium, C1StratifiedMedium
+
+    use_grid = isinstance(medium, (GridMedium, HermiteGridMedium,
+                                   C1GridMedium))
     if use_grid:
         if not scen.is_fisheye:
             raise ValueError(
@@ -162,8 +165,10 @@ def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
             from raytracing_tpu.engine.fast import _as_hermite
 
             medium = _as_hermite(medium)
-    use_strat = isinstance(medium, StratifiedGridMedium)
-    if use_strat:
+    use_strat = isinstance(medium, (StratifiedGridMedium,
+                                    C1StratifiedMedium))
+    if isinstance(medium, StratifiedGridMedium):
+        # table trim is parity-form only; C1 tables route untrimmed
         from raytracing_tpu.media.spline import compact_stratified
 
         dmax = 2 * float(np.max(delta_s))
@@ -421,9 +426,11 @@ def fused_sweep_supported(op_name: str, scen: config.ScenarioConfig,
 
     if op_name not in FUSED_OPS and op_name not in GOLDEN_OPS:
         return False
-    if isinstance(medium, StratifiedGridMedium):
+    from raytracing_tpu.media.c1 import C1GridMedium, C1StratifiedMedium
+
+    if isinstance(medium, (StratifiedGridMedium, C1StratifiedMedium)):
         return not scen.is_fisheye
-    if isinstance(medium, (GridMedium, HermiteGridMedium)):
+    if isinstance(medium, (GridMedium, HermiteGridMedium, C1GridMedium)):
         # 2-D grid sweeps run through the tiled window kernel (fisheye only)
         return scen.is_fisheye
     # the kernel sweep inlines the SCENARIO's field; an analytic medium with
@@ -491,9 +498,11 @@ def delta_s_search(op_name: str, scen: config.ScenarioConfig, medium, *,
         from raytracing_tpu.media.hermite import HermiteGridMedium
         from raytracing_tpu.media.spline import GridMedium, StratifiedGridMedium
 
-        med = (medium if isinstance(medium, (StratifiedGridMedium,
-                                             GridMedium, HermiteGridMedium))
-               else None)
+        from raytracing_tpu.media.c1 import (C1GridMedium,
+                                             C1StratifiedMedium)
+        med = (medium if isinstance(
+            medium, (StratifiedGridMedium, GridMedium, HermiteGridMedium,
+                     C1GridMedium, C1StratifiedMedium)) else None)
         metrics = run_candidates_fused(
             op_c, scen, delta_s, sizes - 1, max_size - 1, medium=med,
             rays=rays, block_rays=block_rays, checkpoint=checkpoint)

@@ -91,9 +91,16 @@ def _trace_request(body: dict) -> dict:
         # sampled tables per scenario)
         from raytracing_tpu import models
         medium = models.get(scen.name, medium="grid").medium
+    elif medium_kind in ("c1", "c1-stratified"):
+        # consistent-gradient family (media/c1.py, PARITY.md #29)
+        if medium_kind == "c1-stratified" and scen.is_fisheye:
+            raise ValueError("c1-stratified needs an x-independent field; "
+                             "fisheye samples in 2-D — use medium=c1")
+        from raytracing_tpu import models
+        medium = models.get(scen.name, medium=medium_kind).medium
     else:
-        raise ValueError(f"medium must be 'analytic', 'stratified' or "
-                         f"'grid', got {medium_kind!r}")
+        raise ValueError(f"medium must be 'analytic', 'stratified', 'grid', "
+                         f"'c1' or 'c1-stratified', got {medium_kind!r}")
     precision = str(body.get("precision", "standard"))
     t0 = time.perf_counter()
     out = fast_trace(op, scen, medium, delta_s=delta_s, steps=steps,

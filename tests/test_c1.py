@@ -301,6 +301,38 @@ def test_c1_model_zoo_and_diff_tier():
     assert np.isfinite(float(g)) and float(g) != 0.0
 
 
+@pytest.mark.slow
+def test_c1_sweep_paths():
+    """The batched tiled sweep and the fused candidate sweep cover C1
+    media (grid AND stratified forms)."""
+    from raytracing_tpu.engine.segmented import grid_sweep_tiled
+    from raytracing_tpu.parallel.sweep import (fused_sweep_supported,
+                                               run_candidates_fused)
+
+    scen = rt.scenario("fisheye")
+    c1 = build_c1_medium("fisheye", scen.box, dtype=np.float32)
+    assert fused_sweep_supported("op1", scen, c1)
+    nc = 4
+    ds = (2 * np.pi / np.array([60.0, 50.0, 40.0, 30.0])).astype(np.float32)
+    lim = np.full(nc, 24, np.float32)
+    pos0 = np.tile(np.array([[1.0, 0.0]], np.float32), (nc, 1))
+    th = np.full(nc, np.pi / 2, np.float32)
+    final, fb = grid_sweep_tiled("op1", pos0, th, ds, lim, c1,
+                                 box=tuple(scen.box), block_rays=1024,
+                                 interpret=True)
+    assert fb == [] and np.all(np.isfinite(final))
+
+    vs = rt.scenario("vert")
+    vc1 = build_c1_stratified("vert_heterogeneous", vs.box,
+                              dtype=np.float32)
+    assert fused_sweep_supported("op8", vs, vc1)
+    m = run_candidates_fused("op8", vs, np.array([0.02, 0.015], np.float32),
+                             np.array([50, 60], np.float32), 60, medium=vc1,
+                             rays=128, block_rays=128, interpret=True)
+    cv = np.asarray(m["cv_pct"])
+    assert np.all(np.isfinite(cv)) and np.all(cv < 1e-3)
+
+
 def test_c1_grid_fisheye_closure():
     """2-D C1 medium closure is at least as good as the parity medium's."""
     from raytracing_tpu.engine.oracles import closure_error_pct

@@ -121,3 +121,21 @@ def test_trace_grid_medium(server):
     assert code == 200, body
     assert body["medium"] == "grid"
     assert body["engine"] in ("grid-tiled", "grid-supercell", "scan")
+
+
+def test_trace_c1_media(server):
+    """The consistent-gradient family serves through the same endpoint."""
+    code, body = _post(server + "/v1/trace",
+                       {"scenario": "fisheye", "op": "op6", "rays": 128,
+                        "medium": "c1", "divisor": 100, "n_turns": 1})
+    assert code == 200, body
+    assert body["medium"] == "c1"
+    assert body["engine"] in ("grid-tiled", "scan")
+    code, body = _post(server + "/v1/trace",
+                       {"scenario": "vert", "op": "op8", "rays": 128,
+                        "medium": "c1-stratified"})
+    assert code == 200, body
+    assert body["engine"] in ("fused-strat-seg-skip", "scan")
+    code, body = _post(server + "/v1/trace",
+                       {"scenario": "fisheye", "medium": "c1-stratified"})
+    assert code == 400 and "x-independent" in body["error"]
