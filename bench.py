@@ -281,9 +281,12 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
     ds = config.SIGMA / 2.74
     steps = min(scen.max_size(ds) - 1, 3000)
 
-    from raytracing_tpu.media.c1 import build_c1_stratified
-    c1vmed = build_c1_stratified("vert_heterogeneous", scen.box,
-                                 dtype=np.float32)
+    from raytracing_tpu.media.c1 import (build_c1_stratified,
+                                         compact_c1_stratified)
+    c1vmed = compact_c1_stratified(
+        build_c1_stratified("vert_heterogeneous", scen.box,
+                            dtype=np.float32),
+        y_range=(scen.box[2] - 0.05, scen.box[3] + 0.05))
     for tag, med in (("vert", None), ("vert_strat", vmed),
                      ("vert_c1_strat", c1vmed)):
         def run_v(med=med, sync=True):

@@ -22,7 +22,8 @@ import raytracing_tpu as rt
 from raytracing_tpu.engine.fast import _as_hermite
 from raytracing_tpu.engine.segmented import grid_trace_tiled
 from raytracing_tpu.kernels.fused import fused_trace_final_strat
-from raytracing_tpu.media.c1 import build_c1_medium, build_c1_stratified
+from raytracing_tpu.media.c1 import (build_c1_medium, build_c1_stratified,
+                                     compact_c1_stratified)
 from raytracing_tpu.media.spline import (build_grid_medium,
                                          build_stratified_medium,
                                          compact_stratified)
@@ -74,7 +75,9 @@ def main(argv=None):
         build_stratified_medium("vert_heterogeneous", vs.box,
                                 dtype=np.float32),
         y_range=(vs.box[2] - 0.05, vs.box[3] + 0.05))
-    vc1 = build_c1_stratified("vert_heterogeneous", vs.box, dtype=np.float32)
+    vc1 = compact_c1_stratified(
+        build_c1_stratified("vert_heterogeneous", vs.box, dtype=np.float32),
+        y_range=(vs.box[2] - 0.05, vs.box[3] + 0.05))
     vpos = jax.device_put(np.tile(vs.pos0[:1].astype(np.float32), (r, 1)))
     vth = jax.device_put(np.resize(np.asarray(vs.theta0, np.float32), r))
     ds = np.float32(rt.SIGMA / 2.74)

@@ -99,6 +99,12 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
         medium = compact_stratified(
             medium, y_range=(scen.box[2] - 2 * float(delta_s),
                              scen.box[3] + 2 * float(delta_s)))
+    elif isinstance(medium, C1StratifiedMedium):
+        from raytracing_tpu.media.c1 import compact_c1_stratified
+
+        medium = compact_c1_stratified(
+            medium, y_range=(scen.box[2] - 2 * float(delta_s),
+                             scen.box[3] + 2 * float(delta_s)))
 
     if precision == "high":
         from raytracing_tpu.kernels.df import DF_FIELDS, df_trace
@@ -332,7 +338,7 @@ def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
 
     if isinstance(medium, GridMedium):
         medium = _as_hermite(medium)
-    if isinstance(medium, HermiteGridMedium):
+    if isinstance(medium, (HermiteGridMedium, C1GridMedium)):
         # the tiled window kernel handles its own mesh sharding (rows
         # sharded, windows shard-local, flag pmax'd per round)
         if op not in FUSED_OPS and op not in GOLDEN_OPS:
@@ -364,10 +370,15 @@ def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
     use_strat = isinstance(medium, (StratifiedGridMedium, C1StratifiedMedium))
     use_custom = isinstance(medium, CustomMedium)
     if isinstance(medium, StratifiedGridMedium):
-        # table trim is parity-form only; C1 tables route untrimmed
         from raytracing_tpu.media.spline import compact_stratified
 
         medium = compact_stratified(
+            medium, y_range=(scen.box[2] - 2 * float(delta_s),
+                             scen.box[3] + 2 * float(delta_s)))
+    elif isinstance(medium, C1StratifiedMedium):
+        from raytracing_tpu.media.c1 import compact_c1_stratified
+
+        medium = compact_c1_stratified(
             medium, y_range=(scen.box[2] - 2 * float(delta_s),
                              scen.box[3] + 2 * float(delta_s)))
     n_dev = mesh.devices.size

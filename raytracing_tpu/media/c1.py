@@ -41,14 +41,9 @@ from flax import struct
 
 from raytracing_tpu import config
 from raytracing_tpu.media import grid as _grid
-from raytracing_tpu.media.hermite import _node_data, hermite_basis
-
-#: extrema of the 1-D Hermite bases on [0, 1] used by the rigorous
-#: per-cell gradient bound: value-basis derivative |h00'| <= 3/2 (and
-#: h01' = -h00', so the value pair contributes through the corner
-#: DIFFERENCE), tangent-basis derivatives |h10'|, |h11'| <= 1 with
-#: |h10'| + |h11'| <= 1; tangent value bases |h10| = |h11| <= 4/27.
-_HERM_D = 4.0 / 27.0
+# _HERM_D: |h10| = |h11| <= 4/27 Hermite tangent-basis extremum — the ONE
+# definition (with its derivation) lives next to the parity bound
+from raytracing_tpu.media.hermite import _HERM_D, _node_data, hermite_basis
 
 
 def hermite_dbasis(t):
@@ -306,6 +301,45 @@ def build_c1_medium(field: str, box, delta: float = config.DELTA,
     """Sample ``field`` on the reference's padded grid, build a C1 medium."""
     x, y, Z = _grid.gen_grid(field, box, delta)
     return c1_medium_from_samples(Z, x, y, dtype=dtype, backend=backend)
+
+
+def compact_c1_stratified(medium: C1StratifiedMedium, margin: int = 2,
+                          y_range: tuple[float, float] | None = None
+                          ) -> C1StratifiedMedium:
+    """Trim a C1 stratified table to its reachable, nontrivial window.
+
+    The C1 twin of media.spline.compact_stratified — without it the C1
+    kernels gather nch x 4 channels over the FULL padded table (interface:
+    6 lane chunks) while the compacted parity form needs one, inverting
+    the 4-vs-6-channel advantage.  Constancy: cells where the cubic is
+    flat (c1..c3 ~ 0) and the value matches the edge plateau; reachability
+    (``y_range``): rows a boxed ray can never query.  Same contract as the
+    parity trim: exact for reachable queries, clamping differs outside.
+    """
+    cn = np.asarray(medium.cn, np.float64)
+    hy = 1.0 / medium.inv_hy
+    lo, hi = 0, len(cn) - 1
+    eps = float(np.finfo(np.float32).eps)
+    tol_c = eps * float(np.abs(cn[:, 1:]).max() or 1.0)
+    tol_z = eps * float(cn[:, 0].max() - cn[:, 0].min() or 1.0)
+    nz_c = np.nonzero(np.abs(cn[:, 1:]).max(1) > tol_c)[0]
+    nz_lo = np.nonzero(np.abs(cn[:, 0] - cn[0, 0]) > tol_z)[0]
+    nz_hi = np.nonzero(np.abs(cn[:, 0] - cn[-1, 0]) > tol_z)[0]
+    if len(nz_c) and len(nz_lo) and len(nz_hi):
+        lo = max(lo, int(min(nz_c.min(), nz_lo.min() - 1)) - margin)
+        hi = min(hi, int(max(nz_c.max(), nz_hi.max() + 1)) + margin)
+    if y_range is not None:
+        y_lo, y_hi = y_range
+        lo = max(lo, int(np.floor((y_lo - medium.y0) / hy)) - margin)
+        hi = min(hi, int(np.ceil((y_hi - medium.y0) / hy)) + margin)
+    lo = max(lo, 0)
+    hi = min(hi, len(cn) - 1)
+    if (lo <= 0 and hi >= len(cn) - 1) or hi < lo:
+        return medium
+    return C1StratifiedMedium(
+        cn=medium.cn[lo:hi + 1],
+        y0=float(medium.y0 + lo * hy), inv_hy=medium.inv_hy,
+        ny=hi - lo + 2)
 
 
 def build_c1_stratified(field: str, box, delta: float = config.DELTA,

@@ -168,11 +168,16 @@ def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
     use_strat = isinstance(medium, (StratifiedGridMedium,
                                     C1StratifiedMedium))
     if isinstance(medium, StratifiedGridMedium):
-        # table trim is parity-form only; C1 tables route untrimmed
         from raytracing_tpu.media.spline import compact_stratified
 
         dmax = 2 * float(np.max(delta_s))
         medium = compact_stratified(
+            medium, y_range=(scen.box[2] - dmax, scen.box[3] + dmax))
+    elif isinstance(medium, C1StratifiedMedium):
+        from raytracing_tpu.media.c1 import compact_c1_stratified
+
+        dmax = 2 * float(np.max(delta_s))
+        medium = compact_c1_stratified(
             medium, y_range=(scen.box[2] - dmax, scen.box[3] + dmax))
     use_golden = op_name in GOLDEN_OPS
     deg = 180.0 / np.pi

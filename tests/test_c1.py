@@ -333,6 +333,45 @@ def test_c1_sweep_paths():
     assert np.all(np.isfinite(cv)) and np.all(cv < 1e-3)
 
 
+def test_compact_c1_stratified():
+    """The C1 table trim (media.c1.compact_c1_stratified): interface's
+    681-row padded table collapses to one gather chunk, and trimmed
+    evaluation matches the full table over the reachable range."""
+    from raytracing_tpu.media.c1 import compact_c1_stratified
+
+    scen = rt.scenario("interface")
+    full = build_c1_stratified("interface", scen.box, dtype=np.float32)
+    trim = compact_c1_stratified(full, y_range=(scen.box[2] - 0.05,
+                                                scen.box[3] + 0.05))
+    assert trim.ny <= 128, trim.ny          # one 128-lane gather chunk
+    ys = np.linspace(scen.box[2], scen.box[3], 2001)
+    nf, (_, gf) = full.n_and_grad(np.zeros_like(ys), ys)
+    nt, (_, gt) = trim.n_and_grad(np.zeros_like(ys), ys)
+    np.testing.assert_allclose(np.asarray(nt), np.asarray(nf), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gf), atol=1e-3)
+    # nothing to trim -> same object back
+    assert compact_c1_stratified(trim) is trim
+
+
+@pytest.mark.slow
+def test_c1_grid_sharded_entry(c1_fisheye):
+    """fast_trace_sharded accepts the 2-D C1 medium (tiled kernel under
+    the mesh), not just the 1-D stratified form."""
+    from raytracing_tpu.engine.fast import fast_trace_sharded
+    from raytracing_tpu.parallel.mesh import make_mesh
+
+    n_dev = jax.device_count()
+    scen, med, _, _ = c1_fisheye
+    r = n_dev * 128
+    pos0 = np.tile(np.array([[1.0, 0.0]], np.float32), (r, 1))
+    theta0 = np.full(r, np.pi / 2, np.float32)
+    g = fast_trace_sharded("op1", scen, med, delta_s=2 * np.pi / 64,
+                           pos0=pos0, theta0=theta0, mesh=make_mesh(n_dev),
+                           steps=16, block_rays=128, interpret=True)
+    assert g.engine == "grid-tiled-sharded"
+    assert np.all(np.isfinite(np.asarray(g.pos)))
+
+
 def test_c1_grid_fisheye_closure():
     """2-D C1 medium closure is at least as good as the parity medium's."""
     from raytracing_tpu.engine.oracles import closure_error_pct
