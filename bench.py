@@ -504,6 +504,22 @@ def run_oracles(path: str = "ORACLES.json"):
         "pass": gerr < 5e-3}
     assert gerr < 5e-3, gerr
 
+    # df32 + C1: the consistent-gradient spline of the SAME samples tracks
+    # the analytic field to O(h^4), so here df32 arithmetic finally shows
+    # on a sampled medium — ten-turn closure at f64-substitute grade on
+    # user-measured data (one-turn err vs the analytic circle ~5e-8 at
+    # divisor 300; see tests/test_df_grid.py)
+    from raytracing_tpu.engine.df_grid import build_df_c1_medium
+    dfc = build_df_c1_medium("fisheye", rt.scenario("fisheye").box)
+    pc = df_grid_trace(pos0[:256], theta0[:256],
+                       np.float32(2 * np.pi / 4587), dfc, steps=4587 * 10)
+    cerr = float(np.linalg.norm(pc[0] - [1.0, 0.0]))
+    out["df32_c1_10turn_closure_abs"] = {
+        "value": cerr, "threshold": 1e-4, "divisor": 4587, "turns": 10,
+        "medium": "sampled-2d-c1-spline",
+        "pass": cerr < 1e-4}
+    assert cerr < 1e-4, cerr
+
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"# oracles -> {path}: all pass", file=sys.stderr)

@@ -206,9 +206,92 @@ def _make_df_nag(med: DfGridMedium):
     return nag
 
 
-def _make_df_k(med: DfGridMedium):
+@struct.dataclass
+class DfC1Medium:
+    """2-D C1 (consistent-gradient) medium with hi/lo split tables.
+
+    Power-basis per-cell tables of ONE spline (media/c1.py) plus its exact
+    derivative tables, all split f64 -> hi+lo f32 on host: n from C,
+    gx from Cu = d/du C / hx, gy from Cv = d/dv C / hy — consistency holds
+    to table precision (~1e-14 relative).  The C1 counterpart of
+    :class:`DfGridMedium`, and the combination that finally lets df32
+    arithmetic SHOW on sampled media: the C1 interpolant tracks the true
+    field to O(h^4) (~1e-6 on the reference fisheye grid) where the parity
+    medium's bilinear n floors at ~1.5e-4.
+    """
+
+    Ch: Any          # (ncells, 16) n-spline cells, hi words
+    Cl: Any
+    Cuh: Any         # d/du tables (pre-scaled by 1/hx)
+    Cul: Any
+    Cvh: Any         # d/dv tables (pre-scaled by 1/hy)
+    Cvl: Any
+    x0h: float = struct.field(pytree_node=False)
+    x0l: float = struct.field(pytree_node=False)
+    y0h: float = struct.field(pytree_node=False)
+    y0l: float = struct.field(pytree_node=False)
+    ihxh: float = struct.field(pytree_node=False)
+    ihxl: float = struct.field(pytree_node=False)
+    ihyh: float = struct.field(pytree_node=False)
+    ihyl: float = struct.field(pytree_node=False)
+    nx: int = struct.field(pytree_node=False)
+    ny: int = struct.field(pytree_node=False)
+
+
+def build_df_c1_medium(field: str, box,
+                       delta: float = config.DELTA) -> DfC1Medium:
+    """Sample ``field``, fit the C1 spline, split everything hi/lo."""
+    from raytracing_tpu.media.c1 import _n_spline_cells
+
+    x, y, Z = _grid.gen_grid(field, box, delta)
+    cells = np.asarray(_n_spline_cells(Z, y, x), np.float64)  # (ncy,ncx,4,4)
+    hx = float(x[1] - x[0])
+    hy = float(y[1] - y[0])
+    b = np.arange(4, dtype=np.float64)
+    cu = np.zeros_like(cells)
+    cu[..., :, :3] = cells[..., :, 1:] * b[1:] / hx     # d/du, u-power shift
+    cv = np.zeros_like(cells)
+    cv[..., :3, :] = cells[..., 1:, :] * b[1:, None] / hy
+    Ch, Cl = _split64(cells.reshape(-1, 16))
+    Cuh, Cul = _split64(cu.reshape(-1, 16))
+    Cvh, Cvl = _split64(cv.reshape(-1, 16))
+    x0h, x0l = _split_scalar(float(x[0]))
+    y0h, y0l = _split_scalar(float(y[0]))
+    ihxh, ihxl = _split_scalar(1.0 / hx)
+    ihyh, ihyl = _split_scalar(1.0 / hy)
+    return DfC1Medium(
+        Ch=jnp.asarray(Ch), Cl=jnp.asarray(Cl),
+        Cuh=jnp.asarray(Cuh), Cul=jnp.asarray(Cul),
+        Cvh=jnp.asarray(Cvh), Cvl=jnp.asarray(Cvl),
+        x0h=x0h, x0l=x0l, y0h=y0h, y0l=y0l,
+        ihxh=ihxh, ihxl=ihxl, ihyh=ihyh, ihyl=ihyl,
+        nx=len(x), ny=len(y))
+
+
+def _make_df_c1_nag(med: DfC1Medium):
+    """df (n, gx, gy) evaluator — three tensor Horners of ONE spline."""
+
+    def nag(pxh, pxl, pyh, pyl):
+        ix, uxh, uxl = _df_cell_coord(pxh, pxl, med.x0h, med.x0l,
+                                      med.ihxh, med.ihxl, med.nx)
+        iy, uyh, uyl = _df_cell_coord(pyh, pyl, med.y0h, med.y0l,
+                                      med.ihyh, med.ihyl, med.ny)
+        cflat = iy.astype(jnp.int32) * (med.nx - 1) + ix.astype(jnp.int32)
+        nh, nl = _df_tensor_horner(med.Ch[cflat], med.Cl[cflat],
+                                   uxh, uxl, uyh, uyl)
+        gxh, gxl = _df_tensor_horner(med.Cuh[cflat], med.Cul[cflat],
+                                     uxh, uxl, uyh, uyl)
+        gyh, gyl = _df_tensor_horner(med.Cvh[cflat], med.Cvl[cflat],
+                                     uxh, uxl, uyh, uyl)
+        return (nh, nl), (gxh, gxl), (gyh, gyl)
+
+    return nag
+
+
+def _make_df_k(med):
     """df angle rate k = (u x grad n)/n from the split tables."""
-    nag = _make_df_nag(med)
+    nag = (_make_df_c1_nag(med) if isinstance(med, DfC1Medium)
+           else _make_df_nag(med))
 
     def df_k(pxh, pxl, pyh, pyl, vxh, vxl, vyh, vyl):
         (nh, nl), (gxh, gxl), (gyh, gyl) = nag(pxh, pxl, pyh, pyl)
@@ -227,15 +310,18 @@ def _df_grid_segment(med, st, ds, *, steps: int):
     return jax.lax.fori_loop(0, steps, body, st)
 
 
-def df_grid_trace(pos0, theta0, delta_s, medium: DfGridMedium, *,
+def df_grid_trace(pos0, theta0, delta_s, medium, *,
                   steps: int, segment: int = 512) -> np.ndarray:
     """Double-word RK4 through the sampled 2-D spline; f64 final positions.
 
     The sampled-media counterpart of kernels.df.df_trace: same RK4 body,
-    angle rate from the df table evaluator.  Chained ``segment``-step jits
-    bound the compile (scan+gather one-shots are a compile hazard).  No
-    boundary mask or traveltime — accuracy tier (the fisheye workloads it
-    certifies never exit the box).
+    angle rate from the df table evaluator.  ``medium`` is a
+    :class:`DfGridMedium` (parity tables) or :class:`DfC1Medium`
+    (consistent-gradient — the combination where df32 arithmetic shows,
+    the medium no longer flooring at the bilinear-n ~1.5e-4).  Chained
+    ``segment``-step jits bound the compile (scan+gather one-shots are a
+    compile hazard).  No boundary mask or traveltime — accuracy tier (the
+    fisheye workloads it certifies never exit the box).
     """
     theta64 = np.asarray(theta0, np.float64)
     cxh, cxl = _split64(np.cos(theta64))

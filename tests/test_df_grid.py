@@ -79,3 +79,31 @@ def test_df_grid_segmented_equals_oneshot(media):
     a = df_grid_trace(pos0, theta0, ds, dfm, steps=300, segment=512)
     b = df_grid_trace(pos0, theta0, ds, dfm, steps=300, segment=64)
     np.testing.assert_array_equal(a, b)
+
+
+def test_df_c1_shows_arithmetic_on_sampled_media():
+    """df32 + C1: the consistent-gradient spline of the same samples tracks
+    the analytic field to O(h^4), so the df trajectory closes on the
+    ANALYTIC circle at ~5e-8/turn — 4 orders below the parity tables'
+    medium floor (~5e-4/turn) — and matches the f64 scan on the same C1
+    medium to double-word resolution."""
+    import jax
+
+    from raytracing_tpu.engine.df_grid import build_df_c1_medium
+    from raytracing_tpu.media.c1 import build_c1_medium
+
+    scen = rt.scenario("fisheye")
+    med = build_df_c1_medium("fisheye", scen.box)
+    div = 300
+    ds = 2 * np.pi / div
+    pos0 = np.tile(np.array([[1.0, 0.0]]), (4, 1))
+    th = np.full(4, np.pi / 2)
+    p = df_grid_trace(pos0, th, np.float32(ds), med, steps=div)
+    sarc = div * float(np.float32(ds))
+    target = np.array([np.cos(sarc), np.sin(sarc)])
+    assert float(np.linalg.norm(p[0] - target)) < 5e-7
+
+    c64 = build_c1_medium("fisheye", scen.box, dtype=np.float64)
+    res = rt.trace("op12", scen, c64, delta_s=ds, mode="metrics",
+                   dtype=np.float64, max_size=div + 1, pos0=pos0, theta0=th)
+    assert float(np.abs(p - np.asarray(res.final.pos)).max()) < 5e-7
