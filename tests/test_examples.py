@@ -56,3 +56,17 @@ def test_sampled_medium_production_example():
     out = _run("sampled_medium_production.py",
                extra="sys.argv = ['x', '4096']; ")
     assert "grid-tiled" in out and "DELTA_S search" in out
+
+
+def test_measured_medium_example():
+    out = _run("measured_medium.py",
+               extra="sys.argv = ['x', '4096', '150']; ")
+    # both media must take the tiled-window kernel path (a fallback to
+    # supercell/scan means the block sizing regressed) and the C1 medium
+    # must track the smooth truth at least as well as the parity pipeline
+    assert out.count("[grid-tiled]") == 2, out
+    import re
+    devs = {m[1]: float(m[2]) for m in
+            re.finditer(r"(\w+)\s+max trajectory deviation.*?: ([\d.e+-]+)",
+                        out)}
+    assert devs["c1"] <= devs["parity"], devs
