@@ -99,3 +99,16 @@ for tag, med in (("parity", parity), ("c1", c1)):
 
 print("c1 advantage: consistent grad (conservation-grade) and the same "
       "samples track the smooth truth closer — see docs/PARITY.md #29")
+
+# -- f64-substitute: double-word f32 on the same measured samples ---------
+# (engine/df_grid.py; compare against an f64 RK4 of the smooth truth so
+# both sides carry the same integrator error)
+dfm = rt.df_c1_medium_from_samples(Z, gx, gy)
+p = rt.df_grid_trace(pos0[:sub], theta0[:sub], ds, dfm, steps=steps)
+tru = rt.trace("op12", _Scen, truth, delta_s=float(ds), mode="metrics",
+               dtype=np.float64, max_size=steps + 1,
+               pos0=pos0[:sub].astype(np.float64),
+               theta0=theta0[:sub].astype(np.float64))
+dev = float(np.abs(p - np.asarray(tru.final.pos)).max())
+print(f"df32+c1 deviation from an f64 trace of the true field: {dev:.2e} "
+      "(pure-f32 arithmetic, medium-limited)")

@@ -90,23 +90,46 @@ class DfGridMedium:
     ny: int = struct.field(pytree_node=False)
 
 
-def build_df_grid_medium(field: str, box,
-                         delta: float = config.DELTA) -> DfGridMedium:
-    """Sample ``field`` and build hi/lo split tables (f64 host pipeline).
+def _check_uniform(Z, x, y):
+    """Validate user samples (same contract as grid_medium_from_samples)."""
+    Z = np.asarray(Z, np.float64)
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    if Z.shape != (len(y), len(x)):
+        raise ValueError(f"Z shape {Z.shape} != (len(y), len(x)) = "
+                         f"({len(y)}, {len(x)})")
+    if len(x) < 4 or len(y) < 4:
+        raise ValueError("bicubic fitting needs at least a 4x4 grid")
+    hx = float(x[1] - x[0])
+    hy = float(y[1] - y[0])
+    for name, v, h in (("x", x, hx), ("y", y, hy)):
+        if not np.allclose(np.diff(v), h, rtol=1e-6, atol=1e-12):
+            raise ValueError(f"{name} grid must be uniformly spaced")
+    return Z, x, y, hx, hy
 
-    Mirrors media/spline.build_grid_medium exactly — same grid, same
-    np.gradient, same not-a-knot fit — but keeps every table in split
-    double-word form instead of casting to one f32.
+
+def df_grid_medium_from_samples(Z, x, y, *,
+                                gradient_spacing: float | None = None
+                                ) -> DfGridMedium:
+    """Parity-pipeline hi/lo split tables from USER-measured samples.
+
+    The df32 twin of media/spline.grid_medium_from_samples: same host
+    pipeline (np.gradient -> not-a-knot bicubic fit, RT_bench.py:435-464)
+    kept in float64 and split into double words instead of cast to f32.
+    ``gradient_spacing`` defaults to the true mean pitch, matching the
+    single-f32 builder.
     """
-    x, y, Z = _grid.gen_grid(field, box, delta)
-    cx, cy = _gradient_tables_f64(Z, x, y, delta)
+    Z, x, y, hx, hy = _check_uniform(Z, x, y)
+    gs = float(gradient_spacing if gradient_spacing is not None
+               else 0.5 * (hx + hy))
+    cx, cy = _gradient_tables_f64(Z, x, y, gs)
     Zh, Zl = _split64(Z.reshape(-1))
     cxh, cxl = _split64(cx)
     cyh, cyl = _split64(cy)
     x0h, x0l = _split_scalar(float(x[0]))
     y0h, y0l = _split_scalar(float(y[0]))
-    ihxh, ihxl = _split_scalar(1.0 / float(x[1] - x[0]))
-    ihyh, ihyl = _split_scalar(1.0 / float(y[1] - y[0]))
+    ihxh, ihxl = _split_scalar(1.0 / hx)
+    ihyh, ihyl = _split_scalar(1.0 / hy)
     return DfGridMedium(
         Zh=jnp.asarray(Zh), Zl=jnp.asarray(Zl),
         cxh=jnp.asarray(cxh), cxl=jnp.asarray(cxl),
@@ -114,6 +137,18 @@ def build_df_grid_medium(field: str, box,
         x0h=x0h, x0l=x0l, y0h=y0h, y0l=y0l,
         ihxh=ihxh, ihxl=ihxl, ihyh=ihyh, ihyl=ihyl,
         nx=len(x), ny=len(y))
+
+
+def build_df_grid_medium(field: str, box,
+                         delta: float = config.DELTA) -> DfGridMedium:
+    """Sample ``field`` and build hi/lo split tables (f64 host pipeline).
+
+    Mirrors media/spline.build_grid_medium exactly — same grid, same
+    np.gradient spacing (the reference's nominal DELTA, RT_bench.py:450),
+    same not-a-knot fit.
+    """
+    x, y, Z = _grid.gen_grid(field, box, delta)
+    return df_grid_medium_from_samples(Z, x, y, gradient_spacing=delta)
 
 
 def _df_cell_coord(ph, pl, o_h, o_l, ih_h, ih_l, n):
@@ -238,15 +273,18 @@ class DfC1Medium:
     ny: int = struct.field(pytree_node=False)
 
 
-def build_df_c1_medium(field: str, box,
-                       delta: float = config.DELTA) -> DfC1Medium:
-    """Sample ``field``, fit the C1 spline, split everything hi/lo."""
+def df_c1_medium_from_samples(Z, x, y) -> DfC1Medium:
+    """Consistent-gradient hi/lo split tables from USER-measured samples.
+
+    The df32 twin of media/c1.c1_medium_from_samples — the combination
+    PRECISION.md names the f64-substitute for measured media: one
+    not-a-knot spline of the lab's own Z samples, its exact derivative
+    tables pre-scaled in float64, everything split hi/lo.
+    """
     from raytracing_tpu.media.c1 import _n_spline_cells
 
-    x, y, Z = _grid.gen_grid(field, box, delta)
+    Z, x, y, hx, hy = _check_uniform(Z, x, y)
     cells = np.asarray(_n_spline_cells(Z, y, x), np.float64)  # (ncy,ncx,4,4)
-    hx = float(x[1] - x[0])
-    hy = float(y[1] - y[0])
     b = np.arange(4, dtype=np.float64)
     cu = np.zeros_like(cells)
     cu[..., :, :3] = cells[..., :, 1:] * b[1:] / hx     # d/du, u-power shift
@@ -266,6 +304,13 @@ def build_df_c1_medium(field: str, box,
         x0h=x0h, x0l=x0l, y0h=y0h, y0l=y0l,
         ihxh=ihxh, ihxl=ihxl, ihyh=ihyh, ihyl=ihyl,
         nx=len(x), ny=len(y))
+
+
+def build_df_c1_medium(field: str, box,
+                       delta: float = config.DELTA) -> DfC1Medium:
+    """Sample ``field``, fit the C1 spline, split everything hi/lo."""
+    x, y, Z = _grid.gen_grid(field, box, delta)
+    return df_c1_medium_from_samples(Z, x, y)
 
 
 def _make_df_c1_nag(med: DfC1Medium):

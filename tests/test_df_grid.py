@@ -107,3 +107,53 @@ def test_df_c1_shows_arithmetic_on_sampled_media():
     res = rt.trace("op12", scen, c64, delta_s=ds, mode="metrics",
                    dtype=np.float64, max_size=div + 1, pos0=pos0, theta0=th)
     assert float(np.abs(p - np.asarray(res.final.pos)).max()) < 5e-7
+
+
+def test_df_from_user_samples_f64_substitute():
+    """USER-measured samples reach the df tier (df_c1_medium_from_samples):
+    the df trace matches the f64 scan of the same C1 interpolant to
+    double-word grade and tracks the smooth truth at the medium's O(h^4)
+    floor — the examples/measured_medium.py configuration, certified."""
+    import dataclasses
+
+    from raytracing_tpu.media.medium import CustomMedium
+
+    def f(x, y):
+        return 1.0 / (1.0 + 0.4 * x * x + 0.6 * y * y)
+
+    gx = np.linspace(-2.0, 2.0, 161)
+    gy = np.linspace(-1.5, 1.5, 121)
+    Z = f(gx[None, :], gy[:, None])
+    dfm = rt.df_c1_medium_from_samples(Z, gx, gy)
+
+    r, steps, ds = 4, 600, float(np.float32(0.005))
+    pos0 = np.stack([np.full(r, -1.5), np.linspace(-0.05, 0.05, r)], -1)
+    theta0 = np.zeros(r)
+    p = rt.df_grid_trace(pos0, theta0, np.float32(ds), dfm, steps=steps)
+
+    scen = dataclasses.replace(rt.scenario("fisheye"), name="measured",
+                               gamma=1.0, box=(-1.8, 1.8, -1.3, 1.3))
+    c64 = rt.c1_medium_from_samples(Z, gx, gy, dtype=np.float64)
+    ref = rt.trace("op12", scen, c64, delta_s=ds, mode="metrics",
+                   dtype=np.float64, max_size=steps + 1,
+                   pos0=pos0, theta0=theta0)
+    assert float(np.abs(p - np.asarray(ref.final.pos)).max()) < 1e-7
+
+    truth = CustomMedium(n_fn=f)
+    tru = rt.trace("op12", scen, truth, delta_s=ds, mode="metrics",
+                   dtype=np.float64, max_size=steps + 1,
+                   pos0=pos0, theta0=theta0)
+    assert float(np.abs(p - np.asarray(tru.final.pos)).max()) < 5e-6
+
+
+def test_df_from_samples_validation():
+    gx = np.linspace(0.0, 1.0, 8)
+    gy = np.concatenate([np.linspace(0.0, 1.0, 7), [3.0]])  # non-uniform
+    Z = np.ones((8, 8))
+    with pytest.raises(ValueError, match="uniformly spaced"):
+        rt.df_c1_medium_from_samples(Z, gx, gy)
+    with pytest.raises(ValueError, match="Z shape"):
+        rt.df_grid_medium_from_samples(Z[:5], gx, np.linspace(0, 1, 8))
+    with pytest.raises(ValueError, match="4x4"):
+        rt.df_c1_medium_from_samples(np.ones((3, 8)), gx,
+                                     np.linspace(0, 1, 3))

@@ -70,3 +70,4 @@ def test_measured_medium_example():
             re.finditer(r"(\w+)\s+max trajectory deviation.*?: ([\d.e+-]+)",
                         out)}
     assert devs["c1"] <= devs["parity"], devs
+    assert "df32+c1 deviation" in out
