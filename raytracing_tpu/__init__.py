@@ -30,9 +30,15 @@ from raytracing_tpu.engine.df_grid import (  # noqa: F401
     df_grid_trace,
 )
 from raytracing_tpu.engine.trace import TraceResult, trace  # noqa: F401
-from raytracing_tpu.media.c1 import c1_medium_from_samples  # noqa: F401
+from raytracing_tpu.media.c1 import (  # noqa: F401
+    c1_medium_from_samples,
+    c1_stratified_from_samples,
+)
 from raytracing_tpu.media.medium import AnalyticMedium, analytic_medium  # noqa: F401
-from raytracing_tpu.media.spline import grid_medium_from_samples  # noqa: F401
+from raytracing_tpu.media.spline import (  # noqa: F401
+    grid_medium_from_samples,
+    stratified_medium_from_samples,
+)
 from raytracing_tpu.ops.registry import (  # noqa: F401
     ALIASES,
     ANISO_OPS,
@@ -43,7 +49,8 @@ from raytracing_tpu.ops.registry import (  # noqa: F401
 __all__ = [
     "DELTA_S", "SIGMA", "ScenarioConfig", "scenario", "TraceResult", "trace",
     "AnalyticMedium", "analytic_medium", "grid_medium_from_samples",
-    "c1_medium_from_samples", "df_grid_medium_from_samples",
+    "c1_medium_from_samples", "stratified_medium_from_samples",
+    "c1_stratified_from_samples", "df_grid_medium_from_samples",
     "df_c1_medium_from_samples", "df_grid_trace",
     "DiffTrace", "ParametricMedium", "parametric_grid_medium", "trace_diff",
     "ALIASES", "ANISO_OPS", "EXTENSION_OPS", "OP_NAMES",

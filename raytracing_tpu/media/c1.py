@@ -342,23 +342,27 @@ def compact_c1_stratified(medium: C1StratifiedMedium, margin: int = 2,
         ny=hi - lo + 2)
 
 
+def c1_stratified_from_samples(samples, y, *,
+                               dtype=np.float32) -> C1StratifiedMedium:
+    """1-D consistent-gradient medium from a USER-measured profile.
+
+    One not-a-knot cubic of the (ny,) ``samples`` serves n and dn/dy
+    exactly — the profile counterpart of :func:`c1_medium_from_samples`
+    and the conservation-grade alternative to
+    spline.stratified_medium_from_samples on the same data.
+    """
+    from raytracing_tpu.media.spline import _check_profile, cubic_cells_1d
+
+    samples, y, hy = _check_profile(samples, y)
+    return C1StratifiedMedium(
+        cn=jnp.asarray(cubic_cells_1d(samples), dtype),
+        y0=float(y[0]), inv_hy=float(1.0 / hy), ny=len(y))
+
+
 def build_c1_stratified(field: str, box, delta: float = config.DELTA,
                         dtype=np.float32) -> C1StratifiedMedium:
     """1-D consistent medium for the x-independent fields."""
     if field == "fisheye":
         raise ValueError("fisheye varies in x; use build_c1_medium")
     x, y, Z = _grid.gen_grid(field, box, delta)
-    col = np.asarray(Z[:, 0], np.float64)
-    from raytracing_tpu import native
-
-    if native.available():
-        cells = native.bicubic_cells(np.stack([col, col, col, col], -1))
-        cn = cells[:, 0, :, 0]
-    else:
-        from scipy.interpolate import CubicSpline
-
-        spl = CubicSpline(np.arange(len(col)), col, bc_type="not-a-knot")
-        cn = np.stack([spl.c[3], spl.c[2], spl.c[1], spl.c[0]], axis=-1)
-    return C1StratifiedMedium(
-        cn=jnp.asarray(cn, dtype),
-        y0=float(y[0]), inv_hy=float(1.0 / (y[1] - y[0])), ny=len(y))
+    return c1_stratified_from_samples(Z[:, 0], y, dtype=dtype)

@@ -141,32 +141,74 @@ class StratifiedGridMedium:
         return self.n_and_grad(x, y)[0]
 
 
+def cubic_cells_1d(vals: np.ndarray) -> np.ndarray:
+    """(ny,) f64 samples -> (ny-1, 4) not-a-knot cubic cells.
+
+    Power-basis coefficients in the normalized in-cell offset, same fit as
+    the 2-D pipeline's y-direction (native builder when present; an
+    x-constant bicubic's y-coefficients ARE the 1-D spline's).
+    """
+    vals = np.asarray(vals, np.float64)
+    from raytracing_tpu import native
+
+    if native.available():
+        cells = native.bicubic_cells(np.stack([vals] * 4, -1))
+        return cells[:, 0, :, 0]
+    from scipy.interpolate import CubicSpline
+
+    spl = CubicSpline(np.arange(len(vals)), vals, bc_type="not-a-knot")
+    return np.stack([spl.c[3], spl.c[2], spl.c[1], spl.c[0]], axis=-1)
+
+
+def _check_profile(samples, y):
+    samples = np.asarray(samples, np.float64)
+    y = np.asarray(y, np.float64)
+    if samples.ndim != 1 or samples.shape != y.shape:
+        raise ValueError(f"samples shape {samples.shape} != y shape "
+                         f"{y.shape} (want matching 1-D profiles)")
+    if len(y) < 4:
+        raise ValueError("cubic fitting needs at least 4 profile samples")
+    hy = float(y[1] - y[0])
+    if not np.allclose(np.diff(y), hy, rtol=1e-6, atol=1e-12):
+        raise ValueError("y grid must be uniformly spaced")
+    return samples, y, hy
+
+
+def stratified_medium_from_samples(samples, y, *, dtype=np.float32,
+                                   gradient_spacing: float | None = None
+                                   ) -> StratifiedGridMedium:
+    """1-D parity-pipeline medium from a USER-measured profile.
+
+    ``samples`` is (ny,) refractive-index values on the uniform coordinate
+    vector ``y`` — e.g. a sound-speed-vs-depth profile.  Evaluation follows
+    the reference pipeline restricted to an x-independent field
+    (RT_bench.py:435-464: np.gradient for dn/dy, a not-a-knot cubic fit of
+    it, linear interpolation for n), and the result runs at kernel tier
+    through fast_trace's stratified family.  The profile counterpart of
+    :func:`grid_medium_from_samples`.
+    """
+    samples, y, hy = _check_profile(samples, y)
+    gs = float(gradient_spacing if gradient_spacing is not None else hy)
+    dndy = np.gradient(samples, gs, edge_order=2)
+    return StratifiedGridMedium(
+        Zy=jnp.asarray(samples, dtype),
+        cy=jnp.asarray(cubic_cells_1d(dndy), dtype),
+        y0=float(y[0]), inv_hy=float(1.0 / hy), ny=len(y))
+
+
 def build_stratified_medium(field: str, box, delta: float = config.DELTA,
                             dtype=np.float32) -> StratifiedGridMedium:
     """1-D sampled medium for the x-independent fields.
 
     Uses the same padded grid pitch and np.gradient edge handling as the 2-D
-    pipeline, just along a single column.
+    pipeline (the reference's nominal DELTA spacing, RT_bench.py:450), just
+    along a single column.
     """
     if field == "fisheye":
         raise ValueError("fisheye varies in x; use build_grid_medium")
     x, y, Z = _grid.gen_grid(field, box, delta)
-    col = Z[:, 0]
-    dndy = np.gradient(col, delta, edge_order=2)
-    from raytracing_tpu import native
-
-    if native.available():
-        cells = native.bicubic_cells(np.stack([dndy, dndy, dndy, dndy], -1))
-        cy = cells[:, 0, :, 0]  # x-constant: take any x-cell's y-coefficients
-    else:
-        from scipy.interpolate import CubicSpline
-
-        spl = CubicSpline(np.arange(len(y)), dndy, bc_type="not-a-knot")
-        # per-cell power-basis coefficients in the normalized offset
-        cy = np.stack([spl.c[3], spl.c[2], spl.c[1], spl.c[0]], axis=-1)
-    return StratifiedGridMedium(
-        Zy=jnp.asarray(col, dtype), cy=jnp.asarray(cy, dtype),
-        y0=float(y[0]), inv_hy=float(1.0 / (y[1] - y[0])), ny=len(y))
+    return stratified_medium_from_samples(Z[:, 0], y, dtype=dtype,
+                                          gradient_spacing=delta)
 
 
 def compact_stratified(medium: StratifiedGridMedium, margin: int = 2,

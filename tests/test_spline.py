@@ -111,6 +111,92 @@ def test_stratified_rejects_fisheye():
         build_stratified_medium("fisheye", BOX["fisheye"])
 
 
+def _measured_profile():
+    """A lab-style profile: thermocline-like index vs depth, uniform y."""
+    y = np.linspace(-3.0, 1.0, 97)
+    col = 1.0 + 0.3 * np.tanh(2.0 * y) + 0.05 * y
+    return col, y
+
+
+def test_stratified_from_samples_matches_2d_pipeline():
+    """A measured profile equals the 2-D pipeline on its tiled grid: the
+    tensor spline of an x-constant field IS its 1-D spline, so the cheap
+    profile entry loses nothing vs grid_medium_from_samples."""
+    col, y = _measured_profile()
+    hy = y[1] - y[0]
+    x = y[0] + np.arange(8) * hy          # same pitch -> same np.gradient
+    Z = np.tile(col[:, None], (1, len(x)))
+    m1 = rt.stratified_medium_from_samples(col, y, dtype=np.float64)
+    m2 = rt.grid_medium_from_samples(Z, x, y, dtype=np.float64)
+    rng = np.random.default_rng(11)
+    qx = x[0] + rng.uniform(0, 1, 300) * (x[-1] - x[0])
+    qy = rng.uniform(y[0] - 1, y[-1] + 1, 300)
+    n1, (gx1, gy1) = m1.n_and_grad(qx, qy)
+    n2, (gx2, gy2) = m2.n_and_grad(qx, qy)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n2),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gy1), np.asarray(gy2),
+                               rtol=1e-6, atol=1e-10)
+    assert np.all(np.asarray(gx1) == 0.0)
+
+
+def test_c1_stratified_from_samples_matches_2d_c1():
+    col, y = _measured_profile()
+    hy = y[1] - y[0]
+    x = y[0] + np.arange(8) * hy
+    Z = np.tile(col[:, None], (1, len(x)))
+    m1 = rt.c1_stratified_from_samples(col, y, dtype=np.float64)
+    m2 = rt.c1_medium_from_samples(Z, x, y, dtype=np.float64)
+    rng = np.random.default_rng(11)
+    qx = x[0] + rng.uniform(0, 1, 300) * (x[-1] - x[0])
+    qy = rng.uniform(y[0], y[-1], 300)
+    n1, (_, gy1) = m1.n_and_grad(qx, qy)
+    n2, (gx2, gy2) = m2.n_and_grad(qx, qy)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n2),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gy1), np.asarray(gy2),
+                               rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gx2), 0.0, atol=1e-9)
+
+
+def test_profile_from_samples_validation():
+    col, y = _measured_profile()
+    with pytest.raises(ValueError, match="uniformly spaced"):
+        rt.stratified_medium_from_samples(col[:5], np.array([0, 1, 2, 4, 5.]))
+    with pytest.raises(ValueError, match="matching 1-D"):
+        rt.c1_stratified_from_samples(col[:6], y[:5])
+    with pytest.raises(ValueError, match="at least 4"):
+        rt.stratified_medium_from_samples(col[:3], y[:3])
+
+
+@pytest.mark.slow
+def test_profile_from_samples_runs_kernel_tier():
+    """fast_trace routes a from-samples profile through the stratified
+    kernels (interpret mode on CPU) and agrees with the scan engine."""
+    import dataclasses
+
+    from raytracing_tpu.engine.fast import fast_trace
+
+    col, y = _measured_profile()
+    scen = dataclasses.replace(
+        rt.scenario("vert_heterogeneous"), name="profile",
+        box=(-2.0, 6.0, float(y[0]), float(y[-1])))
+    r, steps, ds = 256, 200, np.float32(0.01)
+    pos0 = np.stack([np.zeros(r, np.float32),
+                     np.linspace(-1.5, 0.5, r, dtype=np.float32)], -1)
+    theta0 = np.full(r, 0.3, np.float32)
+    for med in (rt.stratified_medium_from_samples(col, y),
+                rt.c1_stratified_from_samples(col, y)):
+        out = fast_trace("op6", scen, med, delta_s=ds, pos0=pos0,
+                         theta0=theta0, steps=steps, block_rays=256)
+        assert "scan" not in out.engine, out.engine
+        ref = rt.trace("op6", scen, med, delta_s=float(ds), mode="metrics",
+                       dtype=np.float32, max_size=steps + 1,
+                       pos0=pos0, theta0=theta0)
+        np.testing.assert_allclose(np.asarray(out.pos),
+                                   np.asarray(ref.final.pos), atol=5e-5)
+
+
 def test_compact_stratified_equivalent():
     """Trimmed table == full table within f32 rounding; vert untouched."""
     import jax.numpy as jnp
