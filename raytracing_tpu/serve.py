@@ -8,6 +8,11 @@ a dependency-free (stdlib http.server) JSON API over the fused-kernel tier:
     GET  /v1/models          -> scenarios, ops, extensions
     POST /v1/trace           -> {"scenario", "op", "rays", "n_turns", ...}
                                 => final-state metrics + throughput
+    POST /v1/trace_samples   -> {"samples", "x", "y", "family", "launch",
+                                "delta_s", "steps", ...} — trace through a
+                                MEASURED medium posted in the request (2-D
+                                index grid or 1-D profile; parity or C1
+                                family), no named field required
 
 Compiled executables are cached by (op, field, steps, block) through the
 jit caches underneath ``fast_trace``, so the first request per
@@ -39,6 +44,8 @@ from raytracing_tpu.ops.registry import EXTENSION_OPS, OP_NAMES, canonical
 MAX_RAYS = 16_777_216
 MAX_STEPS = 2_000_000
 MAX_TURNS = 1_000
+MAX_SAMPLE_VALUES = 4_000_000   # host spline fit + device table bound
+MAX_RETURNED_RAYS = 65_536      # cap on positions echoed back in JSON
 
 
 def _trace_request(body: dict) -> dict:
@@ -123,6 +130,124 @@ def _trace_request(body: dict) -> dict:
     return resp
 
 
+def _finite(name: str, a: np.ndarray) -> np.ndarray:
+    if not np.all(np.isfinite(a)):
+        raise ValueError(f"{name} must be finite")
+    return a
+
+
+def _trace_samples_request(body: dict) -> dict:
+    """Trace through a USER-measured medium posted in the request body.
+
+    The reference can only trace its four hard-coded fields; this endpoint
+    serves arbitrary measured data: a 2-D index grid (``samples`` (ny, nx)
+    with coordinate vectors ``x``/``y``) or a 1-D profile (``samples``
+    (ny,) with ``y`` — e.g. sound speed vs depth), through the parity
+    pipeline (default) or the consistent-gradient C1 family
+    (``family: "c1"``).  Launch is either explicit ``pos0``/``theta0``
+    arrays or a compact fan ``launch: {"x": .., "y": [lo, hi],
+    "theta": t | [lo, hi]}`` expanded to ``rays`` rays.
+    """
+    import dataclasses
+
+    family = str(body.get("family", "parity"))
+    if family not in ("parity", "c1"):
+        raise ValueError(f"family must be 'parity' or 'c1', got {family!r}")
+    if "samples" not in body:
+        raise ValueError("trace_samples needs 'samples' (1-D profile or "
+                         "2-D grid of refractive-index values)")
+    samples = _finite("samples", np.asarray(body["samples"], np.float64))
+    if not 0 < samples.size <= MAX_SAMPLE_VALUES:
+        raise ValueError(f"samples size must be in [1, {MAX_SAMPLE_VALUES}],"
+                         f" got {samples.size}")
+    y = _finite("y", np.asarray(body.get("y", ()), np.float64))
+    if samples.ndim == 1:
+        medium = (rt.c1_stratified_from_samples(samples, y) if family == "c1"
+                  else rt.stratified_medium_from_samples(samples, y))
+        default_box = (-1e30, 1e30, float(y[0]), float(y[-1]))
+    elif samples.ndim == 2:
+        x = _finite("x", np.asarray(body.get("x", ()), np.float64))
+        medium = (rt.c1_medium_from_samples(samples, x, y) if family == "c1"
+                  else rt.grid_medium_from_samples(samples, x, y))
+        default_box = (float(x[0]), float(x[-1]), float(y[0]), float(y[-1]))
+    else:
+        raise ValueError(f"samples must be 1-D or 2-D, got {samples.ndim}-D")
+
+    if "delta_s" not in body:
+        raise ValueError("trace_samples needs 'delta_s' (no calibrated "
+                         "table exists for user media; run the DELTA_S "
+                         "search offline)")
+    delta_s = float(body["delta_s"])
+    if not (np.isfinite(delta_s) and delta_s > 0):
+        raise ValueError(f"delta_s must be finite and > 0, got {delta_s}")
+    steps = int(body.get("steps", 0))
+    if not 1 <= steps <= MAX_STEPS:
+        raise ValueError(f"steps must be in [1, {MAX_STEPS}], got {steps}")
+
+    if "pos0" in body:
+        pos0 = _finite("pos0", np.asarray(body["pos0"], np.float32))
+        theta0 = _finite("theta0",
+                         np.asarray(body.get("theta0", ()), np.float32))
+        if pos0.ndim != 2 or pos0.shape[1] != 2 or len(theta0) != len(pos0):
+            raise ValueError("pos0 must be (rays, 2) with theta0 (rays,), "
+                             f"got {pos0.shape} / {theta0.shape}")
+        rays = len(pos0)
+    else:
+        fan = body.get("launch")
+        if not isinstance(fan, dict):
+            raise ValueError("trace_samples needs 'pos0'/'theta0' arrays or "
+                             "a 'launch' fan {'x':…, 'y':[lo,hi], 'theta':…}")
+        rays = int(body.get("rays", 1024))
+        fx = float(fan["x"])
+        fy = np.asarray(fan["y"], np.float64).reshape(-1)
+        th = np.asarray(fan.get("theta", 0.0), np.float64).reshape(-1)
+        _finite("launch", np.concatenate([[fx], fy, th]))
+        pos0 = np.stack([np.full(rays, fx, np.float32),
+                         np.linspace(fy[0], fy[-1], rays,
+                                     dtype=np.float32)], -1)
+        theta0 = (np.full(rays, th[0], np.float32) if len(th) == 1
+                  else np.linspace(th[0], th[-1], rays, dtype=np.float32))
+    if not 1 <= rays <= MAX_RAYS:
+        raise ValueError(f"rays must be in [1, {MAX_RAYS}], got {rays}")
+
+    box = tuple(float(v) for v in body.get("box", default_box))
+    if len(box) != 4 or not np.all(np.isfinite(box)):
+        raise ValueError(f"box must be 4 finite floats, got {box!r}")
+    gamma = float(body.get("gamma", 1.0))
+    if not np.isfinite(gamma):
+        raise ValueError("gamma must be finite")
+    scen = dataclasses.replace(config.scenario("fisheye"), name="samples",
+                               gamma=gamma, box=box)
+    op = canonical(str(body.get("op", "op6")))
+
+    # tile blocks must stay spatially tight for dispersed user fans; Mosaic
+    # floors TPU blocks at 1024 rays (8 sublanes x 128 lanes)
+    block = (1024 if jax.default_backend() != "cpu"
+             else min(1024, max(128, rays // 32)))
+    t0 = time.perf_counter()
+    out = fast_trace(op, scen, medium, delta_s=delta_s, steps=steps,
+                     pos0=pos0, theta0=theta0, block_rays=block)
+    pos = np.asarray(out.pos)
+    dt = time.perf_counter() - t0
+
+    resp = {
+        "op": op, "rays": rays, "steps": steps, "family": family,
+        "medium_kind": "profile" if samples.ndim == 1 else "grid",
+        "delta_s": delta_s, "engine": out.engine,
+        "seconds": round(dt, 4),
+        "ray_steps_per_sec": round(rays * steps / dt, 1),
+        "escaped_rays": int(rays - np.asarray(out.active).sum()),
+        "mean_final_pos": [float(v) for v in pos.mean(0)],
+    }
+    if bool(body.get("return_positions", False)):
+        if rays > MAX_RETURNED_RAYS:
+            raise ValueError(f"return_positions caps at {MAX_RETURNED_RAYS} "
+                             f"rays, got {rays}")
+        resp["pos"] = pos.astype(float).tolist()
+        resp["active"] = np.asarray(out.active).astype(bool).tolist()
+    return resp
+
+
 class _Handler(BaseHTTPRequestHandler):
     def _send(self, code: int, payload: dict):
         data = json.dumps(payload).encode()
@@ -144,14 +269,18 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._send(404, {"error": f"unknown path {self.path}"})
 
+    _POST_ROUTES = {"/v1/trace": _trace_request,
+                    "/v1/trace_samples": _trace_samples_request}
+
     def do_POST(self):
-        if self.path != "/v1/trace":
+        handler = self._POST_ROUTES.get(self.path)
+        if handler is None:
             self._send(404, {"error": f"unknown path {self.path}"})
             return
         try:
             n = int(self.headers.get("Content-Length", 0))
             body = json.loads(self.rfile.read(n) or b"{}")
-            self._send(200, _trace_request(body))
+            self._send(200, handler(body))
         except (ValueError, KeyError, TypeError, OverflowError,
                 ZeroDivisionError, json.JSONDecodeError) as e:
             self._send(400, {"error": str(e)})

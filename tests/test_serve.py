@@ -139,3 +139,74 @@ def test_trace_c1_media(server):
     code, body = _post(server + "/v1/trace",
                        {"scenario": "fisheye", "medium": "c1-stratified"})
     assert code == 400 and "x-independent" in body["error"]
+
+
+def _lens_samples():
+    import numpy as np
+    gx = np.linspace(-2.0, 2.0, 41)
+    gy = np.linspace(-1.5, 1.5, 31)
+    Z = 1.0 / (1.0 + 0.4 * gx[None, :] ** 2 + 0.6 * gy[:, None] ** 2)
+    return Z.tolist(), gx.tolist(), gy.tolist()
+
+
+def test_trace_samples_grid(server):
+    """POSTed measured 2-D grids trace through both families."""
+    Z, gx, gy = _lens_samples()
+    req = {"samples": Z, "x": gx, "y": gy, "op": "op6",
+           "delta_s": 0.01, "steps": 60, "rays": 256,
+           "launch": {"x": -1.5, "y": [-0.3, 0.3], "theta": 0.0},
+           "return_positions": True}
+    code, body = _post(server + "/v1/trace_samples", req)
+    assert code == 200, body
+    assert body["medium_kind"] == "grid" and body["family"] == "parity"
+    assert len(body["pos"]) == 256 and len(body["active"]) == 256
+    code, c1 = _post(server + "/v1/trace_samples", dict(req, family="c1"))
+    assert code == 200, c1
+    assert c1["family"] == "c1"
+    # same samples, same fan: the two families agree to interpolant grade
+    import numpy as np
+    d = np.abs(np.asarray(body["pos"]) - np.asarray(c1["pos"])).max()
+    assert d < 5e-3, d
+
+
+def test_trace_samples_profile(server):
+    """A 1-D measured profile serves through the stratified family."""
+    import numpy as np
+    y = np.linspace(-2.0, 1.0, 61)
+    col = 1.0 + 0.3 * np.tanh(2.0 * y)
+    req = {"samples": col.tolist(), "y": y.tolist(), "op": "op6",
+           "family": "c1", "delta_s": 0.01, "steps": 80, "rays": 128,
+           "box": [-5.0, 5.0, -2.0, 1.0],
+           "launch": {"x": 0.0, "y": [-1.5, -0.5], "theta": 0.3}}
+    code, body = _post(server + "/v1/trace_samples", req)
+    assert code == 200, body
+    assert body["medium_kind"] == "profile"
+    assert body["ray_steps_per_sec"] > 0
+    assert "pos" not in body            # return_positions defaults off
+
+
+def test_trace_samples_rejected(server):
+    Z, gx, gy = _lens_samples()
+    base = {"samples": Z, "x": gx, "y": gy, "delta_s": 0.01, "steps": 10,
+            "launch": {"x": 0.0, "y": [-0.1, 0.1]}}
+    for mutate, frag in (
+            (dict(family="cubic"), "family"),
+            ({"samples": [[1.0, float("nan")] * 2] * 4}, "finite"),
+            (dict(delta_s=-1.0), "delta_s"),
+            (dict(steps=0), "steps"),
+            ({"launch": None, "rays": 8}, "pos0"),
+            (dict(steps=10, rays=0), "rays"),
+            (dict(box=[0.0, 1.0]), "box"),
+            ({"samples": [1.0, 2.0, 3.0], "y": [0.0, 1.0, 2.0]},
+             "at least 4"),
+            (dict(rays=70000, return_positions=True), "caps"),
+    ):
+        code, body = _post(server + "/v1/trace_samples",
+                           dict(base, **mutate))
+        assert code == 400, (mutate, body)
+        assert frag in body["error"], (frag, body["error"])
+    # delta_s genuinely required (no calibrated table for user media)
+    code, body = _post(server + "/v1/trace_samples",
+                       {"samples": Z, "x": gx, "y": gy, "steps": 10,
+                        "launch": {"x": 0.0, "y": [-0.1, 0.1]}})
+    assert code == 400 and "delta_s" in body["error"]
