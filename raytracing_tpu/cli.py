@@ -26,6 +26,7 @@ from raytracing_tpu.engine import oracles
 from raytracing_tpu.engine.trace import trace
 from raytracing_tpu.media.medium import analytic_medium
 from raytracing_tpu.media.spline import build_grid_medium
+from raytracing_tpu.ops.registry import canonical
 from raytracing_tpu.parallel.sweep import delta_s_search
 
 BOLD, BLUE, GREEN, RESET = "\033[1m", "\033[1;94m", "\033[92m", "\033[0m"
@@ -123,6 +124,84 @@ def run_batch(scen, op_name: str, rays: int, *, delta_s_mode: str,
         closure = 100 * np.linalg.norm(np.asarray(out.pos[0]) - [1, 0]) / (2 * np.pi)
         printer(f"Closure error  {closure} %")
     printer(f"Escaped rays: {int(rays - np.asarray(out.active).sum())} / {rays}")
+    return out
+
+
+def run_samples_file(path: str, op_name: str, *, delta_s: float, steps: int,
+                     rays: int, launch, family: str = "parity",
+                     box=None, gamma: float = 1.0, save_pos=None,
+                     printer=print):
+    """Trace a measured medium loaded from an ``.npz`` file.
+
+    The file carries ``samples`` — a (ny, nx) index grid with coordinate
+    vectors ``x``/``y``, or a (ny,) profile with ``y`` only (e.g. sound
+    speed vs depth).  The CLI counterpart of the Python
+    ``*_medium_from_samples`` builders and the ``/v1/trace_samples``
+    serving endpoint; the reference can only trace fields hard-coded in
+    its source (RT_bench.py:104-116).  ``launch`` is (x, y_lo, y_hi,
+    theta): a ``rays``-ray fan.
+    """
+    import dataclasses
+
+    import jax
+
+    import raytracing_tpu as rt
+    from raytracing_tpu.engine.fast import fast_trace
+
+    with np.load(path) as data:
+        if "samples" not in data:
+            raise SystemExit(f"{path}: needs a 'samples' array "
+                             "(plus 'x'/'y' coordinate vectors)")
+        samples = np.asarray(data["samples"], np.float64)
+        y = np.asarray(data["y"], np.float64) if "y" in data else None
+        x = np.asarray(data["x"], np.float64) if "x" in data else None
+    if y is None:
+        raise SystemExit(f"{path}: needs the 'y' coordinate vector")
+    if samples.ndim == 1:
+        medium = (rt.c1_stratified_from_samples(samples, y)
+                  if family == "c1"
+                  else rt.stratified_medium_from_samples(samples, y))
+        default_box = (-1e30, 1e30, float(y[0]), float(y[-1]))
+        kind = f"{len(y)}-sample profile"
+    else:
+        if x is None:
+            raise SystemExit(f"{path}: 2-D samples need the 'x' vector")
+        medium = (rt.c1_medium_from_samples(samples, x, y)
+                  if family == "c1"
+                  else rt.grid_medium_from_samples(samples, x, y))
+        default_box = (float(x[0]), float(x[-1]), float(y[0]), float(y[-1]))
+        kind = f"{len(y)}x{len(x)} grid"
+    scen = dataclasses.replace(config.scenario("fisheye"), name="samples",
+                               gamma=gamma,
+                               box=tuple(box) if box else default_box)
+
+    lx, ylo, yhi, th = (float(v) for v in launch)
+    pos0 = np.stack([np.full(rays, lx, np.float32),
+                     np.linspace(ylo, yhi, rays, dtype=np.float32)], -1)
+    theta0 = np.full(rays, th, np.float32)
+    block = (1024 if jax.default_backend() != "cpu"
+             else min(1024, max(128, rays // 32)))
+
+    out = fast_trace(op_name, scen, medium, delta_s=np.float32(delta_s),
+                     steps=steps, pos0=pos0, theta0=theta0,
+                     block_rays=block)
+    np.asarray(out.pos[:1])  # compile
+    t0 = time.perf_counter()
+    out = fast_trace(op_name, scen, medium, delta_s=np.float32(delta_s),
+                     steps=steps, pos0=pos0, theta0=theta0,
+                     block_rays=block)
+    pos = np.asarray(out.pos)
+    dt = time.perf_counter() - t0
+    printer(f"\n{kind} ({family}) from {path}")
+    printer(f"{rays} rays x {steps} steps via the {out.engine} engine: "
+            f"{dt:.3f}s  ({rays * steps / dt:.3e} ray-steps/s)")
+    printer(f"Escaped rays: {int(rays - np.asarray(out.active).sum())} "
+            f"/ {rays}")
+    printer(f"Mean final position: ({pos[:, 0].mean():+.5f}, "
+            f"{pos[:, 1].mean():+.5f})")
+    if save_pos:
+        np.save(save_pos, pos)
+        printer(f"Final positions saved to {save_pos}")
     return out
 
 
@@ -310,7 +389,42 @@ def main(argv=None):
     p.add_argument("--plot", default="none", choices=["none", "static", "movie"])
     p.add_argument("--save-plot")
     p.add_argument("--save-video")
+    g = p.add_argument_group("measured media (.npz with samples + x/y)")
+    g.add_argument("--medium-file", metavar="FILE.npz",
+                   help="trace a MEASURED medium instead of a named "
+                        "scenario; needs --op, --delta-s-value, --steps, "
+                        "--launch")
+    g.add_argument("--family", default="parity", choices=["parity", "c1"],
+                   help="reference-exact pipeline or consistent-gradient")
+    g.add_argument("--delta-s-value", type=float,
+                   help="integration step (no calibrated table exists "
+                        "for user media)")
+    g.add_argument("--steps", type=int, help="integration step count")
+    g.add_argument("--launch", nargs=4, type=float,
+                   metavar=("X", "Y_LO", "Y_HI", "THETA"),
+                   help="ray fan: start x, y span, launch angle")
+    g.add_argument("--box", nargs=4, type=float,
+                   metavar=("X0", "X1", "Y0", "Y1"),
+                   help="exit box (default: the sample extent)")
+    g.add_argument("--gamma", type=float, default=1.0)
+    g.add_argument("--save-pos", metavar="OUT.npy",
+                   help="write final positions to a .npy file")
     args = p.parse_args(argv)
+
+    if args.medium_file:
+        missing = [f for f, v in (("--op", args.op),
+                                  ("--delta-s-value", args.delta_s_value),
+                                  ("--steps", args.steps),
+                                  ("--launch", args.launch)) if v is None]
+        if missing:
+            p.error(f"--medium-file needs {', '.join(missing)}")
+        op = f"op{int(args.op)}" if args.op.isdigit() else args.op
+        return run_samples_file(
+            args.medium_file, canonical(op),
+            delta_s=args.delta_s_value, steps=args.steps,
+            rays=args.rays or 1024, launch=args.launch,
+            family=args.family, box=args.box, gamma=args.gamma,
+            save_pos=args.save_pos)
 
     if args.scenario is None:
         return interactive()

@@ -104,6 +104,42 @@ def test_cli_rays_batch_mode(capsys):
     assert "ray-steps/s" in text and "Closure error" in text
 
 
+def test_cli_medium_file_mode(capsys, tmp_path):
+    """--medium-file traces a measured .npz medium end-to-end (both
+    dimensionalities), saves positions, and demands its required flags."""
+    from raytracing_tpu import cli
+
+    y = np.linspace(-2.0, 1.0, 61)
+    np.savez(tmp_path / "prof.npz", samples=1.0 + 0.3 * np.tanh(2.0 * y), y=y)
+    gx = np.linspace(-2.0, 2.0, 41)
+    gy = np.linspace(-1.5, 1.5, 31)
+    np.savez(tmp_path / "lens.npz",
+             samples=1.0 / (1.0 + 0.4 * gx[None, :] ** 2
+                            + 0.6 * gy[:, None] ** 2), x=gx, y=gy)
+
+    out_npy = tmp_path / "pos.npy"
+    res = cli.main(["--medium-file", str(tmp_path / "prof.npz"),
+                    "--op", "op6", "--delta-s-value", "0.01",
+                    "--steps", "80", "--rays", "128", "--family", "c1",
+                    "--box", "-5", "5", "-2", "1",
+                    "--launch", "0.0", "-1.5", "-0.5", "0.3",
+                    "--save-pos", str(out_npy)])
+    text = capsys.readouterr().out
+    assert res is not None and "profile (c1)" in text
+    assert np.load(out_npy).shape == (128, 2)
+
+    res = cli.main(["--medium-file", str(tmp_path / "lens.npz"),
+                    "--op", "6", "--delta-s-value", "0.01",
+                    "--steps", "60", "--rays", "256",
+                    "--launch", "-1.5", "-0.3", "0.3", "0.0"])
+    text = capsys.readouterr().out
+    assert res is not None and "41 grid (parity)" in text
+
+    with pytest.raises(SystemExit):
+        cli.main(["--medium-file", str(tmp_path / "lens.npz")])
+    assert "--delta-s-value" in capsys.readouterr().err
+
+
 def test_cli_search_flow(capsys, monkeypatch):
     """DELTA_S search through the CLI (narrowed candidate range)."""
     import raytracing_tpu.config as cfg
