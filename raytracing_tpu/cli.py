@@ -127,26 +127,13 @@ def run_batch(scen, op_name: str, rays: int, *, delta_s_mode: str,
     return out
 
 
-def run_samples_file(path: str, op_name: str, *, delta_s: float, steps: int,
-                     rays: int, launch, family: str = "parity",
-                     box=None, gamma: float = 1.0, save_pos=None,
-                     printer=print):
-    """Trace a measured medium loaded from an ``.npz`` file.
+def load_samples_medium(path: str, family: str = "parity"):
+    """(medium, default_box, description) from a measured ``.npz`` file.
 
     The file carries ``samples`` — a (ny, nx) index grid with coordinate
-    vectors ``x``/``y``, or a (ny,) profile with ``y`` only (e.g. sound
-    speed vs depth).  The CLI counterpart of the Python
-    ``*_medium_from_samples`` builders and the ``/v1/trace_samples``
-    serving endpoint; the reference can only trace fields hard-coded in
-    its source (RT_bench.py:104-116).  ``launch`` is (x, y_lo, y_hi,
-    theta): a ``rays``-ray fan.
+    vectors ``x``/``y``, or a (ny,) profile with ``y`` only.
     """
-    import dataclasses
-
-    import jax
-
     import raytracing_tpu as rt
-    from raytracing_tpu.engine.fast import fast_trace
 
     with np.load(path) as data:
         if "samples" not in data:
@@ -171,6 +158,30 @@ def run_samples_file(path: str, op_name: str, *, delta_s: float, steps: int,
                   else rt.grid_medium_from_samples(samples, x, y))
         default_box = (float(x[0]), float(x[-1]), float(y[0]), float(y[-1]))
         kind = f"{len(y)}x{len(x)} grid"
+    return medium, default_box, kind
+
+
+def run_samples_file(path: str, op_name: str, *, delta_s: float, steps: int,
+                     rays: int, launch, family: str = "parity",
+                     box=None, gamma: float = 1.0, save_pos=None,
+                     printer=print):
+    """Trace a measured medium loaded from an ``.npz`` file.
+
+    The file carries ``samples`` — a (ny, nx) index grid with coordinate
+    vectors ``x``/``y``, or a (ny,) profile with ``y`` only (e.g. sound
+    speed vs depth).  The CLI counterpart of the Python
+    ``*_medium_from_samples`` builders and the ``/v1/trace_samples``
+    serving endpoint; the reference can only trace fields hard-coded in
+    its source (RT_bench.py:104-116).  ``launch`` is (x, y_lo, y_hi,
+    theta): a ``rays``-ray fan.
+    """
+    import dataclasses
+
+    import jax
+
+    from raytracing_tpu.engine.fast import fast_trace
+
+    medium, default_box, kind = load_samples_medium(path, family)
     scen = dataclasses.replace(config.scenario("fisheye"), name="samples",
                                gamma=gamma,
                                box=tuple(box) if box else default_box)
@@ -409,19 +420,54 @@ def main(argv=None):
     g.add_argument("--gamma", type=float, default=1.0)
     g.add_argument("--save-pos", metavar="OUT.npy",
                    help="write final positions to a .npy file")
+    g.add_argument("--calibrate", type=float, metavar="TOL",
+                   help="pick delta_s by Richardson self-convergence "
+                        "(halving-displacement tolerance; measured media "
+                        "have no physics oracle) — replaces "
+                        "--delta-s-value/--steps, needs --arc-length")
+    g.add_argument("--arc-length", type=float,
+                   help="trace length for --calibrate")
     args = p.parse_args(argv)
 
     if args.medium_file:
-        missing = [f for f, v in (("--op", args.op),
-                                  ("--delta-s-value", args.delta_s_value),
-                                  ("--steps", args.steps),
-                                  ("--launch", args.launch)) if v is None]
+        calibrating = args.calibrate is not None
+        need = [("--op", args.op), ("--launch", args.launch)]
+        need += ([("--arc-length", args.arc_length)] if calibrating else
+                 [("--delta-s-value", args.delta_s_value),
+                  ("--steps", args.steps)])
+        missing = [f for f, v in need if v is None]
         if missing:
             p.error(f"--medium-file needs {', '.join(missing)}")
-        op = f"op{int(args.op)}" if args.op.isdigit() else args.op
+        op = canonical(f"op{int(args.op)}" if args.op.isdigit()
+                       else args.op)
+        delta_s, steps = args.delta_s_value, args.steps
+        if calibrating:
+            from raytracing_tpu.parallel.sweep import (
+                delta_s_search_convergence)
+
+            medium, default_box, kind = load_samples_medium(
+                args.medium_file, args.family)
+            rays = min(args.rays or 1024, 4096)   # search fan
+            lx, ylo, yhi, th = args.launch
+            pos0 = np.stack([np.full(rays, lx, np.float32),
+                             np.linspace(ylo, yhi, rays,
+                                         dtype=np.float32)], -1)
+            sr = delta_s_search_convergence(
+                op, medium, pos0=pos0, theta0=np.full(rays, th, np.float32),
+                arc_length=args.arc_length,
+                box=tuple(args.box) if args.box else default_box,
+                gamma=args.gamma, tol=args.calibrate)
+            if sr.index is None:
+                raise SystemExit(
+                    f"no candidate step reached halving tolerance "
+                    f"{args.calibrate} (errors: {sr.metrics['halving_err']})")
+            delta_s = sr.delta_s_selected
+            steps = int(sr.divisor)
+            print(f"calibrated ({kind}): delta_s = {delta_s:.6g} "
+                  f"({steps} steps over arc {args.arc_length}; halving "
+                  f"displacement {sr.metrics['halving_err'][sr.index]:.2e})")
         return run_samples_file(
-            args.medium_file, canonical(op),
-            delta_s=args.delta_s_value, steps=args.steps,
+            args.medium_file, op, delta_s=delta_s, steps=steps,
             rays=args.rays or 1024, launch=args.launch,
             family=args.family, box=args.box, gamma=args.gamma,
             save_pos=args.save_pos)

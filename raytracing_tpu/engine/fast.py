@@ -90,6 +90,9 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    # every kernel family lays rays out in 128-wide lanes; a sub-lane or
+    # ragged block reaches the kernels as an empty (0, 128) reshape
+    block_rays = max(128, -(-int(block_rays) // 128) * 128)
     op = canonical(op_name)
     if isinstance(medium, StratifiedGridMedium):
         # trim the table to its reachable, nontrivial window (media/spline.

@@ -535,3 +535,80 @@ def delta_s_search(op_name: str, scen: config.ScenarioConfig, medium, *,
     return SweepResult(scenario=scen.name, op_name=op_name,
                        divisors=divisors, delta_s=delta_s, metrics=metrics,
                        index=index, divisor=divisor, delta_s_selected=ds_sel)
+
+
+def delta_s_search_convergence(op_name: str, medium, *, pos0, theta0,
+                               arc_length: float, box, gamma: float = 1.0,
+                               candidates: np.ndarray | None = None,
+                               tol: float = 1e-4,
+                               block_rays: int = 4096) -> SweepResult:
+    """DELTA_S search for USER-measured media via Richardson
+    self-convergence.
+
+    The reference's acceptance policies all lean on a per-scenario physics
+    oracle (closure / Snell / momentum CV, RT_bench.py:1320-1375); a
+    measured medium has no closed-form truth, so acceptance here is
+    self-convergence instead: a candidate step passes when HALVING it moves
+    no final position by more than ``tol`` over the same ``arc_length``.
+    For the one-step methods the halving error is O(delta_s), making it an
+    estimate of the remaining discretization error itself.
+
+    Candidates are step sizes, DESCENDING step count (coarse -> fine, the
+    reference's sweep order); the first passing candidate is selected
+    (coarsest-accepted convention, RT_bench.py:1364-1377).  Default grid:
+    arc_length / {50, 100, ..., 6400} — eight octaves.  Runs through
+    ``fast_trace`` so the kernel tier serves each candidate; every
+    candidate pair costs two traces at distinct static step counts, so
+    keep the grid short on compile-expensive backends.
+
+    Returns a SweepResult whose ``metrics['halving_err']`` holds the
+    per-candidate displacement and ``divisors`` the step counts.
+    """
+    import dataclasses
+
+    from raytracing_tpu.engine.fast import fast_trace
+    from raytracing_tpu.ops.registry import canonical
+
+    op_c = canonical(op_name)
+    if not (np.isfinite(arc_length) and arc_length > 0):
+        raise ValueError(f"arc_length must be finite and > 0, "
+                         f"got {arc_length}")
+    scen = dataclasses.replace(config.scenario("fisheye"), name="samples",
+                               gamma=float(gamma),
+                               box=tuple(float(v) for v in box))
+    if candidates is None:
+        counts = 50 * 2 ** np.arange(8)
+        candidates = arc_length / counts
+    candidates = np.asarray(candidates, np.float64)
+    if np.any(np.diff(candidates) >= 0):
+        raise ValueError("candidates must descend (coarse -> fine)")
+    pos0 = np.asarray(pos0, np.float32)
+    theta0 = np.asarray(theta0, np.float32)
+
+    def final_pos(ds: float, steps: int) -> np.ndarray:
+        out = fast_trace(op_c, scen, medium, delta_s=np.float32(ds),
+                         steps=int(steps), pos0=pos0, theta0=theta0,
+                         block_rays=block_rays)
+        return np.asarray(out.pos)
+
+    errs = []
+    index = None
+    for i, ds in enumerate(candidates):
+        steps = max(1, round(arc_length / float(ds)))
+        a = final_pos(float(ds), steps)
+        b = final_pos(float(ds) / 2.0, 2 * steps)
+        errs.append(float(np.linalg.norm(a - b, axis=-1).max()))
+        if errs[-1] < tol:
+            index = i
+            break
+    errs += [np.nan] * (len(candidates) - len(errs))
+
+    steps_grid = np.array([max(1, round(arc_length / d))
+                           for d in candidates], np.float64)
+    ds_sel = float(candidates[index]) if index is not None else None
+    return SweepResult(
+        scenario="samples", op_name=op_c, divisors=steps_grid,
+        delta_s=candidates, metrics={"halving_err": np.asarray(errs)},
+        index=index,
+        divisor=float(steps_grid[index]) if index is not None else None,
+        delta_s_selected=ds_sel)

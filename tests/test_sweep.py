@@ -337,3 +337,42 @@ def test_grid_medium_sweep_matches_scan():
     s = run_candidates("op6", scen, gm, ds, sizes - 1, int(sizes.max()),
                        n_turns=1, dtype=np.float32)
     np.testing.assert_allclose(g["closure_pct"], s["closure_pct"], atol=5e-3)
+
+
+def test_convergence_search_user_medium():
+    """Richardson self-convergence calibration on a measured profile: no
+    physics oracle needed; acceptance = halving the step moves no final
+    position beyond tol (coarsest-accepted, reference sweep order)."""
+    y = np.linspace(-2.0, 1.0, 61)
+    med = rt.c1_stratified_from_samples(1.0 + 0.3 * np.tanh(2.0 * y), y)
+    r = 64
+    pos0 = np.stack([np.zeros(r, np.float32),
+                     np.linspace(-1.5, -0.5, r, dtype=np.float32)], -1)
+    theta0 = np.full(r, 0.3, np.float32)
+    arc = 1.0
+    cands = arc / np.array([10.0, 20.0, 40.0, 80.0])
+    sr = sw.delta_s_search_convergence(
+        "op6", med, pos0=pos0, theta0=theta0, arc_length=arc,
+        box=(-5.0, 5.0, -2.0, 1.0), candidates=cands, tol=1e-4,
+        block_rays=128)
+    errs = sr.metrics["halving_err"]
+    assert sr.index is not None
+    assert errs[sr.index] < 1e-4
+    # one-step methods: halving error shrinks ~linearly with the step
+    finite = errs[np.isfinite(errs)]
+    assert np.all(np.diff(finite) < 0)
+    # everything past the accepted candidate is untraced
+    assert np.all(np.isnan(errs[sr.index + 1:]))
+    assert sr.delta_s_selected == pytest.approx(float(cands[sr.index]))
+    # coarsest-accepted: the candidate before the accepted one FAILED
+    if sr.index > 0:
+        assert errs[sr.index - 1] >= 1e-4
+
+    with pytest.raises(ValueError, match="descend"):
+        sw.delta_s_search_convergence(
+            "op6", med, pos0=pos0, theta0=theta0, arc_length=arc,
+            box=(-5.0, 5.0, -2.0, 1.0), candidates=cands[::-1], tol=1e-4)
+    with pytest.raises(ValueError, match="arc_length"):
+        sw.delta_s_search_convergence(
+            "op6", med, pos0=pos0, theta0=theta0, arc_length=-1.0,
+            box=(-5.0, 5.0, -2.0, 1.0), candidates=cands, tol=1e-4)

@@ -140,6 +140,29 @@ def test_cli_medium_file_mode(capsys, tmp_path):
     assert "--delta-s-value" in capsys.readouterr().err
 
 
+def test_cli_medium_file_calibrate(capsys, tmp_path):
+    """--calibrate picks delta_s by self-convergence, then traces at it."""
+    from raytracing_tpu import cli
+
+    y = np.linspace(-2.0, 1.0, 61)
+    np.savez(tmp_path / "prof.npz", samples=1.0 + 0.3 * np.tanh(2.0 * y), y=y)
+    res = cli.main(["--medium-file", str(tmp_path / "prof.npz"),
+                    "--op", "op6", "--calibrate", "1e-2",
+                    "--arc-length", "1.0", "--rays", "128",
+                    "--family", "c1", "--box", "-5", "5", "-2", "1",
+                    "--launch", "0.0", "-1.5", "-0.5", "0.3"])
+    text = capsys.readouterr().out
+    assert res is not None
+    assert "calibrated (61-sample profile): delta_s" in text
+    assert "profile (c1)" in text
+
+    with pytest.raises(SystemExit):
+        cli.main(["--medium-file", str(tmp_path / "prof.npz"),
+                  "--op", "op6", "--calibrate", "1e-2",
+                  "--launch", "0.0", "-1.5", "-0.5", "0.3"])
+    assert "--arc-length" in capsys.readouterr().err
+
+
 def test_cli_search_flow(capsys, monkeypatch):
     """DELTA_S search through the CLI (narrowed candidate range)."""
     import raytracing_tpu.config as cfg
