@@ -13,6 +13,10 @@ a dependency-free (stdlib http.server) JSON API over the fused-kernel tier:
                                 MEASURED medium posted in the request (2-D
                                 index grid or 1-D profile; parity or C1
                                 family), no named field required
+    POST /v1/calibrate_samples -> {"samples", ..., "arc_length", "tol"} —
+                                pick delta_s for that medium by Richardson
+                                self-convergence (measured media have no
+                                closed-form physics oracle)
 
 Compiled executables are cached by (op, field, steps, block) through the
 jit caches underneath ``fast_trace``, so the first request per
@@ -136,6 +140,138 @@ def _finite(name: str, a: np.ndarray) -> np.ndarray:
     return a
 
 
+def _samples_medium(body: dict):
+    """(medium, default_box, family, kind) from a posted samples body."""
+    family = str(body.get("family", "parity"))
+    if family not in ("parity", "c1"):
+        raise ValueError(f"family must be 'parity' or 'c1', got {family!r}")
+    if "samples" not in body:
+        raise ValueError("this endpoint needs 'samples' (1-D profile or "
+                         "2-D grid of refractive-index values)")
+    samples = _finite("samples", np.asarray(body["samples"], np.float64))
+    if not 0 < samples.size <= MAX_SAMPLE_VALUES:
+        raise ValueError(f"samples size must be in [1, {MAX_SAMPLE_VALUES}],"
+                         f" got {samples.size}")
+    y = _finite("y", np.asarray(body.get("y", ()), np.float64))
+    if samples.ndim == 1:
+        medium = (rt.c1_stratified_from_samples(samples, y) if family == "c1"
+                  else rt.stratified_medium_from_samples(samples, y))
+        default_box = (-1e30, 1e30, float(y[0]), float(y[-1]))
+        kind = "profile"
+    elif samples.ndim == 2:
+        x = _finite("x", np.asarray(body.get("x", ()), np.float64))
+        medium = (rt.c1_medium_from_samples(samples, x, y) if family == "c1"
+                  else rt.grid_medium_from_samples(samples, x, y))
+        default_box = (float(x[0]), float(x[-1]), float(y[0]), float(y[-1]))
+        kind = "grid"
+    else:
+        raise ValueError(f"samples must be 1-D or 2-D, got {samples.ndim}-D")
+    return medium, default_box, family, kind
+
+
+def _launch_fan(body: dict):
+    """(pos0, theta0, rays) from explicit arrays or a compact fan spec."""
+    if "pos0" in body:
+        pos0 = _finite("pos0", np.asarray(body["pos0"], np.float32))
+        theta0 = _finite("theta0",
+                         np.asarray(body.get("theta0", ()), np.float32))
+        if pos0.ndim != 2 or pos0.shape[1] != 2 or len(theta0) != len(pos0):
+            raise ValueError("pos0 must be (rays, 2) with theta0 (rays,), "
+                             f"got {pos0.shape} / {theta0.shape}")
+        rays = len(pos0)
+    else:
+        fan = body.get("launch")
+        if not isinstance(fan, dict):
+            raise ValueError("this endpoint needs 'pos0'/'theta0' arrays or "
+                             "a 'launch' fan {'x':…, 'y':[lo,hi], 'theta':…}")
+        rays = int(body.get("rays", 1024))
+        if not 1 <= rays <= MAX_RAYS:
+            raise ValueError(f"rays must be in [1, {MAX_RAYS}], got {rays}")
+        fx = float(fan["x"])
+        # (checked before building the fan so a hostile count never allocates)
+        fy = np.asarray(fan["y"], np.float64).reshape(-1)
+        th = np.asarray(fan.get("theta", 0.0), np.float64).reshape(-1)
+        _finite("launch", np.concatenate([[fx], fy, th]))
+        pos0 = np.stack([np.full(rays, fx, np.float32),
+                         np.linspace(fy[0], fy[-1], rays,
+                                     dtype=np.float32)], -1)
+        theta0 = (np.full(rays, th[0], np.float32) if len(th) == 1
+                  else np.linspace(th[0], th[-1], rays, dtype=np.float32))
+    if not 1 <= rays <= MAX_RAYS:
+        raise ValueError(f"rays must be in [1, {MAX_RAYS}], got {rays}")
+    return pos0, theta0, rays
+
+
+def _samples_scenario(body: dict, default_box):
+    import dataclasses
+
+    box = tuple(float(v) for v in body.get("box", default_box))
+    if len(box) != 4 or not np.all(np.isfinite(box)):
+        raise ValueError(f"box must be 4 finite floats, got {box!r}")
+    gamma = float(body.get("gamma", 1.0))
+    if not np.isfinite(gamma):
+        raise ValueError("gamma must be finite")
+    return dataclasses.replace(config.scenario("fisheye"), name="samples",
+                               gamma=gamma, box=box)
+
+
+def _calibrate_samples_request(body: dict) -> dict:
+    """Pick delta_s for a POSTed measured medium by self-convergence.
+
+    Measured media have no closed-form physics oracle, so acceptance is
+    Richardson halving (parallel/sweep.delta_s_search_convergence): the
+    coarsest candidate step whose halving moves no final position beyond
+    ``tol`` over ``arc_length``.  Candidates (optional, descending step
+    sizes) default to arc_length / {50, 100, ..., 6400}.
+    """
+    from raytracing_tpu.parallel.sweep import delta_s_search_convergence
+
+    medium, default_box, family, kind = _samples_medium(body)
+    pos0, theta0, rays = _launch_fan(body)
+    if rays > 65536:
+        raise ValueError(f"calibration fans cap at 65536 rays, got {rays}")
+    scen = _samples_scenario(body, default_box)
+    op = canonical(str(body.get("op", "op6")))
+    arc = float(body.get("arc_length", 0.0))
+    tol = float(body.get("tol", 1e-4))
+    if not (np.isfinite(tol) and tol > 0):
+        raise ValueError(f"tol must be finite and > 0, got {tol}")
+    cands = body.get("candidates")
+    if cands is not None:
+        cands = _finite("candidates", np.asarray(cands, np.float64))
+        if not 1 <= len(cands) <= 16:
+            raise ValueError("candidates caps at 16 entries")
+        if np.any(cands <= 0):
+            raise ValueError("candidates must be positive step sizes")
+    if not (np.isfinite(arc) and 0 < arc):
+        raise ValueError(f"calibrate needs 'arc_length' > 0, got {arc}")
+    finest = float(cands.min()) if cands is not None else arc / 6400.0
+    if arc / finest * 2 > MAX_STEPS:
+        raise ValueError(f"finest candidate implies "
+                         f"{int(arc / finest * 2)} halving steps "
+                         f"(bound {MAX_STEPS})")
+
+    block = (1024 if jax.default_backend() != "cpu"
+             else min(1024, max(128, rays // 32)))
+    t0 = time.perf_counter()
+    sr = delta_s_search_convergence(
+        op, medium, pos0=pos0, theta0=theta0, arc_length=arc,
+        box=scen.box, gamma=scen.gamma, candidates=cands, tol=tol,
+        block_rays=block)
+    dt = time.perf_counter() - t0
+    errs = sr.metrics["halving_err"]
+    return {
+        "op": op, "family": family, "medium_kind": kind, "rays": rays,
+        "arc_length": arc, "tol": tol,
+        "delta_s": sr.delta_s_selected,
+        "steps": int(sr.divisor) if sr.divisor is not None else None,
+        "accepted": sr.index is not None,
+        "candidates": [float(v) for v in sr.delta_s],
+        "halving_err": [None if np.isnan(e) else float(e) for e in errs],
+        "seconds": round(dt, 4),
+    }
+
+
 def _trace_samples_request(body: dict) -> dict:
     """Trace through a USER-measured medium posted in the request body.
 
@@ -148,30 +284,7 @@ def _trace_samples_request(body: dict) -> dict:
     arrays or a compact fan ``launch: {"x": .., "y": [lo, hi],
     "theta": t | [lo, hi]}`` expanded to ``rays`` rays.
     """
-    import dataclasses
-
-    family = str(body.get("family", "parity"))
-    if family not in ("parity", "c1"):
-        raise ValueError(f"family must be 'parity' or 'c1', got {family!r}")
-    if "samples" not in body:
-        raise ValueError("trace_samples needs 'samples' (1-D profile or "
-                         "2-D grid of refractive-index values)")
-    samples = _finite("samples", np.asarray(body["samples"], np.float64))
-    if not 0 < samples.size <= MAX_SAMPLE_VALUES:
-        raise ValueError(f"samples size must be in [1, {MAX_SAMPLE_VALUES}],"
-                         f" got {samples.size}")
-    y = _finite("y", np.asarray(body.get("y", ()), np.float64))
-    if samples.ndim == 1:
-        medium = (rt.c1_stratified_from_samples(samples, y) if family == "c1"
-                  else rt.stratified_medium_from_samples(samples, y))
-        default_box = (-1e30, 1e30, float(y[0]), float(y[-1]))
-    elif samples.ndim == 2:
-        x = _finite("x", np.asarray(body.get("x", ()), np.float64))
-        medium = (rt.c1_medium_from_samples(samples, x, y) if family == "c1"
-                  else rt.grid_medium_from_samples(samples, x, y))
-        default_box = (float(x[0]), float(x[-1]), float(y[0]), float(y[-1]))
-    else:
-        raise ValueError(f"samples must be 1-D or 2-D, got {samples.ndim}-D")
+    medium, default_box, family, kind = _samples_medium(body)
 
     if "delta_s" not in body:
         raise ValueError("trace_samples needs 'delta_s' (no calibrated "
@@ -184,40 +297,8 @@ def _trace_samples_request(body: dict) -> dict:
     if not 1 <= steps <= MAX_STEPS:
         raise ValueError(f"steps must be in [1, {MAX_STEPS}], got {steps}")
 
-    if "pos0" in body:
-        pos0 = _finite("pos0", np.asarray(body["pos0"], np.float32))
-        theta0 = _finite("theta0",
-                         np.asarray(body.get("theta0", ()), np.float32))
-        if pos0.ndim != 2 or pos0.shape[1] != 2 or len(theta0) != len(pos0):
-            raise ValueError("pos0 must be (rays, 2) with theta0 (rays,), "
-                             f"got {pos0.shape} / {theta0.shape}")
-        rays = len(pos0)
-    else:
-        fan = body.get("launch")
-        if not isinstance(fan, dict):
-            raise ValueError("trace_samples needs 'pos0'/'theta0' arrays or "
-                             "a 'launch' fan {'x':…, 'y':[lo,hi], 'theta':…}")
-        rays = int(body.get("rays", 1024))
-        fx = float(fan["x"])
-        fy = np.asarray(fan["y"], np.float64).reshape(-1)
-        th = np.asarray(fan.get("theta", 0.0), np.float64).reshape(-1)
-        _finite("launch", np.concatenate([[fx], fy, th]))
-        pos0 = np.stack([np.full(rays, fx, np.float32),
-                         np.linspace(fy[0], fy[-1], rays,
-                                     dtype=np.float32)], -1)
-        theta0 = (np.full(rays, th[0], np.float32) if len(th) == 1
-                  else np.linspace(th[0], th[-1], rays, dtype=np.float32))
-    if not 1 <= rays <= MAX_RAYS:
-        raise ValueError(f"rays must be in [1, {MAX_RAYS}], got {rays}")
-
-    box = tuple(float(v) for v in body.get("box", default_box))
-    if len(box) != 4 or not np.all(np.isfinite(box)):
-        raise ValueError(f"box must be 4 finite floats, got {box!r}")
-    gamma = float(body.get("gamma", 1.0))
-    if not np.isfinite(gamma):
-        raise ValueError("gamma must be finite")
-    scen = dataclasses.replace(config.scenario("fisheye"), name="samples",
-                               gamma=gamma, box=box)
+    pos0, theta0, rays = _launch_fan(body)
+    scen = _samples_scenario(body, default_box)
     op = canonical(str(body.get("op", "op6")))
 
     # tile blocks must stay spatially tight for dispersed user fans; Mosaic
@@ -232,7 +313,7 @@ def _trace_samples_request(body: dict) -> dict:
 
     resp = {
         "op": op, "rays": rays, "steps": steps, "family": family,
-        "medium_kind": "profile" if samples.ndim == 1 else "grid",
+        "medium_kind": kind,
         "delta_s": delta_s, "engine": out.engine,
         "seconds": round(dt, 4),
         "ray_steps_per_sec": round(rays * steps / dt, 1),
@@ -270,7 +351,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"error": f"unknown path {self.path}"})
 
     _POST_ROUTES = {"/v1/trace": _trace_request,
-                    "/v1/trace_samples": _trace_samples_request}
+                    "/v1/trace_samples": _trace_samples_request,
+                    "/v1/calibrate_samples": _calibrate_samples_request}
 
     def do_POST(self):
         handler = self._POST_ROUTES.get(self.path)

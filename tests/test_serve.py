@@ -210,3 +210,35 @@ def test_trace_samples_rejected(server):
                        {"samples": Z, "x": gx, "y": gy, "steps": 10,
                         "launch": {"x": 0.0, "y": [-0.1, 0.1]}})
     assert code == 400 and "delta_s" in body["error"]
+
+
+def test_calibrate_samples(server):
+    """Self-convergence calibration over HTTP, then trace at the result."""
+    import numpy as np
+    y = np.linspace(-2.0, 1.0, 61)
+    col = (1.0 + 0.3 * np.tanh(2.0 * y)).tolist()
+    req = {"samples": col, "y": y.tolist(), "op": "op6", "family": "c1",
+           "arc_length": 1.0, "tol": 1e-2, "rays": 128,
+           "candidates": [0.1, 0.05, 0.025],
+           "box": [-5.0, 5.0, -2.0, 1.0],
+           "launch": {"x": 0.0, "y": [-1.5, -0.5], "theta": 0.3}}
+    code, body = _post(server + "/v1/calibrate_samples", req)
+    assert code == 200, body
+    assert body["accepted"] and body["delta_s"] in req["candidates"]
+    assert body["halving_err"][0] is not None
+    # trace at the calibrated step through the sibling endpoint
+    code, tr = _post(server + "/v1/trace_samples",
+                     dict(req, delta_s=body["delta_s"],
+                          steps=body["steps"]))
+    assert code == 200, tr
+    assert tr["ray_steps_per_sec"] > 0
+
+    for mutate, frag in ((dict(arc_length=-1.0), "arc_length"),
+                         (dict(tol=0.0), "tol"),
+                         (dict(candidates=[0.1] * 17), "caps at 16"),
+                         (dict(candidates=[0.1, -0.2]), "positive"),
+                         (dict(rays=70000), "calibration fans")):
+        code, body = _post(server + "/v1/calibrate_samples",
+                           dict(req, **mutate))
+        assert code == 400, (mutate, body)
+        assert frag in body["error"], (frag, body["error"])
