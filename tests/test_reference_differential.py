@@ -141,3 +141,68 @@ def test_differential_vert_iso_golden(ref):
     med = build_grid_medium("vert_heterogeneous", scen.box, dtype=np.float64)
     res = trace("op5", scen, med, delta_s=ds, dtype=np.float64)
     _compare(res, s_ray, d_ray, atol=5e-7)
+
+
+def test_differential_interface_snell_errors(ref):
+    """The interface scenario end-to-end vs the reference: trajectories AND
+    the per-ray Snell-deviation metric (RT_bench.py:896-919) — the
+    acceptance quantity the DELTA_S search thresholds on."""
+    from raytracing_tpu.engine import oracles
+
+    ref.f = ref.interface
+    ref.gamma = 1
+    scen = dataclasses.replace(scenario("interface"), s_max=8.0)
+    ds = 0.05
+    z, grd = _ref_splines(ref, scen)
+    orig = _shrink_s(ref, 8.0)
+    try:
+        s_ray, d_ray, _times, errs = ref.trazar(
+            ref.op6, z, grd, 0, ds, 0, "1")
+    finally:
+        ref.constants = orig
+
+    med = build_grid_medium("interface", scen.box, dtype=np.float64)
+    res = trace("op6", scen, med, delta_s=ds, dtype=np.float64)
+    _compare(res, s_ray, d_ray, atol=1e-8)
+    got = np.asarray(oracles.snell_errors_deg(res, scen.theta0))
+    np.testing.assert_allclose(got, errs, atol=1e-7,
+                               err_msg="Snell metric mismatch")
+
+
+def test_differential_fisheye_closure_metric(ref):
+    """search_delta's closure formula (RT_bench.py:956) vs
+    oracles.closure_error_pct on the same trajectories."""
+    from raytracing_tpu.engine import oracles
+
+    ref.f = ref.fisheye
+    ref.N = 1
+    ref.gamma = 1
+    ref.op_interface, ref.op_fish = 0, 1
+    ref.op_vert_heterogeneous = ref.op_anisotropy = 0
+    scen = scenario("fisheye")
+    div = 90
+    ds = 2 * np.pi / div
+    z, grd = _ref_splines(ref, scen)
+    ref_closure = ref.search_delta(ref.op6, z, grd, ds, div, "2")
+
+    med = build_grid_medium("fisheye", scen.box, dtype=np.float64)
+    res = trace("op6", scen, med, delta_s=ds, divisor=div, n_turns=1,
+                dtype=np.float64,
+                pos0=np.repeat(scen.pos0, 2, 0),
+                theta0=np.repeat(scen.theta0, 2))
+    got = float(np.asarray(oracles.closure_error_pct(res))[0])
+    assert got == pytest.approx(float(ref_closure), abs=1e-8)
+
+
+def test_differential_outlier_filter(ref):
+    """bench.harness.remove_outliers_iqr is the reference's own filter
+    (RT_bench.py:123-138) — must agree exactly, outliers and ties."""
+    from raytracing_tpu.bench import harness
+
+    rng = np.random.default_rng(3)
+    for data in (rng.normal(1.0, 0.1, 200),
+                 np.concatenate([rng.normal(1.0, 0.01, 50),
+                                 [5.0, -3.0, 1.0, 1.0]]),
+                 np.full(10, 2.5)):
+        np.testing.assert_array_equal(harness.remove_outliers_iqr(data),
+                                      ref.remove_outliers_iqr(data))
