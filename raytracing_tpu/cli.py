@@ -164,6 +164,7 @@ def load_samples_medium(path: str, family: str = "parity"):
 def run_samples_file(path: str, op_name: str, *, delta_s: float, steps: int,
                      rays: int, launch, family: str = "parity",
                      box=None, gamma: float = 1.0, save_pos=None,
+                     plot: str = "none", save_plot=None,
                      printer=print):
     """Trace a measured medium loaded from an ``.npz`` file.
 
@@ -213,7 +214,44 @@ def run_samples_file(path: str, op_name: str, *, delta_s: float, steps: int,
     if save_pos:
         np.save(save_pos, pos)
         printer(f"Final positions saved to {save_pos}")
+
+    # physics report + plot on a history-mode subset (scan engine): the
+    # momentum oracle and trajectory drawing both need the full history
+    if plot == "static" or samples_is_profile(medium):
+        sub = min(rays, 64)
+        res = trace(op_name, scen, medium, delta_s=float(delta_s),
+                    mode="history", max_size=steps + 1,
+                    pos0=pos0[:sub], theta0=theta0[:sub])
+        if samples_is_profile(medium):
+            cv = np.asarray(oracles.momentum_cv_pct_from_history(res))
+            printer(f"Momentum conservation CV(p_x) over a {sub}-ray "
+                    f"subset: mean {cv.mean():.6f} % / max {cv.max():.6f} % "
+                    "(x-independent medium: p_x is an invariant)")
+        if plot == "static":
+            from raytracing_tpu.viz import plots
+
+            pscen = scen
+            if not np.all(np.isfinite(scen.box)) or \
+                    max(map(abs, scen.box)) > 1e6:
+                h = np.asarray(res.history)
+                pscen = dataclasses.replace(scen, box=(
+                    float(h[:, :, 0].min()), float(h[:, :, 0].max()),
+                    float(h[:, :, 1].min()), float(h[:, :, 1].max())))
+            fig, _ = plots.plot_static(res, pscen, medium=medium,
+                                       save=save_plot)
+            if save_plot:
+                printer(f"Plot saved to {save_plot}")
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
     return out
+
+
+def samples_is_profile(medium) -> bool:
+    from raytracing_tpu.media.c1 import C1StratifiedMedium
+    from raytracing_tpu.media.spline import StratifiedGridMedium
+
+    return isinstance(medium, (StratifiedGridMedium, C1StratifiedMedium))
 
 
 def build_medium(scen, medium_kind: str = "auto", dtype=np.float32):
@@ -470,7 +508,8 @@ def main(argv=None):
             args.medium_file, op, delta_s=delta_s, steps=steps,
             rays=args.rays or 1024, launch=args.launch,
             family=args.family, box=args.box, gamma=args.gamma,
-            save_pos=args.save_pos)
+            save_pos=args.save_pos, plot=args.plot,
+            save_plot=args.save_plot)
 
     if args.scenario is None:
         return interactive()

@@ -112,14 +112,22 @@ def wavefront_report(result: TraceResult,
     return fronts
 
 
-def _draw_medium(ax, scen, use_tex: bool):
+def _draw_medium(ax, scen, use_tex: bool, medium=None):
     """pcolormesh of n with the reference's horizontal colorbar
-    (RT_bench.py:1136-1150)."""
+    (RT_bench.py:1136-1150).  ``medium``: evaluate an arbitrary medium's
+    ``n`` over the box instead of a named field — measured media have no
+    field name to regenerate from."""
     from matplotlib.ticker import FormatStrFormatter
     from mpl_toolkits.axes_grid1 import make_axes_locatable
 
-    x, y, Z = gen_grid(scen.field, scen.box)
-    X, Y = np.meshgrid(x, y)
+    if medium is None:
+        x, y, Z = gen_grid(scen.field, scen.box)
+        X, Y = np.meshgrid(x, y)
+    else:
+        x = np.linspace(scen.box[0], scen.box[1], 256)
+        y = np.linspace(scen.box[2], scen.box[3], 256)
+        X, Y = np.meshgrid(x, y)
+        Z = np.asarray(medium.n(X.ravel(), Y.ravel())).reshape(X.shape)
     pcm = ax.pcolormesh(X, Y, Z, cmap="Greys")
     divider = make_axes_locatable(ax)
     cax = divider.append_axes("bottom", size="8%", pad=0.4)
@@ -132,12 +140,14 @@ def _draw_medium(ax, scen, use_tex: bool):
 
 
 def plot_static(result: TraceResult, scen, *, travel_times=None,
-                use_tex: bool = False, save: str | None = None):
+                use_tex: bool = False, save: str | None = None,
+                medium=None):
     """Static scenario plot (RT_bench.py:976-1050, 1121-1156).
 
     fisheye/interface: every trimmed trajectory over the medium.  vert/aniso:
     every other ray (the reference plots rays with even index,
     RT_bench.py:1007-1010) plus wavefronts and travel-time markers.
+    ``medium``: background n field for MEASURED media (no named field).
     Returns (fig, wavefronts).
     """
     _, plt = _mpl()
@@ -171,7 +181,7 @@ def plot_static(result: TraceResult, scen, *, travel_times=None,
         ax.set_ylim([scen.box[2], scen.box[3]])
 
     ax.set_aspect("equal")
-    _draw_medium(ax, scen, use_tex)
+    _draw_medium(ax, scen, use_tex, medium)
     if scen.is_interface:
         ax.set_xticks(np.arange(scen.box[0], scen.box[1] + 2, 2))
         ax.set_yticks(np.arange(scen.box[2], scen.box[3] + 1, 1))

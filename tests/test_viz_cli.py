@@ -127,13 +127,22 @@ def test_cli_medium_file_mode(capsys, tmp_path):
     text = capsys.readouterr().out
     assert res is not None and "profile (c1)" in text
     assert np.load(out_npy).shape == (128, 2)
+    # x-independent medium -> the conservation report; C1 media conserve
+    # p_x to the analytic floor
+    import re
+    m = re.search(r"CV\(p_x\).*max (\d+\.\d+) %", text)
+    assert m and float(m[1]) < 0.05, text
 
+    png = tmp_path / "rays.png"
     res = cli.main(["--medium-file", str(tmp_path / "lens.npz"),
                     "--op", "6", "--delta-s-value", "0.01",
                     "--steps", "60", "--rays", "256",
-                    "--launch", "-1.5", "-0.3", "0.3", "0.0"])
+                    "--launch", "-1.5", "-0.3", "0.3", "0.0",
+                    "--plot", "static", "--save-plot", str(png)])
     text = capsys.readouterr().out
     assert res is not None and "41 grid (parity)" in text
+    assert "CV(p_x)" not in text        # 2-D medium: p_x not invariant
+    assert png.exists() and png.stat().st_size > 1000
 
     with pytest.raises(SystemExit):
         cli.main(["--medium-file", str(tmp_path / "lens.npz")])
