@@ -22,6 +22,7 @@ from raytracing_tpu.engine.diff import (  # noqa: F401
     DiffTrace,
     ParametricMedium,
     parametric_grid_medium,
+    parametric_profile_medium,
     trace_diff,
 )
 from raytracing_tpu.engine.df_grid import (  # noqa: F401
@@ -52,6 +53,7 @@ __all__ = [
     "c1_medium_from_samples", "stratified_medium_from_samples",
     "c1_stratified_from_samples", "df_grid_medium_from_samples",
     "df_c1_medium_from_samples", "df_grid_trace",
-    "DiffTrace", "ParametricMedium", "parametric_grid_medium", "trace_diff",
+    "DiffTrace", "ParametricMedium", "parametric_grid_medium",
+    "parametric_profile_medium", "trace_diff",
     "ALIASES", "ANISO_OPS", "EXTENSION_OPS", "OP_NAMES",
 ]

@@ -120,6 +120,31 @@ def parametric_grid_medium(values, x0: float, y0: float, hx: float,
     return ParametricMedium(n_fn, values)
 
 
+def parametric_profile_medium(values, y0: float, hy: float
+                              ) -> ParametricMedium:
+    """An x-independent medium whose PROFILE SAMPLES are the traced
+    parameters.
+
+    ``values`` is (ny,) n samples on a uniform y grid — the differentiable
+    counterpart of ``rt.stratified_medium_from_samples`` for inverse
+    problems on measured profiles (e.g. recover a sound-speed-vs-depth
+    profile from observed travel times or exit points).  Evaluation is
+    linear in y, clamped at the edges; ``jax.grad`` of a trace_diff loss
+    w.r.t. ``values`` is the 1-D tomography adjoint.
+    """
+    values = jnp.asarray(values)
+    ny = values.shape[0]
+    inv_hy = 1.0 / float(hy)
+
+    def n_fn(prof, x, y):
+        fy = jnp.clip((y - y0) * inv_hy, 0.0, ny - 1 - 1e-9)
+        iy = jnp.floor(fy).astype(jnp.int32)
+        v = fy - iy
+        return prof[iy] * (1 - v) + prof[iy + 1] * v
+
+    return ParametricMedium(n_fn, values)
+
+
 def trace_diff(op_name: str, medium, pos0, theta0, delta_s, *, steps: int,
                box=None, gamma: float = 1.0, remat_segments: int = 1):
     """Differentiable fixed-step trace; returns the final ray state.

@@ -335,3 +335,70 @@ def test_forward_parity_aniso_ops(op):
     # travel time uses the EFFECTIVE index coef*n (RT_bench.py:784-790)
     np.testing.assert_allclose(np.asarray(d.traveltime),
                                np.asarray(res.final.traveltime), rtol=1e-12)
+
+
+def test_parametric_profile_medium_adjoint_and_fd():
+    """1-D profile parameters: the travel-time gradient is local to the
+    samples bracketing the ray's depth and matches finite differences —
+    the inverse-problem entry for MEASURED profiles."""
+    from raytracing_tpu.engine.diff import parametric_profile_medium
+
+    NY = 9
+    hy = 0.25                            # y grid over [-1, 1]
+    vals = jnp.ones(NY, jnp.float64) * 1.2
+    pos0 = jnp.asarray([[-0.5, 0.1]] * 2)
+    th0 = jnp.zeros(2, jnp.float64)      # straight rays at y = 0.1
+
+    def loss(v):
+        m = parametric_profile_medium(v, -1.0, hy)
+        *_, tt, _ = trace_diff("op6", m, pos0, th0, jnp.float64(0.02),
+                               steps=50)
+        return tt.sum()
+
+    g = np.asarray(jax.grad(loss)(vals))
+    nz = np.nonzero(np.abs(g) > 0)[0]
+    # y=0.1 sits between samples 4 (y=0) and 5 (y=0.25); a constant
+    # profile keeps the ray straight so nothing else is ever touched
+    assert set(nz) == {4, 5}, nz
+
+    eps = 1e-6
+    for k in (4, 5):
+        vp = vals.at[k].add(eps)
+        vm = vals.at[k].add(-eps)
+        fd = (loss(vp) - loss(vm)) / (2 * eps)
+        assert float(fd) == pytest.approx(float(g[k]), rel=1e-5)
+
+
+@pytest.mark.slow
+def test_parametric_profile_inversion_recovers_gradient():
+    """Recover a thermocline strength from exit positions alone: the
+    1-D counterpart of the interface-thickness inversion."""
+    from raytracing_tpu.engine.diff import parametric_profile_medium
+
+    y = np.linspace(-2.0, 1.0, 25)
+    hy = float(y[1] - y[0])
+
+    def profile(a):
+        return 1.0 + a * jnp.tanh(2.0 * jnp.asarray(y))
+
+    r = 8
+    pos0 = jnp.stack([jnp.zeros(r), jnp.linspace(-1.5, -0.5, r)], -1)
+    th0 = jnp.full(r, 0.4)
+    kw = dict(steps=120, box=(-10.0, 10.0, -2.0, 1.0))
+
+    def final_pos(a):
+        m = parametric_profile_medium(profile(a), float(y[0]), hy)
+        pos, *_ = trace_diff("op6", m, pos0, th0, jnp.float64(0.02), **kw)
+        return pos
+
+    target = final_pos(0.3)
+
+    def loss(a):
+        d = final_pos(a) - target
+        return jnp.sum(d * d)
+
+    a = jnp.asarray(0.1, jnp.float64)
+    g = jax.grad(loss)
+    for _ in range(60):                 # curvature ~65 -> lr below 2/65
+        a = a - 0.02 * g(a)
+    assert float(a) == pytest.approx(0.3, abs=1e-3)
