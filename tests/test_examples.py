@@ -58,6 +58,15 @@ def test_sampled_medium_production_example():
     assert "grid-tiled" in out and "DELTA_S search" in out
 
 
+def test_ocean_waveguide_example():
+    out = _run("ocean_waveguide.py", extra="sys.argv = ['x', '4096', '400']; ")
+    assert "trapped in the channel" in out
+    import re
+    m = re.search(r"max (\d+\.\d+e-\d+) %", out)
+    assert m and float(m[1]) < 0.05     # p_x conservation on the kernel fan
+    assert "tomography adjoint" in out
+
+
 def test_measured_medium_example():
     out = _run("measured_medium.py",
                extra="sys.argv = ['x', '4096', '150']; ")
