@@ -29,17 +29,16 @@ import numpy as np
 jax.config.update("jax_enable_x64", True)   # the truth trace below is f64
 
 import raytracing_tpu as rt
-from raytracing_tpu.engine.fast import fast_trace
+from raytracing_tpu.engine.fast import fast_trace, tight_block_rays
 
 rays = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 16
 steps = int(sys.argv[2]) if len(sys.argv) > 2 else 600
 # Tiled-window blocks must stay spatially TIGHT: the launch fan below spans
 # ~48 grid cells, so at small ray counts a full 1024-ray block would cover
 # more cells than any window class holds and fast_trace would fall back to
-# the (much slower) supercell kernel.  Scale the block with the fan density;
-# TPU Mosaic needs >= 1024 (8 sublanes x 128 lanes), interpret mode accepts
-# a single 128-lane row.
-block = min(1024, max(128, rays // 32))
+# the (much slower) supercell kernel.  tight_block_rays scales the block
+# with the fan density on CPU and keeps the 1024 Mosaic floor on TPU.
+block = tight_block_rays(rays)
 
 # -- the "measurement": index samples of an unknown lens on a lab grid ----
 def true_field(x, y):
@@ -85,15 +84,20 @@ from raytracing_tpu.media.medium import CustomMedium
 
 truth = CustomMedium(n_fn=lambda x, y: 1.0 / (1.0 + 0.4 * x * x
                                               + 0.6 * y * y))
-sub = min(512, rays)
+# strided subset — the first-k rays of a linspace fan would all sample
+# one edge of the launch span
+sel = slice(None, None, max(1, rays // 512))
+spos, sth = pos0[sel], theta0[sel]
+sub = len(spos)
 ref = rt.trace("op6", _Scen, truth, delta_s=float(ds), mode="metrics",
                dtype=np.float64, max_size=steps + 1,
-               pos0=pos0[:sub].astype(np.float64),
-               theta0=theta0[:sub].astype(np.float64))
+               pos0=spos.astype(np.float64),
+               theta0=sth.astype(np.float64))
 ref_pos = np.asarray(ref.final.pos)
 for tag, med in (("parity", parity), ("c1", c1)):
-    out = fast_trace("op6", _Scen, med, delta_s=ds, pos0=pos0[:sub],
-                     theta0=theta0[:sub], steps=steps, block_rays=128)
+    out = fast_trace("op6", _Scen, med, delta_s=ds, pos0=spos,
+                     theta0=sth, steps=steps,
+                     block_rays=tight_block_rays(sub))
     dev = float(np.linalg.norm(np.asarray(out.pos) - ref_pos, axis=1).max())
     print(f"{tag:7s} max trajectory deviation from the true field: {dev:.2e}")
 
@@ -104,11 +108,11 @@ print("c1 advantage: consistent grad (conservation-grade) and the same "
 # (engine/df_grid.py; compare against an f64 RK4 of the smooth truth so
 # both sides carry the same integrator error)
 dfm = rt.df_c1_medium_from_samples(Z, gx, gy)
-p = rt.df_grid_trace(pos0[:sub], theta0[:sub], ds, dfm, steps=steps)
+p = rt.df_grid_trace(spos, sth, ds, dfm, steps=steps)
 tru = rt.trace("op12", _Scen, truth, delta_s=float(ds), mode="metrics",
                dtype=np.float64, max_size=steps + 1,
-               pos0=pos0[:sub].astype(np.float64),
-               theta0=theta0[:sub].astype(np.float64))
+               pos0=spos.astype(np.float64),
+               theta0=sth.astype(np.float64))
 dev = float(np.abs(p - np.asarray(tru.final.pos)).max())
 print(f"df32+c1 deviation from an f64 trace of the true field: {dev:.2e} "
       "(pure-f32 arithmetic, medium-limited)")

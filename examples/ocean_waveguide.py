@@ -67,9 +67,11 @@ print(f"range reached: {pos[:, 0].mean():.3f} km mean "
       f"[{pos[:, 1].min():+.3f}, {pos[:, 1].max():+.3f}] km{trapped}")
 
 # -- physics: p_x is exact in a stratified medium --------------------------
-sub = min(rays, 64)
+# strided subset: the first-k rays of a linspace fan sample only one edge
+sel = slice(None, None, max(1, rays // 64))
+sub = len(theta0[sel])
 res = rt.trace("op6", scen, medium, delta_s=float(ds), mode="history",
-               max_size=steps + 1, pos0=pos0[:sub], theta0=theta0[:sub])
+               max_size=steps + 1, pos0=pos0[sel], theta0=theta0[sel])
 cv = np.asarray(oracles.momentum_cv_pct_from_history(res))
 print(f"momentum conservation CV(p_x), {sub}-ray subset: "
       f"mean {cv.mean():.2e} % / max {cv.max():.2e} %")
@@ -81,9 +83,12 @@ import jax.numpy as jnp
 hy = float(depth[1] - depth[0])
 
 
+inv_sel = slice(None, None, max(1, rays // 8))
+
+
 def loss(profile):
     m = rt.parametric_profile_medium(profile, float(depth[0]), hy)
-    p, *_ = rt.trace_diff("op6", m, pos0[:8], theta0[:8],
+    p, *_ = rt.trace_diff("op6", m, pos0[inv_sel], theta0[inv_sel],
                           jnp.float32(0.01), steps=200, box=box)
     return jnp.sum(p[:, 1] ** 2)         # e.g. fit observed depths
 

@@ -165,7 +165,7 @@ def run_samples_file(path: str, op_name: str, *, delta_s: float, steps: int,
                      rays: int, launch, family: str = "parity",
                      box=None, gamma: float = 1.0, save_pos=None,
                      plot: str = "none", save_plot=None,
-                     printer=print):
+                     preloaded=None, printer=print):
     """Trace a measured medium loaded from an ``.npz`` file.
 
     The file carries ``samples`` — a (ny, nx) index grid with coordinate
@@ -178,21 +178,22 @@ def run_samples_file(path: str, op_name: str, *, delta_s: float, steps: int,
     """
     import dataclasses
 
-    import jax
+    from raytracing_tpu.engine.fast import fast_trace, tight_block_rays
 
-    from raytracing_tpu.engine.fast import fast_trace
-
-    medium, default_box, kind = load_samples_medium(path, family)
+    medium, default_box, kind = (preloaded if preloaded is not None
+                                 else load_samples_medium(path, family))
+    box = tuple(box) if box else default_box
+    if not (box[0] < box[1] and box[2] < box[3]):
+        raise SystemExit(f"--box must be ordered (x0 < x1, y0 < y1), "
+                         f"got {box}")
     scen = dataclasses.replace(config.scenario("fisheye"), name="samples",
-                               gamma=gamma,
-                               box=tuple(box) if box else default_box)
+                               gamma=gamma, box=box)
 
     lx, ylo, yhi, th = (float(v) for v in launch)
     pos0 = np.stack([np.full(rays, lx, np.float32),
                      np.linspace(ylo, yhi, rays, dtype=np.float32)], -1)
     theta0 = np.full(rays, th, np.float32)
-    block = (1024 if jax.default_backend() != "cpu"
-             else min(1024, max(128, rays // 32)))
+    block = tight_block_rays(rays)
 
     out = fast_trace(op_name, scen, medium, delta_s=np.float32(delta_s),
                      steps=steps, pos0=pos0, theta0=theta0,
@@ -218,10 +219,14 @@ def run_samples_file(path: str, op_name: str, *, delta_s: float, steps: int,
     # physics report + plot on a history-mode subset (scan engine): the
     # momentum oracle and trajectory drawing both need the full history
     if plot == "static" or samples_is_profile(medium):
-        sub = min(rays, 64)
+        # strided subset — the first-k rays of a linspace fan would all
+        # sample one edge of the launch span
+        stride = max(1, rays // 64)
+        sel = slice(None, None, stride)
+        sub = len(pos0[sel])
         res = trace(op_name, scen, medium, delta_s=float(delta_s),
                     mode="history", max_size=steps + 1,
-                    pos0=pos0[:sub], theta0=theta0[:sub])
+                    pos0=pos0[sel], theta0=theta0[sel])
         if samples_is_profile(medium):
             cv = np.asarray(oracles.momentum_cv_pct_from_history(res))
             printer(f"Momentum conservation CV(p_x) over a {sub}-ray "
@@ -476,15 +481,20 @@ def main(argv=None):
         missing = [f for f, v in need if v is None]
         if missing:
             p.error(f"--medium-file needs {', '.join(missing)}")
+        if args.plot == "movie":
+            p.error("--plot movie is not supported with --medium-file "
+                    "(wavefront movies need a named scenario); use "
+                    "--plot static")
         op = canonical(f"op{int(args.op)}" if args.op.isdigit()
                        else args.op)
         delta_s, steps = args.delta_s_value, args.steps
+        pre = load_samples_medium(args.medium_file, args.family)
         if calibrating:
+            from raytracing_tpu.engine.fast import tight_block_rays
             from raytracing_tpu.parallel.sweep import (
                 delta_s_search_convergence)
 
-            medium, default_box, kind = load_samples_medium(
-                args.medium_file, args.family)
+            medium, default_box, kind = pre
             rays = min(args.rays or 1024, 4096)   # search fan
             lx, ylo, yhi, th = args.launch
             pos0 = np.stack([np.full(rays, lx, np.float32),
@@ -494,7 +504,8 @@ def main(argv=None):
                 op, medium, pos0=pos0, theta0=np.full(rays, th, np.float32),
                 arc_length=args.arc_length,
                 box=tuple(args.box) if args.box else default_box,
-                gamma=args.gamma, tol=args.calibrate)
+                gamma=args.gamma, tol=args.calibrate,
+                block_rays=tight_block_rays(rays))
             if sr.index is None:
                 raise SystemExit(
                     f"no candidate step reached halving tolerance "
@@ -509,7 +520,7 @@ def main(argv=None):
             rays=args.rays or 1024, launch=args.launch,
             family=args.family, box=args.box, gamma=args.gamma,
             save_pos=args.save_pos, plot=args.plot,
-            save_plot=args.save_plot)
+            save_plot=args.save_plot, preloaded=pre)
 
     if args.scenario is None:
         return interactive()

@@ -39,7 +39,8 @@ from raytracing_tpu import config
 from raytracing_tpu.kernels.df import (_df_recip, _fast_two_sum, _two_prod,
                                        _two_sum, make_df_rk4_body)
 from raytracing_tpu.media import grid as _grid
-from raytracing_tpu.media.spline import _gradient_tables_f64
+from raytracing_tpu.media.spline import (_gradient_tables_f64,
+                                          check_uniform_grid)
 
 
 # -- double-word helpers beyond kernels/df.py's ------------------------------
@@ -90,24 +91,6 @@ class DfGridMedium:
     ny: int = struct.field(pytree_node=False)
 
 
-def _check_uniform(Z, x, y):
-    """Validate user samples (same contract as grid_medium_from_samples)."""
-    Z = np.asarray(Z, np.float64)
-    x = np.asarray(x, np.float64)
-    y = np.asarray(y, np.float64)
-    if Z.shape != (len(y), len(x)):
-        raise ValueError(f"Z shape {Z.shape} != (len(y), len(x)) = "
-                         f"({len(y)}, {len(x)})")
-    if len(x) < 4 or len(y) < 4:
-        raise ValueError("bicubic fitting needs at least a 4x4 grid")
-    hx = float(x[1] - x[0])
-    hy = float(y[1] - y[0])
-    for name, v, h in (("x", x, hx), ("y", y, hy)):
-        if not np.allclose(np.diff(v), h, rtol=1e-6, atol=1e-12):
-            raise ValueError(f"{name} grid must be uniformly spaced")
-    return Z, x, y, hx, hy
-
-
 def df_grid_medium_from_samples(Z, x, y, *,
                                 gradient_spacing: float | None = None
                                 ) -> DfGridMedium:
@@ -119,7 +102,7 @@ def df_grid_medium_from_samples(Z, x, y, *,
     ``gradient_spacing`` defaults to the true mean pitch, matching the
     single-f32 builder.
     """
-    Z, x, y, hx, hy = _check_uniform(Z, x, y)
+    Z, x, y, hx, hy = check_uniform_grid(Z, x, y)
     gs = float(gradient_spacing if gradient_spacing is not None
                else 0.5 * (hx + hy))
     cx, cy = _gradient_tables_f64(Z, x, y, gs)
@@ -283,7 +266,7 @@ def df_c1_medium_from_samples(Z, x, y) -> DfC1Medium:
     """
     from raytracing_tpu.media.c1 import _n_spline_cells
 
-    Z, x, y, hx, hy = _check_uniform(Z, x, y)
+    Z, x, y, hx, hy = check_uniform_grid(Z, x, y)
     cells = np.asarray(_n_spline_cells(Z, y, x), np.float64)  # (ncy,ncx,4,4)
     b = np.arange(4, dtype=np.float64)
     cu = np.zeros_like(cells)

@@ -58,6 +58,21 @@ class FastResult(NamedTuple):
     engine: str      # "fused" | "golden" | "scan"
 
 
+def tight_block_rays(rays: int) -> int:
+    """Tile-block size for a DISPERSED user fan of ``rays`` rays.
+
+    Tiled-window blocks must stay spatially tight: an oversize block's
+    bbox can exceed every window class and fall back to the far slower
+    supercell/scan path after paying the escalation-ladder compiles.
+    Mosaic floors TPU blocks at 1024 rays (8 sublanes x 128 lanes);
+    interpret-mode CPU accepts a single 128-lane row, so there the block
+    scales with the fan density.
+    """
+    if jax.default_backend() != "cpu":
+        return 1024
+    return min(1024, max(128, int(rays) // 32))
+
+
 def supports(op_name: str, medium) -> bool:
     """True when a fused kernel covers this (op, medium) pairing."""
     op = canonical(op_name)

@@ -267,19 +267,9 @@ def c1_medium_from_samples(Z, x, y, *, dtype=np.float32,
     Same entry contract as spline.grid_medium_from_samples (uniform grids,
     >= 4x4), different field model: see the module docstring.
     """
-    Z = np.asarray(Z, np.float64)
-    x = np.asarray(x, np.float64)
-    y = np.asarray(y, np.float64)
-    if Z.shape != (len(y), len(x)):
-        raise ValueError(f"Z shape {Z.shape} != (len(y), len(x)) = "
-                         f"({len(y)}, {len(x)})")
-    if len(x) < 4 or len(y) < 4:
-        raise ValueError("bicubic fitting needs at least a 4x4 grid")
-    hx = float(x[1] - x[0])
-    hy = float(y[1] - y[0])
-    for name, v, h in (("x", x, hx), ("y", y, hy)):
-        if not np.allclose(np.diff(v), h, rtol=1e-6, atol=1e-12):
-            raise ValueError(f"{name} grid must be uniformly spaced")
+    from raytracing_tpu.media.spline import check_uniform_grid
+
+    Z, x, y, hx, hy = check_uniform_grid(Z, x, y)
 
     cells = _n_spline_cells(Z, y, x, backend)
     nodes = _node_data(np.ascontiguousarray(cells))          # (ny, nx, 4)

@@ -160,6 +160,39 @@ def cubic_cells_1d(vals: np.ndarray) -> np.ndarray:
     return np.stack([spl.c[3], spl.c[2], spl.c[1], spl.c[0]], axis=-1)
 
 
+def _check_axis(name: str, v: np.ndarray) -> float:
+    """Validate one coordinate vector: uniform AND ascending; returns h.
+
+    Descending axes are rejected rather than silently accepted: a negative
+    pitch inverts the (y0, inv_h) cell map and every box derived from the
+    endpoints, freezing all rays at launch with no error.
+    """
+    h = float(v[1] - v[0])
+    if h <= 0.0:
+        raise ValueError(f"{name} grid must be ascending (got pitch {h}); "
+                         "flip the axis and the sample rows")
+    if not np.allclose(np.diff(v), h, rtol=1e-6, atol=1e-12):
+        raise ValueError(f"{name} grid must be uniformly spaced")
+    return h
+
+
+def check_uniform_grid(Z, x, y):
+    """Validate user 2-D samples; returns (Z, x, y, hx, hy) as float64.
+
+    Shared by every from-samples builder (f32 parity/C1 and the df32
+    split-word twins) so validation semantics cannot drift between them.
+    """
+    Z = np.asarray(Z, np.float64)
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    if Z.shape != (len(y), len(x)):
+        raise ValueError(f"Z shape {Z.shape} != (len(y), len(x)) = "
+                         f"({len(y)}, {len(x)})")
+    if len(x) < 4 or len(y) < 4:
+        raise ValueError("bicubic fitting needs at least a 4x4 grid")
+    return Z, x, y, _check_axis("x", x), _check_axis("y", y)
+
+
 def _check_profile(samples, y):
     samples = np.asarray(samples, np.float64)
     y = np.asarray(y, np.float64)
@@ -168,10 +201,7 @@ def _check_profile(samples, y):
                          f"{y.shape} (want matching 1-D profiles)")
     if len(y) < 4:
         raise ValueError("cubic fitting needs at least 4 profile samples")
-    hy = float(y[1] - y[0])
-    if not np.allclose(np.diff(y), hy, rtol=1e-6, atol=1e-12):
-        raise ValueError("y grid must be uniformly spaced")
-    return samples, y, hy
+    return samples, y, _check_axis("y", y)
 
 
 def stratified_medium_from_samples(samples, y, *, dtype=np.float32,
@@ -323,19 +353,7 @@ def grid_medium_from_samples(Z, x, y, *, dtype=np.float32,
     (RT_bench.py:104-116); this is the entry point for real measured media
     (e.g. sound-speed profiles), no source edits required.
     """
-    Z = np.asarray(Z, np.float64)
-    x = np.asarray(x, np.float64)
-    y = np.asarray(y, np.float64)
-    if Z.shape != (len(y), len(x)):
-        raise ValueError(f"Z shape {Z.shape} != (len(y), len(x)) = "
-                         f"({len(y)}, {len(x)})")
-    if len(x) < 4 or len(y) < 4:
-        raise ValueError("bicubic fitting needs at least a 4x4 grid")
-    hx = float(x[1] - x[0])
-    hy = float(y[1] - y[0])
-    for name, v, h in (("x", x, hx), ("y", y, hy)):
-        if not np.allclose(np.diff(v), h, rtol=1e-6, atol=1e-12):
-            raise ValueError(f"{name} grid must be uniformly spaced")
+    Z, x, y, hx, hy = check_uniform_grid(Z, x, y)
     # ``gradient_spacing``: the step fed to np.gradient.  The reference
     # always uses the nominal DELTA even though its linspace pitches differ
     # per axis by ~3e-4 (RT_bench.py:426-433, 450); user grids default to

@@ -37,7 +37,7 @@ import jax
 import raytracing_tpu as rt
 from raytracing_tpu import config
 from raytracing_tpu.calibrated import calibrated as calibrated_table
-from raytracing_tpu.engine.fast import fast_trace
+from raytracing_tpu.engine.fast import fast_trace, tight_block_rays
 from raytracing_tpu.ops.registry import EXTENSION_OPS, OP_NAMES, canonical
 
 
@@ -191,6 +191,8 @@ def _launch_fan(body: dict):
         # (checked before building the fan so a hostile count never allocates)
         fy = np.asarray(fan["y"], np.float64).reshape(-1)
         th = np.asarray(fan.get("theta", 0.0), np.float64).reshape(-1)
+        if len(fy) == 0 or len(th) == 0:
+            raise ValueError("launch 'y' and 'theta' must be non-empty")
         _finite("launch", np.concatenate([[fx], fy, th]))
         pos0 = np.stack([np.full(rays, fx, np.float32),
                          np.linspace(fy[0], fy[-1], rays,
@@ -208,6 +210,9 @@ def _samples_scenario(body: dict, default_box):
     box = tuple(float(v) for v in body.get("box", default_box))
     if len(box) != 4 or not np.all(np.isfinite(box)):
         raise ValueError(f"box must be 4 finite floats, got {box!r}")
+    if not (box[0] < box[1] and box[2] < box[3]):
+        raise ValueError(f"box must be ordered (x0 < x1, y0 < y1), "
+                         f"got {box!r}")
     gamma = float(body.get("gamma", 1.0))
     if not np.isfinite(gamma):
         raise ValueError("gamma must be finite")
@@ -251,13 +256,11 @@ def _calibrate_samples_request(body: dict) -> dict:
                          f"{int(arc / finest * 2)} halving steps "
                          f"(bound {MAX_STEPS})")
 
-    block = (1024 if jax.default_backend() != "cpu"
-             else min(1024, max(128, rays // 32)))
     t0 = time.perf_counter()
     sr = delta_s_search_convergence(
         op, medium, pos0=pos0, theta0=theta0, arc_length=arc,
         box=scen.box, gamma=scen.gamma, candidates=cands, tol=tol,
-        block_rays=block)
+        block_rays=tight_block_rays(rays))
     dt = time.perf_counter() - t0
     errs = sr.metrics["halving_err"]
     return {
@@ -300,14 +303,15 @@ def _trace_samples_request(body: dict) -> dict:
     pos0, theta0, rays = _launch_fan(body)
     scen = _samples_scenario(body, default_box)
     op = canonical(str(body.get("op", "op6")))
+    return_positions = bool(body.get("return_positions", False))
+    if return_positions and rays > MAX_RETURNED_RAYS:
+        raise ValueError(f"return_positions caps at {MAX_RETURNED_RAYS} "
+                         f"rays, got {rays}")
 
-    # tile blocks must stay spatially tight for dispersed user fans; Mosaic
-    # floors TPU blocks at 1024 rays (8 sublanes x 128 lanes)
-    block = (1024 if jax.default_backend() != "cpu"
-             else min(1024, max(128, rays // 32)))
     t0 = time.perf_counter()
     out = fast_trace(op, scen, medium, delta_s=delta_s, steps=steps,
-                     pos0=pos0, theta0=theta0, block_rays=block)
+                     pos0=pos0, theta0=theta0,
+                     block_rays=tight_block_rays(rays))
     pos = np.asarray(out.pos)
     dt = time.perf_counter() - t0
 
@@ -320,10 +324,7 @@ def _trace_samples_request(body: dict) -> dict:
         "escaped_rays": int(rays - np.asarray(out.active).sum()),
         "mean_final_pos": [float(v) for v in pos.mean(0)],
     }
-    if bool(body.get("return_positions", False)):
-        if rays > MAX_RETURNED_RAYS:
-            raise ValueError(f"return_positions caps at {MAX_RETURNED_RAYS} "
-                             f"rays, got {rays}")
+    if return_positions:
         resp["pos"] = pos.astype(float).tolist()
         resp["active"] = np.asarray(out.active).astype(bool).tolist()
     return resp
@@ -364,7 +365,7 @@ class _Handler(BaseHTTPRequestHandler):
             body = json.loads(self.rfile.read(n) or b"{}")
             self._send(200, handler(body))
         except (ValueError, KeyError, TypeError, OverflowError,
-                ZeroDivisionError, json.JSONDecodeError) as e:
+                ZeroDivisionError, IndexError, json.JSONDecodeError) as e:
             self._send(400, {"error": str(e)})
 
     def log_message(self, fmt, *args):  # quiet by default

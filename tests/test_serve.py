@@ -200,6 +200,9 @@ def test_trace_samples_rejected(server):
             ({"samples": [1.0, 2.0, 3.0], "y": [0.0, 1.0, 2.0]},
              "at least 4"),
             (dict(rays=70000, return_positions=True), "caps"),
+            ({"launch": {"x": 0.0, "y": []}}, "non-empty"),
+            ({"y": list(reversed(gy))}, "ascending"),
+            (dict(box=[0.0, 1.0, 5.0, -5.0]), "ordered"),
     ):
         code, body = _post(server + "/v1/trace_samples",
                            dict(base, **mutate))

@@ -167,6 +167,17 @@ def test_profile_from_samples_validation():
         rt.c1_stratified_from_samples(col[:6], y[:5])
     with pytest.raises(ValueError, match="at least 4"):
         rt.stratified_medium_from_samples(col[:3], y[:3])
+    # descending axes are rejected, not silently box-inverted: a lab grid
+    # recorded surface-to-bottom must be flipped, every builder agrees
+    with pytest.raises(ValueError, match="ascending"):
+        rt.stratified_medium_from_samples(col[::-1], y[::-1])
+    Z2 = np.tile(col[:, None], (1, 8))
+    x8 = y[0] + np.arange(8) * (y[1] - y[0])
+    for build in (rt.grid_medium_from_samples, rt.c1_medium_from_samples,
+                  rt.df_grid_medium_from_samples,
+                  rt.df_c1_medium_from_samples):
+        with pytest.raises(ValueError, match="ascending"):
+            build(Z2[::-1], x8, y[::-1])
 
 
 @pytest.mark.slow
