@@ -27,6 +27,7 @@ from raytracing_tpu.engine.diff import (  # noqa: F401
 )
 from raytracing_tpu.engine.df_grid import (  # noqa: F401
     df_c1_medium_from_samples,
+    df_c1_profile_from_samples,
     df_grid_medium_from_samples,
     df_grid_trace,
 )
@@ -52,7 +53,8 @@ __all__ = [
     "AnalyticMedium", "analytic_medium", "grid_medium_from_samples",
     "c1_medium_from_samples", "stratified_medium_from_samples",
     "c1_stratified_from_samples", "df_grid_medium_from_samples",
-    "df_c1_medium_from_samples", "df_grid_trace",
+    "df_c1_medium_from_samples", "df_c1_profile_from_samples",
+    "df_grid_trace",
     "DiffTrace", "ParametricMedium", "parametric_grid_medium",
     "parametric_profile_medium", "trace_diff",
     "ALIASES", "ANISO_OPS", "EXTENSION_OPS", "OP_NAMES",

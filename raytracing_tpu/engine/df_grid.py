@@ -316,9 +316,67 @@ def _make_df_c1_nag(med: DfC1Medium):
     return nag
 
 
+@struct.dataclass
+class DfC1Profile:
+    """1-D consistent-gradient PROFILE with hi/lo split cells.
+
+    The df32 twin of media/c1.C1StratifiedMedium for x-independent
+    measured data (e.g. sound speed vs depth): per-cell power
+    coefficients of one not-a-knot cubic of the samples, plus its exact
+    derivative cells pre-scaled by 1/hy in float64, all split hi/lo.
+    Long-range propagation through a waveguide is exactly where single
+    f32 drifts (10^5+ steps); this keeps trajectories at the f64 grade
+    of the interpolant.
+    """
+
+    Ch: Any          # (ny-1, 4) n-spline cells, hi words
+    Cl: Any
+    Cvh: Any         # d/dy cells (pre-scaled by 1/hy)
+    Cvl: Any
+    y0h: float = struct.field(pytree_node=False)
+    y0l: float = struct.field(pytree_node=False)
+    ihyh: float = struct.field(pytree_node=False)
+    ihyl: float = struct.field(pytree_node=False)
+    ny: int = struct.field(pytree_node=False)
+
+
+def df_c1_profile_from_samples(samples, y) -> DfC1Profile:
+    """Split-word C1 profile tables from USER-measured (samples, y)."""
+    from raytracing_tpu.media.spline import _check_profile, cubic_cells_1d
+
+    samples, y, hy = _check_profile(samples, y)
+    cn = np.asarray(cubic_cells_1d(samples), np.float64)      # (ny-1, 4)
+    b = np.arange(4, dtype=np.float64)
+    cv = np.zeros_like(cn)
+    cv[:, :3] = cn[:, 1:] * b[1:] / hy
+    Ch, Cl = _split64(cn)
+    Cvh, Cvl = _split64(cv)
+    y0h, y0l = _split_scalar(float(y[0]))
+    ihyh, ihyl = _split_scalar(1.0 / hy)
+    return DfC1Profile(Ch=jnp.asarray(Ch), Cl=jnp.asarray(Cl),
+                       Cvh=jnp.asarray(Cvh), Cvl=jnp.asarray(Cvl),
+                       y0h=y0h, y0l=y0l, ihyh=ihyh, ihyl=ihyl, ny=len(y))
+
+
+def _make_df_profile_nag(med: DfC1Profile):
+    """df (n, gx, gy): two cubic df Horners of ONE 1-D spline; gx = 0."""
+
+    def nag(pxh, pxl, pyh, pyl):
+        iy, uyh, uyl = _df_cell_coord(pyh, pyl, med.y0h, med.y0l,
+                                      med.ihyh, med.ihyl, med.ny)
+        cell = iy.astype(jnp.int32)
+        nh, nl = _df_horner4(med.Ch[cell], med.Cl[cell], uyh, uyl)
+        gyh, gyl = _df_horner4(med.Cvh[cell], med.Cvl[cell], uyh, uyl)
+        zero = jnp.zeros_like(nh)
+        return (nh, nl), (zero, zero), (gyh, gyl)
+
+    return nag
+
+
 def _make_df_k(med):
     """df angle rate k = (u x grad n)/n from the split tables."""
     nag = (_make_df_c1_nag(med) if isinstance(med, DfC1Medium)
+           else _make_df_profile_nag(med) if isinstance(med, DfC1Profile)
            else _make_df_nag(med))
 
     def df_k(pxh, pxl, pyh, pyl, vxh, vxl, vyh, vyl):
@@ -344,7 +402,8 @@ def df_grid_trace(pos0, theta0, delta_s, medium, *,
 
     The sampled-media counterpart of kernels.df.df_trace: same RK4 body,
     angle rate from the df table evaluator.  ``medium`` is a
-    :class:`DfGridMedium` (parity tables) or :class:`DfC1Medium`
+    :class:`DfGridMedium` (parity tables), :class:`DfC1Profile`
+    (1-D measured profiles) or :class:`DfC1Medium`
     (consistent-gradient — the combination where df32 arithmetic shows,
     the medium no longer flooring at the bilinear-n ~1.5e-4).  Chained
     ``segment``-step jits bound the compile (scan+gather one-shots are a

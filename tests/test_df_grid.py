@@ -157,3 +157,50 @@ def test_df_from_samples_validation():
     with pytest.raises(ValueError, match="4x4"):
         rt.df_c1_medium_from_samples(np.ones((3, 8)), gx,
                                      np.linspace(0, 1, 3))
+
+
+def test_df_c1_profile_matches_f64_scan():
+    """df32 on a measured 1-D PROFILE: trajectories match the f64 scan of
+    the same C1 interpolant to double-word grade over a long waveguide
+    trace — the f64-substitute for e.g. ocean sound-speed profiles."""
+    import dataclasses
+
+    # a CHANNEL profile (index maximum at y=0) so the fan stays trapped:
+    # the df tier has no boundary mask, so the f64 reference must never
+    # freeze a ray at the box
+    y = np.linspace(-1.5, 1.5, 61)
+    col = 1.2 - 0.25 * y * y
+    dfm = rt.df_c1_profile_from_samples(col, y)
+
+    r, steps, ds = 4, 1500, float(np.float32(0.01))
+    pos0 = np.stack([np.zeros(r), np.linspace(-0.1, 0.1, r)], -1)
+    theta0 = np.full(r, 0.3)
+    p = rt.df_grid_trace(pos0, theta0, np.float32(ds), dfm, steps=steps)
+
+    scen = dataclasses.replace(rt.scenario("vert"), name="profile",
+                               gamma=1.0, box=(-1e6, 1e6, -1.5, 1.5))
+    c64 = rt.c1_stratified_from_samples(col, y, dtype=np.float64)
+    ref = rt.trace("op12", scen, c64, delta_s=ds, mode="metrics",
+                   dtype=np.float64, max_size=steps + 1,
+                   pos0=pos0, theta0=theta0)
+    err = float(np.abs(p - np.asarray(ref.final.pos)).max())
+    assert err < 2e-7, err
+
+    # and the split tables evaluate the SAME spline: n/gy vs the f64 medium
+    from raytracing_tpu.engine.df_grid import (_make_df_profile_nag,
+                                               _split64)
+    qy = np.random.default_rng(5).uniform(-1.4, 1.4, 256)
+    yh, yl = _split64(qy)
+    zero = np.zeros_like(yh)
+    (nh, nl), _, (gyh, gyl) = _make_df_profile_nag(dfm)(
+        jnp_arr(zero), jnp_arr(zero), jnp_arr(yh), jnp_arr(yl))
+    n64, (_, gy64) = c64.n_and_grad(np.zeros_like(qy), qy)
+    assert np.abs(np.asarray(nh, np.float64) + np.asarray(nl, np.float64)
+                  - np.asarray(n64)).max() < 1e-12
+    assert np.abs(np.asarray(gyh, np.float64) + np.asarray(gyl, np.float64)
+                  - np.asarray(gy64)).max() < 1e-11
+
+
+def jnp_arr(a):
+    import jax.numpy as jnp
+    return jnp.asarray(a)
