@@ -245,3 +245,35 @@ def test_calibrate_samples(server):
                            dict(req, **mutate))
         assert code == 400, (mutate, body)
         assert frag in body["error"], (frag, body["error"])
+
+
+def test_concurrent_requests(server):
+    """The ThreadingHTTPServer claim under load: parallel requests across
+    DIFFERENT endpoints all complete correctly (jit caches are shared and
+    thread-safe; no cross-request state)."""
+    import numpy as np
+    import concurrent.futures as cf
+
+    y = np.linspace(-2.0, 1.0, 61)
+    col = (1.0 + 0.3 * np.tanh(2.0 * y)).tolist()
+    jobs = [
+        ("/v1/trace", {"scenario": "fisheye", "op": "op6", "rays": 128,
+                       "delta_s": 2 * np.pi / 64, "divisor": 64}),
+        ("/v1/trace", {"scenario": "fisheye", "op": "op1", "rays": 128,
+                       "delta_s": 2 * np.pi / 64, "divisor": 64}),
+        ("/v1/trace_samples",
+         {"samples": col, "y": y.tolist(), "op": "op6", "family": "c1",
+          "delta_s": 0.01, "steps": 60, "rays": 128,
+          "box": [-5.0, 5.0, -2.0, 1.0],
+          "launch": {"x": 0.0, "y": [-1.5, -0.5], "theta": 0.3}}),
+        ("/v1/trace", {"scenario": "interface", "op": "op6", "rays": 128,
+                       "medium": "stratified"}),
+    ] * 2
+    with cf.ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(
+            lambda j: _post(server + j[0], j[1]), jobs))
+    for (code, body), (path, req) in zip(results, jobs):
+        assert code == 200, (path, body)
+        assert body["ray_steps_per_sec"] > 0
+        if req.get("scenario") == "fisheye":
+            assert body["closure_error_pct"] < 5.0, body
