@@ -188,6 +188,49 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
         "gsteps_per_sec": round(r * csteps / t / 1e9, 2),
         "closure_error_pct": round(float(gclo), 5)}
 
+    # -- MEASURED media: a user lens grid (no named field) at suite scale
+    # through fast_trace, accuracy scored against the df32 f64-substitute
+    # on the same samples (both run on-chip in pure f32) ------------------
+    import dataclasses as _dc
+
+    from raytracing_tpu.engine.fast import fast_trace
+
+    def _lens(x, y):
+        return 1.0 / (1.0 + 0.4 * x * x + 0.6 * y * y)
+
+    lgx = np.linspace(-2.0, 2.0, 161)
+    lgy = np.linspace(-1.5, 1.5, 121)
+    lZ = _lens(lgx[None, :], lgy[:, None])
+    lmed = rt.c1_medium_from_samples(lZ, lgx, lgy, dtype=np.float32)
+    lscen = _dc.replace(rt.scenario("fisheye"), name="measured", gamma=1.0,
+                        box=(-1.8, 1.8, -1.3, 1.3))
+    lsteps, lds = 600, np.float32(0.005)
+    lpos = np.stack([np.full(r, -1.5, np.float32),
+                     np.linspace(-0.6, 0.6, r).astype(np.float32)], -1)
+    lth = np.zeros(r, np.float32)
+
+    def run_measured(sync=True):
+        f = fast_trace("op6", lscen, lmed, delta_s=lds, pos0=lpos,
+                       theta0=lth, steps=lsteps, block_rays=1024)
+        if sync:
+            np.asarray(f.pos[:1])
+        return f
+
+    t, f = best_of(run_measured, reps=2)
+    sel = slice(None, None, max(1, r // 512))
+    dfm = rt.df_c1_medium_from_samples(lZ, lgx, lgy)
+    dfp = rt.df_grid_trace(lpos[sel], lth[sel], lds, dfm, steps=lsteps)
+    dev = float(np.abs(np.asarray(f.pos)[sel] - dfp).max())
+    out["measured_lens"] = {
+        "op": "op6", "rays": r, "steps": lsteps,
+        "medium": "user-measured-161x121-c1", "engine": f.engine,
+        "seconds": round(t, 4),
+        "gsteps_per_sec": round(r * lsteps / t / 1e9, 2),
+        "max_dev_vs_df32": float(f"{dev:.3g}"),
+        "note": "grid_medium_from_samples pipeline at benchmark scale; "
+                "accuracy vs the df32 split-word trace of the SAME "
+                "samples (the f64-substitute, PRECISION.md)"}
+
     # -- interface: analytic AND sampled (stratified) media, op6 ------------
     scen = rt.scenario("interface")
     imed = compact_stratified(
