@@ -347,7 +347,13 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path == "/v1/models":
             self._send(200, {"scenarios": list(config.SCENARIO_NAMES),
                              "ops": list(OP_NAMES),
-                             "extensions": list(EXTENSION_OPS)})
+                             "extensions": list(EXTENSION_OPS),
+                             "media": ["analytic", "stratified", "grid",
+                                       "c1", "c1-stratified"],
+                             "sample_families": ["parity", "c1"],
+                             "endpoints": ["/healthz", "/v1/models",
+                                           "/v1/trace", "/v1/trace_samples",
+                                           "/v1/calibrate_samples"]})
         else:
             self._send(404, {"error": f"unknown path {self.path}"})
 

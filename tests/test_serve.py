@@ -277,3 +277,57 @@ def test_concurrent_requests(server):
         assert body["ray_steps_per_sec"] > 0
         if req.get("scenario") == "fisheye":
             assert body["closure_error_pct"] < 5.0, body
+
+
+def test_models_advertises_endpoints(server):
+    code, body = _get(server + "/v1/models")
+    assert code == 200
+    assert "/v1/trace_samples" in body["endpoints"]
+    assert "/v1/calibrate_samples" in body["endpoints"]
+    assert body["sample_families"] == ["parity", "c1"]
+
+
+@pytest.mark.slow
+def test_fuzzed_payloads_never_5xx(server):
+    """Structured fuzz over every POST endpoint: whatever the body, the
+    server answers 200/400 — never a 5xx and never a dropped connection
+    (the production contract the error-tuple in do_POST implements)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    scalars = [0, -1, 1e308, -1e308, float("inf"), float("nan"), "x",
+               None, True, [], {}, "op6", 1e-300, 2**62]
+    keys = ["scenario", "op", "rays", "delta_s", "divisor", "n_turns",
+            "steps", "medium", "precision", "samples", "x", "y", "family",
+            "launch", "pos0", "theta0", "box", "gamma", "tol",
+            "arc_length", "candidates", "return_positions"]
+
+    def rand_value(depth=0):
+        r = rng.integers(0, 6 if depth < 2 else 4)
+        if r == 0:
+            return scalars[rng.integers(len(scalars))]
+        if r == 1:
+            return float(rng.normal(0, 10))
+        if r == 2:
+            return int(rng.integers(-5, 100))
+        if r == 3:
+            return [float(v) for v in rng.normal(0, 2, rng.integers(0, 5))]
+        if r == 4:
+            return [rand_value(depth + 1)
+                    for _ in range(rng.integers(0, 4))]
+        return {k: rand_value(depth + 1)
+                for k in rng.choice(keys, rng.integers(0, 4),
+                                    replace=False)}
+
+    endpoints = ["/v1/trace", "/v1/trace_samples", "/v1/calibrate_samples"]
+    for i in range(60):
+        body = {k: rand_value()
+                for k in rng.choice(keys, rng.integers(0, 6), replace=False)}
+        # keep accidental valid-and-huge configs cheap
+        body.setdefault("rays", 8)
+        body["steps"] = min(int(body.get("steps", 8))
+                            if isinstance(body.get("steps"), (int, float))
+                            and np.isfinite(float(body.get("steps", 8)))
+                            else 8, 64)
+        code, resp = _post(server + endpoints[i % 3], body)
+        assert code in (200, 400), (code, body, resp)
