@@ -56,6 +56,9 @@ class FastResult(NamedTuple):
     dist_sim: Any    # (R,)  (None on the golden path)
     active: Any      # (R,) bool: still inside the box
     engine: str      # "fused" | "golden" | "scan"
+    mom_count: Any = None   # Welford p_x tracker (stats=True, stratified)
+    mom_mean: Any = None
+    mom_m2: Any = None
 
 
 def tight_block_rays(rays: int) -> int:
@@ -91,8 +94,15 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
                delta_s, pos0, theta0, steps: int | None = None,
                divisor: int | None = None, n_turns: int = config.N_TURNS,
                block_rays: int = 4096, interpret: bool | None = None,
-               precision: str = "standard") -> FastResult:
+               precision: str = "standard", stats: bool = False
+               ) -> FastResult:
     """Metrics-only trace through the fastest available path.
+
+    ``stats=True`` (stratified media only — where p_x is an exact
+    invariant) rides the kernels' Welford momentum tracker and fills
+    ``mom_count/mom_mean/mom_m2`` on the result: full-batch conservation
+    CV at kernel speed, the reference's vert acceptance quantity
+    (RT_bench.py:1352-1360) for user media.
 
     ``pos0`` (R, 2) / ``theta0`` (R,) are padded to a block multiple
     automatically (rays are independent; the padding is discarded).
@@ -221,9 +231,18 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
                          or (isinstance(medium, AnalyticMedium)
                              and medium.field in FUSED_FIELDS)))
 
+    if stats and not isinstance(medium, (StratifiedGridMedium,
+                                         C1StratifiedMedium)):
+        raise ValueError("stats=True needs a stratified (x-independent) "
+                         "medium — p_x is only an invariant there; got "
+                         f"{type(medium).__name__}")
+
     if (not supports(op, medium)
             or isinstance(medium, (HermiteGridMedium, C1GridMedium))
             or (too_long and not seg_eligible)):
+        if stats:
+            raise ValueError(f"stats=True has no kernel path for {op!r} on "
+                             f"{type(medium).__name__} (scan fallback)")
         res = trace(op, scen, medium, delta_s=float(delta_s), divisor=divisor,
                     n_turns=n_turns, mode="metrics", dtype=np.float32,
                     max_size=steps + 1, pos0=pos0, theta0=theta0)
@@ -273,7 +292,8 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
             segment=max(1, min(int(steps),
                                1024 if op in FUSED_OPS else 256)),
             block_rays=block_rays, interpret=interpret,
-            gamma=float(scen.gamma), skip_frozen=exit_scen)
+            gamma=float(scen.gamma), skip_frozen=exit_scen,
+            with_stats=stats)
 
         def undo(a):
             if a is None:
@@ -285,22 +305,29 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
         eng += "-seg-skip" if exit_scen else "-seg"
         return FastResult(pos=undo(f.pos), traveltime=undo(f.traveltime),
                           dist_sim=undo(f.dist_sim), active=undo(f.active),
-                          engine=eng)
+                          engine=eng, mom_count=undo(f.mom_count),
+                          mom_mean=undo(f.mom_mean), mom_m2=undo(f.mom_m2))
 
+    mom = (None, None, None)
     if isinstance(medium, (StratifiedGridMedium, C1StratifiedMedium)) \
             and op in GOLDEN_OPS:
         g = golden_trace_final(
             pos0, theta0, jnp.float32(delta_s), jnp.float32(scen.gamma),
             field=scen.field, op=op, steps=int(steps), box=tuple(scen.box),
-            block_rays=block_rays, interpret=interpret, medium=medium)
+            block_rays=block_rays, interpret=interpret, medium=medium,
+            with_stats=stats)
         pos, tt, dsim, act = g.pos, g.traveltime, g.dist_sim, g.active
+        if stats:
+            mom = (g.mom_count, g.mom_mean, g.mom_m2)
         eng = "golden-strat"
     elif isinstance(medium, (StratifiedGridMedium, C1StratifiedMedium)):
         f = fused_trace_final_strat(
             pos0, theta0, jnp.float32(delta_s), medium, op=op,
             steps=int(steps), box=tuple(scen.box), block_rays=block_rays,
-            interpret=interpret)
+            interpret=interpret, with_stats=stats)
         pos, tt, dsim, act = f.pos, f.traveltime, f.dist_sim, f.active
+        if stats:
+            mom = (f.mom_count, f.mom_mean, f.mom_m2)
         eng = "fused-strat"
     elif isinstance(medium, CustomMedium) and op in GOLDEN_OPS:
         g = golden_trace_final(
@@ -332,7 +359,10 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
         eng = "fused"
     return FastResult(pos=pos[:r], traveltime=tt[:r],
                       dist_sim=dsim[:r] if dsim is not None else None,
-                      active=act[:r], engine=eng)
+                      active=act[:r], engine=eng,
+                      mom_count=None if mom[0] is None else mom[0][:r],
+                      mom_mean=None if mom[1] is None else mom[1][:r],
+                      mom_m2=None if mom[2] is None else mom[2][:r])
 
 
 def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,

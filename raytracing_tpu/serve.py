@@ -307,10 +307,14 @@ def _trace_samples_request(body: dict) -> dict:
     if return_positions and rays > MAX_RETURNED_RAYS:
         raise ValueError(f"return_positions caps at {MAX_RETURNED_RAYS} "
                          f"rays, got {rays}")
+    report_cv = bool(body.get("report_conservation", False))
+    if report_cv and kind != "profile":
+        raise ValueError("report_conservation needs a 1-D profile medium "
+                         "(p_x is only an invariant in stratified media)")
 
     t0 = time.perf_counter()
     out = fast_trace(op, scen, medium, delta_s=delta_s, steps=steps,
-                     pos0=pos0, theta0=theta0,
+                     pos0=pos0, theta0=theta0, stats=report_cv,
                      block_rays=tight_block_rays(rays))
     pos = np.asarray(out.pos)
     dt = time.perf_counter() - t0
@@ -324,6 +328,12 @@ def _trace_samples_request(body: dict) -> dict:
         "escaped_rays": int(rays - np.asarray(out.active).sum()),
         "mean_final_pos": [float(v) for v in pos.mean(0)],
     }
+    if report_cv:
+        cv = 100.0 * np.sqrt(np.asarray(out.mom_m2)
+                             / np.asarray(out.mom_count)) \
+            / np.asarray(out.mom_mean)
+        resp["momentum_cv_pct_mean"] = float(cv.mean())
+        resp["momentum_cv_pct_max"] = float(cv.max())
     if return_positions:
         resp["pos"] = pos.astype(float).tolist()
         resp["active"] = np.asarray(out.active).astype(bool).tolist()

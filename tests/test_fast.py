@@ -323,3 +323,41 @@ def test_fast_trace_exit_scenarios_default_skip():
                            box=tuple(vscen.box), field=vscen.field,
                            segment=256, block_rays=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(g.pos), np.asarray(gref.pos))
+
+
+def test_fast_trace_stats_on_profile():
+    """stats=True rides the kernels' Welford tracker: CV(p_x) from the
+    kernel matches the scan-history oracle on the same profile, and the
+    C1 family conserves to the analytic floor."""
+    import dataclasses
+
+    from raytracing_tpu.engine import oracles
+    from raytracing_tpu.engine.fast import fast_trace
+
+    y = np.linspace(-1.5, 1.5, 61)
+    med = rt.c1_stratified_from_samples(1.2 - 0.25 * y * y, y)
+    scen = dataclasses.replace(rt.scenario("fisheye"), name="profile",
+                               gamma=1.0, box=(-1e6, 1e6, -1.5, 1.5))
+    r, steps, ds = 256, 300, np.float32(0.01)
+    pos0 = np.stack([np.zeros(r, np.float32),
+                     np.linspace(-0.1, 0.1, r, dtype=np.float32)], -1)
+    theta0 = np.full(r, 0.3, np.float32)
+    out = fast_trace("op6", scen, med, delta_s=ds, pos0=pos0,
+                     theta0=theta0, steps=steps, block_rays=128, stats=True)
+    assert out.mom_count is not None
+    cv = 100.0 * np.sqrt(np.asarray(out.mom_m2)
+                         / np.asarray(out.mom_count)) \
+        / np.asarray(out.mom_mean)
+    assert cv.max() < 0.05               # the reference's conservation bar
+
+    # both sides sit at the f32 rounding floor (~3e-5 %), so per-ray values
+    # are noise — the tracker must agree at the distribution level
+    res = rt.trace("op6", scen, med, delta_s=float(ds), mode="history",
+                   max_size=steps + 1, pos0=pos0[:64], theta0=theta0[:64])
+    ref_cv = np.asarray(oracles.momentum_cv_pct_from_history(res))
+    assert 1 / 3 < cv[:64].mean() / ref_cv.mean() < 3, (
+        cv[:64].mean(), ref_cv.mean())
+
+    with pytest.raises(ValueError, match="stratified"):
+        fast_trace("op6", scen, rt.analytic_medium("fisheye"), delta_s=ds,
+                   pos0=pos0, theta0=theta0, steps=steps, stats=True)

@@ -331,3 +331,25 @@ def test_fuzzed_payloads_never_5xx(server):
                             else 8, 64)
         code, resp = _post(server + endpoints[i % 3], body)
         assert code in (200, 400), (code, body, resp)
+
+
+def test_trace_samples_conservation_report(server):
+    """report_conservation on a posted profile: full-batch CV(p_x) from
+    the kernel's Welford tracker, below the reference's 0.05 % bar."""
+    import numpy as np
+    y = np.linspace(-1.5, 1.5, 61)
+    col = 1.2 - 0.25 * y * y
+    req = {"samples": col.tolist(), "y": y.tolist(), "op": "op6",
+           "family": "c1", "delta_s": 0.01, "steps": 80, "rays": 128,
+           "box": [-1e6, 1e6, -1.5, 1.5], "report_conservation": True,
+           "launch": {"x": 0.0, "y": [-0.1, 0.1], "theta": 0.3}}
+    code, body = _post(server + "/v1/trace_samples", req)
+    assert code == 200, body
+    assert body["momentum_cv_pct_max"] < 0.05, body
+    # 2-D media: p_x is not an invariant -> named rejection
+    Z, gx, gy = _lens_samples()
+    code, body = _post(server + "/v1/trace_samples",
+                       {"samples": Z, "x": gx, "y": gy, "delta_s": 0.01,
+                        "steps": 10, "report_conservation": True,
+                        "launch": {"x": 0.0, "y": [-0.1, 0.1]}})
+    assert code == 400 and "profile" in body["error"]
