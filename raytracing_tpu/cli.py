@@ -216,39 +216,51 @@ def run_samples_file(path: str, op_name: str, *, delta_s: float, steps: int,
         np.save(save_pos, pos)
         printer(f"Final positions saved to {save_pos}")
 
-    # physics report + plot on a history-mode subset (scan engine): the
-    # momentum oracle and trajectory drawing both need the full history
-    if plot == "static" or samples_is_profile(medium):
+    if samples_is_profile(medium):
+        try:
+            # full-batch conservation from the kernels' Welford tracker
+            s = fast_trace(op_name, scen, medium,
+                           delta_s=np.float32(delta_s), steps=steps,
+                           pos0=pos0, theta0=theta0, block_rays=block,
+                           stats=True)
+            cv = 100.0 * np.sqrt(np.asarray(s.mom_m2)
+                                 / np.asarray(s.mom_count)) \
+                / np.asarray(s.mom_mean)
+            span = f"full {rays}-ray batch"
+        except ValueError:              # op has no stats kernel path
+            sel = slice(None, None, max(1, rays // 64))
+            res = trace(op_name, scen, medium, delta_s=float(delta_s),
+                        mode="history", max_size=steps + 1,
+                        pos0=pos0[sel], theta0=theta0[sel])
+            cv = np.asarray(oracles.momentum_cv_pct_from_history(res))
+            span = f"{len(theta0[sel])}-ray subset"
+        printer(f"Momentum conservation CV(p_x), {span}: "
+                f"mean {cv.mean():.6f} % / max {cv.max():.6f} % "
+                "(x-independent medium: p_x is an invariant)")
+    if plot == "static":
         # strided subset — the first-k rays of a linspace fan would all
         # sample one edge of the launch span
         stride = max(1, rays // 64)
         sel = slice(None, None, stride)
-        sub = len(pos0[sel])
         res = trace(op_name, scen, medium, delta_s=float(delta_s),
                     mode="history", max_size=steps + 1,
                     pos0=pos0[sel], theta0=theta0[sel])
-        if samples_is_profile(medium):
-            cv = np.asarray(oracles.momentum_cv_pct_from_history(res))
-            printer(f"Momentum conservation CV(p_x) over a {sub}-ray "
-                    f"subset: mean {cv.mean():.6f} % / max {cv.max():.6f} % "
-                    "(x-independent medium: p_x is an invariant)")
-        if plot == "static":
-            from raytracing_tpu.viz import plots
+        from raytracing_tpu.viz import plots
 
-            pscen = scen
-            if not np.all(np.isfinite(scen.box)) or \
-                    max(map(abs, scen.box)) > 1e6:
-                h = np.asarray(res.history)
-                pscen = dataclasses.replace(scen, box=(
-                    float(h[:, :, 0].min()), float(h[:, :, 0].max()),
-                    float(h[:, :, 1].min()), float(h[:, :, 1].max())))
-            fig, _ = plots.plot_static(res, pscen, medium=medium,
-                                       save=save_plot)
-            if save_plot:
-                printer(f"Plot saved to {save_plot}")
-            import matplotlib.pyplot as plt
+        pscen = scen
+        if not np.all(np.isfinite(scen.box)) or \
+                max(map(abs, scen.box)) > 1e6:
+            h = np.asarray(res.history)
+            pscen = dataclasses.replace(scen, box=(
+                float(h[:, :, 0].min()), float(h[:, :, 0].max()),
+                float(h[:, :, 1].min()), float(h[:, :, 1].max())))
+        fig, _ = plots.plot_static(res, pscen, medium=medium,
+                                   save=save_plot)
+        if save_plot:
+            printer(f"Plot saved to {save_plot}")
+        import matplotlib.pyplot as plt
 
-            plt.close(fig)
+        plt.close(fig)
     return out
 
 
