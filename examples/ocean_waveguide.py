@@ -22,7 +22,6 @@ import time
 import numpy as np
 
 import raytracing_tpu as rt
-from raytracing_tpu.engine import oracles
 from raytracing_tpu.engine.fast import fast_trace
 
 rays = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 16
@@ -66,14 +65,13 @@ print(f"range reached: {pos[:, 0].mean():.3f} km mean "
       f"(max {pos[:, 0].max():.3f}); depth spread "
       f"[{pos[:, 1].min():+.3f}, {pos[:, 1].max():+.3f}] km{trapped}")
 
-# -- physics: p_x is exact in a stratified medium --------------------------
-# strided subset: the first-k rays of a linspace fan sample only one edge
-sel = slice(None, None, max(1, rays // 64))
-sub = len(theta0[sel])
-res = rt.trace("op6", scen, medium, delta_s=float(ds), mode="history",
-               max_size=steps + 1, pos0=pos0[sel], theta0=theta0[sel])
-cv = np.asarray(oracles.momentum_cv_pct_from_history(res))
-print(f"momentum conservation CV(p_x), {sub}-ray subset: "
+# -- physics: p_x is exact in a stratified medium — full-batch CV from
+# the kernels' Welford tracker (fast_trace(stats=True)) --------------------
+st = fast_trace("op6", scen, medium, delta_s=ds, pos0=pos0, theta0=theta0,
+                steps=steps, stats=True)
+cv = 100.0 * np.sqrt(np.asarray(st.mom_m2) / np.asarray(st.mom_count)) \
+    / np.asarray(st.mom_mean)
+print(f"momentum conservation CV(p_x), full {rays}-ray batch: "
       f"mean {cv.mean():.2e} % / max {cv.max():.2e} %")
 
 # -- inversion teaser: the adjoint w.r.t. the measured samples -------------
