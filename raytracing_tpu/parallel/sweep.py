@@ -593,10 +593,18 @@ def delta_s_search_convergence(op_name: str, medium, *, pos0, theta0,
 
     errs = []
     index = None
+    memo = (None, None, None)   # (f32 ds, steps, pos) of the last half run
     for i, ds in enumerate(candidates):
         steps = max(1, round(arc_length / float(ds)))
-        a = final_pos(float(ds), steps)
+        dsf = np.float32(ds)
+        # on a halving grid (the default), candidate i's half-step trace IS
+        # candidate i+1's full-step trace — reuse it and trace only the twin
+        # (the step count must match too: rounding can break the identity
+        # when arc/ds is not an integer)
+        a = (memo[2] if memo[0] == dsf and memo[1] == steps
+             else final_pos(float(ds), steps))
         b = final_pos(float(ds) / 2.0, 2 * steps)
+        memo = (np.float32(float(ds) / 2.0), 2 * steps, b)
         errs.append(float(np.linalg.norm(a - b, axis=-1).max()))
         if errs[-1] < tol:
             index = i
