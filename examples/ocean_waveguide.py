@@ -69,8 +69,9 @@ print(f"range reached: {pos[:, 0].mean():.3f} km mean "
 # the kernels' Welford tracker (fast_trace(stats=True)) --------------------
 st = fast_trace("op6", scen, medium, delta_s=ds, pos0=pos0, theta0=theta0,
                 steps=steps, stats=True)
-cv = 100.0 * np.sqrt(np.asarray(st.mom_m2) / np.asarray(st.mom_count)) \
-    / np.asarray(st.mom_mean)
+from raytracing_tpu.engine.oracles import momentum_cv_pct_from_welford
+
+cv = momentum_cv_pct_from_welford(st.mom_count, st.mom_mean, st.mom_m2)
 print(f"momentum conservation CV(p_x), full {rays}-ray batch: "
       f"mean {cv.mean():.2e} % / max {cv.max():.2e} %")
 

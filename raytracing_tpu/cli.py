@@ -216,6 +216,20 @@ def run_samples_file(path: str, op_name: str, *, delta_s: float, steps: int,
         np.save(save_pos, pos)
         printer(f"Final positions saved to {save_pos}")
 
+    # conservation fallback and the static plot share one strided-subset
+    # history trace — computed at most once (it is a full scan-engine run)
+    _sub = []
+
+    def subset_history():
+        if not _sub:
+            # strided subset — the first-k rays of a linspace fan would all
+            # sample one edge of the launch span
+            sel = slice(None, None, max(1, rays // 64))
+            _sub.append(trace(op_name, scen, medium, delta_s=float(delta_s),
+                              mode="history", max_size=steps + 1,
+                              pos0=pos0[sel], theta0=theta0[sel]))
+        return _sub[0]
+
     if samples_is_profile(medium):
         try:
             # full-batch conservation from the kernels' Welford tracker
@@ -223,28 +237,18 @@ def run_samples_file(path: str, op_name: str, *, delta_s: float, steps: int,
                            delta_s=np.float32(delta_s), steps=steps,
                            pos0=pos0, theta0=theta0, block_rays=block,
                            stats=True)
-            cv = 100.0 * np.sqrt(np.asarray(s.mom_m2)
-                                 / np.asarray(s.mom_count)) \
-                / np.asarray(s.mom_mean)
+            cv = oracles.momentum_cv_pct_from_welford(
+                s.mom_count, s.mom_mean, s.mom_m2)
             span = f"full {rays}-ray batch"
         except ValueError:              # op has no stats kernel path
-            sel = slice(None, None, max(1, rays // 64))
-            res = trace(op_name, scen, medium, delta_s=float(delta_s),
-                        mode="history", max_size=steps + 1,
-                        pos0=pos0[sel], theta0=theta0[sel])
+            res = subset_history()
             cv = np.asarray(oracles.momentum_cv_pct_from_history(res))
-            span = f"{len(theta0[sel])}-ray subset"
+            span = f"{res.history.shape[1]}-ray subset"
         printer(f"Momentum conservation CV(p_x), {span}: "
                 f"mean {cv.mean():.6f} % / max {cv.max():.6f} % "
                 "(x-independent medium: p_x is an invariant)")
     if plot == "static":
-        # strided subset — the first-k rays of a linspace fan would all
-        # sample one edge of the launch span
-        stride = max(1, rays // 64)
-        sel = slice(None, None, stride)
-        res = trace(op_name, scen, medium, delta_s=float(delta_s),
-                    mode="history", max_size=steps + 1,
-                    pos0=pos0[sel], theta0=theta0[sel])
+        res = subset_history()
         from raytracing_tpu.viz import plots
 
         pscen = scen

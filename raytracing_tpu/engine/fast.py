@@ -134,6 +134,15 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
             medium, y_range=(scen.box[2] - 2 * float(delta_s),
                              scen.box[3] + 2 * float(delta_s)))
 
+    # validate BEFORE any early-return path (df32, grid-tiled, supercell):
+    # otherwise stats=True on a 2-D grid medium would silently return a
+    # result with mom_* = None instead of the contracted ValueError
+    if stats and not isinstance(medium, (StratifiedGridMedium,
+                                         C1StratifiedMedium)):
+        raise ValueError("stats=True needs a stratified (x-independent) "
+                         "medium — p_x is only an invariant there; got "
+                         f"{type(medium).__name__}")
+
     if precision == "high":
         from raytracing_tpu.kernels.df import DF_FIELDS, df_trace
 
@@ -230,12 +239,6 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
                                              C1StratifiedMedium))
                          or (isinstance(medium, AnalyticMedium)
                              and medium.field in FUSED_FIELDS)))
-
-    if stats and not isinstance(medium, (StratifiedGridMedium,
-                                         C1StratifiedMedium)):
-        raise ValueError("stats=True needs a stratified (x-independent) "
-                         "medium — p_x is only an invariant there; got "
-                         f"{type(medium).__name__}")
 
     if (not supports(op, medium)
             or isinstance(medium, (HermiteGridMedium, C1GridMedium))

@@ -144,6 +144,20 @@ def momentum_cv_pct_from_history(result: TraceResult):
     return 100.0 * jnp.sqrt(var) / mean
 
 
+def momentum_cv_pct_from_welford(count, mean, m2):
+    """Per-ray CV (%) from raw Welford aggregates (count, mean, M2).
+
+    The single home for the conservation metric (RT_bench.py:1356-1359,
+    population std): every surface that reads a kernel momentum tracker —
+    ``fast_trace(stats=True)``, serve, CLI, examples — computes CV through
+    this helper.  Accepts any array-likes; returns a NumPy array.
+    """
+    count = np.asarray(count, np.float64)
+    mean = np.asarray(mean, np.float64)
+    m2 = np.asarray(m2, np.float64)
+    return 100.0 * np.sqrt(m2 / count) / mean
+
+
 def momentum_cv_pct_from_stats(result: TraceResult):
     """Per-ray CV (%) from the carry's Welford tracker (metrics mode)."""
     st = result.final

@@ -37,6 +37,7 @@ import jax
 import raytracing_tpu as rt
 from raytracing_tpu import config
 from raytracing_tpu.calibrated import calibrated as calibrated_table
+from raytracing_tpu.engine import oracles
 from raytracing_tpu.engine.fast import fast_trace, tight_block_rays
 from raytracing_tpu.ops.registry import EXTENSION_OPS, OP_NAMES, canonical
 
@@ -329,9 +330,8 @@ def _trace_samples_request(body: dict) -> dict:
         "mean_final_pos": [float(v) for v in pos.mean(0)],
     }
     if report_cv:
-        cv = 100.0 * np.sqrt(np.asarray(out.mom_m2)
-                             / np.asarray(out.mom_count)) \
-            / np.asarray(out.mom_mean)
+        cv = oracles.momentum_cv_pct_from_welford(
+            out.mom_count, out.mom_mean, out.mom_m2)
         resp["momentum_cv_pct_mean"] = float(cv.mean())
         resp["momentum_cv_pct_max"] = float(cv.max())
     if return_positions:

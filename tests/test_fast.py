@@ -345,9 +345,9 @@ def test_fast_trace_stats_on_profile():
     out = fast_trace("op6", scen, med, delta_s=ds, pos0=pos0,
                      theta0=theta0, steps=steps, block_rays=128, stats=True)
     assert out.mom_count is not None
-    cv = 100.0 * np.sqrt(np.asarray(out.mom_m2)
-                         / np.asarray(out.mom_count)) \
-        / np.asarray(out.mom_mean)
+    from raytracing_tpu.engine.oracles import momentum_cv_pct_from_welford
+
+    cv = momentum_cv_pct_from_welford(out.mom_count, out.mom_mean, out.mom_m2)
     assert cv.max() < 0.05               # the reference's conservation bar
 
     # both sides sit at the f32 rounding floor (~3e-5 %), so per-ray values
