@@ -349,8 +349,8 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
 
         t, f = best_of(run_v, pipeline=4)
         nf = len(scen.theta0)
-        cv = 100 * np.sqrt(np.asarray(f.mom_m2[:nf]) / np.asarray(f.mom_count[:nf])) \
-            / np.asarray(f.mom_mean[:nf])
+        cv = oracles.momentum_cv_pct_from_welford(
+            f.mom_count[:nf], f.mom_mean[:nf], f.mom_m2[:nf])
         eff = float(np.asarray(f.dist_sim).sum()) / ds
         out[tag] = {
             "op": "op8", "rays": r, "steps": int(steps),
@@ -360,7 +360,7 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
             "seconds": round(t, 4),
             "gsteps_per_sec": round(r * steps / t / 1e9, 2),
             "gsteps_live": round(eff / t / 1e9, 2),
-            "momentum_cv_pct": round(float(np.mean(cv[1:-1])), 5)}
+            "momentum_cv_pct": round(oracles.momentum_cv_summary(cv[1:-1])[0], 5)}
 
     # -- vert with block-skip (exit-ordered fan, op8 + Welford) -------------
     theta_vv = np.asarray(scen.theta0, np.float32)
@@ -379,16 +379,15 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
 
     t, f = best_of(run_vskip)
     nf = len(scen.theta0)
-    cv = 100 * np.sqrt(np.asarray(f.mom_m2[::kv][:nf])
-                       / np.asarray(f.mom_count[::kv][:nf])) \
-        / np.asarray(f.mom_mean[::kv][:nf])
+    cv = oracles.momentum_cv_pct_from_welford(
+        f.mom_count[::kv][:nf], f.mom_mean[::kv][:nf], f.mom_m2[::kv][:nf])
     eff = float(np.asarray(f.dist_sim).sum()) / ds
     out["vert_skip"] = {
         "op": "op8", "rays": r, "steps": int(steps), "medium": "analytic",
         "seconds": round(t, 4),
         "gsteps_per_sec": round(r * steps / t / 1e9, 2),
         "gsteps_live": round(eff / t / 1e9, 2),
-        "momentum_cv_pct": round(float(np.mean(cv[1:-1])), 5),
+        "momentum_cv_pct": round(oracles.momentum_cv_summary(cv[1:-1])[0], 5),
         "note": "fan sorted by angle; frozen blocks skipped on device"}
 
     # -- aniso via the golden kernels (op11 reference, op11n extension) -----
@@ -409,13 +408,13 @@ def run_suite(rays: int, path: str = "BENCH_SUITE.json"):
 
         t, g = best_of(run_g, pipeline=4)
         nf = len(scen.theta0)
-        cv = 100 * np.sqrt(np.asarray(g.mom_m2[:nf]) / np.asarray(g.mom_count[:nf])) \
-            / np.asarray(g.mom_mean[:nf])
+        cv = oracles.momentum_cv_pct_from_welford(
+            g.mom_count[:nf], g.mom_mean[:nf], g.mom_m2[:nf])
         key = "aniso_" + op if op != "op5" else "vert_op5"
         out[key] = {"op": op, "rays": r, "steps": 2000,
                     "seconds": round(t, 4),
                     "gsteps_per_sec": round(r * 2000 / t / 1e9, 2),
-                    "momentum_cv_pct": round(float(np.mean(cv[1:-1])), 5)}
+                    "momentum_cv_pct": round(oracles.momentum_cv_summary(cv[1:-1])[0], 5)}
 
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
@@ -506,9 +505,8 @@ def run_oracles(path: str = "ORACLES.json"):
                             steps=gsteps, box=tuple(gscen.box),
                             field=gscen.field, gamma=float(gamma),
                             segment=256, with_stats=True)
-        gcv = 100 * np.sqrt(np.asarray(g.mom_m2[:nf])
-                            / np.asarray(g.mom_count[:nf])) \
-            / np.abs(np.asarray(g.mom_mean[:nf]))
+        gcv = oracles.momentum_cv_pct_from_welford(
+            g.mom_count[:nf], g.mom_mean[:nf], g.mom_m2[:nf])
         gcv = float(np.mean(gcv[1:-1]))
         out[key] = {"value": round(gcv, 5), "threshold": 0.05, "op": op,
                     "gamma": gamma, "steps": int(gsteps),

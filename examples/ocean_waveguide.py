@@ -69,11 +69,13 @@ print(f"range reached: {pos[:, 0].mean():.3f} km mean "
 # the kernels' Welford tracker (fast_trace(stats=True)) --------------------
 st = fast_trace("op6", scen, medium, delta_s=ds, pos0=pos0, theta0=theta0,
                 steps=steps, stats=True)
-from raytracing_tpu.engine.oracles import momentum_cv_pct_from_welford
+from raytracing_tpu.engine.oracles import (momentum_cv_pct_from_welford,
+                                           momentum_cv_summary)
 
-cv = momentum_cv_pct_from_welford(st.mom_count, st.mom_mean, st.mom_m2)
+cv_mean, cv_max, _ = momentum_cv_summary(
+    momentum_cv_pct_from_welford(st.mom_count, st.mom_mean, st.mom_m2))
 print(f"momentum conservation CV(p_x), full {rays}-ray batch: "
-      f"mean {cv.mean():.2e} % / max {cv.max():.2e} %")
+      f"mean {cv_mean:.2e} % / max {cv_max:.2e} %")
 
 # -- inversion teaser: the adjoint w.r.t. the measured samples -------------
 import jax

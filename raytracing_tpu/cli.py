@@ -133,7 +133,7 @@ def load_samples_medium(path: str, family: str = "parity"):
     The file carries ``samples`` — a (ny, nx) index grid with coordinate
     vectors ``x``/``y``, or a (ny,) profile with ``y`` only.
     """
-    import raytracing_tpu as rt
+    from raytracing_tpu.media.samples import medium_from_samples
 
     with np.load(path) as data:
         if "samples" not in data:
@@ -142,22 +142,13 @@ def load_samples_medium(path: str, family: str = "parity"):
         samples = np.asarray(data["samples"], np.float64)
         y = np.asarray(data["y"], np.float64) if "y" in data else None
         x = np.asarray(data["x"], np.float64) if "x" in data else None
-    if y is None:
-        raise SystemExit(f"{path}: needs the 'y' coordinate vector")
-    if samples.ndim == 1:
-        medium = (rt.c1_stratified_from_samples(samples, y)
-                  if family == "c1"
-                  else rt.stratified_medium_from_samples(samples, y))
-        default_box = (-1e30, 1e30, float(y[0]), float(y[-1]))
-        kind = f"{len(y)}-sample profile"
-    else:
-        if x is None:
-            raise SystemExit(f"{path}: 2-D samples need the 'x' vector")
-        medium = (rt.c1_medium_from_samples(samples, x, y)
-                  if family == "c1"
-                  else rt.grid_medium_from_samples(samples, x, y))
-        default_box = (float(x[0]), float(x[-1]), float(y[0]), float(y[-1]))
-        kind = f"{len(y)}x{len(x)} grid"
+    try:
+        medium, default_box, kind = medium_from_samples(samples, x, y,
+                                                        family=family)
+    except ValueError as e:
+        raise SystemExit(f"{path}: {e}")
+    kind = (f"{len(y)}-sample profile" if kind == "profile"
+            else f"{len(y)}x{len(x)} grid")
     return medium, default_box, kind
 
 
@@ -244,9 +235,16 @@ def run_samples_file(path: str, op_name: str, *, delta_s: float, steps: int,
             res = subset_history()
             cv = np.asarray(oracles.momentum_cv_pct_from_history(res))
             span = f"{res.history.shape[1]}-ray subset"
-        printer(f"Momentum conservation CV(p_x), {span}: "
-                f"mean {cv.mean():.6f} % / max {cv.max():.6f} % "
-                "(x-independent medium: p_x is an invariant)")
+        cv_mean, cv_max, n_excluded = oracles.momentum_cv_summary(cv)
+        if np.isnan(cv_mean):
+            printer("Momentum conservation CV(p_x): undefined — every "
+                    "ray launches with p_x ~ 0 (theta at ±pi/2)")
+        else:
+            note = (f" [{n_excluded} rays with p_x ~ 0 excluded]"
+                    if n_excluded else "")
+            printer(f"Momentum conservation CV(p_x), {span}: "
+                    f"mean {cv_mean:.6f} % / max {cv_max:.6f} % "
+                    f"(x-independent medium: p_x is an invariant){note}")
     if plot == "static":
         res = subset_history()
         from raytracing_tpu.viz import plots

@@ -24,24 +24,30 @@ from raytracing_tpu.kernels.fused import fused_trace_final_custom
 from raytracing_tpu.media.c1 import C1GridMedium, C1StratifiedMedium
 from raytracing_tpu.media.hermite import HermiteGridMedium
 from raytracing_tpu.media.medium import AnalyticMedium, CustomMedium
+from raytracing_tpu.media.samples import compact_for_trace
 from raytracing_tpu.media.spline import GridMedium, StratifiedGridMedium
 from raytracing_tpu.ops.registry import canonical
 
 # GridMedium -> HermiteGridMedium conversions, cached by table identity (the
-# node-form build costs ~1 s of host einsums per medium)
+# node-form build costs ~1 s of host einsums per medium).  LRU-bounded: the
+# node form is ~10x Z, and serving builds a fresh GridMedium per request —
+# an unbounded cache would retain every medium a client ever posted.
 _HERMITE_CACHE: dict = {}
+_HERMITE_CACHE_MAX = 4
 
 
 def _as_hermite(medium: GridMedium) -> HermiteGridMedium:
     key = id(medium.Z)
-    hit = _HERMITE_CACHE.get(key)
+    hit = _HERMITE_CACHE.pop(key, None)
     # the cached entry keeps a strong reference to the key object, so an id
     # reuse after GC cannot alias a different medium
     if hit is None or hit[0] is not medium.Z:
         from raytracing_tpu.media.hermite import build_hermite_medium
 
         hit = (medium.Z, build_hermite_medium(medium))
-        _HERMITE_CACHE[key] = hit
+    _HERMITE_CACHE[key] = hit  # (re)insert at the recent end
+    while len(_HERMITE_CACHE) > _HERMITE_CACHE_MAX:
+        _HERMITE_CACHE.pop(next(iter(_HERMITE_CACHE)))
     return hit[1]
 
 
@@ -119,20 +125,9 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
     # ragged block reaches the kernels as an empty (0, 128) reshape
     block_rays = max(128, -(-int(block_rays) // 128) * 128)
     op = canonical(op_name)
-    if isinstance(medium, StratifiedGridMedium):
-        # trim the table to its reachable, nontrivial window (media/spline.
-        # compact_stratified) — fewer 128-lane gather chunks in the kernels
-        from raytracing_tpu.media.spline import compact_stratified
-
-        medium = compact_stratified(
-            medium, y_range=(scen.box[2] - 2 * float(delta_s),
-                             scen.box[3] + 2 * float(delta_s)))
-    elif isinstance(medium, C1StratifiedMedium):
-        from raytracing_tpu.media.c1 import compact_c1_stratified
-
-        medium = compact_c1_stratified(
-            medium, y_range=(scen.box[2] - 2 * float(delta_s),
-                             scen.box[3] + 2 * float(delta_s)))
+    # trim stratified tables to their reachable, nontrivial window — fewer
+    # 128-lane gather chunks in the kernels (media/samples.compact_for_trace)
+    medium = compact_for_trace(medium, scen.box, delta_s)
 
     # validate BEFORE any early-return path (df32, grid-tiled, supercell):
     # otherwise stats=True on a 2-D grid medium would silently return a
@@ -420,18 +415,7 @@ def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
             f"media; got {op!r} on {type(medium).__name__}")
     use_strat = isinstance(medium, (StratifiedGridMedium, C1StratifiedMedium))
     use_custom = isinstance(medium, CustomMedium)
-    if isinstance(medium, StratifiedGridMedium):
-        from raytracing_tpu.media.spline import compact_stratified
-
-        medium = compact_stratified(
-            medium, y_range=(scen.box[2] - 2 * float(delta_s),
-                             scen.box[3] + 2 * float(delta_s)))
-    elif isinstance(medium, C1StratifiedMedium):
-        from raytracing_tpu.media.c1 import compact_c1_stratified
-
-        medium = compact_c1_stratified(
-            medium, y_range=(scen.box[2] - 2 * float(delta_s),
-                             scen.box[3] + 2 * float(delta_s)))
+    medium = compact_for_trace(medium, scen.box, delta_s)
     n_dev = mesh.devices.size
     r = len(theta0)
     if r % (n_dev * block_rays):

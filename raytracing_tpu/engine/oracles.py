@@ -149,13 +149,36 @@ def momentum_cv_pct_from_welford(count, mean, m2):
 
     The single home for the conservation metric (RT_bench.py:1356-1359,
     population std): every surface that reads a kernel momentum tracker —
-    ``fast_trace(stats=True)``, serve, CLI, examples — computes CV through
-    this helper.  Accepts any array-likes; returns a NumPy array.
+    ``fast_trace(stats=True)``, serve, CLI, bench, examples — computes CV
+    through this helper.  Accepts any array-likes; returns a NumPy array.
+
+    The mean enters as ``|mean|`` so leftward rays (p_x < 0) still get a
+    positive CV.  A ray whose invariant is ~0 (theta at exactly ±pi/2:
+    p_x = n·cos(theta) ≈ 0) has no meaningful *relative* spread — its
+    entry comes back inf/nan; summarizing surfaces reduce over the finite
+    entries via :func:`momentum_cv_summary`.
     """
     count = np.asarray(count, np.float64)
     mean = np.asarray(mean, np.float64)
     m2 = np.asarray(m2, np.float64)
-    return 100.0 * np.sqrt(m2 / count) / mean
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return 100.0 * np.sqrt(m2 / count) / np.abs(mean)
+
+
+def momentum_cv_summary(cv):
+    """``(mean, max, n_excluded)`` over the finite entries of a CV array.
+
+    ``n_excluded`` counts rays with no resolvable invariant (p_x ≈ 0 →
+    inf/nan CV, see :func:`momentum_cv_pct_from_welford`); when every ray
+    is excluded, mean and max are ``nan`` — JSON surfaces map that to
+    null rather than emitting non-standard ``Infinity``/``NaN`` tokens.
+    """
+    cv = np.asarray(cv, np.float64).reshape(-1)
+    finite = cv[np.isfinite(cv)]
+    n_excluded = int(cv.size - finite.size)
+    if finite.size == 0:
+        return float("nan"), float("nan"), n_excluded
+    return float(finite.mean()), float(finite.max()), n_excluded
 
 
 def momentum_cv_pct_from_stats(result: TraceResult):

@@ -167,18 +167,10 @@ def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
             medium = _as_hermite(medium)
     use_strat = isinstance(medium, (StratifiedGridMedium,
                                     C1StratifiedMedium))
-    if isinstance(medium, StratifiedGridMedium):
-        from raytracing_tpu.media.spline import compact_stratified
+    from raytracing_tpu.media.samples import compact_for_trace
 
-        dmax = 2 * float(np.max(delta_s))
-        medium = compact_stratified(
-            medium, y_range=(scen.box[2] - dmax, scen.box[3] + dmax))
-    elif isinstance(medium, C1StratifiedMedium):
-        from raytracing_tpu.media.c1 import compact_c1_stratified
-
-        dmax = 2 * float(np.max(delta_s))
-        medium = compact_c1_stratified(
-            medium, y_range=(scen.box[2] - dmax, scen.box[3] + dmax))
+    # the widest candidate step sets the reachability margin for the batch
+    medium = compact_for_trace(medium, scen.box, float(np.max(delta_s)))
     use_golden = op_name in GOLDEN_OPS
     deg = 180.0 / np.pi
 

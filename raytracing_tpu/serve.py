@@ -142,10 +142,15 @@ def _finite(name: str, a: np.ndarray) -> np.ndarray:
 
 
 def _samples_medium(body: dict):
-    """(medium, default_box, family, kind) from a posted samples body."""
+    """(medium, default_box, family, kind) from a posted samples body.
+
+    Validation (finiteness, size caps) is the endpoint's job; the
+    samples->medium dispatch itself is the shared
+    media/samples.medium_from_samples used by the CLI too.
+    """
+    from raytracing_tpu.media.samples import medium_from_samples
+
     family = str(body.get("family", "parity"))
-    if family not in ("parity", "c1"):
-        raise ValueError(f"family must be 'parity' or 'c1', got {family!r}")
     if "samples" not in body:
         raise ValueError("this endpoint needs 'samples' (1-D profile or "
                          "2-D grid of refractive-index values)")
@@ -154,24 +159,20 @@ def _samples_medium(body: dict):
         raise ValueError(f"samples size must be in [1, {MAX_SAMPLE_VALUES}],"
                          f" got {samples.size}")
     y = _finite("y", np.asarray(body.get("y", ()), np.float64))
-    if samples.ndim == 1:
-        medium = (rt.c1_stratified_from_samples(samples, y) if family == "c1"
-                  else rt.stratified_medium_from_samples(samples, y))
-        default_box = (-1e30, 1e30, float(y[0]), float(y[-1]))
-        kind = "profile"
-    elif samples.ndim == 2:
-        x = _finite("x", np.asarray(body.get("x", ()), np.float64))
-        medium = (rt.c1_medium_from_samples(samples, x, y) if family == "c1"
-                  else rt.grid_medium_from_samples(samples, x, y))
-        default_box = (float(x[0]), float(x[-1]), float(y[0]), float(y[-1]))
-        kind = "grid"
-    else:
-        raise ValueError(f"samples must be 1-D or 2-D, got {samples.ndim}-D")
+    x = (_finite("x", np.asarray(body["x"], np.float64))
+         if "x" in body else None)
+    medium, default_box, kind = medium_from_samples(samples, x, y,
+                                                    family=family)
     return medium, default_box, family, kind
 
 
-def _launch_fan(body: dict):
-    """(pos0, theta0, rays) from explicit arrays or a compact fan spec."""
+def _launch_fan(body: dict, max_rays: int = MAX_RAYS):
+    """(pos0, theta0, rays) from explicit arrays or a compact fan spec.
+
+    ``max_rays`` is the endpoint's cap, enforced BEFORE the fan arrays are
+    built so a hostile count never allocates (calibration caps far below
+    the trace endpoints' MAX_RAYS).
+    """
     if "pos0" in body:
         pos0 = _finite("pos0", np.asarray(body["pos0"], np.float32))
         theta0 = _finite("theta0",
@@ -180,16 +181,17 @@ def _launch_fan(body: dict):
             raise ValueError("pos0 must be (rays, 2) with theta0 (rays,), "
                              f"got {pos0.shape} / {theta0.shape}")
         rays = len(pos0)
+        if not 1 <= rays <= max_rays:
+            raise ValueError(f"rays must be in [1, {max_rays}], got {rays}")
     else:
         fan = body.get("launch")
         if not isinstance(fan, dict):
             raise ValueError("this endpoint needs 'pos0'/'theta0' arrays or "
                              "a 'launch' fan {'x':…, 'y':[lo,hi], 'theta':…}")
         rays = int(body.get("rays", 1024))
-        if not 1 <= rays <= MAX_RAYS:
-            raise ValueError(f"rays must be in [1, {MAX_RAYS}], got {rays}")
+        if not 1 <= rays <= max_rays:
+            raise ValueError(f"rays must be in [1, {max_rays}], got {rays}")
         fx = float(fan["x"])
-        # (checked before building the fan so a hostile count never allocates)
         fy = np.asarray(fan["y"], np.float64).reshape(-1)
         th = np.asarray(fan.get("theta", 0.0), np.float64).reshape(-1)
         if len(fy) == 0 or len(th) == 0:
@@ -200,8 +202,6 @@ def _launch_fan(body: dict):
                                      dtype=np.float32)], -1)
         theta0 = (np.full(rays, th[0], np.float32) if len(th) == 1
                   else np.linspace(th[0], th[-1], rays, dtype=np.float32))
-    if not 1 <= rays <= MAX_RAYS:
-        raise ValueError(f"rays must be in [1, {MAX_RAYS}], got {rays}")
     return pos0, theta0, rays
 
 
@@ -233,9 +233,7 @@ def _calibrate_samples_request(body: dict) -> dict:
     from raytracing_tpu.parallel.sweep import delta_s_search_convergence
 
     medium, default_box, family, kind = _samples_medium(body)
-    pos0, theta0, rays = _launch_fan(body)
-    if rays > 65536:
-        raise ValueError(f"calibration fans cap at 65536 rays, got {rays}")
+    pos0, theta0, rays = _launch_fan(body, max_rays=65536)
     scen = _samples_scenario(body, default_box)
     op = canonical(str(body.get("op", "op6")))
     arc = float(body.get("arc_length", 0.0))
@@ -332,8 +330,14 @@ def _trace_samples_request(body: dict) -> dict:
     if report_cv:
         cv = oracles.momentum_cv_pct_from_welford(
             out.mom_count, out.mom_mean, out.mom_m2)
-        resp["momentum_cv_pct_mean"] = float(cv.mean())
-        resp["momentum_cv_pct_max"] = float(cv.max())
+        cv_mean, cv_max, n_excluded = oracles.momentum_cv_summary(cv)
+        # rays with p_x ~ 0 (theta at +-pi/2) have no relative spread; they
+        # are excluded rather than emitting non-JSON Infinity/NaN tokens
+        resp["momentum_cv_pct_mean"] = (None if np.isnan(cv_mean)
+                                        else cv_mean)
+        resp["momentum_cv_pct_max"] = None if np.isnan(cv_max) else cv_max
+        if n_excluded:
+            resp["momentum_cv_rays_excluded"] = n_excluded
     if return_positions:
         resp["pos"] = pos.astype(float).tolist()
         resp["active"] = np.asarray(out.active).astype(bool).tolist()

@@ -361,3 +361,28 @@ def test_fast_trace_stats_on_profile():
     with pytest.raises(ValueError, match="stratified"):
         fast_trace("op6", scen, rt.analytic_medium("fisheye"), delta_s=ds,
                    pos0=pos0, theta0=theta0, steps=steps, stats=True)
+
+
+def test_hermite_cache_is_bounded():
+    """Serving builds a fresh GridMedium per request; the node-form cache
+    must evict (LRU) instead of retaining every medium ever converted."""
+    from raytracing_tpu.engine import fast
+    from raytracing_tpu.media.spline import grid_medium_from_samples
+
+    x = np.linspace(-1.0, 1.0, 8)
+    media = [grid_medium_from_samples(1.0 + 0.01 * k + np.add.outer(
+        0.05 * x * x, 0.05 * x * x), x, x)
+        for k in range(fast._HERMITE_CACHE_MAX + 3)]
+    first = fast._as_hermite(media[0])
+    for m in media:
+        fast._as_hermite(m)
+    assert len(fast._HERMITE_CACHE) <= fast._HERMITE_CACHE_MAX
+    # re-converting an evicted medium rebuilds rather than aliasing
+    again = fast._as_hermite(media[0])
+    assert again is not first
+    np.testing.assert_array_equal(np.asarray(again.nodes),
+                                  np.asarray(first.nodes))
+    # the most recently used entry survives an interleaved access pattern
+    fast._as_hermite(media[0])
+    fast._as_hermite(media[1])
+    assert fast._as_hermite(media[0]) is fast._as_hermite(media[0])

@@ -224,3 +224,25 @@ def test_calibrated_fallback_aniso_never_raises():
     ds, _ = m.delta_s("op12")
     ds11, _ = m.delta_s("op11")
     assert ds == ds11  # op12 -> op8 -> (absent) -> op11
+
+
+def test_welford_cv_helper_sign_and_zero_mean():
+    """The single-home CV helper: leftward rays (negative mean p_x) get a
+    POSITIVE CV, a ray with p_x exactly 0 comes back inf (not a crash),
+    and the summary reduces over the finite entries only."""
+    import numpy as np
+    from raytracing_tpu.engine import oracles as orc
+
+    count = np.array([100.0, 100.0, 100.0])
+    mean = np.array([1.0, -1.0, 0.0])        # rightward, leftward, p_x ~ 0
+    m2 = np.array([1e-4, 1e-4, 1e-4])
+    cv = orc.momentum_cv_pct_from_welford(count, mean, m2)
+    assert cv[0] == cv[1] > 0                # |mean|: sign cannot flip CV
+    assert np.isinf(cv[2])
+    cv_mean, cv_max, n_excluded = orc.momentum_cv_summary(cv)
+    assert n_excluded == 1
+    assert np.isclose(cv_mean, cv[0]) and np.isclose(cv_max, cv[0])
+    # every ray perpendicular: summary is (nan, nan, all) — JSON surfaces
+    # map that to null instead of emitting Infinity/NaN tokens
+    cv_mean, cv_max, n_excluded = orc.momentum_cv_summary([np.inf, np.nan])
+    assert np.isnan(cv_mean) and np.isnan(cv_max) and n_excluded == 2

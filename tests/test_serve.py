@@ -240,7 +240,7 @@ def test_calibrate_samples(server):
                          (dict(tol=0.0), "tol"),
                          (dict(candidates=[0.1] * 17), "caps at 16"),
                          (dict(candidates=[0.1, -0.2]), "positive"),
-                         (dict(rays=70000), "calibration fans")):
+                         (dict(rays=70000), "rays must be in [1, 65536]")):
         code, body = _post(server + "/v1/calibrate_samples",
                            dict(req, **mutate))
         assert code == 400, (mutate, body)
@@ -353,3 +353,35 @@ def test_trace_samples_conservation_report(server):
                         "steps": 10, "report_conservation": True,
                         "launch": {"x": 0.0, "y": [-0.1, 0.1]}})
     assert code == 400 and "profile" in body["error"]
+
+
+def test_trace_samples_conservation_perpendicular_fan(server):
+    """A fan launched at theta ~ pi/2 has p_x ~ 0: the CV report must stay
+    valid strict JSON (null or non-negative values, never Infinity/NaN or
+    a negative 'max' that silently reports the BEST-conserved ray)."""
+    import numpy as np
+    y = np.linspace(-1.5, 1.5, 61)
+    col = 1.2 - 0.25 * y * y
+    req = {"samples": col.tolist(), "y": y.tolist(), "op": "op6",
+           "family": "c1", "delta_s": 0.01, "steps": 80, "rays": 128,
+           "box": [-1e6, 1e6, -1.5, 1.5], "report_conservation": True,
+           "launch": {"x": 0.0, "y": [-0.1, 0.1],
+                      "theta": 1.5707963267948966}}
+    code, body = _post(server + "/v1/trace_samples", req)
+    assert code == 200, body
+    # strict JSON: the payload must survive allow_nan=False re-serialization
+    json.dumps(body, allow_nan=False)
+    for k in ("momentum_cv_pct_mean", "momentum_cv_pct_max"):
+        assert body[k] is None or body[k] >= 0, body
+
+
+def test_calibrate_samples_hostile_ray_count_rejected_cheaply(server):
+    """The calibration cap is enforced BEFORE the fan is allocated: a
+    hostile count far above the cap gets the same named 400."""
+    import numpy as np
+    y = np.linspace(-1.0, 1.0, 31)
+    req = {"samples": (1.3 - 0.1 * y * y).tolist(), "y": y.tolist(),
+           "rays": 16777216, "arc_length": 1.0,
+           "launch": {"x": 0.0, "y": [-0.1, 0.1], "theta": 0.2}}
+    code, body = _post(server + "/v1/calibrate_samples", req)
+    assert code == 400 and "65536" in body["error"], body

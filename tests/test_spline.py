@@ -371,3 +371,37 @@ def test_hermite_kappa_statics_pointwise():
     # the factored form exceeds 20 — the regression this guards against
     assert hm.kappa_max < 2.0
     assert hm.g_max / hm.n_min > 20.0
+
+
+def test_medium_from_samples_shared_dispatch():
+    """media/samples.medium_from_samples is the ONE samples->medium
+    dispatch behind serve /v1/trace_samples and the CLI --medium-file;
+    its four (rank, family) corners and its named errors."""
+    from raytracing_tpu.media.c1 import C1GridMedium, C1StratifiedMedium
+    from raytracing_tpu.media.samples import medium_from_samples
+    from raytracing_tpu.media.spline import GridMedium, StratifiedGridMedium
+
+    y = np.linspace(-1.0, 1.0, 21)
+    prof = 1.3 - 0.1 * y * y
+    x = np.linspace(-2.0, 2.0, 17)
+    Z = 1.0 + np.add.outer(0.05 * y * y, 0.02 * x * x)
+
+    m, box, kind = medium_from_samples(prof, None, y)
+    assert isinstance(m, StratifiedGridMedium) and kind == "profile"
+    assert box[2:] == (-1.0, 1.0) and box[0] < -1e20 < 1e20 < box[1]
+    m, _, _ = medium_from_samples(prof, None, y, family="c1")
+    assert isinstance(m, C1StratifiedMedium)
+    m, box, kind = medium_from_samples(Z, x, y)
+    assert isinstance(m, GridMedium) and kind == "grid"
+    assert box == (-2.0, 2.0, -1.0, 1.0)
+    m, _, _ = medium_from_samples(Z, x, y, family="c1")
+    assert isinstance(m, C1GridMedium)
+
+    with pytest.raises(ValueError, match="family"):
+        medium_from_samples(prof, None, y, family="cubic")
+    with pytest.raises(ValueError, match="'x' coordinate"):
+        medium_from_samples(Z, None, y)
+    with pytest.raises(ValueError, match="'y' coordinate"):
+        medium_from_samples(prof, None, None)
+    with pytest.raises(ValueError, match="1-D or 2-D"):
+        medium_from_samples(Z[None], x, y)
