@@ -36,6 +36,88 @@ from raytracing_tpu.kernels.golden import golden_scalars
 from raytracing_tpu.media.spline import StratifiedGridMedium
 
 
+def _fingerprint(*arrays) -> str:
+    """sha1 over dtype/shape/bytes of each array — checkpoint identity for
+    medium tables and launch fans (a resume adopts the saved carry, so a
+    silently different medium/fan would hybridize two traces)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for a in arrays:
+        a = np.asarray(a)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()
+
+
+def _state_layout(op: str, with_stats: bool) -> tuple[int, int]:
+    """(n_state, act_idx) of the kernels' resume-state layout.
+
+    The ONE home for the layout the segmented/tiled/supercell tiers and
+    the checkpoint format share; see :func:`_initial_comps` for the
+    component order.
+    """
+    if op in GOLDEN_OPS:
+        return 8 + (3 if with_stats else 0), 7
+    return 9 + (3 if with_stats else 0) + (4 if op == "op7" else 0), 8
+
+
+def _initial_comps(op: str, pos0, theta0, *, with_stats: bool,
+                   n0_fn=None, gamma: float = 1.0) -> list:
+    """Initial (r,)-component list in the kernels' resume layout.
+
+    golden: (x, y, cx, cy, ang, tt, dsim, active) [+ Welford(count,mean,m2)]
+    fused:  (x, y, ux, uy, cx, cy, tt, dsim, active) [+ Welford]
+            [+ op7 window (x, y, x, y)]
+
+    ``n0_fn(x, y)`` supplies the launch-point index, needed only when
+    ``with_stats`` seeds the Welford momentum tracker.
+    """
+    x, y = pos0[:, 0], pos0[:, 1]
+    r = x.shape[0]
+    zeros = jnp.zeros(r, jnp.float32)
+    ones = jnp.ones(r, jnp.float32)
+    n0 = n0_fn(x, y).astype(jnp.float32) if with_stats else None
+    if op in GOLDEN_OPS:
+        comps = [x, y, zeros, zeros, theta0, zeros, zeros, ones]
+        if with_stats:
+            from raytracing_tpu.kernels.golden import init_mom_x
+
+            comps += [ones, init_mom_x(op, n0, theta0, gamma), zeros]
+        return comps
+    ux = jnp.cos(theta0)
+    uy = jnp.sin(theta0)
+    comps = [x, y, ux, uy, zeros, zeros, zeros, zeros, ones]
+    if with_stats:
+        comps += [ones, n0 * ux, zeros]
+    if op == "op7":
+        comps += [x, y, x, y]
+    return comps
+
+
+def _final_from_state(op: str, out, with_stats: bool) -> FusedFinal:
+    """FusedFinal from flat (r,) state components (layout above)."""
+    if op in GOLDEN_OPS:
+        ang = out[4]
+        res = FusedFinal(
+            pos=jnp.stack([out[0], out[1]], axis=-1),
+            tangent=jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1),
+            traveltime=out[5], dist_sim=out[6], active=out[7] > 0.5)
+        if with_stats:
+            res = res._replace(mom_count=out[8], mom_mean=out[9],
+                               mom_m2=out[10])
+        return res
+    res = FusedFinal(
+        pos=jnp.stack([out[0], out[1]], axis=-1),
+        tangent=jnp.stack([out[2], out[3]], axis=-1),
+        traveltime=out[6], dist_sim=out[7], active=out[8] > 0.5)
+    if with_stats:
+        res = res._replace(mom_count=out[9], mom_mean=out[10],
+                           mom_m2=out[11])
+    return res
+
+
 @functools.partial(jax.jit, static_argnames=(
     "field", "op", "segment", "box", "block_rays", "interpret", "stats",
     "strat", "nch", "n_state", "skip", "gold_schedule"))
@@ -157,6 +239,11 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
     if not golden and op not in FUSED_OPS:
         raise ValueError(f"segmented trace supports ops {FUSED_OPS} and "
                          f"{tuple(GOLDEN_OPS)}, got {op!r}")
+    if segment < 1 or compact_every < 1 or checkpoint_every < 1:
+        # a zero cadence would make the host loop spin without progress
+        raise ValueError("segment, compact_every and checkpoint_every must "
+                         f"be >= 1, got {segment}/{compact_every}/"
+                         f"{checkpoint_every}")
     from raytracing_tpu.media.c1 import C1StratifiedMedium
 
     use_strat = isinstance(medium, (StratifiedGridMedium, C1StratifiedMedium))
@@ -166,42 +253,20 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
     if r % block_rays:
         raise ValueError(f"rays {r} not a multiple of block {block_rays}")
     rows = block_rays // LANES
-    window = op == "op7"
-    if golden:
-        n_state = 8 + (3 if with_stats else 0)
-    else:
-        n_state = 9 + (3 if with_stats else 0) + (4 if window else 0)
-    act_idx = 7 if golden else 8         # `active` slot in the resume state
+    n_state, act_idx = _state_layout(op, with_stats)
 
     # initial full state, device-resident (r,) components; all host<->device
     # traffic below is index arrays at compaction events only — the tunnel
     # makes bulk state round-trips (~70 MB) cost seconds
     pos0 = jnp.asarray(pos0, jnp.float32)
     theta0 = jnp.asarray(theta0, jnp.float32)
-    x = pos0[:, 0]
-    y = pos0[:, 1]
-    zeros = jnp.zeros(r, jnp.float32)
-    ones = jnp.ones(r, jnp.float32)
-    if with_stats:
-        if use_strat:
-            n0 = medium.n(x, y).astype(jnp.float32)
-        else:
-            from raytracing_tpu.media.fields import FIELDS
-            n0 = FIELDS[field][0](x, y).astype(jnp.float32)
-    if golden:
-        # (x, y, cx, cy, ang, tt, dsim, active) [+ Welford]
-        comps = [x, y, zeros, zeros, theta0, zeros, zeros, ones]
-        if with_stats:
-            from raytracing_tpu.kernels.golden import init_mom_x
-            comps += [ones, init_mom_x(op, n0, theta0, gamma), zeros]
+    if use_strat:
+        n0_fn = medium.n
     else:
-        ux = jnp.cos(theta0)
-        uy = jnp.sin(theta0)
-        comps = [x, y, ux, uy, zeros, zeros, zeros, zeros, ones]
-        if with_stats:
-            comps += [ones, n0 * ux, zeros]
-        if window:
-            comps += [x, y, x, y]
+        from raytracing_tpu.media.fields import FIELDS
+        n0_fn = FIELDS[field][0]
+    comps = _initial_comps(op, pos0, theta0, with_stats=with_stats,
+                           n0_fn=n0_fn, gamma=gamma)
 
     tables = strat = None
     nch = 0
@@ -223,17 +288,39 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
         from raytracing_tpu.utils.checkpoint import TraceCheckpoint
 
         # identity = everything that must match for the carry to continue
-        # the same physics; total `steps` is progress, not identity (a
-        # resumed run may extend the horizon)
+        # the same physics — including the box, the medium's actual tables
+        # and the launch fan (the saved carry replaces pos0/theta0 on
+        # resume, so a mismatch would silently hybridize two traces).
+        # Total `steps` is progress, not identity: a resumed run may
+        # extend the horizon while no saved segment was limit-clamped.
         store = TraceCheckpoint(checkpoint, meta={
             "op": op, "rays": int(r), "delta_s": float(delta_s),
             "segment": int(segment), "n_state": int(n_state),
             "field": field or "stratified", "gamma": float(gamma),
+            "box": [float(v) for v in box],
+            "medium_sha1": (_fingerprint(*jax.tree_util.tree_leaves(medium))
+                            if use_strat else None),
+            "launch_sha1": _fingerprint(pos0, theta0),
             "skip_frozen": bool(skip_frozen),
             "gold_schedule": list(gold_schedule) if gold_schedule else None})
         resumed = store.load()
         if resumed is not None:
-            arrays, done_steps0 = resumed
+            arrays, done_steps0, horizon0 = resumed
+            if done_steps0 > horizon0:
+                # the saved final segment was limit-clamped at horizon0: the
+                # carry holds the state at exactly horizon0 and can neither
+                # be advanced (steps horizon0..done were masked, not
+                # integrated) nor rolled back
+                if steps != horizon0:
+                    raise ValueError(
+                        f"checkpoint {checkpoint} holds a COMPLETED "
+                        f"{horizon0}-step trace; it cannot resume with "
+                        f"steps={steps} — re-trace from scratch")
+            elif steps < done_steps0:
+                raise ValueError(
+                    f"checkpoint {checkpoint} has already integrated "
+                    f"{done_steps0} steps; it cannot resume with the "
+                    f"shorter horizon steps={steps}")
             state = tuple(jnp.asarray(a).reshape(-1, LANES) for a in arrays)
             done_segs = done_steps0 // segment
 
@@ -255,20 +342,24 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
         done_segs += n_run
         if store is not None:
             store.save([np.asarray(s.reshape(-1)) for s in state],
-                       done_segs * segment)
+                       done_segs * segment, steps)
         if not compact or done_segs >= n_seg_total:
             continue
         # 1 byte/ray download
         act = np.asarray(state[act_idx].reshape(-1)) > 0.5
         # orig_idx == -1 marks padding duplicates: never bank or keep them
         act &= orig_idx >= 0
-        live = act.sum() / max(len(orig_idx), 1)
-        if live >= compact_threshold:
+        # live fraction over REAL rays — counting padding lanes in the
+        # denominator would re-trigger no-op compactions forever on a
+        # padding-dominated batch
+        n_real = int((orig_idx >= 0).sum())
+        live = act.sum() / max(n_real, 1)
+        frozen = (~act) & (orig_idx >= 0)
+        if live >= compact_threshold or not frozen.any():
             continue
         if banked is None:
             banked = [jnp.zeros(r, jnp.float32) for _ in range(n_state)]
         # bank frozen rays' final state on device (host only sees indices)
-        frozen = (~act) & (orig_idx >= 0)
         cur_f = jnp.asarray(np.nonzero(frozen)[0], jnp.int32)
         dst_f = jnp.asarray(orig_idx[frozen], jnp.int32)
         flat = [s.reshape(-1) for s in state]
@@ -302,23 +393,7 @@ def segmented_trace(op: str, pos0, theta0, delta_s, *, steps: int, box,
             flat = [s.reshape(-1) for s in state]
             out = [b.at[dst].set(f[src]) for b, f in zip(out, flat)]
 
-    if golden:
-        ang = out[4]
-        res = FusedFinal(
-            pos=jnp.stack([out[0], out[1]], axis=-1),
-            tangent=jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1),
-            traveltime=out[5], dist_sim=out[6], active=out[7] > 0.5)
-        if with_stats:
-            res = res._replace(mom_count=out[8], mom_mean=out[9],
-                               mom_m2=out[10])
-        return res
-    res = FusedFinal(
-        pos=jnp.stack([out[0], out[1]], axis=-1),
-        tangent=jnp.stack([out[2], out[3]], axis=-1),
-        traveltime=out[6], dist_sim=out[7], active=out[8] > 0.5)
-    if with_stats:
-        res = res._replace(mom_count=out[9], mom_mean=out[10], mom_m2=out[11])
-    return res
+    return _final_from_state(op, out, with_stats)
 
 
 # -- 2-D grid media: block-shared tile kernel ---------------------------------
@@ -1010,6 +1085,10 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
     if not golden and op not in FUSED_OPS:
         raise ValueError(f"grid_trace_tiled supports {FUSED_OPS} and "
                          f"{tuple(GOLDEN_OPS)}, got {op!r}")
+    if (segment is not None and segment < 1) or refreshes_per_round < 1:
+        # a zero cadence would make the refresh loop spin without progress
+        raise ValueError("segment and refreshes_per_round must be >= 1, "
+                         f"got {segment}/{refreshes_per_round}")
     if oriented and row_windows:
         # rows-mode kernels gather per sublane row with a static shape;
         # silently dropping the shape set would size segments for
@@ -1134,34 +1213,12 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
         segment = _default_segment(
             (th, tw),
             _oriented_shapes((th, tw), medium) if oriented else None)
-    window = op == "op7"
-    if golden:
-        n_state = 8 + (3 if with_stats else 0)
-    else:
-        n_state = 9 + (3 if with_stats else 0) + (4 if window else 0)
+    n_state, _ = _state_layout(op, with_stats)
 
     pos0 = jnp.asarray(pos0, jnp.float32)
     theta0 = jnp.asarray(theta0, jnp.float32)
-    x = pos0[:, 0]
-    y = pos0[:, 1]
-    zeros = jnp.zeros(r, jnp.float32)
-    ones = jnp.ones(r, jnp.float32)
-    if golden:
-        # (x, y, cx, cy, ang, tt, dsim, active) [+ Welford]
-        comps = [x, y, zeros, zeros, theta0, zeros, zeros, ones]
-        if with_stats:
-            from raytracing_tpu.kernels.golden import init_mom_x
-            n0 = medium.n(x, y).astype(jnp.float32)
-            comps += [ones, init_mom_x(op, n0, theta0, gamma), zeros]
-    else:
-        ux = jnp.cos(theta0)
-        uy = jnp.sin(theta0)
-        comps = [x, y, ux, uy, zeros, zeros, zeros, zeros, ones]
-        if with_stats:
-            n0 = medium.n(x, y).astype(jnp.float32)
-            comps += [ones, n0 * ux, zeros]
-        if window:
-            comps += [x, y, x, y]
+    comps = _initial_comps(op, pos0, theta0, with_stats=with_stats,
+                           n0_fn=medium.n, gamma=gamma)
 
     orig_idx = jnp.arange(r, dtype=jnp.int32)  # batch slot -> original ray
 
@@ -1229,11 +1286,10 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
     # and n_run is traced, so adaptation compiles at most log2(segment)
     # kernel variants.
     # Escalation ladder: near-square windows of doubling area (gathers per
-    # step scale with ceil(cells / 128), capacity with the side length).
-    _LADDER = ((11, 11), (16, 16), (22, 22), (32, 32))
-
+    # step scale with ceil(cells / 128), capacity with the side length) —
+    # the same classes the batched sweep compiles for (_SWEEP_TILES).
     def next_tile(tile):
-        for cand in _LADDER:
+        for cand in _SWEEP_TILES:
             if (cand[0] * cand[1] > tile[0] * tile[1]
                     and cand[0] <= medium.ny - 1 and cand[1] <= medium.nx - 1):
                 return cand
@@ -1281,24 +1337,7 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
     # un-permute to the caller's ray order
     flat = [s.reshape(-1) for s in state]
     out = [jnp.zeros(r, f.dtype).at[orig_idx].set(f) for f in flat]
-    if golden:
-        ang = out[4]
-        res = FusedFinal(
-            pos=jnp.stack([out[0], out[1]], axis=-1),
-            tangent=jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1),
-            traveltime=out[5], dist_sim=out[6], active=out[7] > 0.5)
-        if with_stats:
-            res = res._replace(mom_count=out[8], mom_mean=out[9],
-                               mom_m2=out[10])
-        return res
-    res = FusedFinal(
-        pos=jnp.stack([out[0], out[1]], axis=-1),
-        tangent=jnp.stack([out[2], out[3]], axis=-1),
-        traveltime=out[6], dist_sim=out[7], active=out[8] > 0.5)
-    if with_stats:
-        res = res._replace(mom_count=out[9], mom_mean=out[10],
-                           mom_m2=out[11])
-    return res
+    return _final_from_state(op, out, with_stats)
 
 
 # -- 2-D grid media: supercell Hermite kernel --------------------------------
@@ -1399,23 +1438,12 @@ def grid_trace(op: str, pos0, theta0, delta_s, medium, *, steps: int, box,
         raise ValueError(f"segment {segment} x delta_s {delta_s} exceeds the "
                          f"cell pitch {cell}; rays could leave their block")
     n_seg = -(-steps // segment)
-    window = op == "op7"
-    n_state = 9 + (3 if with_stats else 0) + (4 if window else 0)
+    n_state, _ = _state_layout(op, with_stats)
 
     pos0 = jnp.asarray(pos0, jnp.float32)
     theta0 = jnp.asarray(theta0, jnp.float32)
-    x = pos0[:, 0]
-    y = pos0[:, 1]
-    ux = jnp.cos(theta0)
-    uy = jnp.sin(theta0)
-    zeros = jnp.zeros(r, jnp.float32)
-    comps = [x, y, ux, uy, zeros, zeros, zeros, zeros,
-             jnp.ones(r, jnp.float32)]
-    if with_stats:
-        n0 = medium.n(x, y).astype(jnp.float32)
-        comps += [jnp.ones(r, jnp.float32), n0 * ux, zeros]
-    if window:
-        comps += [x, y, x, y]
+    comps = _initial_comps(op, pos0, theta0, with_stats=with_stats,
+                           n0_fn=medium.n)
     state = tuple(c.reshape(-1, LANES) for c in comps)
     meta = (float(medium.x0), float(medium.y0), float(medium.inv_hx),
             float(medium.inv_hy), int(medium.nx), int(medium.ny))
@@ -1425,11 +1453,4 @@ def grid_trace(op: str, pos0, theta0, delta_s, medium, *, steps: int, box,
         box=tuple(box), block_rays=block_rays, interpret=interpret,
         meta=meta, stats=with_stats, n_state=n_state)
     out = [s.reshape(-1) for s in state]
-    res = FusedFinal(
-        pos=jnp.stack([out[0], out[1]], axis=-1),
-        tangent=jnp.stack([out[2], out[3]], axis=-1),
-        traveltime=out[6], dist_sim=out[7], active=out[8] > 0.5)
-    if with_stats:
-        res = res._replace(mom_count=out[9], mom_mean=out[10],
-                           mom_m2=out[11])
-    return res
+    return _final_from_state(op, out, with_stats)

@@ -107,3 +107,92 @@ def test_trace_checkpoint_resume_bit_identical(tmp_path):
         segmented_trace("op6", pos0, theta0, np.float32(0.01),
                         checkpoint=str(tmp_path / "x.npz"), compact=True,
                         **kw)
+
+
+def test_trace_checkpoint_horizon_and_identity_guards(tmp_path):
+    """Resume rules the horizon fix introduced: a checkpoint whose final
+    segment was limit-clamped holds the state at exactly its old horizon
+    and must refuse any other `steps`; an unclamped checkpoint refuses a
+    horizon SHORTER than its progress; and the identity meta now pins the
+    box and launch fan (a resume adopts the saved carry, so a different
+    fan/box would silently hybridize two traces)."""
+    import raytracing_tpu as rt
+    from raytracing_tpu.engine.segmented import segmented_trace
+
+    scen = rt.scenario("fisheye")
+    r = 128
+    theta0 = (np.pi / 2 + np.linspace(-0.02, 0.02, r)).astype(np.float32)
+    pos0 = np.tile(np.array([[1.0, 0.0]], np.float32), (r, 1))
+    base = dict(box=tuple(scen.box), field="fisheye", segment=64,
+                block_rays=128, interpret=True, checkpoint_every=1)
+
+    # steps=96 with segment=64: the 2nd segment is clamped (done=128 > 96)
+    p1 = str(tmp_path / "clamped.npz")
+    done = segmented_trace("op6", pos0, theta0, np.float32(0.01),
+                           steps=96, checkpoint=p1, **base)
+    with pytest.raises(ValueError, match="COMPLETED 96-step"):
+        segmented_trace("op6", pos0, theta0, np.float32(0.01),
+                        steps=192, checkpoint=p1, **base)
+    # same steps: returns the saved state unchanged
+    again = segmented_trace("op6", pos0, theta0, np.float32(0.01),
+                            steps=96, checkpoint=p1, **base)
+    np.testing.assert_array_equal(np.asarray(done.pos), np.asarray(again.pos))
+
+    # unclamped checkpoint, shorter horizon than its progress: refused
+    p2 = str(tmp_path / "long.npz")
+    segmented_trace("op6", pos0, theta0, np.float32(0.01),
+                    steps=256, checkpoint=p2, **base)
+    with pytest.raises(ValueError, match="already integrated"):
+        segmented_trace("op6", pos0, theta0, np.float32(0.01),
+                        steps=128, checkpoint=p2, **base)
+
+    # different launch fan / box: identity mismatch, named error
+    with pytest.raises(ValueError, match="different trace"):
+        segmented_trace("op6", pos0, theta0 + np.float32(0.1),
+                        np.float32(0.01), steps=256, checkpoint=p2, **base)
+    with pytest.raises(ValueError, match="different trace"):
+        segmented_trace("op6", pos0, theta0, np.float32(0.01), steps=256,
+                        checkpoint=p2, **{**base, "box": (-2.0, 2.0,
+                                                          -2.0, 2.0)})
+
+
+def test_trace_checkpoint_meta_pins_medium_tables(tmp_path):
+    """Two stratified media with identical shapes but different samples
+    must not share a checkpoint (the meta fingerprints the tables)."""
+    import raytracing_tpu as rt
+    from raytracing_tpu.engine.segmented import segmented_trace
+
+    y = np.linspace(-1.5, 1.5, 41)
+    m1 = rt.stratified_medium_from_samples(1.3 - 0.1 * y * y, y)
+    m2 = rt.stratified_medium_from_samples(1.3 - 0.2 * y * y, y)
+    r = 128
+    theta0 = np.linspace(-0.2, 0.2, r).astype(np.float32)
+    pos0 = np.stack([np.zeros(r), np.linspace(-0.5, 0.5, r)],
+                    -1).astype(np.float32)
+    p = str(tmp_path / "med.npz")
+    kw = dict(steps=128, box=(-1e6, 1e6, -1.5, 1.5), segment=64,
+              block_rays=128, interpret=True, checkpoint=p,
+              checkpoint_every=1)
+    segmented_trace("op6", pos0, theta0, np.float32(0.01), medium=m1, **kw)
+    with pytest.raises(ValueError, match="different trace"):
+        segmented_trace("op6", pos0, theta0, np.float32(0.01), medium=m2,
+                        **kw)
+
+
+def test_segmented_trace_rejects_zero_cadence():
+    """compact_every=0 / checkpoint_every=0 / segment=0 used to spin the
+    host loop forever; now a named error."""
+    import raytracing_tpu as rt
+    from raytracing_tpu.engine.segmented import segmented_trace
+
+    scen = rt.scenario("fisheye")
+    r = 128
+    theta0 = np.full(r, np.pi / 2, np.float32)
+    pos0 = np.tile(np.array([[1.0, 0.0]], np.float32), (r, 1))
+    for bad in (dict(segment=0), dict(compact=True, compact_every=0),
+                dict(checkpoint_every=0)):
+        with pytest.raises(ValueError, match=">= 1"):
+            segmented_trace("op6", pos0, theta0, np.float32(0.01),
+                            steps=64, box=tuple(scen.box), field="fisheye",
+                            block_rays=128, interpret=True,
+                            **{"segment": 64, **bad})

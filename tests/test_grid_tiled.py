@@ -442,3 +442,15 @@ def test_oriented_coarse_axial_matches_square(fisheye_media):
                          oriented=True, **kw)
     np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
                                atol=5e-7)
+
+
+def test_tiled_rejects_zero_cadence(fisheye_media):
+    """refreshes_per_round=0 / segment=0 used to spin the refresh loop
+    forever at zero progress; now a named error."""
+    scen, gm, hm = fisheye_media
+    pos0, theta0 = _fan(1024)
+    for bad in (dict(refreshes_per_round=0), dict(segment=0)):
+        with pytest.raises(ValueError, match=">= 1"):
+            grid_trace_tiled("op6", pos0, theta0, np.float32(0.001), hm,
+                             steps=10, box=tuple(scen.box), block_rays=1024,
+                             interpret=True, **bad)
