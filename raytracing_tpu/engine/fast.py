@@ -408,11 +408,12 @@ def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
                                       C1StratifiedMedium, CustomMedium))
                   or (isinstance(medium, AnalyticMedium)
                       and medium.field in FUSED_FIELDS))
-    if not (sharded_ok and op in FUSED_OPS):
+    golden = op in GOLDEN_OPS
+    if not (sharded_ok and (op in FUSED_OPS or golden)):
         raise ValueError(
-            f"fast_trace_sharded covers the fused ops on analytic/"
-            f"stratified/custom media and the full op set on 2-D grid "
-            f"media; got {op!r} on {type(medium).__name__}")
+            f"fast_trace_sharded covers the fused and golden ops on "
+            f"analytic/stratified/custom media and the full op set on "
+            f"2-D grid media; got {op!r} on {type(medium).__name__}")
     use_strat = isinstance(medium, (StratifiedGridMedium, C1StratifiedMedium))
     use_custom = isinstance(medium, CustomMedium)
     medium = compact_for_trace(medium, scen.box, delta_s)
@@ -433,6 +434,16 @@ def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
                        check_vma=False)  # pallas out_shapes carry no vma
     def run(p, t):
         # the medium pytree is closed over -> replicated to every device
+        if golden:
+            # the golden/momentum family (incl. the reference's headline
+            # anisotropic ops) shards exactly like the fused kernels: rays
+            # are independent, tables/fields replicate
+            return golden_trace_final(
+                p, t, jnp.float32(delta_s), jnp.float32(scen.gamma),
+                field=scen.field, op=op, steps=int(steps),
+                box=tuple(scen.box), block_rays=block_rays,
+                interpret=interpret,
+                medium=medium if (use_strat or use_custom) else None)
         if use_strat:
             return fused_trace_final_strat(
                 p, t, jnp.float32(delta_s), medium, op=op, steps=int(steps),
@@ -449,7 +460,8 @@ def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
                                  block_rays=block_rays, interpret=interpret)
 
     f = run(pos0, theta0)
-    eng = ("fused-strat-sharded" if use_strat
-           else "fused-custom-sharded" if use_custom else "fused-sharded")
+    eng = (("golden" if golden else "fused")
+           + ("-strat" if use_strat else "-custom" if use_custom else "")
+           + "-sharded")
     return FastResult(pos=f.pos, traveltime=f.traveltime, dist_sim=f.dist_sim,
                       active=f.active, engine=eng)

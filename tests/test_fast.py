@@ -386,3 +386,47 @@ def test_hermite_cache_is_bounded():
     fast._as_hermite(media[0])
     fast._as_hermite(media[1])
     assert fast._as_hermite(media[0]) is fast._as_hermite(media[0])
+
+
+def test_fast_trace_sharded_golden_matches_single():
+    """The golden/momentum family (incl. the reference's headline aniso
+    ops) now shards over the mesh like the fused family — bit-identical
+    per-ray results (rays are independent; tables replicate)."""
+    from raytracing_tpu.engine.fast import fast_trace_sharded
+    from raytracing_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    r = 8 * 128
+
+    # anisotropic op11 on the analytic vert field
+    scen = rt.scenario("aniso")
+    med = rt.analytic_medium("vert_heterogeneous")
+    theta0 = np.resize(np.asarray(scen.theta0, np.float32), r)
+    pos0 = np.tile(scen.pos0[:1].astype(np.float32), (r, 1))
+    out = fast_trace_sharded("op11", scen, med, delta_s=0.02, steps=64,
+                             pos0=pos0, theta0=theta0, mesh=mesh,
+                             block_rays=128)
+    assert out.engine == "golden-sharded"
+    assert len(out.pos.sharding.device_set) == 8
+    single = fast_trace("op11", scen, med, delta_s=0.02, steps=64,
+                        pos0=pos0, theta0=theta0, block_rays=128,
+                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.pos),
+                                  np.asarray(single.pos))
+
+    # iso golden op5 on a measured stratified profile
+    y = np.linspace(-1.5, 1.5, 41)
+    smed = rt.stratified_medium_from_samples(1.3 - 0.1 * y * y, y)
+    vscen = rt.scenario("vert")
+    pos0v = np.stack([np.zeros(r), np.linspace(-0.5, 0.5, r)],
+                     -1).astype(np.float32)
+    theta0v = np.linspace(-0.3, 0.3, r).astype(np.float32)
+    outs = fast_trace_sharded("op5", vscen, smed, delta_s=0.01, steps=64,
+                              pos0=pos0v, theta0=theta0v, mesh=mesh,
+                              block_rays=128)
+    assert outs.engine == "golden-strat-sharded"
+    singles = fast_trace("op5", vscen, smed, delta_s=0.01, steps=64,
+                         pos0=pos0v, theta0=theta0v, block_rays=128,
+                         interpret=True)
+    np.testing.assert_array_equal(np.asarray(outs.pos),
+                                  np.asarray(singles.pos))
