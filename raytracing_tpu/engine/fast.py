@@ -366,12 +366,19 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
 def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
                        delta_s, pos0, theta0, mesh, steps: int,
                        block_rays: int = 4096,
-                       interpret: bool | None = None) -> FastResult:
+                       interpret: bool | None = None,
+                       stats: bool = False) -> FastResult:
     """Fused-kernel tracing with the ray batch sharded across ``mesh``.
 
     Each device runs the Pallas kernel on its local shard under
     ``shard_map`` — the multi-chip production path (kernels x mesh).  The
     batch must divide by (device count x block_rays).
+
+    ``stats=True`` (stratified media only, same contract as
+    :func:`fast_trace`) rides the kernels' Welford momentum tracker on
+    every shard — the per-ray aggregates come back sharded like the rest
+    of the result, so the reference's conservation bar
+    (RT_bench.py:1352-1360) is assertable on multi-chip runs too.
     """
     import functools
 
@@ -381,6 +388,11 @@ def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     op = canonical(op_name)
+    if stats and not isinstance(medium, (StratifiedGridMedium,
+                                         C1StratifiedMedium)):
+        raise ValueError("stats=True needs a stratified (x-independent) "
+                         "medium — p_x is only an invariant there; got "
+                         f"{type(medium).__name__}")
 
     if isinstance(medium, GridMedium):
         medium = _as_hermite(medium)
@@ -442,13 +454,13 @@ def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
                 p, t, jnp.float32(delta_s), jnp.float32(scen.gamma),
                 field=scen.field, op=op, steps=int(steps),
                 box=tuple(scen.box), block_rays=block_rays,
-                interpret=interpret,
+                interpret=interpret, with_stats=stats,
                 medium=medium if (use_strat or use_custom) else None)
         if use_strat:
             return fused_trace_final_strat(
                 p, t, jnp.float32(delta_s), medium, op=op, steps=int(steps),
                 box=tuple(scen.box), block_rays=block_rays,
-                interpret=interpret)
+                interpret=interpret, with_stats=stats)
         if use_custom:
             return fused_trace_final_custom(
                 p, t, jnp.float32(delta_s), medium=medium, op=op,
@@ -464,4 +476,7 @@ def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
            + ("-strat" if use_strat else "-custom" if use_custom else "")
            + "-sharded")
     return FastResult(pos=f.pos, traveltime=f.traveltime, dist_sim=f.dist_sim,
-                      active=f.active, engine=eng)
+                      active=f.active, engine=eng,
+                      mom_count=f.mom_count if stats else None,
+                      mom_mean=f.mom_mean if stats else None,
+                      mom_m2=f.mom_m2 if stats else None)

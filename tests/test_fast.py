@@ -430,3 +430,41 @@ def test_fast_trace_sharded_golden_matches_single():
                          interpret=True)
     np.testing.assert_array_equal(np.asarray(outs.pos),
                                   np.asarray(singles.pos))
+
+
+def test_fast_trace_sharded_stats_matches_single():
+    """Welford conservation aggregates ride the sharded kernels too —
+    identical to the single-device tracker, sharded like the result."""
+    from raytracing_tpu.engine.fast import fast_trace_sharded
+    from raytracing_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    r = 8 * 128
+    y = np.linspace(-1.5, 1.5, 41)
+    med = rt.stratified_medium_from_samples(1.3 - 0.1 * y * y, y)
+    scen = rt.scenario("vert")
+    pos0 = np.stack([np.zeros(r), np.linspace(-0.5, 0.5, r)],
+                    -1).astype(np.float32)
+    theta0 = np.linspace(-0.3, 0.3, r).astype(np.float32)
+    kw = dict(delta_s=0.01, steps=64, pos0=pos0, theta0=theta0,
+              block_rays=128)
+    out = fast_trace_sharded("op6", scen, med, mesh=mesh, stats=True, **kw)
+    single = fast_trace("op6", scen, med, interpret=True, stats=True, **kw)
+    np.testing.assert_array_equal(np.asarray(out.mom_count),
+                                  np.asarray(single.mom_count))
+    # interpret-mode XLA may fuse FMAs differently inside shard_map (the
+    # fused-sharded pos test carries the same 1-ulp allowance)
+    np.testing.assert_allclose(np.asarray(out.mom_mean),
+                               np.asarray(single.mom_mean), rtol=3e-7)
+    # m2 is the *residual* spread of a conserved invariant — pure rounding
+    # noise (~1e-7 here) — so fusion-order differences move it at the
+    # absolute rounding floor, not relatively
+    np.testing.assert_allclose(np.asarray(out.mom_m2),
+                               np.asarray(single.mom_m2),
+                               rtol=1e-5, atol=1e-9)
+
+    # non-stratified media keep the named contract
+    with pytest.raises(ValueError, match="stats=True"):
+        fast_trace_sharded("op6", rt.scenario("fisheye"),
+                           rt.analytic_medium("fisheye"), mesh=mesh,
+                           stats=True, **kw)
