@@ -566,7 +566,46 @@ def run_oracles(path: str = "ORACLES.json"):
     print(f"# oracles -> {path}: all pass", file=sys.stderr)
 
 
+def _device_reachable(timeout_s: float):
+    """Fast availability gate for the benchmark device.
+
+    When the axon tunnel is down, ``jax.devices()`` hangs ~25 minutes in
+    backend init before failing (observed 2026-08-18, /tmp/tpu_queue.log) —
+    a round-end bench run would stall the driver and emit no JSON line at
+    all.  Discovery therefore runs in a *detached* subprocess first; on
+    timeout the child is abandoned, never killed (killing processes talking
+    to the remote helper has wedged it before), and bench reports the
+    outage honestly instead of hanging.
+
+    Returns (ok, info): info is the device platform string on success, the
+    failure reason otherwise.  Skippable with RT_BENCH_NO_PROBE=1.
+    """
+    import subprocess
+    probe = "import jax; print(jax.devices()[0].platform)"
+    child = subprocess.Popen(
+        [sys.executable, "-c", probe], stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, start_new_session=True)
+    try:
+        out, _ = child.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, f"device discovery still hung after {timeout_s:.0f}s"
+    if child.returncode != 0:
+        return False, f"device discovery failed (exit {child.returncode})"
+    return True, out.strip()
+
+
 def main():
+    if not os.environ.get("RT_BENCH_NO_PROBE"):
+        ok, info = _device_reachable(
+            float(os.environ.get("RT_BENCH_PROBE_TIMEOUT", "240")))
+        if not ok:
+            print(json.dumps({
+                "metric": "ray_steps_per_sec_per_chip", "value": 0.0,
+                "unit": "ray-steps/s", "vs_baseline": 0.0,
+                "error": f"benchmark device unavailable: {info}",
+            }))
+            return
+
     rays = int(os.environ.get("RT_BENCH_RAYS", 1 << 20))  # 1M, block-aligned
     n_turns = int(os.environ.get("RT_BENCH_TURNS", 1))
     divisor = int(os.environ.get("RT_BENCH_DIVISOR", 4587))
