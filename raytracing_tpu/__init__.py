@@ -31,6 +31,12 @@ from raytracing_tpu.engine.df_grid import (  # noqa: F401
     df_grid_medium_from_samples,
     df_grid_trace,
 )
+from raytracing_tpu.engine.dynamic import (  # noqa: F401
+    DynamicResult,
+    spreading_amplitude,
+    trace_dynamic,
+    transmission_loss_db,
+)
 from raytracing_tpu.engine.trace import TraceResult, trace  # noqa: F401
 from raytracing_tpu.media.c1 import (  # noqa: F401
     c1_medium_from_samples,
@@ -57,5 +63,7 @@ __all__ = [
     "df_grid_trace",
     "DiffTrace", "ParametricMedium", "parametric_grid_medium",
     "parametric_profile_medium", "trace_diff",
+    "DynamicResult", "trace_dynamic", "spreading_amplitude",
+    "transmission_loss_db",
     "ALIASES", "ANISO_OPS", "EXTENSION_OPS", "OP_NAMES",
 ]

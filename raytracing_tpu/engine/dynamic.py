@@ -1,0 +1,257 @@
+"""Dynamic ray tracing: paraxial spreading, caustics, and amplitudes.
+
+The reference traces ray *kinematics* only — positions and angles
+(RT_bench.py:766-948); field amplitudes need the evolution of a ray's
+*neighborhood* (dynamic ray tracing in the Cerveny sense), which classic
+codes integrate as a separate paraxial (q, p) ODE system driven by second
+derivatives of the index.  The reference even scaffolds that input — it
+builds bicubic Hessian splines and never uses them (RT_bench.py:459-462,
+its only dead code, SURVEY.md §2.17) — but ships no dynamic tier.
+
+Here the whole tier costs no new physics code: because every step method is
+a pure JAX function (ops/registry.build_op), the paraxial system IS the
+directional derivative of the step map with respect to the launch angle,
+and ``jax.jvp`` propagates it *exactly* — the tangent of the discrete
+integrator, not a separately-discretized ODE that would drift from the rays
+it describes.  Media differentiate automatically too: analytic fields give
+closed-form Hessians, spline/C1 media the exact in-cell second derivative
+of the evaluated surface (what the reference's dead Hessian splines
+approximate), ParametricMedium anything the user wrote.
+
+Quantities per ray:
+
+* ``q(s)``   — transverse geometric spreading, the perpendicular component
+  of d(pos)/d(theta0).  Near the source q ~ s in any medium; a zero
+  crossing of q is a caustic.
+* ``kmah``   — the KMAH index: number of caustics passed (sign changes of
+  q), which advances the field's phase by -pi/2 each.
+* ``dtheta`` — d(angle)/d(theta0), the paraxial slope (the "p" of the
+  classic system in angle form).
+
+Energy flux conservation in a ray tube of width ``|q| dtheta0`` gives the
+2-D point-source pressure amplitude ``A = sqrt(n0 / (n |q|))``, normalized
+to unit pressure at unit arc length from the source in a locally
+homogeneous medium (so in n == n0 exactly, TL(s) = 10 log10 s — cylindrical
+spreading).  Amplitude transport assumes ISOTROPIC media; for gamma != 1
+the energy velocity is not along the ray and q/kmah remain purely
+geometric quantities.
+
+Solver caveat (same as engine/diff.py): the golden-section ops
+(op5/op9/op10/op11) are piecewise constant in their cost, so their jvp
+tangents are zero almost everywhere — use the smooth solvers (op1-op4,
+op6-op8, op12) or the Newton extensions op10n/op11n for dynamic runs.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracing_tpu import config
+from raytracing_tpu.media.fields import anisotropy
+from raytracing_tpu.ops import angles as A
+from raytracing_tpu.ops.registry import RayPoint, build_op, canonical
+
+#: history row layout of :func:`trace_dynamic` (mode="history")
+DYN_COLS = ("x", "y", "traveltime", "angle", "q", "kmah", "n")
+
+
+class DynamicResult(NamedTuple):
+    """Kinematic + paraxial state after a dynamic trace."""
+
+    pos: Any          # (R, 2) final positions
+    angle: Any        # (R,)   final angles
+    n: Any            # (R,)   isotropic index at the final position
+    traveltime: Any   # (R,)   optical path (trapezoid of coef*n)
+    dist_sim: Any     # (R,)   accumulated Euclidean distance
+    dist_real: Any    # (R,)   accumulated expected arc length
+    exit_step: Any    # (R,)   int32 last written step
+    q: Any            # (R,)   transverse spreading d(pos_perp)/d(theta0)
+    dtheta: Any       # (R,)   paraxial slope d(angle)/d(theta0)
+    kmah: Any         # (R,)   int32 caustic count (sign changes of q)
+    n0: Any           # (R,)   index at the source (amplitude reference)
+    history: Any      # (max_size, R, 7) DYN_COLS rows, or None
+
+    def amplitude(self):
+        """Point-source pressure amplitude at the final position."""
+        return spreading_amplitude(self.q, self.n, self.n0)
+
+    def transmission_loss_db(self):
+        """-20 log10 of :meth:`amplitude` (dB re unit arc length)."""
+        return transmission_loss_db(self.q, self.n, self.n0)
+
+
+def spreading_amplitude(q, n, n0):
+    """2-D point-source amplitude ``sqrt(n0 / (n |q|))``.
+
+    Energy flux through a ray tube of width ``|q| dtheta0`` at sound speed
+    ``1/n`` is conserved, so ``|p|^2 |q| / n^{-1}`` is constant along the
+    ray; the normalization makes ``p = 1`` at unit arc length from the
+    source in a homogeneous medium (where q == s exactly).  At a caustic
+    (q == 0) ray theory diverges; the value is clamped to the dtype's
+    finite range rather than inf so downstream sums stay finite.
+    """
+    q = jnp.abs(q)
+    tiny = jnp.asarray(np.finfo(jnp.result_type(q)).tiny, q.dtype)
+    return jnp.sqrt(n0 / (n * jnp.maximum(q, tiny)))
+
+
+def transmission_loss_db(q, n, n0):
+    """Transmission loss ``10 log10(n |q| / n0)`` dB re unit arc length."""
+    q = jnp.abs(q)
+    tiny = jnp.asarray(np.finfo(jnp.result_type(q)).tiny, q.dtype)
+    return 10.0 * jnp.log10(n * jnp.maximum(q, tiny) / n0)
+
+
+def _perp(angle):
+    """Unit normal to the ray direction: e_perp = (-sin, cos)."""
+    return jnp.stack([-jnp.sin(angle), jnp.cos(angle)], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_dynamic_fn(op_name: str, max_size: int, box, mode: str,
+                      dtype_name: str):
+    """Compile-cached dynamic scan: primal step + exact jvp tangent."""
+    dtype = np.dtype(dtype_name)
+    op = build_op(op_name, dtype)
+    history = mode == "history"
+    limx_i, limx_s, limy_i, limy_s = box
+
+    def run(pos0, theta0, medium, gamma, delta_s, step_limit):
+        pos0 = jnp.asarray(pos0, dtype)
+        theta0 = jnp.asarray(theta0, dtype)
+        r = theta0.shape[0]
+
+        def launch(th):
+            unitv = jnp.stack([jnp.cos(th), jnp.sin(th)], axis=-1)
+            n0, (gx, gy) = medium.n_and_grad(pos0[..., 0], pos0[..., 1])
+            grad0 = jnp.stack([gx, gy], axis=-1)
+            window = (jnp.broadcast_to(pos0[:, None, :], (r, 4, 2))
+                      if op.uses_window else None)
+            # pos0 enters as a CLOSURE constant: jvp instantiates its
+            # tangent as zero, i.e. the source point is held fixed
+            return RayPoint(pos=pos0, angle=th, unitv=unitv, n=n0,
+                            grad=grad0, coef=anisotropy(th, gamma),
+                            window=window)
+
+        # d(launch)/d(theta0): the source point is FIXED (dpos = 0), only
+        # the take-off angle varies — the point-source paraxial basis.
+        pt0, dpt0 = jax.jvp(launch, (theta0,), (jnp.ones_like(theta0),))
+        n_src = pt0.n
+
+        def step_pt(pt, i):
+            res = op(pt, i, medium, gamma, delta_s)
+            unitv_f = jnp.stack([jnp.cos(res.angle), jnp.sin(res.angle)],
+                                axis=-1)
+            window = (A.push_window(pt.window, res.pos)
+                      if pt.window is not None else None)
+            return RayPoint(pos=res.pos, angle=res.angle, unitv=unitv_f,
+                            n=res.n, grad=res.grad,
+                            coef=anisotropy(res.angle, gamma), window=window)
+
+        def sel(keep, new, old):
+            def one(a, b):
+                m = keep.reshape(keep.shape + (1,) * (a.ndim - keep.ndim))
+                return jnp.where(m, a, b)
+            return jax.tree.map(one, new, old)
+
+        def body(carry, i):
+            pt, dpt, tt, dsim, dreal, active, exit_step, sgn, kmah = carry
+            pt_n, dpt_n = jax.jvp(lambda p: step_pt(p, i), (pt,), (dpt,))
+
+            dist = jnp.linalg.norm(pt_n.pos - pt.pos, axis=-1)
+            tt_n = tt + dist * (pt.coef * pt.n + pt_n.coef * pt_n.n) / 2.0
+
+            pt2 = sel(active, pt_n, pt)
+            dpt2 = sel(active, dpt_n, dpt)
+            tt2 = jnp.where(active, tt_n, tt)
+            dsim2 = jnp.where(active, dsim + dist, dsim)
+            dreal2 = jnp.where(active, dreal + delta_s, dreal)
+
+            q = jnp.sum(dpt2.pos * _perp(pt2.angle), axis=-1)
+            s_new = jnp.sign(q).astype(jnp.int8)
+            flip = active & (sgn != 0) & (s_new != 0) & (s_new != sgn)
+            kmah2 = kmah + flip.astype(jnp.int32)
+            sgn2 = jnp.where(active & (s_new != 0), s_new, sgn)
+
+            x, y = pt2.pos[..., 0], pt2.pos[..., 1]
+            out = (x > limx_s) | (x < limx_i) | (y > limy_s) | (y < limy_i)
+            newly_exited = active & out
+            exit2 = jnp.where(newly_exited, i, exit_step)
+            active2 = active & ~out & (i < step_limit)
+
+            carry2 = (pt2, dpt2, tt2, dsim2, dreal2, active2, exit2,
+                      sgn2, kmah2)
+            if history:
+                # rows FREEZE after exit (unlike the parity engine's zero
+                # rows, RT_bench.py:800-805) — frozen rows interpolate
+                # cleanly in the eigenray range scan
+                row = jnp.stack([x, y, tt2, pt2.angle, q,
+                                 kmah2.astype(dtype), pt2.n], axis=-1)
+                return carry2, row
+            return carry2, None
+
+        active0 = jnp.ones(r, dtype=bool)
+        exit0 = jnp.minimum(jnp.full(r, max_size - 1, dtype=jnp.int32),
+                            step_limit)
+        sgn0 = jnp.zeros(r, dtype=jnp.int8)
+        kmah0 = jnp.zeros(r, dtype=jnp.int32)
+        zeros = jnp.zeros_like(theta0)
+        carry0 = (pt0, dpt0, zeros, zeros, zeros, active0, exit0, sgn0, kmah0)
+        steps = jnp.arange(1, max_size, dtype=jnp.int32)
+        (ptf, dptf, ttf, dsimf, drealf, _, exitf, _, kmahf), rows = (
+            jax.lax.scan(body, carry0, steps))
+
+        qf = jnp.sum(dptf.pos * _perp(ptf.angle), axis=-1)
+        if history:
+            row0 = jnp.stack([pt0.pos[..., 0], pt0.pos[..., 1], zeros,
+                              pt0.angle, zeros, zeros, pt0.n], axis=-1)
+            hist = jnp.concatenate([row0[None], rows], axis=0)
+        else:
+            hist = None
+        return DynamicResult(pos=ptf.pos, angle=ptf.angle, n=ptf.n,
+                             traveltime=ttf, dist_sim=dsimf,
+                             dist_real=drealf, exit_step=exitf, q=qf,
+                             dtheta=dptf.angle, kmah=kmahf, n0=n_src,
+                             history=hist)
+
+    return run, jax.jit(run)
+
+
+def trace_dynamic(op_name: str, scen: config.ScenarioConfig, medium, *,
+                  delta_s: float, divisor: int | None = None,
+                  n_turns: int = config.N_TURNS, mode: str = "history",
+                  dtype=np.float32, pos0=None, theta0=None,
+                  step_limit: int | None = None, max_size: int | None = None,
+                  jit: bool = True) -> DynamicResult:
+    """Trace rays AND their paraxial neighborhoods (spreading/caustics).
+
+    Same launch interface as :func:`engine.trace.trace`; the result adds
+    the dynamic quantities ``q`` (transverse spreading), ``dtheta``
+    (paraxial slope) and ``kmah`` (caustic count), from which
+    :func:`spreading_amplitude` / :func:`transmission_loss_db` derive the
+    point-source field along each ray.  Cost is ~2x a kinematic trace (one
+    exact jvp tangent rides through every step).
+    """
+    op_name = canonical(op_name)
+    dtype = np.dtype(dtype)
+    if mode not in ("history", "metrics"):
+        raise ValueError(f"mode must be 'history' or 'metrics', got {mode!r}")
+    if max_size is None:
+        max_size = scen.max_size(delta_s, divisor, n_turns)
+    if step_limit is None:
+        step_limit = max_size - 1
+    if pos0 is None:
+        pos0 = scen.pos0
+    if theta0 is None:
+        theta0 = scen.theta0
+
+    run, run_jit = _build_dynamic_fn(op_name, int(max_size), tuple(scen.box),
+                                     mode, dtype.name)
+    fn = run_jit if jit else run
+    return fn(jnp.asarray(pos0, dtype), jnp.asarray(theta0, dtype), medium,
+              jnp.asarray(scen.gamma, dtype), jnp.asarray(delta_s, dtype),
+              jnp.asarray(step_limit, jnp.int32))
