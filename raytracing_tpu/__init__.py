@@ -37,6 +37,12 @@ from raytracing_tpu.engine.dynamic import (  # noqa: F401
     trace_dynamic,
     transmission_loss_db,
 )
+from raytracing_tpu.engine.eigenray import (  # noqa: F401
+    Eigenrays,
+    coherent_tl,
+    find_eigenrays,
+    incoherent_tl,
+)
 from raytracing_tpu.engine.trace import TraceResult, trace  # noqa: F401
 from raytracing_tpu.media.c1 import (  # noqa: F401
     c1_medium_from_samples,
@@ -65,5 +71,6 @@ __all__ = [
     "parametric_profile_medium", "trace_diff",
     "DynamicResult", "trace_dynamic", "spreading_amplitude",
     "transmission_loss_db",
+    "Eigenrays", "find_eigenrays", "coherent_tl", "incoherent_tl",
     "ALIASES", "ANISO_OPS", "EXTENSION_OPS", "OP_NAMES",
 ]
