@@ -96,7 +96,34 @@ def find_eigenrays(op_name: str, medium, *, source, receivers, delta_s,
     ``box`` clips rays as in the forward engine; ``max_size`` bounds the
     step count.  Returns a flat :class:`Eigenrays`; an empty one if no
     path crosses any receiver range.
+
+    The achievable miss is the noise floor of the landing curve
+    ``y(xr; theta0)``, set by the medium's evaluation precision: analytic
+    and f64-table media converge to ~1e-15, while float32 coefficient
+    tables (the kernel-tier default for sampled media) floor around 1e-5 —
+    build sampled media with ``dtype=np.float64`` for eigenray work.
     """
+    import contextlib
+
+    import jax
+
+    # the Newton polish needs the landing curve at the requested precision;
+    # scope an x64 enable to this solve instead of requiring global config
+    if np.dtype(dtype).itemsize == 8 and not jax.config.jax_enable_x64:
+        x64 = jax.enable_x64(True)
+    else:
+        x64 = contextlib.nullcontext()
+    with x64:
+        return _find_eigenrays(op_name, medium, source=source,
+                               receivers=receivers, delta_s=delta_s,
+                               max_size=max_size, box=box, fan=fan,
+                               gamma=gamma, dtype=dtype, iters=iters,
+                               tol=tol)
+
+
+def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
+                    max_size, box, fan, gamma, dtype, iters,
+                    tol) -> Eigenrays:
     source = np.asarray(source, dtype)
     receivers = np.atleast_2d(np.asarray(receivers, dtype))
     th_lo, th_hi, n_fan = fan

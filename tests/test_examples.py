@@ -80,3 +80,9 @@ def test_measured_medium_example():
                         out)}
     assert devs["c1"] <= devs["parity"], devs
     assert "df32+c1 deviation" in out
+
+
+def test_transmission_loss_example():
+    out = _run("transmission_loss.py", extra="sys.argv = ['x', '6', '160']; ")
+    assert out.strip().endswith("ok")
+    assert "free cylindrical would be" in out
