@@ -194,11 +194,13 @@ def _build_dynamic_fn(op_name: str, max_size: int, box, mode: str,
                 return carry2, row
             return carry2, None
 
-        active0 = jnp.ones(r, dtype=bool)
-        exit0 = jnp.minimum(jnp.full(r, max_size - 1, dtype=jnp.int32),
-                            step_limit)
-        sgn0 = jnp.zeros(r, dtype=jnp.int8)
-        kmah0 = jnp.zeros(r, dtype=jnp.int32)
+        # *_like constructors: under shard_map the carry inits must inherit
+        # theta0's varying mesh axes or the scan rejects the carry types
+        active0 = jnp.ones_like(theta0, dtype=bool)
+        exit0 = jnp.minimum(jnp.full_like(theta0, max_size - 1,
+                                          dtype=jnp.int32), step_limit)
+        sgn0 = jnp.zeros_like(theta0, dtype=jnp.int8)
+        kmah0 = jnp.zeros_like(theta0, dtype=jnp.int32)
         zeros = jnp.zeros_like(theta0)
         carry0 = (pt0, dpt0, zeros, zeros, zeros, active0, exit0, sgn0, kmah0)
         steps = jnp.arange(1, max_size, dtype=jnp.int32)
