@@ -20,7 +20,8 @@ from __future__ import annotations
 import numpy as np
 
 
-def medium_from_samples(samples, x=None, y=None, *, family: str = "parity"):
+def medium_from_samples(samples, x=None, y=None, *, family: str = "parity",
+                        dtype=np.float32):
     """``(medium, default_box, kind)`` from raw measured-index arrays.
 
     ``samples`` is a (ny,) profile (with coordinate vector ``y``) or a
@@ -28,8 +29,11 @@ def medium_from_samples(samples, x=None, y=None, *, family: str = "parity"):
     reference-parity builders (media/spline.py) or the consistent-gradient
     C1 builders (media/c1.py).  ``default_box`` spans the sampled region
     (profiles are x-independent: unbounded in x); ``kind`` is
-    ``"profile"`` or ``"grid"``.  Axis validation (ascending uniform,
-    matching lengths) lives in the builders themselves
+    ``"profile"`` or ``"grid"``.  ``dtype`` sets the coefficient-table
+    precision (kernel tracing keeps the f32 default; eigenray work wants
+    f64 tables — engine/eigenray.py dtype note — and needs jax x64 enabled
+    at BUILD time or the request silently downcasts).  Axis validation
+    (ascending uniform, matching lengths) lives in the builders themselves
     (spline.check_uniform_grid/_check_profile); this function only
     dispatches.  Raises ValueError on a bad family/rank or missing axis.
     """
@@ -43,8 +47,9 @@ def medium_from_samples(samples, x=None, y=None, *, family: str = "parity"):
         from raytracing_tpu.media.c1 import c1_stratified_from_samples
         from raytracing_tpu.media.spline import stratified_medium_from_samples
 
-        medium = (c1_stratified_from_samples(samples, y) if family == "c1"
-                  else stratified_medium_from_samples(samples, y))
+        medium = (c1_stratified_from_samples(samples, y, dtype=dtype)
+                  if family == "c1"
+                  else stratified_medium_from_samples(samples, y, dtype=dtype))
         return medium, (-1e30, 1e30, float(y[0]), float(y[-1])), "profile"
     if samples.ndim == 2:
         if x is None:
@@ -53,8 +58,9 @@ def medium_from_samples(samples, x=None, y=None, *, family: str = "parity"):
         from raytracing_tpu.media.c1 import c1_medium_from_samples
         from raytracing_tpu.media.spline import grid_medium_from_samples
 
-        medium = (c1_medium_from_samples(samples, x, y) if family == "c1"
-                  else grid_medium_from_samples(samples, x, y))
+        medium = (c1_medium_from_samples(samples, x, y, dtype=dtype)
+                  if family == "c1"
+                  else grid_medium_from_samples(samples, x, y, dtype=dtype))
         box = (float(x[0]), float(x[-1]), float(y[0]), float(y[-1]))
         return medium, box, "grid"
     raise ValueError(f"samples must be 1-D or 2-D, got {samples.ndim}-D")

@@ -17,6 +17,12 @@ a dependency-free (stdlib http.server) JSON API over the fused-kernel tier:
                                 pick delta_s for that medium by Richardson
                                 self-convergence (measured media have no
                                 closed-form physics oracle)
+    POST /v1/eigenrays       -> {"samples", ..., "source", "receivers",
+                                "delta_s", "steps", "fan", "omega"?} —
+                                boundary-value arrivals through the posted
+                                medium: travel time / amplitude / KMAH per
+                                multipath arrival + per-receiver TL
+                                (engine/eigenray.py)
 
 Compiled executables are cached by (op, field, steps, block) through the
 jit caches underneath ``fast_trace``, so the first request per
@@ -344,6 +350,116 @@ def _trace_samples_request(body: dict) -> dict:
     return resp
 
 
+MAX_EIGEN_ELEMS = 4_000_000    # fan_count * steps bound: f64 history RAM
+MAX_RECEIVERS = 128
+MAX_FAN = 1024
+_GOLDEN_OPS = ("op5", "op9", "op10", "op11")
+
+
+def _eigenrays_request(body: dict) -> dict:
+    """Boundary-value arrivals source -> receivers through a POSTed medium.
+
+    Serves the dynamic tier (engine/eigenray.py): every multipath arrival
+    at each receiver with travel time, amplitude, KMAH caustic count and
+    launch angle, plus incoherent transmission loss per receiver (and
+    coherent TL when ``omega`` — radians per traveltime unit — is given).
+    The medium is measured data exactly as in /v1/trace_samples; tables
+    are built float64 (the landing-curve noise floor of f32 tables defeats
+    the Newton polish — engine/eigenray.py dtype note).
+    """
+    from raytracing_tpu.engine import eigenray as er
+    from raytracing_tpu.media.samples import medium_from_samples
+
+    family = str(body.get("family", "parity"))
+    if "samples" not in body:
+        raise ValueError("this endpoint needs 'samples' (1-D profile or "
+                         "2-D grid of refractive-index values)")
+    samples = _finite("samples", np.asarray(body["samples"], np.float64))
+    if not 0 < samples.size <= MAX_SAMPLE_VALUES:
+        raise ValueError(f"samples size must be in [1, {MAX_SAMPLE_VALUES}],"
+                         f" got {samples.size}")
+    y = _finite("y", np.asarray(body.get("y", ()), np.float64))
+    x = (_finite("x", np.asarray(body["x"], np.float64))
+         if "x" in body else None)
+    with jax.enable_x64(True):    # f64 tables need x64 at build time
+        medium, default_box, kind = medium_from_samples(
+            samples, x, y, family=family, dtype=np.float64)
+
+    op = canonical(str(body.get("op", "op6")))
+    if op in _GOLDEN_OPS:
+        raise ValueError(
+            f"{op} uses a golden-section solver whose paraxial tangents "
+            f"vanish (engine/dynamic.py caveat); use a smooth op "
+            f"(op1-op4, op6-op8, op12) or the Newton extensions op10n/op11n")
+
+    source = _finite("source", np.asarray(body.get("source", ()), np.float64))
+    if source.shape != (2,):
+        raise ValueError(f"source must be [x, y], got shape {source.shape}")
+    receivers = _finite("receivers",
+                        np.atleast_2d(np.asarray(body.get("receivers", ()),
+                                                 np.float64)))
+    if receivers.ndim != 2 or receivers.shape[1] != 2 or \
+            not 1 <= len(receivers) <= MAX_RECEIVERS:
+        raise ValueError(f"receivers must be (k, 2) with k in "
+                         f"[1, {MAX_RECEIVERS}], got {receivers.shape}")
+
+    delta_s = float(body.get("delta_s", 0.0))
+    if not (np.isfinite(delta_s) and delta_s > 0):
+        raise ValueError(f"delta_s must be finite and > 0, got {delta_s}")
+    steps = int(body.get("steps", 0))
+    fan_spec = body.get("fan", {})
+    if not isinstance(fan_spec, dict):
+        raise ValueError("fan must be {'theta': [lo, hi], 'count': n}")
+    th = np.asarray(fan_spec.get("theta", (-0.3, 0.3)), np.float64).reshape(-1)
+    _finite("fan theta", th)
+    if len(th) != 2 or not th[0] < th[1]:
+        raise ValueError(f"fan theta must be [lo, hi] with lo < hi, got {th}")
+    n_fan = int(fan_spec.get("count", 256))
+    if not 8 <= n_fan <= MAX_FAN:
+        raise ValueError(f"fan count must be in [8, {MAX_FAN}], got {n_fan}")
+    if not 1 <= steps * n_fan <= MAX_EIGEN_ELEMS:
+        raise ValueError(
+            f"steps * fan count must be in [1, {MAX_EIGEN_ELEMS}] "
+            f"(f64 history memory bound), got {steps * n_fan}")
+    box = tuple(float(v) for v in body.get("box", default_box))
+    if len(box) != 4 or not np.all(np.isfinite(box)) or \
+            not (box[0] < box[1] and box[2] < box[3]):
+        raise ValueError(f"box must be 4 finite ordered floats, got {box!r}")
+    omega = body.get("omega")
+    if omega is not None and not (np.isfinite(float(omega))
+                                  and float(omega) > 0):
+        raise ValueError(f"omega must be finite and > 0, got {omega}")
+
+    t0 = time.perf_counter()
+    eig = er.find_eigenrays(op, medium, source=source, receivers=receivers,
+                            delta_s=delta_s, max_size=steps, box=box,
+                            fan=(float(th[0]), float(th[1]), n_fan))
+    dt = time.perf_counter() - t0
+
+    k = len(receivers)
+    itl = er.incoherent_tl(eig, n_receivers=k)
+    resp = {
+        "op": op, "family": family, "medium_kind": kind,
+        "delta_s": delta_s, "steps": steps, "fan_count": n_fan,
+        "seconds": round(dt, 4),
+        "arrivals": [
+            {"receiver": int(r), "theta0": float(t), "traveltime": float(tt),
+             "amplitude": float(a), "kmah": int(m), "angle": float(ang),
+             "y_err": float(ye), "converged": bool(c)}
+            for r, t, tt, a, m, ang, ye, c in zip(
+                eig.receiver, eig.theta0, eig.traveltime, eig.amplitude,
+                eig.kmah, eig.angle, eig.y_err, eig.converged)],
+        # JSON has no Infinity: receivers with no arrivals report null
+        "incoherent_tl_db": [None if not np.isfinite(v) else float(v)
+                             for v in itl],
+    }
+    if omega is not None:
+        ctl = er.coherent_tl(eig, float(omega), n_receivers=k)
+        resp["coherent_tl_db"] = [None if not np.isfinite(v) else float(v)
+                                  for v in ctl]
+    return resp
+
+
 class _Handler(BaseHTTPRequestHandler):
     def _send(self, code: int, payload: dict):
         data = json.dumps(payload).encode()
@@ -367,13 +483,15 @@ class _Handler(BaseHTTPRequestHandler):
                              "sample_families": ["parity", "c1"],
                              "endpoints": ["/healthz", "/v1/models",
                                            "/v1/trace", "/v1/trace_samples",
-                                           "/v1/calibrate_samples"]})
+                                           "/v1/calibrate_samples",
+                                           "/v1/eigenrays"]})
         else:
             self._send(404, {"error": f"unknown path {self.path}"})
 
     _POST_ROUTES = {"/v1/trace": _trace_request,
                     "/v1/trace_samples": _trace_samples_request,
-                    "/v1/calibrate_samples": _calibrate_samples_request}
+                    "/v1/calibrate_samples": _calibrate_samples_request,
+                    "/v1/eigenrays": _eigenrays_request}
 
     def do_POST(self):
         handler = self._POST_ROUTES.get(self.path)

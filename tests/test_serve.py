@@ -300,7 +300,8 @@ def test_fuzzed_payloads_never_5xx(server):
     keys = ["scenario", "op", "rays", "delta_s", "divisor", "n_turns",
             "steps", "medium", "precision", "samples", "x", "y", "family",
             "launch", "pos0", "theta0", "box", "gamma", "tol",
-            "arc_length", "candidates", "return_positions"]
+            "arc_length", "candidates", "return_positions",
+            "source", "receivers", "fan", "omega"]
 
     def rand_value(depth=0):
         r = rng.integers(0, 6 if depth < 2 else 4)
@@ -319,8 +320,9 @@ def test_fuzzed_payloads_never_5xx(server):
                 for k in rng.choice(keys, rng.integers(0, 4),
                                     replace=False)}
 
-    endpoints = ["/v1/trace", "/v1/trace_samples", "/v1/calibrate_samples"]
-    for i in range(60):
+    endpoints = ["/v1/trace", "/v1/trace_samples", "/v1/calibrate_samples",
+                 "/v1/eigenrays"]
+    for i in range(80):
         body = {k: rand_value()
                 for k in rng.choice(keys, rng.integers(0, 6), replace=False)}
         # keep accidental valid-and-huge configs cheap
@@ -329,7 +331,7 @@ def test_fuzzed_payloads_never_5xx(server):
                             if isinstance(body.get("steps"), (int, float))
                             and np.isfinite(float(body.get("steps", 8)))
                             else 8, 64)
-        code, resp = _post(server + endpoints[i % 3], body)
+        code, resp = _post(server + endpoints[i % len(endpoints)], body)
         assert code in (200, 400), (code, body, resp)
 
 
@@ -385,3 +387,53 @@ def test_calibrate_samples_hostile_ray_count_rejected_cheaply(server):
            "launch": {"x": 0.0, "y": [-0.1, 0.1], "theta": 0.2}}
     code, body = _post(server + "/v1/calibrate_samples", req)
     assert code == 400 and "65536" in body["error"], body
+
+
+def test_eigenrays_endpoint(server):
+    """Boundary-value arrivals through a posted waveguide profile, with
+    per-receiver incoherent and (given omega) coherent TL."""
+    import numpy as np
+    y = np.linspace(-1.5, 1.5, 61)
+    col = 1.2 - 0.25 * y * y                  # index max on the axis
+    req = {"samples": col.tolist(), "y": y.tolist(), "op": "op6",
+           "family": "c1", "delta_s": 0.02, "steps": 520,
+           "box": [-1.0, 10.0, -1.5, 1.5],
+           "source": [0.0, 0.0], "receivers": [[8.0, 0.0], [8.0, 0.3]],
+           "fan": {"theta": [-0.45, 0.45], "count": 96}, "omega": 40.0}
+    code, body = _post(server + "/v1/eigenrays", req)
+    assert code == 200, body
+    assert body["medium_kind"] == "profile" and body["fan_count"] == 96
+    arr = body["arrivals"]
+    assert len(arr) >= 2
+    assert all(a["converged"] for a in arr)
+    assert all(abs(a["y_err"]) < 1e-6 for a in arr)
+    assert {a["receiver"] for a in arr} == {0, 1}
+    # arrivals sorted by receiver then travel time
+    keys = [(a["receiver"], a["traveltime"]) for a in arr]
+    assert keys == sorted(keys)
+    assert len(body["incoherent_tl_db"]) == 2
+    assert all(v is not None for v in body["incoherent_tl_db"])
+    assert len(body["coherent_tl_db"]) == 2
+
+
+def test_eigenrays_rejects_golden_and_bad_shapes(server):
+    import numpy as np
+    y = np.linspace(-1.0, 1.0, 21)
+    base = {"samples": (1.2 - 0.1 * y * y).tolist(), "y": y.tolist(),
+            "delta_s": 0.05, "steps": 40, "source": [0.0, 0.0],
+            "receivers": [[1.0, 0.0]], "box": [-1, 2, -1, 1]}
+    code, body = _post(server + "/v1/eigenrays", dict(base, op="op5"))
+    assert code == 400 and "golden" in body["error"]
+    code, body = _post(server + "/v1/eigenrays",
+                       dict(base, source=[0.0, 0.0, 1.0]))
+    assert code == 400 and "source" in body["error"]
+    code, body = _post(server + "/v1/eigenrays", dict(base, receivers=[]))
+    assert code == 400 and "receivers" in body["error"]
+    code, body = _post(server + "/v1/eigenrays",
+                       dict(base, fan={"theta": [0.5, -0.5]}))
+    assert code == 400
+    # budget bound: fan * steps capped
+    code, body = _post(server + "/v1/eigenrays",
+                       dict(base, steps=100000,
+                            fan={"theta": [-0.3, 0.3], "count": 512}))
+    assert code == 400 and "bound" in body["error"]
