@@ -127,11 +127,14 @@ def run_batch(scen, op_name: str, rays: int, *, delta_s_mode: str,
     return out
 
 
-def load_samples_medium(path: str, family: str = "parity"):
+def load_samples_medium(path: str, family: str = "parity",
+                        dtype=np.float32):
     """(medium, default_box, description) from a measured ``.npz`` file.
 
     The file carries ``samples`` — a (ny, nx) index grid with coordinate
-    vectors ``x``/``y``, or a (ny,) profile with ``y`` only.
+    vectors ``x``/``y``, or a (ny,) profile with ``y`` only.  ``dtype``
+    sets the table precision (f64 for eigenray work; needs jax x64
+    enabled at build time — see engine/eigenray.py).
     """
     from raytracing_tpu.media.samples import medium_from_samples
 
@@ -144,7 +147,8 @@ def load_samples_medium(path: str, family: str = "parity"):
         x = np.asarray(data["x"], np.float64) if "x" in data else None
     try:
         medium, default_box, kind = medium_from_samples(samples, x, y,
-                                                        family=family)
+                                                        family=family,
+                                                        dtype=dtype)
     except ValueError as e:
         raise SystemExit(f"{path}: {e}")
     kind = (f"{len(y)}-sample profile" if kind == "profile"
@@ -264,6 +268,67 @@ def run_samples_file(path: str, op_name: str, *, delta_s: float, steps: int,
 
         plt.close(fig)
     return out
+
+
+def run_eigenrays_file(path: str, op_name: str, *, delta_s: float,
+                       steps: int, source, receivers, fan=None, box=None,
+                       gamma: float = 1.0, omega=None,
+                       family: str = "parity", printer=print):
+    """Eigenray arrivals + transmission loss through a measured medium.
+
+    CLI counterpart of the ``/v1/eigenrays`` serving endpoint and
+    ``examples/transmission_loss.py``: every fan-resolved ray path from
+    ``source`` to each receiver, with travel time, amplitude and KMAH
+    caustic phase, reduced to per-receiver TL.  The boundary-value problem
+    the forward-only reference cannot pose (engine/eigenray.py).
+    """
+    import jax
+
+    from raytracing_tpu.engine import eigenray as er
+    from raytracing_tpu.ops.registry import GOLDEN_OPS
+
+    if op_name in GOLDEN_OPS:
+        raise SystemExit(
+            f"{op_name} uses a golden-section solver whose paraxial "
+            f"tangents vanish (engine/dynamic.py); use a smooth op "
+            f"(op1-op4, op6-op8, op12) or op10n/op11n")
+    with jax.enable_x64(True):   # f64 tables (engine/eigenray.py dtype note)
+        medium, default_box, kind = load_samples_medium(path, family,
+                                                        dtype=np.float64)
+    box = tuple(box) if box else default_box
+    fan = tuple(fan) if fan else (-0.3, 0.3, 256)
+    receivers = np.atleast_2d(np.asarray(receivers, np.float64))
+    eig = er.find_eigenrays(op_name, medium, source=source,
+                            receivers=receivers, delta_s=delta_s,
+                            max_size=int(steps), box=box, gamma=gamma,
+                            fan=(float(fan[0]), float(fan[1]), int(fan[2])))
+    printer(f"\n{kind} ({family}) from {path}")
+    printer(f"eigenrays {op_name}: source ({source[0]:g}, {source[1]:g}), "
+            f"fan [{fan[0]:g}, {fan[1]:g}] x {int(fan[2])}, "
+            f"delta_s {delta_s:g} x {steps} steps")
+    k = len(receivers)
+    itl = er.incoherent_tl(eig, n_receivers=k)
+    ctl = er.coherent_tl(eig, float(omega), n_receivers=k) \
+        if omega is not None else None
+    printer(f"{'receiver':>18} {'theta0':>11} {'traveltime':>12} "
+            f"{'amplitude':>10} {'kmah':>5} {'miss':>9}")
+    for i, (rx, ry) in enumerate(receivers):
+        e = eig.for_receiver(i)
+        if not len(e.theta0):
+            printer(f"({rx:7.3g}, {ry:6.3g})   no arrivals in the fan")
+            continue
+        for t, tt, a, m, ye in zip(e.theta0, e.traveltime, e.amplitude,
+                                   e.kmah, e.y_err):
+            printer(f"({rx:7.3g}, {ry:6.3g}) {t:+11.6f} {tt:12.6f} "
+                    f"{a:10.4f} {int(m):5d} {ye:+9.1e}")
+        line = f"    TL incoherent {itl[i]:7.2f} dB"
+        if ctl is not None and np.isfinite(ctl[i]):
+            line += f"   coherent {ctl[i]:7.2f} dB (omega {omega:g})"
+        printer(line)
+    n_bad = int(np.sum(~np.asarray(eig.converged)))
+    if n_bad:
+        printer(f"WARNING: {n_bad} arrival(s) above miss tolerance")
+    return eig
 
 
 def samples_is_profile(medium) -> bool:
@@ -484,7 +549,39 @@ def main(argv=None):
                         "--delta-s-value/--steps, needs --arc-length")
     g.add_argument("--arc-length", type=float,
                    help="trace length for --calibrate")
+    g.add_argument("--eigenrays", nargs=2, type=float,
+                   metavar=("SRC_X", "SRC_Y"),
+                   help="solve the boundary-value problem from this source "
+                        "to every --receiver instead of tracing a fan")
+    g.add_argument("--receiver", nargs=2, type=float, action="append",
+                   metavar=("X", "Y"), help="receiver point (repeatable)")
+    g.add_argument("--fan", nargs=3, type=float,
+                   metavar=("TH_LO", "TH_HI", "COUNT"),
+                   help="eigenray search fan (default -0.3 0.3 256)")
+    g.add_argument("--omega", type=float,
+                   help="angular frequency (rad per traveltime unit) for "
+                        "coherent TL")
     args = p.parse_args(argv)
+
+    if args.eigenrays is not None and not args.medium_file:
+        p.error("--eigenrays needs --medium-file (measured media; named "
+                "scenarios have analytic eigenray oracles in the tests)")
+    if args.medium_file and args.eigenrays is not None:
+        if args.calibrate is not None:
+            p.error("--eigenrays and --calibrate are mutually exclusive; "
+                    "calibrate first, then pass --delta-s-value")
+        need = [("--op", args.op), ("--delta-s-value", args.delta_s_value),
+                ("--steps", args.steps), ("--receiver", args.receiver)]
+        missing = [f for f, v in need if v is None]
+        if missing:
+            p.error(f"--eigenrays needs {', '.join(missing)}")
+        op = canonical(f"op{int(args.op)}" if args.op.isdigit()
+                       else args.op)
+        return run_eigenrays_file(
+            args.medium_file, op, delta_s=args.delta_s_value,
+            steps=args.steps, source=args.eigenrays,
+            receivers=args.receiver, fan=args.fan, box=args.box,
+            gamma=args.gamma, omega=args.omega, family=args.family)
 
     if args.medium_file:
         calibrating = args.calibrate is not None

@@ -139,6 +139,11 @@ OP_NAMES = tuple(f"op{i}" for i in range(1, 12))
 EXTENSION_OPS = tuple(n for n in _SPECS if n not in OP_NAMES)
 #: ops valid for anisotropic scenarios (reference menu RT_bench.py:1268-1294)
 ANISO_OPS = ("op10", "op11", "op10n", "op11n")
+#: ops whose angle comes from a golden-section search (RT_bench.py:175-199):
+#: piecewise constant in the cost, so autodiff tangents/gradients vanish
+#: a.e. — excluded from the diff and dynamic tiers (engine/diff.py,
+#: engine/dynamic.py)
+GOLDEN_OPS = ("op5", "op9", "op10", "op11")
 
 
 def canonical(name: str) -> str:

@@ -45,7 +45,8 @@ from raytracing_tpu import config
 from raytracing_tpu.calibrated import calibrated as calibrated_table
 from raytracing_tpu.engine import oracles
 from raytracing_tpu.engine.fast import fast_trace, tight_block_rays
-from raytracing_tpu.ops.registry import EXTENSION_OPS, OP_NAMES, canonical
+from raytracing_tpu.ops.registry import (EXTENSION_OPS, GOLDEN_OPS, OP_NAMES,
+                                         canonical)
 
 
 # Serving-side resource bounds.  ``steps`` is a static kernel trip count:
@@ -353,7 +354,6 @@ def _trace_samples_request(body: dict) -> dict:
 MAX_EIGEN_ELEMS = 4_000_000    # fan_count * steps bound: f64 history RAM
 MAX_RECEIVERS = 128
 MAX_FAN = 1024
-_GOLDEN_OPS = ("op5", "op9", "op10", "op11")
 
 
 def _eigenrays_request(body: dict) -> dict:
@@ -386,7 +386,7 @@ def _eigenrays_request(body: dict) -> dict:
             samples, x, y, family=family, dtype=np.float64)
 
     op = canonical(str(body.get("op", "op6")))
-    if op in _GOLDEN_OPS:
+    if op in GOLDEN_OPS:
         raise ValueError(
             f"{op} uses a golden-section solver whose paraxial tangents "
             f"vanish (engine/dynamic.py caveat); use a smooth op "

@@ -204,3 +204,34 @@ def test_cli_calibrated_fallback_extension_ops(capsys):
                            medium_kind="analytic", n_turns=1,
                            printer=lambda *a, **k: None)
     assert res is not None
+
+
+def test_cli_eigenrays(capsys, tmp_path):
+    """--eigenrays solves source->receiver arrivals through a measured
+    profile and reports per-receiver transmission loss."""
+    from raytracing_tpu import cli
+
+    y = np.linspace(-1.5, 1.5, 61)
+    np.savez(tmp_path / "wg.npz", samples=1.2 - 0.25 * y * y, y=y)
+    res = cli.main(["--medium-file", str(tmp_path / "wg.npz"),
+                    "--op", "op6", "--delta-s-value", "0.02",
+                    "--steps", "520", "--family", "c1",
+                    "--box", "-1", "10", "-1.5", "1.5",
+                    "--eigenrays", "0", "0",
+                    "--receiver", "8", "0", "--receiver", "8", "0.3",
+                    "--fan", "-0.45", "0.45", "96", "--omega", "40"])
+    text = capsys.readouterr().out
+    assert "TL incoherent" in text and "coherent" in text
+    assert len(res.theta0) >= 2
+    assert bool(np.all(np.asarray(res.converged)))
+    assert "WARNING" not in text
+
+    # golden op rejected with guidance; missing receivers is a usage error
+    with pytest.raises(SystemExit):
+        cli.main(["--medium-file", str(tmp_path / "wg.npz"), "--op", "op5",
+                  "--delta-s-value", "0.02", "--steps", "40",
+                  "--eigenrays", "0", "0", "--receiver", "1", "0"])
+    with pytest.raises(SystemExit):
+        cli.main(["--medium-file", str(tmp_path / "wg.npz"), "--op", "op6",
+                  "--delta-s-value", "0.02", "--steps", "40",
+                  "--eigenrays", "0", "0"])
