@@ -262,3 +262,87 @@ def plot_momentum(result: TraceResult, scen, *, delta_s: float,
     if save:
         fig.savefig(save, dpi=100)
     return fig
+
+
+def plot_eigenrays(eig, op_name: str, medium, *, source, receivers,
+                   delta_s: float, steps: int, box, gamma: float = 1.0,
+                   use_tex: bool = False, save: str | None = None):
+    """Draw every eigenray path source -> receivers, colored by receiver.
+
+    Re-traces the solved launch angles (engine/eigenray.Eigenrays) through
+    the dynamic tier and overlays source/receiver markers; caustic
+    passages (KMAH increments) are marked on each path.  The eigenray
+    counterpart of the reference's trajectory plot (RT_bench.py:1121-1150).
+    """
+    import dataclasses
+
+    from raytracing_tpu import config as _config
+    from raytracing_tpu.engine.dynamic import DYN_COLS, trace_dynamic
+
+    _, plt = _mpl()
+    fig, ax = plt.subplots(figsize=(12, 8))
+    _setup_axes(ax, use_tex)
+
+    theta0 = np.asarray(eig.theta0, np.float64)
+    receivers = np.atleast_2d(np.asarray(receivers, np.float64))
+    if len(theta0):
+        scen = dataclasses.replace(_config.scenario("fisheye"),
+                                   name="eigenray", gamma=gamma,
+                                   box=tuple(float(b) for b in box))
+        pos0 = np.tile(np.asarray(source, np.float64), (len(theta0), 1))
+        res = trace_dynamic(op_name, scen, medium, delta_s=delta_s,
+                            dtype=np.float64, pos0=pos0, theta0=theta0,
+                            max_size=int(steps), mode="history")
+        h = np.asarray(res.history)
+        kcol = DYN_COLS.index("kmah")
+        cmap = plt.get_cmap("tab10")
+        for j in range(len(theta0)):
+            i = int(np.asarray(res.exit_step)[j])
+            color = cmap(int(np.asarray(eig.receiver)[j]) % 10)
+            ax.plot(h[: i + 1, j, 0], h[: i + 1, j, 1], color=color,
+                    linewidth=1.2)
+            flips = np.where(np.diff(h[: i + 1, j, kcol]) > 0)[0]
+            if len(flips):
+                ax.plot(h[flips + 1, j, 0], h[flips + 1, j, 1], "kx",
+                        markersize=7)
+    ax.plot([source[0]], [source[1]], "r*", markersize=14, label="source")
+    ax.plot(receivers[:, 0], receivers[:, 1], "bv", markersize=10,
+            label="receivers")
+    ax.legend(fontsize=14)
+    ax.set_xlabel("x", fontsize=24)
+    ax.set_ylabel("y", fontsize=24)
+    if save:
+        fig.savefig(save, dpi=100)
+    return fig
+
+
+def plot_transmission_loss(eig, receivers, *, omega: float | None = None,
+                           use_tex: bool = False, save: str | None = None):
+    """Transmission loss vs receiver range (the sonar TL curve).
+
+    Incoherent TL always; the coherent curve too when ``omega`` is given.
+    Receivers with no arrivals plot as gaps.  dB grows DOWNWARD (loss), the
+    field's plotting convention.
+    """
+    from raytracing_tpu.engine.eigenray import coherent_tl, incoherent_tl
+
+    _, plt = _mpl()
+    receivers = np.atleast_2d(np.asarray(receivers, np.float64))
+    k = len(receivers)
+    rng = receivers[:, 0]
+    itl = incoherent_tl(eig, n_receivers=k)
+    fig, ax = plt.subplots(figsize=(12, 6))
+    _setup_axes(ax, use_tex)
+    ax.plot(rng, np.where(np.isfinite(itl), itl, np.nan), "o-",
+            color="tab:blue", label="incoherent")
+    if omega is not None:
+        ctl = coherent_tl(eig, float(omega), n_receivers=k)
+        ax.plot(rng, np.where(np.isfinite(ctl), ctl, np.nan), ".--",
+                color="tab:red", label=f"coherent ($\\omega$={omega:g})")
+    ax.invert_yaxis()
+    ax.legend(fontsize=14)
+    ax.set_xlabel("Range", fontsize=24)
+    ax.set_ylabel("Transmission loss (dB)", fontsize=24)
+    if save:
+        fig.savefig(save, dpi=100)
+    return fig

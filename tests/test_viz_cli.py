@@ -235,3 +235,30 @@ def test_cli_eigenrays(capsys, tmp_path):
         cli.main(["--medium-file", str(tmp_path / "wg.npz"), "--op", "op6",
                   "--delta-s-value", "0.02", "--steps", "40",
                   "--eigenrays", "0", "0"])
+
+
+def test_plot_eigenrays_and_tl(tmp_path):
+    """Eigenray path plot + TL curve render headless and save."""
+    import jax.numpy as jnp
+
+    from raytracing_tpu.engine.eigenray import find_eigenrays
+    from raytracing_tpu.media.medium import CustomMedium
+    from raytracing_tpu.viz import plots
+
+    med = CustomMedium(lambda x, y: 1.5 - 0.5 * y * y + 0.0 * x)
+    receivers = [[12.0, 0.0], [12.0, 0.4]]
+    box = (-1, 15, -1.5, 1.5)
+    eig = find_eigenrays("op6", med, source=(0, 0), receivers=receivers,
+                         delta_s=0.02, max_size=900, box=box,
+                         fan=(-0.6, 0.6, 96))
+    assert len(eig.theta0) >= 2
+    fig = plots.plot_eigenrays(eig, "op6", med, source=(0, 0),
+                               receivers=receivers, delta_s=0.02, steps=900,
+                               box=box, save=str(tmp_path / "eig.png"))
+    assert (tmp_path / "eig.png").stat().st_size > 0
+    fig2 = plots.plot_transmission_loss(eig, receivers, omega=40.0,
+                                        save=str(tmp_path / "tl.png"))
+    assert (tmp_path / "tl.png").stat().st_size > 0
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+    plt.close(fig2)
