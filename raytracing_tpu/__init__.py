@@ -44,6 +44,17 @@ from raytracing_tpu.engine.eigenray import (  # noqa: F401
     incoherent_tl,
 )
 from raytracing_tpu.engine.trace import TraceResult, trace  # noqa: F401
+from raytracing_tpu.engine.trace3d import (  # noqa: F401
+    Trace3Result,
+    bouguer_invariant,
+    trace3d,
+)
+from raytracing_tpu.media.fields3d import (  # noqa: F401
+    Analytic3D,
+    Custom3D,
+    Stratified3D,
+    analytic_medium3,
+)
 from raytracing_tpu.media.c1 import (  # noqa: F401
     c1_medium_from_samples,
     c1_stratified_from_samples,
@@ -72,5 +83,7 @@ __all__ = [
     "DynamicResult", "trace_dynamic", "spreading_amplitude",
     "transmission_loss_db",
     "Eigenrays", "find_eigenrays", "coherent_tl", "incoherent_tl",
+    "Trace3Result", "trace3d", "bouguer_invariant",
+    "Analytic3D", "Custom3D", "Stratified3D", "analytic_medium3",
     "ALIASES", "ANISO_OPS", "EXTENSION_OPS", "OP_NAMES",
 ]
