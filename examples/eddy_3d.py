@@ -1,0 +1,87 @@
+"""Horizontal refraction by an ocean eddy — tracing the reference cannot do.
+
+The reference (and any 2-D tracer) confines rays to a vertical plane.
+Real oceans refract rays HORIZONTALLY too: a mesoscale eddy is a
+sound-speed anomaly in (x, z) that bends paths out of their launch plane.
+This example traces the same fan twice through a Munk-style channel —
+once purely stratified, once with a warm eddy parked beside the track —
+and measures the out-of-plane deflection (``rt.trace3d``,
+engine/trace3d.py):
+
+* stratified control: z stays identically zero and the horizontal
+  slowness azimuth is conserved to roundoff (the 3-D conservation oracle);
+* with the eddy: rays passing near it deflect by kilometers in z, arrive
+  at different depths, and the azimuth invariant breaks — the signature a
+  2-D code structurally cannot produce.
+
+Run:  python examples/eddy_3d.py [rays] [steps]
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# f64 end to end: the planarity assertion is a roundoff-grade statement
+jax.config.update("jax_enable_x64", True)
+
+import raytracing_tpu as rt  # noqa: E402
+
+rays = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+
+# -- Munk-style channel (axis -1 km) + a warm eddy at (20, -1, +3) km -----
+def n_munk(y):
+    eta = 2.0 * (y + 1.0)
+    c = 1.49 * (1.0 + 0.0057 * (eta - 1.0 + jnp.exp(-eta)))
+    return 1.445 / c          # slowness, ~1 at the axis
+
+
+EDDY = dict(x0=20.0, z0=3.0, L=4.0, eps=-4e-3)   # warm core: faster sound
+
+
+def n_eddy(x, y, z):
+    bump = jnp.exp(-((x - EDDY["x0"]) ** 2 + (z - EDDY["z0"]) ** 2)
+                   / EDDY["L"] ** 2)
+    return n_munk(y) * (1.0 + EDDY["eps"] * bump)
+
+
+control = rt.Custom3D(lambda x, y, z: n_munk(y) + 0.0 * x + 0.0 * z)
+with_eddy = rt.Custom3D(n_eddy)
+
+# fan: source on the channel axis, launch along +x with vertical spread
+tilt = np.linspace(-0.1, 0.1, rays)
+pos0 = np.tile([[0.0, -1.0, 0.0]], (rays, 1))
+dir0 = np.stack([np.cos(tilt), np.sin(tilt), np.zeros(rays)], -1)
+ds = 0.015                                            # 15 m arc steps
+box = (-1.0, 60.0, -3.0, 0.0, -30.0, 30.0)
+
+ctl = rt.trace3d("op6", control, pos0=pos0, dir0=dir0, delta_s=ds,
+                 steps=steps, box=box, dtype=np.float64, mode="metrics",
+                 stats=True)
+edd = rt.trace3d("op6", with_eddy, pos0=pos0, dir0=dir0, delta_s=ds,
+                 steps=steps, box=box, dtype=np.float64, mode="metrics")
+
+pc, pe = np.asarray(ctl.final.pos), np.asarray(edd.final.pos)
+uc, ue = np.asarray(ctl.final.unitv), np.asarray(edd.final.unitv)
+
+z_ctl = np.abs(pc[:, 2]).max()
+z_edd = np.abs(pe[:, 2]).max()
+az_edd = np.abs(np.arctan2(ue[:, 2], ue[:, 0])).max()
+cv = ctl.horizontal_slowness_cv_pct()
+dz_depth = np.abs(pe[:, 1] - pc[:, 1]).max()
+
+rng = pc[:, 0].max()
+print(f"Munk channel, {rays}-ray fan, {steps} x {ds * 1e3:.0f} m steps "
+      f"(~{rng:.0f} km range)")
+print(f"stratified control : max |z| = {z_ctl:.2e} km (planar), "
+      f"slowness CV <= {np.nanmax(cv):.2e} %")
+print(f"with eddy          : max |z| = {z_edd:.3f} km out-of-plane, "
+      f"azimuth deflection up to {np.degrees(az_edd):.3f} deg")
+print(f"arrival depth shift: up to {dz_depth * 1e3:.0f} m")
+
+assert z_ctl < 1e-12, "control must stay in its launch plane"
+assert np.nanmax(cv) < 0.05, "3-D conservation oracle (stratified)"
+assert z_edd > 0.05, "the eddy must push rays visibly out of plane"
+assert dz_depth > 0.001, "eddy changes vertical arrival structure"
+print("ok")

@@ -246,16 +246,17 @@ def initial_state3(pos0, dir0, medium, *, with_stats: bool,
     u0 = _normalize(jnp.asarray(dir0))
     n0, g0 = _eval3(medium, pos0)
     zeros = jnp.zeros_like(n0)
-    r = pos0.shape[0]
     p_hor0 = n0[..., None] * u0[..., (0, 2)] if with_stats else None
+    # every field derives from n0/p_hor0 (*_like / arithmetic), so under
+    # shard_map the carry inherits the launch arrays' varying mesh axes
     return Ray3State(
         pos=pos0, unitv=u0, n=n0, grad=g0, traveltime=zeros,
         dist_sim=zeros, dist_real=zeros,
         active=jnp.ones_like(n0, dtype=bool),
         exit_step=jnp.full_like(n0, max_size - 1).astype(jnp.int32),
         slow_count=jnp.ones_like(n0) if with_stats else None,
-        slow_mean=p_hor0, slow_m2=jnp.zeros((r, 2), n0.dtype)
-        if with_stats else None)
+        slow_mean=p_hor0,
+        slow_m2=jnp.zeros_like(p_hor0) if with_stats else None)
 
 
 def trace3d(method: str, medium, *, pos0, dir0, delta_s: float, steps: int,

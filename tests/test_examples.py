@@ -86,3 +86,10 @@ def test_transmission_loss_example():
     out = _run("transmission_loss.py", extra="sys.argv = ['x', '6', '160']; ")
     assert out.strip().endswith("ok")
     assert "free cylindrical would be" in out
+
+
+def test_eddy_3d_example():
+    # enough steps to pass the 20 km eddy with runway for the deflection
+    out = _run("eddy_3d.py", extra="sys.argv = ['x', '32', '2300']; ")
+    assert out.strip().endswith("ok")
+    assert "out-of-plane" in out
