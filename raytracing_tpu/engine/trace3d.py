@@ -124,12 +124,18 @@ def _rodrigues(u, rho):
     along the plane normal) this reduces to ``theta += |rho|`` — the 2-D
     angle update.
     """
-    a = jnp.linalg.norm(rho, axis=-1, keepdims=True)
-    tiny = jnp.asarray(np.finfo(u.dtype).tiny, u.dtype)
-    w = rho / jnp.maximum(a, tiny)
-    cos, sin = jnp.cos(a), jnp.sin(a)
-    return (u * cos + jnp.cross(w, u) * sin
-            + w * jnp.sum(w * u, axis=-1, keepdims=True) * (1.0 - cos))
+    # division-free Rodrigues: sinc/versine forms keep the map smooth (and
+    # jvp-differentiable, engine/dynamic3d.py) through rho == 0, where a
+    # plain norm(rho) has a NaN derivative.  The floor must SQUARE to a
+    # normal number: autodiff's quotient rule divides by (a2 + floor)^2,
+    # and flooring at finfo.tiny underflows that square to 0/0 = NaN.
+    a2 = jnp.sum(rho * rho, axis=-1, keepdims=True)
+    tiny = jnp.asarray(np.finfo(u.dtype).tiny ** 0.45, u.dtype)
+    a = jnp.sqrt(a2 + tiny)
+    sinc = jnp.sin(a) / a
+    vers = (1.0 - jnp.cos(a)) / (a2 + tiny)
+    return (u * jnp.cos(a) + jnp.cross(rho, u) * sinc
+            + rho * jnp.sum(rho * u, axis=-1, keepdims=True) * vers)
 
 
 def _step3(order: int, solver: str, pt, medium, delta_s):
