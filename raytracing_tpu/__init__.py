@@ -10,7 +10,7 @@ vmapped ``lax.scan`` integrator over million-ray batches sharded across a
 TPU mesh.
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 from raytracing_tpu.config import (  # noqa: F401
     DELTA_S,
