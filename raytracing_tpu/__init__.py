@@ -43,6 +43,10 @@ from raytracing_tpu.engine.eigenray import (  # noqa: F401
     find_eigenrays,
     incoherent_tl,
 )
+from raytracing_tpu.engine.eigenray3d import (  # noqa: F401
+    Eigenrays3,
+    find_eigenrays3,
+)
 from raytracing_tpu.engine.trace import TraceResult, trace  # noqa: F401
 from raytracing_tpu.engine.dynamic3d import (  # noqa: F401
     Dynamic3Result,
@@ -88,7 +92,7 @@ __all__ = [
     "transmission_loss_db",
     "Eigenrays", "find_eigenrays", "coherent_tl", "incoherent_tl",
     "Trace3Result", "trace3d", "bouguer_invariant",
-    "Dynamic3Result", "trace_dynamic3",
+    "Dynamic3Result", "trace_dynamic3", "Eigenrays3", "find_eigenrays3",
     "Analytic3D", "Custom3D", "Stratified3D", "analytic_medium3",
     "ALIASES", "ANISO_OPS", "EXTENSION_OPS", "OP_NAMES",
 ]

@@ -46,6 +46,12 @@ from raytracing_tpu.engine.trace3d import (_eval3, _normalize, _step3,
 
 #: history row layout of :func:`trace_dynamic3` (mode="history")
 DYN3_COLS = ("x", "y", "z", "traveltime", "n", "detq", "kmah")
+#: extended layout (``full_history=True``): + the unit tangent and the raw
+#: position tangents d(pos)/d(alpha), d(pos)/d(beta) — what the 3-D
+#: eigenray Newton needs at a range-plane crossing (engine/eigenray3d.py)
+DYN3_FULL_COLS = DYN3_COLS + ("ux", "uy", "uz",
+                              "dpax", "dpay", "dpaz",
+                              "dpbx", "dpby", "dpbz")
 
 
 class Dynamic3Result(NamedTuple):
@@ -96,7 +102,7 @@ def _transverse_frame(u):
 
 @functools.lru_cache(maxsize=None)
 def _build_dynamic3_fn(method: str, max_size: int, box, mode: str,
-                       dtype_name: str):
+                       dtype_name: str, full_history: bool = False):
     dtype = np.dtype(dtype_name)
     order, solver = METHODS3[method]
     history = mode == "history"
@@ -187,9 +193,13 @@ def _build_dynamic3_fn(method: str, max_size: int, box, mode: str,
             carry2 = (pt2, ta2, tb2, tt2, dreal2, active2, exit2, e1c, e2c,
                       sgn2, kmah2, mind2, minstep2)
             if history:
-                row = jnp.stack([pt2[0][..., 0], pt2[0][..., 1],
-                                 pt2[0][..., 2], tt2, pt2[2], det,
-                                 kmah2.astype(dtype)], -1)
+                cols = [pt2[0][..., 0], pt2[0][..., 1], pt2[0][..., 2],
+                        tt2, pt2[2], det, kmah2.astype(dtype)]
+                if full_history:
+                    cols += [pt2[1][..., k] for k in range(3)]
+                    cols += [ta2[0][..., k] for k in range(3)]
+                    cols += [tb2[0][..., k] for k in range(3)]
+                row = jnp.stack(cols, -1)
                 return carry2, row
             return carry2, None
 
@@ -209,9 +219,13 @@ def _build_dynamic3_fn(method: str, max_size: int, box, mode: str,
         detf = (Qf[..., 0, 0] * Qf[..., 1, 1]
                 - Qf[..., 0, 1] * Qf[..., 1, 0])
         if history:
-            row0 = jnp.stack([pt0[0][..., 0], pt0[0][..., 1],
-                              pt0[0][..., 2], zeros, pt0[2], zeros,
-                              zeros], -1)
+            cols0 = [pt0[0][..., 0], pt0[0][..., 1], pt0[0][..., 2],
+                     zeros, pt0[2], zeros, zeros]
+            if full_history:
+                cols0 += [pt0[1][..., k] for k in range(3)]
+                cols0 += [t1[0][..., k] for k in range(3)]
+                cols0 += [t2[0][..., k] for k in range(3)]
+            row0 = jnp.stack(cols0, -1)
             hist = jnp.concatenate([row0[None], rows], axis=0)
         else:
             hist = None
@@ -228,6 +242,7 @@ def _build_dynamic3_fn(method: str, max_size: int, box, mode: str,
 def trace_dynamic3(method: str, medium, *, pos0, dir0, delta_s: float,
                    steps: int, box=None, mode: str = "history",
                    dtype=np.float64, step_limit: int | None = None,
+                   full_history: bool = False,
                    jit: bool = True) -> Dynamic3Result:
     """Trace 3-D rays AND their 2x2 paraxial Jacobians.
 
@@ -254,7 +269,7 @@ def trace_dynamic3(method: str, medium, *, pos0, dir0, delta_s: float,
         raise ValueError(f"box must be 6 floats (x0,x1,y0,y1,z0,z1), "
                          f"got {box!r}")
     run, run_jit = _build_dynamic3_fn(method, max_size, box_t, mode,
-                                      dtype.name)
+                                      dtype.name, bool(full_history))
     fn = run_jit if jit else run
     return fn(pos0, dir0, medium, jnp.asarray(delta_s, dtype),
               jnp.asarray(step_limit, jnp.int32))

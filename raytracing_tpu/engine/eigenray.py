@@ -230,13 +230,19 @@ def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
     order = np.lexsort((rows[:, _TT], rec))
     keep = ok[order]
     order = order[keep]
-    # merge duplicate roots (adjacent brackets around an exact fan hit
-    # converge to the same angle): same receiver, same theta0 to well under
-    # a fan pitch
+    # merge duplicate roots: adjacent brackets around an exact fan hit — or
+    # around a root where the landing curve is nearly flat, so Newton stops
+    # within tol at slightly different angles — converge to the same
+    # arrival.  Arrivals separated by less than 1e-3 fan pitch are beyond
+    # the fan's resolving power (documented above); the travel-time guard
+    # keeps same-angle arrivals of DIFFERENT crossing ordinals distinct
+    # (one ray can pass a receiver range several times).
     pitch = (float(th_hi) - float(th_lo)) / max(int(n_fan) - 1, 1)
+    tts = rows[:, _TT]
     dedup = []
     for j in order:
-        dup = any(rec[j] == rec[i] and abs(th[j] - th[i]) < 1e-6 * pitch
+        dup = any(rec[j] == rec[i] and abs(th[j] - th[i]) < 1e-3 * pitch
+                  and abs(tts[j] - tts[i]) < 1e-6 * (1.0 + abs(tts[i]))
                   for i in dedup)
         if not dup:
             dedup.append(j)
