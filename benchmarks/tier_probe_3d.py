@@ -24,11 +24,14 @@ steps = int(sys.argv[2]) if len(sys.argv) > 2 else 300
 
 
 def _time(fn):
+    # slice BEFORE transfer: np.asarray(x[:1]) pulls one row through the
+    # tunnel (the honest completion barrier, bench.py convention);
+    # np.asarray(x)[:1] would ship the whole array inside the clock
     out = fn()                      # compile + warm
-    np.asarray(jax.tree.leaves(out)[0])[:1]
+    np.asarray(jax.tree.leaves(out)[0][:1])
     t0 = time.perf_counter()
     out = fn()
-    np.asarray(jax.tree.leaves(out)[0])[:1]   # honest completion barrier
+    np.asarray(jax.tree.leaves(out)[0][:1])
     return time.perf_counter() - t0
 
 

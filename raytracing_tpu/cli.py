@@ -298,9 +298,11 @@ def run_eigenrays_file(path: str, op_name: str, *, delta_s: float,
     box = tuple(box) if box else default_box
     fan = tuple(fan) if fan else (-0.3, 0.3, 256)
     receivers = np.atleast_2d(np.asarray(receivers, np.float64))
+    # max_size = steps + 1: --steps means integration steps, matching the
+    # forward --medium-file path (run_samples_file)
     eig = er.find_eigenrays(op_name, medium, source=source,
                             receivers=receivers, delta_s=delta_s,
-                            max_size=int(steps), box=box, gamma=gamma,
+                            max_size=int(steps) + 1, box=box, gamma=gamma,
                             fan=(float(fan[0]), float(fan[1]), int(fan[2])))
     printer(f"\n{kind} ({family}) from {path}")
     printer(f"eigenrays {op_name}: source ({source[0]:g}, {source[1]:g}), "

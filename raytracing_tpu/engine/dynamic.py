@@ -112,15 +112,21 @@ def _perp(angle):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_dynamic_fn(op_name: str, max_size: int, box, mode: str,
+def _build_dynamic_fn(op_name: str, max_size: int, mode: str,
                       dtype_name: str):
-    """Compile-cached dynamic scan: primal step + exact jvp tangent."""
+    """Compile-cached dynamic scan: primal step + exact jvp tangent.
+
+    ``box`` enters ``run`` as a TRACED (4,) operand, not a cache key: the
+    eigenray serving endpoint forwards request-supplied boxes, and keying
+    the unbounded lru_cache on user floats would pin one compiled scan per
+    distinct box for the life of the server.
+    """
     dtype = np.dtype(dtype_name)
     op = build_op(op_name, dtype)
     history = mode == "history"
-    limx_i, limx_s, limy_i, limy_s = box
 
-    def run(pos0, theta0, medium, gamma, delta_s, step_limit):
+    def run(pos0, theta0, medium, gamma, delta_s, step_limit, box):
+        limx_i, limx_s, limy_i, limy_s = box[0], box[1], box[2], box[3]
         pos0 = jnp.asarray(pos0, dtype)
         theta0 = jnp.asarray(theta0, dtype)
         r = theta0.shape[0]
@@ -251,9 +257,10 @@ def trace_dynamic(op_name: str, scen: config.ScenarioConfig, medium, *,
     if theta0 is None:
         theta0 = scen.theta0
 
-    run, run_jit = _build_dynamic_fn(op_name, int(max_size), tuple(scen.box),
-                                     mode, dtype.name)
+    run, run_jit = _build_dynamic_fn(op_name, int(max_size), mode,
+                                     dtype.name)
     fn = run_jit if jit else run
     return fn(jnp.asarray(pos0, dtype), jnp.asarray(theta0, dtype), medium,
               jnp.asarray(scen.gamma, dtype), jnp.asarray(delta_s, dtype),
-              jnp.asarray(step_limit, jnp.int32))
+              jnp.asarray(step_limit, jnp.int32),
+              jnp.asarray(tuple(scen.box), dtype))

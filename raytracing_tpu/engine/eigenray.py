@@ -87,15 +87,19 @@ def _crossings(hist: np.ndarray, last: np.ndarray, xr: float):
 def find_eigenrays(op_name: str, medium, *, source, receivers, delta_s,
                    max_size: int, box, fan=(0.0, np.pi / 2, 256),
                    gamma: float = 1.0, dtype=np.float64, iters: int = 12,
-                   tol: float = 1e-9) -> Eigenrays:
+                   tol: float = 1e-9, max_arrivals: int | None = None
+                   ) -> Eigenrays:
     """Find every fan-resolved ray path from ``source`` to each receiver.
 
     ``receivers`` is (K, 2); ``fan`` = (theta_lo, theta_hi, count) bounds
     the launch-angle search (arrivals outside it, or multipath finer than
     the fan pitch, are not found — widen/densify the fan for more).
     ``box`` clips rays as in the forward engine; ``max_size`` bounds the
-    step count.  Returns a flat :class:`Eigenrays`; an empty one if no
-    path crosses any receiver range.
+    step count.  ``max_arrivals`` (optional) caps the bracket-candidate
+    count — looping paths multiply range crossings, and each candidate
+    re-traces per Newton iteration; servers should set it.  Returns a
+    flat :class:`Eigenrays`; an empty one if no path crosses any receiver
+    range.
 
     The achievable miss is the noise floor of the landing curve
     ``y(xr; theta0)``, set by the medium's evaluation precision: analytic
@@ -118,12 +122,12 @@ def find_eigenrays(op_name: str, medium, *, source, receivers, delta_s,
                                receivers=receivers, delta_s=delta_s,
                                max_size=max_size, box=box, fan=fan,
                                gamma=gamma, dtype=dtype, iters=iters,
-                               tol=tol)
+                               tol=tol, max_arrivals=max_arrivals)
 
 
 def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
                     max_size, box, fan, gamma, dtype, iters,
-                    tol) -> Eigenrays:
+                    tol, max_arrivals=None) -> Eigenrays:
     source = np.asarray(source, dtype)
     receivers = np.atleast_2d(np.asarray(receivers, dtype))
     th_lo, th_hi, n_fan = fan
@@ -147,7 +151,7 @@ def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
 
     # --- bracket scan: per receiver, per crossing ordinal ------------------
     cand_th_lo, cand_th_hi, cand_rec = [], [], []
-    cand_flo = []
+    cand_flo, cand_ord = [], []
     for ri, (xr, yr) in enumerate(receivers):
         per_ray = [_crossings(hist[:, r], last[r], xr)
                    for r in range(hist.shape[1])]
@@ -172,19 +176,38 @@ def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
                 cand_th_hi.append(scen.theta0[r + 1])
                 cand_flo.append(fk[r])
                 cand_rec.append(ri)
+                cand_ord.append(k)
     if not cand_th_lo:
         z = np.empty(0)
         zi = np.empty(0, np.int32)
         return Eigenrays(zi, z, z, z, z, zi, z, z, z, z,
                          np.empty(0, bool))
+    if max_arrivals is not None and len(cand_th_lo) > int(max_arrivals):
+        raise ValueError(
+            f"{len(cand_th_lo)} bracket candidates exceed max_arrivals "
+            f"{int(max_arrivals)} (looping paths multiply crossings); "
+            f"shorten the trace, shrink the fan, or raise the cap")
 
     lo = np.asarray(cand_th_lo, dtype)
     hi = np.asarray(cand_th_hi, dtype)
     flo = np.asarray(cand_flo, dtype)
     rec = np.asarray(cand_rec, np.int32)
+    ordk = np.asarray(cand_ord, np.int32)
     xr = receivers[rec, 0]
     yr = receivers[rec, 1]
     th = 0.5 * (lo + hi)
+
+    def pick(c, j):
+        """The candidate's bracketed crossing: its fan-scan ORDINAL.
+
+        Rays can cross a receiver range several times (loops, turn-backs);
+        each ordinal is its own landing curve and its own bracket, so the
+        polish must follow ordinal k, not whichever crossing happens to
+        land nearest the receiver depth.  If the current angle's path has
+        fewer crossings than k (family boundary), fall back to the last —
+        the bracket logic treats the miss as off-family anyway.
+        """
+        return c[min(int(ordk[j]), len(c) - 1)]
 
     # --- safeguarded Newton, batched over every candidate ------------------
     state = np.zeros((len(th), 7))
@@ -193,26 +216,30 @@ def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
         h, l = fan_trace(th)
         for j in range(len(th)):
             c = _crossings(h[:, j], l[j], xr[j])
-            if len(c) == 0:           # fell off the path family: bisect on
+            if len(c) == 0:
                 fcur[j] = np.nan
                 continue
-            cj = c[np.argmin(np.abs(c[:, _Y] - yr[j]))]
+            cj = pick(c, j)
             state[j] = cj
             fcur[j] = cj[_Y] - yr[j]
-        # shrink brackets with the fresh signs (nan = no crossing: treat as
-        # outside the family, move toward the still-bracketed side)
-        neg = np.isnan(fcur) | (fcur * flo > 0)
+        # convergence check BEFORE any update: the final evaluation must
+        # see the angle these residuals belong to, not the next proposal
+        if np.all(np.isfinite(fcur)) and np.abs(fcur).max() < tol:
+            break
+        lost = np.isnan(fcur)
+        # bracket bookkeeping on real signs only; a vanished crossing says
+        # nothing about which half holds the root, so the bracket stays
+        # put and the next probe walks toward lo (whose fan ray crossed)
+        neg = ~lost & (fcur * flo > 0)
         lo = np.where(neg, th, lo)
-        hi = np.where(neg, hi, th)
+        hi = np.where(~lost & ~neg, th, hi)
         # Newton proposal from the exact paraxial slope dy/dth = q / cos(a)
         slope = state[:, _Q] / np.cos(state[:, _ANG])
         with np.errstate(divide="ignore", invalid="ignore"):
             prop = th - fcur / slope
         mid = 0.5 * (lo + hi)
-        use = np.isfinite(prop) & (prop > lo) & (prop < hi)
-        th = np.where(use, prop, mid)
-        if np.nanmax(np.abs(fcur)) < tol:
-            break
+        use = ~lost & np.isfinite(prop) & (prop > lo) & (prop < hi)
+        th = np.where(use, prop, np.where(lost, 0.5 * (lo + th), mid))
 
     # --- final evaluation at the converged angles ---------------------------
     h, l = fan_trace(th)
@@ -221,7 +248,7 @@ def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
     for j in range(len(th)):
         c = _crossings(h[:, j], l[j], xr[j])
         if len(c):
-            rows[j] = c[np.argmin(np.abs(c[:, _Y] - yr[j]))]
+            rows[j] = pick(c, j)
             ok[j] = True
     y_err = np.where(ok, rows[:, _Y] - yr, np.inf)
     n0, _ = medium.n_and_grad(source[0], source[1])

@@ -129,7 +129,7 @@ def find_eigenrays3(method: str, medium, *, source, receivers, delta_s,
     hist, last = run(dirs_flat, full=False)
 
     # --- seed scan: grid-local minima of the miss per (receiver, ordinal)
-    cand_dir, cand_rec = [], []
+    cand_dir, cand_rec, cand_ord = [], [], []
     for ri, (xr, yr, zr) in enumerate(receivers):
         per_ray = [_crossings3(hist[:, r], int(last[r]), xr)
                    for r in range(hist.shape[1])]
@@ -150,6 +150,7 @@ def find_eigenrays3(method: str, medium, *, source, receivers, delta_s,
                             and v <= m2[i, j - 1] and v <= m2[i, j + 1]):
                         cand_dir.append(dirs[i, j])
                         cand_rec.append(ri)
+                        cand_ord.append(k)
     if not cand_dir:
         z = np.empty(0)
         zi = np.empty(0, np.int32)
@@ -158,8 +159,16 @@ def find_eigenrays3(method: str, medium, *, source, receivers, delta_s,
 
     u = np.asarray(cand_dir, np.float64)
     rec = np.asarray(cand_rec, np.int32)
+    ordk = np.asarray(cand_ord, np.int32)
     xr = receivers[rec, 0]
     tgt = receivers[rec, 1:3]
+
+    def pick(c, j):
+        # follow the candidate's seeded crossing ORDINAL (each ordinal is
+        # its own landing surface); nearest-miss picking could hop to a
+        # different crossing of a looping path mid-polish —
+        # engine/eigenray.py has the same rule
+        return c[min(int(ordk[j]), len(c) - 1)]
 
     # --- damped Gauss-Newton, all candidates in one trace per iteration --
     import jax.numpy as jnp
@@ -172,8 +181,7 @@ def find_eigenrays3(method: str, medium, *, source, receivers, delta_s,
             if len(c) == 0:
                 miss[j] = np.inf
                 continue
-            cj = c[np.argmin((c[:, _Y] - tgt[j, 0]) ** 2
-                             + (c[:, _Z] - tgt[j, 1]) ** 2)]
+            cj = pick(c, j)
             m = cj[[_Y, _Z]] - tgt[j]
             miss[j] = np.linalg.norm(m)
             uc = cj[_U:_U + 3]
@@ -207,8 +215,7 @@ def find_eigenrays3(method: str, medium, *, source, receivers, delta_s,
     for j in range(len(u)):
         c = _crossings3(h[:, j], int(l[j]), xr[j])
         if len(c):
-            rows[j] = c[np.argmin((c[:, _Y] - tgt[j, 0]) ** 2
-                                  + (c[:, _Z] - tgt[j, 1]) ** 2)]
+            rows[j] = pick(c, j)
             ok[j] = True
     miss = np.where(ok, np.linalg.norm(rows[:, [_Y, _Z]] - tgt, axis=1),
                     np.inf)

@@ -100,9 +100,36 @@ class Stratified3D:
     vert field, 1-D measured profile tables) — exactly the media whose 2-D
     conservation oracle is p_x; in 3-D the whole horizontal slowness
     vector (n u_x, n u_z) is invariant.
+
+    X-independence is PROBED at construction (wide-spread x samples at a
+    few y values): wrapping a genuinely 2-D medium would silently zero its
+    x-gradient — rays would refract inconsistently with the index they
+    accumulate.  Clamping media (grid tables) clamp the wide probes to
+    opposite edges, so x-variation still shows.
     """
 
-    base: object   # 2-D medium with n_and_grad(x, y)
+    base: object   # 2-D x-independent medium with n_and_grad(x, y)
+
+    def __post_init__(self):
+        import numpy as _np
+        xs = jnp.asarray([-1e3, 0.0, 1e3])
+        for yv in (-1.0, 0.0, 1.0):
+            try:
+                n, (gx, _) = self.base.n_and_grad(xs, jnp.full(3, yv))
+                n = _np.asarray(n)
+                gx = _np.asarray(gx)
+            except (jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError):
+                # reconstructed by tree_unflatten inside a transform; the
+                # user-facing construction already validated
+                return
+            if (_np.abs(n - n[0]).max() > 1e-9 * (1 + _np.abs(n[0]))
+                    or _np.abs(gx).max() > 1e-12):
+                raise ValueError(
+                    "Stratified3D needs an x-independent medium "
+                    "(n = n(y)); the wrapped medium's n or dn/dx varies "
+                    "with x — lift genuinely 2-D media to 3-D with a "
+                    "Custom3D(n_fn(x, y, z)) instead")
 
     def tree_flatten(self):
         return (self.base,), None

@@ -431,9 +431,16 @@ def _eigenrays_request(body: dict) -> dict:
         raise ValueError(f"omega must be finite and > 0, got {omega}")
 
     t0 = time.perf_counter()
-    eig = er.find_eigenrays(op, medium, source=source, receivers=receivers,
-                            delta_s=delta_s, max_size=steps, box=box,
-                            fan=(float(th[0]), float(th[1]), n_fan))
+    # max_size = steps + 1: "steps" means integration steps everywhere in
+    # the API (the forward trace_samples endpoint included).  max_arrivals
+    # bounds the Newton stage: looping paths multiply crossings, and each
+    # bracket candidate re-traces full f64 history every iteration — the
+    # fan*steps cap alone would not bound that.
+    eig = er.find_eigenrays(
+        op, medium, source=source, receivers=receivers, delta_s=delta_s,
+        max_size=steps + 1, box=box,
+        fan=(float(th[0]), float(th[1]), n_fan),
+        max_arrivals=max(16, MAX_EIGEN_ELEMS // max(steps, 1) // 8))
     dt = time.perf_counter() - t0
 
     k = len(receivers)

@@ -25,13 +25,15 @@ def _homog():
 
 
 def test_homogeneous_single_eigenray_exact():
+    # tol is a residual bound and the solver stops AT it; ask for 1e-12
+    # to demonstrate the machine-precision floor
     eig = find_eigenrays("op1", _homog(), source=(0, 0), receivers=[(3, 1)],
                          delta_s=0.02, max_size=400, box=(-1, 5, -2, 3),
-                         fan=(0.0, 1.2, 64))
+                         fan=(0.0, 1.2, 64), tol=1e-12)
     assert len(eig.theta0) == 1 and bool(eig.converged[0])
-    assert eig.theta0[0] == pytest.approx(np.arctan2(1, 3), abs=1e-12)
-    assert eig.traveltime[0] == pytest.approx(np.sqrt(10), abs=1e-12)
-    assert eig.amplitude[0] == pytest.approx(10 ** -0.25, abs=1e-12)
+    assert eig.theta0[0] == pytest.approx(np.arctan2(1, 3), abs=1e-11)
+    assert eig.traveltime[0] == pytest.approx(np.sqrt(10), abs=1e-11)
+    assert eig.amplitude[0] == pytest.approx(10 ** -0.25, abs=1e-11)
     assert eig.kmah[0] == 0
     assert abs(eig.y_err[0]) < 1e-12
 
@@ -41,7 +43,7 @@ def test_linear_velocity_slotnick_traveltime():
     med = rt.analytic_medium("vert_heterogeneous")
     eig = find_eigenrays("op6", med, source=(0, 0), receivers=[(3, -1)],
                          delta_s=0.005, max_size=2000, box=(-2, 5, -2.5, 1),
-                         fan=(-1.2, 0.6, 128))
+                         fan=(-1.2, 0.6, 128), tol=1e-12)
     assert len(eig.theta0) == 1 and bool(eig.converged[0])
     vA, vB, d, g = 18.0, 16.0, np.sqrt(10.0), 2.0
     t_exact = np.arccosh(1 + g * g * d * d / (2 * vA * vB)) / g

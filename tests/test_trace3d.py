@@ -191,3 +191,17 @@ def test_named_errors():
     # aliases resolve
     res = trace3d("HySA", med, **ok)
     assert np.all(np.isfinite(np.asarray(res.final.pos)))
+
+
+def test_stratified3d_rejects_x_dependent_media():
+    """Wrapping a genuinely 2-D medium would silently zero its x-gradient;
+    the constructor probes x-independence instead."""
+    from raytracing_tpu.media.spline import build_grid_medium
+
+    g2 = build_grid_medium("fisheye", rt.scenario("fisheye").box,
+                           dtype=np.float64)
+    with pytest.raises(ValueError, match="x-independent"):
+        Stratified3D(g2)
+    with pytest.raises(ValueError, match="x-independent"):
+        from raytracing_tpu.media.medium import CustomMedium
+        Stratified3D(CustomMedium(lambda x, y: 1.0 + 0.1 * x + 0.0 * y))
