@@ -80,6 +80,26 @@ def main():
                       "gsteps_per_sec": round(rays * steps / dt / 1e9, 3),
                       "vs_scan": round(rays * steps / dt / base, 3)}))
 
+    # -- fused 3-D Pallas kernel (kernels/fused3d.py): first on-chip
+    # Mosaic compile of this kernel happens HERE — interpret mode accepts
+    # programs Mosaic rejects, so report the error instead of crashing ----
+    try:
+        from raytracing_tpu.kernels.fused3d import fused3d_trace_final
+        box3 = (-2.0, 2.0, -2.0, 2.0, -2.0, 2.0)
+
+        def run_f3():
+            return fused3d_trace_final(pos3, dir3, ds, field="fisheye",
+                                       op="op6", steps=steps, box=box3)
+
+        dt = _time(run_f3)
+        print(json.dumps({"tier": "fused3d-op6", "rays": rays,
+                          "steps": steps, "seconds": round(dt, 4),
+                          "gsteps_per_sec": round(rays * steps / dt / 1e9, 3),
+                          "vs_scan": round(rays * steps / dt / base, 3)}))
+    except Exception as e:          # Mosaic rejection is data, not a crash
+        print(json.dumps({"tier": "fused3d-op6",
+                          "error": f"{type(e).__name__}: {str(e)[:300]}"}))
+
     # -- 3-D dynamic tier (two tangents: expect ~3x the 3-D scan cost) ---
     r3 = max(rays // 4, 4096)       # Q carry is wide; keep HBM modest
     dt = _time(lambda: rt.trace_dynamic3(
