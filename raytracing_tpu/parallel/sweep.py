@@ -612,3 +612,65 @@ def delta_s_search_convergence(op_name: str, medium, *, pos0, theta0,
         index=index,
         divisor=float(steps_grid[index]) if index is not None else None,
         delta_s_selected=ds_sel)
+
+
+def delta_s_search_convergence3(method: str, medium, *, pos0, dir0,
+                                arc_length: float, box=None,
+                                candidates: np.ndarray | None = None,
+                                tol: float = 1e-4,
+                                dtype=np.float32) -> SweepResult:
+    """Richardson step calibration for the 3-D tier (engine/trace3d.py).
+
+    The 3-D twin of :func:`delta_s_search_convergence`: a candidate step
+    passes when halving it moves no final position by more than ``tol``
+    over ``arc_length``.  3-D media have no reference oracle table, so
+    self-convergence is the calibration story, like measured 2-D media.
+    Runs through ``trace3d`` in metrics mode; the half-step trace of each
+    candidate is reused as the next candidate's full-step trace on the
+    default halving grid.
+    """
+    from raytracing_tpu.engine.trace3d import canonical3, trace3d
+
+    method = canonical3(method)
+    if not (np.isfinite(arc_length) and arc_length > 0):
+        raise ValueError(f"arc_length must be finite and > 0, "
+                         f"got {arc_length}")
+    if candidates is None:
+        candidates = arc_length / (50 * 2 ** np.arange(8))
+    candidates = np.asarray(candidates, np.float64)
+    if np.any(np.diff(candidates) >= 0):
+        raise ValueError("candidates must descend (coarse -> fine)")
+    pos0 = np.asarray(pos0, dtype)
+    dir0 = np.asarray(dir0, dtype)
+
+    def final_pos(ds: float, steps: int) -> np.ndarray:
+        out = trace3d(method, medium, pos0=pos0, dir0=dir0, delta_s=ds,
+                      steps=int(steps), box=box, mode="metrics",
+                      dtype=dtype)
+        return np.asarray(out.final.pos)
+
+    errs = []
+    index = None
+    memo = (None, None, None)
+    for i, ds in enumerate(candidates):
+        steps = max(1, round(arc_length / float(ds)))
+        dsf = np.dtype(dtype).type(ds)
+        a = (memo[2] if memo[0] == dsf and memo[1] == steps
+             else final_pos(float(ds), steps))
+        b = final_pos(float(ds) / 2.0, 2 * steps)
+        memo = (np.dtype(dtype).type(float(ds) / 2.0), 2 * steps, b)
+        errs.append(float(np.linalg.norm(a - b, axis=-1).max()))
+        if errs[-1] < tol:
+            index = i
+            break
+    errs += [np.nan] * (len(candidates) - len(errs))
+
+    steps_grid = np.array([max(1, round(arc_length / d))
+                           for d in candidates], np.float64)
+    return SweepResult(
+        scenario="custom3d", op_name=method, divisors=steps_grid,
+        delta_s=candidates, metrics={"halving_err": np.asarray(errs)},
+        index=index,
+        divisor=float(steps_grid[index]) if index is not None else None,
+        delta_s_selected=(float(candidates[index]) if index is not None
+                          else None))

@@ -205,3 +205,28 @@ def test_stratified3d_rejects_x_dependent_media():
     with pytest.raises(ValueError, match="x-independent"):
         from raytracing_tpu.media.medium import CustomMedium
         Stratified3D(CustomMedium(lambda x, y: 1.0 + 0.1 * x + 0.0 * y))
+
+
+def test_delta_s_convergence_search_3d():
+    """Richardson step calibration for 3-D media (no oracle table exists)."""
+    from raytracing_tpu.parallel.sweep import delta_s_search_convergence3
+
+    med = analytic_medium3("fisheye")
+    r = 8
+    tilt = np.linspace(0, 0.5, r)
+    pos0 = np.tile([[1.0, 0, 0]], (r, 1))
+    dir0 = np.stack([np.zeros(r), np.cos(tilt), np.sin(tilt)], -1)
+    sr = delta_s_search_convergence3("op6", med, pos0=pos0, dir0=dir0,
+                                     arc_length=2 * np.pi, tol=1e-4)
+    assert sr.index is not None
+    assert sr.metrics["halving_err"][sr.index] < 1e-4
+    # tighter tolerance selects a finer step (f64: a 1e-6 displacement
+    # bound sits below f32's accumulation floor over thousands of steps)
+    sr2 = delta_s_search_convergence3("op6", med, pos0=pos0, dir0=dir0,
+                                      arc_length=2 * np.pi, tol=1e-6,
+                                      dtype=np.float64)
+    assert sr2.delta_s_selected < sr.delta_s_selected
+    with pytest.raises(ValueError, match="descend"):
+        delta_s_search_convergence3("op6", med, pos0=pos0, dir0=dir0,
+                                    arc_length=1.0,
+                                    candidates=np.array([0.01, 0.02]))
