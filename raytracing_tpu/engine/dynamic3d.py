@@ -119,8 +119,10 @@ def _build_dynamic3_fn(method: str, max_size: int, box, mode: str,
             n0, g0 = _eval3(medium, pos0)
             return pos0, u, n0, g0
 
-        zeros = jnp.zeros(pos0.shape[0], dtype)
-        ones = jnp.ones(pos0.shape[0], dtype)
+        # *_like constructors: under shard_map the carry inits must inherit
+        # the launch arrays' varying mesh axes (engine/trace3d.py rule)
+        zeros = jnp.zeros_like(pos0[..., 0])
+        ones = jnp.ones_like(pos0[..., 0])
         pt0, t1 = jax.jvp(lambda a: launch(a, zeros), (zeros,), (ones,))
         _, t2 = jax.jvp(lambda b: launch(zeros, b), (zeros,), (ones,))
         n_src = pt0[2]
@@ -203,14 +205,14 @@ def _build_dynamic3_fn(method: str, max_size: int, box, mode: str,
                 return carry2, row
             return carry2, None
 
-        r = pos0.shape[0]
         active0 = jnp.ones_like(n_src, dtype=bool)
         exit0 = jnp.minimum(jnp.full_like(n_src, max_size - 1
                                           ).astype(jnp.int32), step_limit)
         carry0 = (pt0, t1, t2, zeros, zeros, active0, exit0, e1, e2,
-                  jnp.zeros(r, jnp.int8), jnp.zeros(r, jnp.int32),
+                  jnp.zeros_like(n_src, dtype=jnp.int8),
+                  jnp.zeros_like(n_src, dtype=jnp.int32),
                   jnp.full_like(n_src, np.inf),
-                  jnp.zeros(r, jnp.int32))
+                  jnp.zeros_like(n_src, dtype=jnp.int32))
         steps = jnp.arange(1, max_size, dtype=jnp.int32)
         (ptf, taf, tbf, ttf, drealf, _, exitf, e1f, e2f, _, kmahf, mindf,
          minstepf), rows = jax.lax.scan(body, carry0, steps)
