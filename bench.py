@@ -561,6 +561,35 @@ def run_oracles(path: str = "ORACLES.json"):
         "pass": cerr < 1e-4}
     assert cerr < 1e-4, cerr
 
+    # 3-D tier on-chip (engine/trace3d.py): closure + planarity of a
+    # tilted-plane fisheye orbit and the Bouguer invariant n|r x u| —
+    # closed-form truths with no reference counterpart (the reference is
+    # strictly planar)
+    from raytracing_tpu.engine.trace3d import bouguer_invariant, trace3d
+    from raytracing_tpu.media.fields3d import analytic_medium3
+
+    tilt = np.resize(np.linspace(0.0, 1.0, 8), 256).astype(np.float32)
+    p3 = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (256, 1))
+    d3 = np.stack([np.zeros(256, np.float32), np.cos(tilt),
+                   np.sin(tilt)], -1).astype(np.float32)
+    r3 = trace3d("op6", analytic_medium3("fisheye"), pos0=p3, dir0=d3,
+                 delta_s=2 * np.pi / 303, steps=303, dtype=np.float32,
+                 mode="history")
+    clo3 = float(np.linalg.norm(
+        np.asarray(r3.final.pos) - p3, axis=1).max()) / (2 * np.pi) * 100
+    B = bouguer_invariant(r3)
+    bdrift = float(np.abs(B - B[:1]).max())
+    out["trace3d_closure_pct"] = {
+        "value": round(clo3, 5), "threshold": 5.0, "op": "op6",
+        "divisor": 303, "pass": clo3 < 5.0}
+    out["trace3d_bouguer_drift"] = {
+        "value": bdrift, "threshold": 1e-3,
+        "note": "n|r x u| exactly conserved by the true dynamics in any "
+                "spherically symmetric medium; drift = pure f32 "
+                "integrator error over one orbit",
+        "pass": bdrift < 1e-3}
+    assert clo3 < 5.0 and bdrift < 1e-3, (clo3, bdrift)
+
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"# oracles -> {path}: all pass", file=sys.stderr)

@@ -8,11 +8,16 @@ leaves the launch plane — which no 2-D solver can produce.
 """
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from raytracing_tpu.engine.eigenray import find_eigenrays, incoherent_tl
 from raytracing_tpu.engine.eigenray3d import find_eigenrays3
 from raytracing_tpu.media.fields3d import Custom3D, Stratified3D
 from raytracing_tpu.media.medium import CustomMedium
+
+# grid fan traces x Newton iterations: the heaviest new-tier module rides
+# the full suite only (CLAUDE.md test tiers)
+pytestmark = pytest.mark.slow
 
 
 def _homog3():
