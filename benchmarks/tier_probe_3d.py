@@ -1,15 +1,22 @@
 """On-chip throughput probe: the dynamic and 3-D scan tiers.
 
-Pure XLA scan programs (no Pallas, no grid-medium gathers), so TPU
-compilation is the ordinary jit path — safe for the remote compile helper
-at these trip counts.  Timing per CLAUDE.md: device_put'd inputs, warm
-second call, completion via a small device->host readback.
+The default tiers are pure XLA scan programs (no Pallas, no grid-medium
+gathers), so TPU compilation is the ordinary jit path — safe for the
+remote compile helper at these trip counts.  Timing per CLAUDE.md:
+device_put'd inputs, warm second call, completion via a small
+device->host readback.
+
+RT_PROBE_PALLAS3D=1 additionally probes the fused 3-D Pallas kernel
+(kernels/fused3d.py) — its first-ever Mosaic compile, which can reject or
+wedge where interpret mode accepts; run that leg with a TINY step count
+first, in the background, unkilled (CLAUDE.md compile rules).
 
     python benchmarks/tier_probe_3d.py [rays] [steps]
 
 Prints one line per tier: {"tier": ..., "gsteps_per_sec": ..., ...}.
 """
 import json
+import os
 import sys
 import time
 
@@ -80,25 +87,36 @@ def main():
                       "gsteps_per_sec": round(rays * steps / dt / 1e9, 3),
                       "vs_scan": round(rays * steps / dt / base, 3)}))
 
-    # -- fused 3-D Pallas kernel (kernels/fused3d.py): first on-chip
-    # Mosaic compile of this kernel happens HERE — interpret mode accepts
-    # programs Mosaic rejects, so report the error instead of crashing ----
-    try:
-        from raytracing_tpu.kernels.fused3d import fused3d_trace_final
-        box3 = (-2.0, 2.0, -2.0, 2.0, -2.0, 2.0)
+    # -- fused 3-D Pallas kernel (kernels/fused3d.py): OPT-IN via
+    # RT_PROBE_PALLAS3D=1.  Its first-ever on-chip Mosaic compile happens
+    # here, and Mosaic can reject (or wedge on) programs interpret mode
+    # accepts — so it must never ride along with the tunnel-safe XLA
+    # tiers above.  Probe cheaply first: RT_PROBE_PALLAS3D=1 with a tiny
+    # step count (e.g. `... 4096 8`), in the background, unkilled
+    # (CLAUDE.md compile rules); the queue script does exactly that. ------
+    if os.environ.get("RT_PROBE_PALLAS3D"):
+        try:
+            from raytracing_tpu.kernels.fused3d import fused3d_trace_final
+            box3 = (-2.0, 2.0, -2.0, 2.0, -2.0, 2.0)
+            blk = 4096 if rays % 4096 == 0 else 128 * (rays // 128)
+            r_f = (rays // blk) * blk if blk else 0
+            if r_f == 0:
+                raise ValueError(f"rays {rays} < one 128-lane block")
 
-        def run_f3():
-            return fused3d_trace_final(pos3, dir3, ds, field="fisheye",
-                                       op="op6", steps=steps, box=box3)
+            def run_f3():
+                return fused3d_trace_final(
+                    pos3[:r_f], dir3[:r_f], ds, field="fisheye", op="op6",
+                    steps=steps, box=box3, block_rays=blk)
 
-        dt = _time(run_f3)
-        print(json.dumps({"tier": "fused3d-op6", "rays": rays,
-                          "steps": steps, "seconds": round(dt, 4),
-                          "gsteps_per_sec": round(rays * steps / dt / 1e9, 3),
-                          "vs_scan": round(rays * steps / dt / base, 3)}))
-    except Exception as e:          # Mosaic rejection is data, not a crash
-        print(json.dumps({"tier": "fused3d-op6",
-                          "error": f"{type(e).__name__}: {str(e)[:300]}"}))
+            dt = _time(run_f3)
+            print(json.dumps({
+                "tier": "fused3d-op6", "rays": r_f, "steps": steps,
+                "seconds": round(dt, 4),
+                "gsteps_per_sec": round(r_f * steps / dt / 1e9, 3),
+                "vs_scan": round(r_f * steps / dt / base, 3)}))
+        except Exception as e:      # Mosaic rejection is data, not a crash
+            print(json.dumps({"tier": "fused3d-op6",
+                              "error": f"{type(e).__name__}: {str(e)[:300]}"}))
 
     # -- 3-D dynamic tier (two tangents: expect ~3x the 3-D scan cost) ---
     r3 = max(rays // 4, 4096)       # Q carry is wide; keep HBM modest

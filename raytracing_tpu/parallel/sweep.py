@@ -583,20 +583,31 @@ def delta_s_search_convergence(op_name: str, medium, *, pos0, theta0,
                          block_rays=block_rays)
         return np.asarray(out.pos)
 
+    return _richardson_search(final_pos, candidates, arc_length, tol,
+                              scenario="samples", op_name=op_c,
+                              dtype=np.float32)
+
+
+def _richardson_search(final_pos, candidates, arc_length, tol, *,
+                       scenario: str, op_name: str, dtype) -> SweepResult:
+    """Shared coarse->fine halving loop of the convergence searches.
+
+    One home for the acceptance/memo logic (2-D measured media and the
+    3-D tier use it with different tracers): on a halving grid, candidate
+    i's half-step trace IS candidate i+1's full-step trace — reuse it and
+    trace only the twin.  The step count must match too: rounding can
+    break the identity when arc/ds is not an integer.
+    """
     errs = []
     index = None
-    memo = (None, None, None)   # (f32 ds, steps, pos) of the last half run
+    memo = (None, None, None)   # (dtype ds, steps, pos) of the last half run
     for i, ds in enumerate(candidates):
         steps = max(1, round(arc_length / float(ds)))
-        dsf = np.float32(ds)
-        # on a halving grid (the default), candidate i's half-step trace IS
-        # candidate i+1's full-step trace — reuse it and trace only the twin
-        # (the step count must match too: rounding can break the identity
-        # when arc/ds is not an integer)
+        dsf = np.dtype(dtype).type(ds)
         a = (memo[2] if memo[0] == dsf and memo[1] == steps
              else final_pos(float(ds), steps))
         b = final_pos(float(ds) / 2.0, 2 * steps)
-        memo = (np.float32(float(ds) / 2.0), 2 * steps, b)
+        memo = (np.dtype(dtype).type(float(ds) / 2.0), 2 * steps, b)
         errs.append(float(np.linalg.norm(a - b, axis=-1).max()))
         if errs[-1] < tol:
             index = i
@@ -605,13 +616,13 @@ def delta_s_search_convergence(op_name: str, medium, *, pos0, theta0,
 
     steps_grid = np.array([max(1, round(arc_length / d))
                            for d in candidates], np.float64)
-    ds_sel = float(candidates[index]) if index is not None else None
     return SweepResult(
-        scenario="samples", op_name=op_c, divisors=steps_grid,
+        scenario=scenario, op_name=op_name, divisors=steps_grid,
         delta_s=candidates, metrics={"halving_err": np.asarray(errs)},
         index=index,
         divisor=float(steps_grid[index]) if index is not None else None,
-        delta_s_selected=ds_sel)
+        delta_s_selected=(float(candidates[index]) if index is not None
+                          else None))
 
 
 def delta_s_search_convergence3(method: str, medium, *, pos0, dir0,
@@ -649,28 +660,6 @@ def delta_s_search_convergence3(method: str, medium, *, pos0, dir0,
                       dtype=dtype)
         return np.asarray(out.final.pos)
 
-    errs = []
-    index = None
-    memo = (None, None, None)
-    for i, ds in enumerate(candidates):
-        steps = max(1, round(arc_length / float(ds)))
-        dsf = np.dtype(dtype).type(ds)
-        a = (memo[2] if memo[0] == dsf and memo[1] == steps
-             else final_pos(float(ds), steps))
-        b = final_pos(float(ds) / 2.0, 2 * steps)
-        memo = (np.dtype(dtype).type(float(ds) / 2.0), 2 * steps, b)
-        errs.append(float(np.linalg.norm(a - b, axis=-1).max()))
-        if errs[-1] < tol:
-            index = i
-            break
-    errs += [np.nan] * (len(candidates) - len(errs))
-
-    steps_grid = np.array([max(1, round(arc_length / d))
-                           for d in candidates], np.float64)
-    return SweepResult(
-        scenario="custom3d", op_name=method, divisors=steps_grid,
-        delta_s=candidates, metrics={"halving_err": np.asarray(errs)},
-        index=index,
-        divisor=float(steps_grid[index]) if index is not None else None,
-        delta_s_selected=(float(candidates[index]) if index is not None
-                          else None))
+    return _richardson_search(final_pos, candidates, arc_length, tol,
+                              scenario="custom3d", op_name=method,
+                              dtype=dtype)

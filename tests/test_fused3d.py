@@ -74,6 +74,31 @@ def test_boundary_exit_parity_vert():
     assert np.any(~never_left)          # the box actually clipped rays
 
 
+def test_interface_field_parity():
+    """The interface sigmoid twin (the only exp/THCK_PARAM field) tracks
+    the scan tier too — a regression here would otherwise ship silently."""
+    import raytracing_tpu as rt
+
+    r = 256
+    th = np.linspace(0.1, 1.2, r)
+    pos0 = np.stack([np.full(r, -2.0), np.zeros(r), np.zeros(r)],
+                    -1).astype(np.float32)
+    dir0 = np.stack([np.cos(th) * 0.9, np.sin(th), np.cos(th) * 0.436],
+                    -1).astype(np.float32)
+    box = (-2.5, 20.0, -2.0, 4.0, -10.0, 10.0)
+    steps, ds = 300, np.float32(0.02)
+    f = fused3d_trace_final(pos0, dir0, ds, field="interface", op="op6",
+                            steps=steps, box=box, block_rays=r,
+                            interpret=True)
+    s = trace3d("op6", Stratified3D(rt.analytic_medium("interface")),
+                pos0=pos0, dir0=dir0, delta_s=float(ds), steps=steps,
+                dtype=np.float32, mode="metrics", box=box)
+    np.testing.assert_allclose(np.asarray(f.pos), np.asarray(s.final.pos),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(f.traveltime),
+                               np.asarray(s.final.traveltime), atol=5e-5)
+
+
 def test_step_limit_padding():
     """step_limit freezes rays mid-kernel: one compiled program, shorter
     effective trace — equals a kernel compiled at the short length."""
