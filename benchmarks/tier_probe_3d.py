@@ -119,7 +119,9 @@ def main():
                               "error": f"{type(e).__name__}: {str(e)[:300]}"}))
 
     # -- 3-D dynamic tier (two tangents: expect ~3x the 3-D scan cost) ---
-    r3 = max(rays // 4, 4096)       # Q carry is wide; keep HBM modest
+    # Q carry is wide; keep HBM modest — but never report more rays than
+    # the slice actually holds (numpy over-slices silently)
+    r3 = rays if rays <= 4096 else max(4096, rays // 4)
     dt = _time(lambda: rt.trace_dynamic3(
         "op6", med3, pos0=pos3[:r3], dir0=dir3[:r3], delta_s=float(ds),
         steps=steps, mode="metrics", dtype=np.float32))
