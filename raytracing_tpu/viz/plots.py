@@ -346,3 +346,41 @@ def plot_transmission_loss(eig, receivers, *, omega: float | None = None,
     if save:
         fig.savefig(save, dpi=100)
     return fig
+
+
+def plot_rays3d(result, *, box=None, elev: float = 20.0, azim: float = -60.0,
+                use_tex: bool = False, save: str | None = None):
+    """3-D trajectory plot of an `engine.trace3d.Trace3Result` history.
+
+    Rays color by launch index; the optional ``box`` draws the domain
+    edges.  The 3-D sibling of the reference's trajectory plot
+    (RT_bench.py:1121-1150) — the reference has no 3-D state to draw.
+    """
+    _, plt = _mpl()
+    if result.history is None:
+        raise ValueError("plot_rays3d needs mode='history'")
+    h = np.asarray(result.history)
+    fig = plt.figure(figsize=(10, 8))
+    ax = fig.add_subplot(projection="3d")
+    cmap = plt.get_cmap("viridis")
+    r = h.shape[1]
+    for k in range(r):
+        i = int(np.asarray(result.exit_step)[k])
+        ax.plot(h[: i + 1, k, 0], h[: i + 1, k, 1], h[: i + 1, k, 2],
+                color=cmap(k / max(r - 1, 1)), linewidth=1.0)
+    if box is not None:
+        x0, x1, y0, y1, z0, z1 = box
+        for s, e in (((x0, y0, z0), (x1, y0, z0)),
+                     ((x0, y0, z0), (x0, y1, z0)),
+                     ((x0, y0, z0), (x0, y0, z1)),
+                     ((x1, y1, z1), (x0, y1, z1)),
+                     ((x1, y1, z1), (x1, y0, z1)),
+                     ((x1, y1, z1), (x1, y1, z0))):
+            ax.plot(*zip(s, e), color="0.7", linewidth=0.8)
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_zlabel("z")
+    ax.view_init(elev=elev, azim=azim)
+    if save:
+        fig.savefig(save, dpi=100)
+    return fig

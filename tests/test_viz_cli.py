@@ -262,3 +262,24 @@ def test_plot_eigenrays_and_tl(tmp_path):
     import matplotlib.pyplot as plt
     plt.close(fig)
     plt.close(fig2)
+
+
+def test_plot_rays3d(tmp_path):
+    import jax.numpy as jnp
+
+    from raytracing_tpu.engine.trace3d import trace3d
+    from raytracing_tpu.media.fields3d import Custom3D
+    from raytracing_tpu.viz import plots
+
+    med = Custom3D(lambda x, y, z: 1.5 - 0.5 * y * y + 0.0 * x * z)
+    th = np.linspace(-0.3, 0.3, 6)
+    res = trace3d("op6", med, pos0=np.zeros((6, 3)),
+                  dir0=np.stack([np.cos(th), np.sin(th),
+                                 np.full(6, 0.1)], -1),
+                  delta_s=0.05, steps=200, dtype=np.float64,
+                  box=(-1, 12, -2, 2, -2, 2))
+    fig = plots.plot_rays3d(res, box=(-1, 12, -2, 2, -2, 2),
+                            save=str(tmp_path / "r3.png"))
+    assert (tmp_path / "r3.png").stat().st_size > 0
+    import matplotlib.pyplot as plt
+    plt.close(fig)
