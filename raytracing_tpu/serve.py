@@ -17,6 +17,11 @@ a dependency-free (stdlib http.server) JSON API over the fused-kernel tier:
                                 pick delta_s for that medium by Richardson
                                 self-convergence (measured media have no
                                 closed-form physics oracle)
+    POST /v1/trace3d_samples -> {"samples", "y", "op", "delta_s",
+                                "steps", "pos0"/"dir0" or a "launch" cone}
+                                — 3-D tracing of a posted 1-D profile
+                                (engine/trace3d.py), with the
+                                horizontal-slowness conservation report
     POST /v1/eigenrays       -> {"samples", ..., "source", "receivers",
                                 "delta_s", "steps", "fan", "omega"?} —
                                 boundary-value arrivals through the posted
@@ -467,6 +472,120 @@ def _eigenrays_request(body: dict) -> dict:
     return resp
 
 
+MAX_RAYS3 = 1_048_576
+
+
+def _trace3d_samples_request(body: dict) -> dict:
+    """Trace a POSTed 1-D measured profile in 3-D (engine/trace3d.py).
+
+    The profile lifts via Stratified3D (n = n(y), horizontally isotropic);
+    launch is explicit ``pos0`` (rays, 3) / ``dir0`` (rays, 3) arrays or a
+    compact cone ``launch: {"pos": [x,y,z], "axis": [ux,uy,uz],
+    "half_angle": a}`` expanded to ``rays`` directions.  Optional
+    ``report_conservation`` returns the horizontal-slowness CV — the 3-D
+    form of the reference's p_x oracle.
+    """
+    from raytracing_tpu.engine.trace3d import canonical3, trace3d
+    from raytracing_tpu.media.fields3d import Stratified3D
+    from raytracing_tpu.media.samples import medium_from_samples
+
+    family = str(body.get("family", "parity"))
+    if "samples" not in body:
+        raise ValueError("this endpoint needs 'samples' (a 1-D profile of "
+                         "refractive-index values) and its 'y' axis")
+    samples = _finite("samples", np.asarray(body["samples"], np.float64))
+    if samples.ndim != 1:
+        raise ValueError("3-D tracing lifts 1-D PROFILES only (n = n(y)); "
+                         "got 2-D samples — use /v1/trace_samples for the "
+                         "planar grid pipeline")
+    if not 0 < samples.size <= MAX_SAMPLE_VALUES:
+        raise ValueError(f"samples size must be in [1, {MAX_SAMPLE_VALUES}],"
+                         f" got {samples.size}")
+    y = _finite("y", np.asarray(body.get("y", ()), np.float64))
+    medium2d, default_box, kind = medium_from_samples(samples, None, y,
+                                                      family=family)
+    medium = Stratified3D(medium2d)
+
+    method = canonical3(str(body.get("op", "op6")))
+    delta_s = float(body.get("delta_s", 0.0))
+    if not (np.isfinite(delta_s) and delta_s > 0):
+        raise ValueError(f"delta_s must be finite and > 0, got {delta_s}")
+    steps = int(body.get("steps", 0))
+    if not 1 <= steps <= MAX_STEPS:
+        raise ValueError(f"steps must be in [1, {MAX_STEPS}], got {steps}")
+
+    if "pos0" in body:
+        pos0 = _finite("pos0", np.asarray(body["pos0"], np.float32))
+        dir0 = _finite("dir0", np.asarray(body.get("dir0", ()), np.float32))
+        if pos0.ndim != 2 or pos0.shape[1] != 3 or dir0.shape != pos0.shape:
+            raise ValueError(f"pos0/dir0 must both be (rays, 3), got "
+                             f"{pos0.shape} / {dir0.shape}")
+        rays = len(pos0)
+    else:
+        cone = body.get("launch")
+        if not isinstance(cone, dict):
+            raise ValueError("this endpoint needs 'pos0'/'dir0' arrays or a "
+                             "'launch' cone {'pos': [x,y,z], 'axis': "
+                             "[ux,uy,uz], 'half_angle': a}")
+        rays = int(body.get("rays", 1024))
+        p = _finite("launch pos", np.asarray(cone.get("pos", ()), np.float64))
+        ax = _finite("launch axis",
+                     np.asarray(cone.get("axis", ()), np.float64))
+        if p.shape != (3,) or ax.shape != (3,):
+            raise ValueError("launch pos/axis must each be 3 floats")
+        ha = float(cone.get("half_angle", 0.1))
+        if not (np.isfinite(ha) and 0 <= ha < np.pi / 2):
+            raise ValueError(f"half_angle must be in [0, pi/2), got {ha}")
+        from raytracing_tpu.engine.dynamic3d import _transverse_frame
+        import jax.numpy as jnp
+        axn = ax / np.linalg.norm(ax)
+        e1, e2 = (np.asarray(v)[0]
+                  for v in _transverse_frame(jnp.asarray(axn[None, :])))
+        t = np.linspace(0.0, 2 * np.pi, rays, endpoint=False)
+        tilt = ha * np.sqrt(np.linspace(0.0, 1.0, rays))  # area-uniform cone
+        d = (axn[None, :] + tilt[:, None]
+             * (np.cos(t)[:, None] * e1 + np.sin(t)[:, None] * e2))
+        dir0 = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(
+            np.float32)
+        pos0 = np.tile(p.astype(np.float32), (rays, 1))
+    if not 1 <= rays <= MAX_RAYS3:
+        raise ValueError(f"rays must be in [1, {MAX_RAYS3}], got {rays}")
+
+    box = body.get("box")
+    if box is not None:
+        box = tuple(float(v) for v in box)
+        if len(box) != 6 or not np.all(np.isfinite(box)):
+            raise ValueError(f"box must be 6 finite floats, got {box!r}")
+    else:
+        box = (-1e30, 1e30, default_box[2], default_box[3], -1e30, 1e30)
+    report_cv = bool(body.get("report_conservation", False))
+
+    t0 = time.perf_counter()
+    out = trace3d(method, medium, pos0=pos0, dir0=dir0, delta_s=delta_s,
+                  steps=steps, box=box, mode="metrics", stats=report_cv)
+    pos = np.asarray(out.final.pos)
+    dt = time.perf_counter() - t0
+
+    resp = {
+        "op": method, "rays": rays, "steps": steps, "family": family,
+        "medium_kind": f"{kind}-3d", "delta_s": delta_s,
+        "seconds": round(dt, 4),
+        "ray_steps_per_sec": round(rays * steps / dt, 1),
+        # the scan's `active` means "still integrating" (false for every
+        # ray once the step budget ends); box escapes are the rays whose
+        # exit_step stopped short of it
+        "escaped_rays": int((np.asarray(out.exit_step) < steps).sum()),
+        "mean_final_pos": [float(v) for v in pos.mean(0)],
+    }
+    if report_cv:
+        cv = out.horizontal_slowness_cv_pct()
+        finite = np.isfinite(cv)
+        resp["slowness_cv_pct_max"] = (float(np.nanmax(cv))
+                                       if finite.any() else None)
+        resp["slowness_cv_rays_excluded"] = int((~finite.any(-1)).sum())
+    return resp
+
+
 class _Handler(BaseHTTPRequestHandler):
     def _send(self, code: int, payload: dict):
         data = json.dumps(payload).encode()
@@ -491,14 +610,16 @@ class _Handler(BaseHTTPRequestHandler):
                              "endpoints": ["/healthz", "/v1/models",
                                            "/v1/trace", "/v1/trace_samples",
                                            "/v1/calibrate_samples",
-                                           "/v1/eigenrays"]})
+                                           "/v1/eigenrays",
+                                           "/v1/trace3d_samples"]})
         else:
             self._send(404, {"error": f"unknown path {self.path}"})
 
     _POST_ROUTES = {"/v1/trace": _trace_request,
                     "/v1/trace_samples": _trace_samples_request,
                     "/v1/calibrate_samples": _calibrate_samples_request,
-                    "/v1/eigenrays": _eigenrays_request}
+                    "/v1/eigenrays": _eigenrays_request,
+                    "/v1/trace3d_samples": _trace3d_samples_request}
 
     def do_POST(self):
         handler = self._POST_ROUTES.get(self.path)

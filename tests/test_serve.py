@@ -321,7 +321,7 @@ def test_fuzzed_payloads_never_5xx(server):
                                     replace=False)}
 
     endpoints = ["/v1/trace", "/v1/trace_samples", "/v1/calibrate_samples",
-                 "/v1/eigenrays"]
+                 "/v1/eigenrays", "/v1/trace3d_samples"]
     for i in range(80):
         body = {k: rand_value()
                 for k in rng.choice(keys, rng.integers(0, 6), replace=False)}
@@ -437,3 +437,43 @@ def test_eigenrays_rejects_golden_and_bad_shapes(server):
                        dict(base, steps=100000,
                             fan={"theta": [-0.3, 0.3], "count": 512}))
     assert code == 400 and "bound" in body["error"]
+
+
+def test_trace3d_samples_endpoint(server):
+    """A posted 1-D profile traces in 3-D with the slowness-CV report."""
+    import numpy as np
+    y = np.linspace(-1.5, 1.5, 61)
+    col = 1.2 - 0.25 * y * y
+    req = {"samples": col.tolist(), "y": y.tolist(), "op": "op6",
+           "family": "c1", "delta_s": 0.02, "steps": 300, "rays": 128,
+           "box": [-1.0, 50.0, -1.5, 1.5, -50.0, 50.0],
+           "launch": {"pos": [0.0, 0.0, 0.0], "axis": [1.0, 0.0, 0.2],
+                      "half_angle": 0.2},
+           "report_conservation": True}
+    code, body = _post(server + "/v1/trace3d_samples", req)
+    assert code == 200, body
+    assert body["medium_kind"] == "profile-3d"
+    assert body["rays"] == 128 and body["escaped_rays"] == 0
+    assert body["slowness_cv_pct_max"] is not None
+    assert body["slowness_cv_pct_max"] < 0.05   # the reference bar, in 3-D
+
+
+def test_trace3d_samples_rejections(server):
+    import numpy as np
+    y = np.linspace(-1.0, 1.0, 21)
+    base = {"samples": (1.2 - 0.1 * y * y).tolist(), "y": y.tolist(),
+            "delta_s": 0.05, "steps": 20,
+            "launch": {"pos": [0, 0, 0], "axis": [1, 0, 0],
+                       "half_angle": 0.1}}
+    code, body = _post(server + "/v1/trace3d_samples",
+                       dict(base, samples=[[1.0, 1.0], [1.0, 1.0]],
+                            x=[0, 1]))
+    assert code == 400 and "1-D PROFILES" in body["error"]
+    code, body = _post(server + "/v1/trace3d_samples", dict(base, op="op5"))
+    assert code == 400 and "planar" in body["error"]
+    code, body = _post(server + "/v1/trace3d_samples",
+                       dict(base, launch={"pos": [0, 0], "axis": [1, 0, 0]}))
+    assert code == 400
+    code, body = _post(server + "/v1/trace3d_samples",
+                       dict(base, box=[0, 1, 0, 1]))
+    assert code == 400 and "box" in body["error"]
