@@ -84,4 +84,18 @@ assert z_ctl < 1e-12, "control must stay in its launch plane"
 assert np.nanmax(cv) < 0.05, "3-D conservation oracle (stratified)"
 assert z_edd > 0.05, "the eddy must push rays visibly out of plane"
 assert dz_depth > 0.001, "eddy changes vertical arrival structure"
+
+# -- the field-level payoff: the eddy refocuses energy (rt.trace_dynamic3:
+# exact 2x2 paraxial Jacobian -> spherical-spreading TL along the ray) ----
+axial = (np.zeros((1, 3)), np.array([[1.0, 0.0, 0.0]]))
+tl = {}
+for name, m in (("control", control), ("eddy", with_eddy)):
+    dres = rt.trace_dynamic3("op6", m, pos0=axial[0] + [[0.0, -1.0, 0.0]],
+                             dir0=axial[1], delta_s=ds, steps=steps,
+                             box=box, mode="metrics")
+    tl[name] = float(np.asarray(dres.transmission_loss_db())[0])
+print(f"axial-ray TL at {rng:.0f} km: control {tl['control']:.2f} dB, "
+      f"with eddy {tl['eddy']:.2f} dB "
+      f"(focusing shift {tl['control'] - tl['eddy']:+.2f} dB)")
+assert np.isfinite(tl["eddy"]) and abs(tl["control"] - tl["eddy"]) > 1e-4
 print("ok")
