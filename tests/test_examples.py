@@ -93,3 +93,12 @@ def test_eddy_3d_example():
     out = _run("eddy_3d.py", extra="sys.argv = ['x', '32', '2300']; ")
     assert out.strip().endswith("ok")
     assert "out-of-plane" in out
+
+
+def test_tl_field_map_example(tmp_path):
+    out = _run("tl_field_map.py",
+               extra=f"sys.argv = ['x', '9', '7', '128', "
+                     f"{str(tmp_path / 'm.png')!r}]; ", timeout=420)
+    assert out.strip().endswith("ok")
+    assert "duct trapping" in out
+    assert (tmp_path / "m.png").stat().st_size > 0
