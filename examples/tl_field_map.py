@@ -15,6 +15,10 @@ import jax
 import numpy as np
 
 jax.config.update("jax_enable_x64", True)   # eigenray work is f64
+# ... and host-side: the solve is short f64 fan traces with full history
+# readbacks, so the CPU backend beats a remote TPU tunnel by minutes
+# (JAX_PLATFORMS the env var is ignored here; the config update is not)
+jax.config.update("jax_platforms", "cpu")
 
 import raytracing_tpu as rt  # noqa: E402
 

@@ -24,6 +24,7 @@ import numpy as np
 # eigenray work is f64 end to end (see the dtype note below); the medium
 # TABLES must be built under x64 too or the f64 request silently downcasts
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_platforms", "cpu")   # f64 host-side solve: no tunnel
 
 import raytracing_tpu as rt  # noqa: E402
 

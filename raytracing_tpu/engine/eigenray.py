@@ -66,22 +66,78 @@ class Eigenrays(NamedTuple):
         return Eigenrays(*[np.asarray(f)[m] for f in self])
 
 
-def _crossings(hist: np.ndarray, last: np.ndarray, xr: float):
-    """Interpolated states of every crossing of ``x == xr``.
+def _crossing_vals(hist: np.ndarray, last: np.ndarray, xr: float,
+                   cols, x_col: int = _X):
+    """Values at every crossing of ``x == xr``, all rays at once.
 
-    ``hist`` is one ray's (S, 7) DYN_COLS history, valid through row
-    ``last`` (frozen afterwards).  Returns an (m, 7) array of crossing
-    states ordered along the ray (m may be 0).
+    Vectorized fan scan: ``hist`` is the whole fan's (S, R, C) history,
+    ``last`` its (R,) frozen-row indices, ``cols`` the columns to
+    interpolate.  Returns an (R, M, len(cols)) nan-padded array ordered
+    along each ray (M = max crossings, >= 1) in one numpy pass — a
+    (range x depth) receiver grid then shares one call per unique range
+    instead of R python-level scans per receiver.  Shared with the 3-D
+    solver (engine/eigenray3d.py), whose column layout differs.
     """
-    x = hist[: last + 1, _X]
+    cols = list(cols)
+    x = hist[:, :, x_col]                                   # (S, R)
     d = x - xr
-    hit = np.where(d[:-1] * d[1:] < 0)[0]
-    if hit.size == 0:
-        return np.empty((0, hist.shape[1]))
-    frac = (d[hit] / (x[hit] - x[hit + 1]))[:, None]
-    out = hist[hit] + frac * (hist[hit + 1] - hist[hit])
-    out[:, _KMAH] = hist[hit, _KMAH]  # caustic count is step-quantized
+    n_steps, n_rays = x.shape
+    step_ok = np.arange(n_steps - 1)[:, None] < last[None, :]
+    hit = step_ok & (d[:-1] * d[1:] < 0)                    # (S-1, R)
+    counts = hit.sum(0)
+    m = max(int(counts.max()) if n_rays else 0, 1)
+    out = np.full((n_rays, m, len(cols)), np.nan)
+    ray, step = np.nonzero(hit.T)           # row-major: by ray, then step
+    if ray.size:
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ordinal = np.arange(ray.size) - np.repeat(starts, counts)
+        frac = (d[step, ray] / (x[step, ray] - x[step + 1, ray]))[:, None]
+        v0 = hist[step, ray][:, cols]
+        out[ray, ordinal] = v0 + frac * (hist[step + 1, ray][:, cols] - v0)
     return out
+
+
+def _crossing_depths(hist: np.ndarray, last: np.ndarray, xr: float):
+    """(R, M) nan-padded crossing depths — the 2-D fan scan's view."""
+    return _crossing_vals(hist, last, xr, (_Y,))[..., 0]
+
+
+def _pick_crossings(h: np.ndarray, last: np.ndarray, xr: np.ndarray,
+                    ordk: np.ndarray, x_col: int = _X,
+                    kmah_col: int = _KMAH):
+    """The ordinal-``k`` crossing state per candidate column, vectorized.
+
+    ``h`` is (S, J, C) with per-candidate range ``xr`` (J,) and crossing
+    ordinal ``ordk`` (J,).  Rays can cross a receiver range several times
+    (loops, turn-backs); each ordinal is its own landing curve and its own
+    bracket, so the polish must follow ordinal k, not whichever crossing
+    happens to land nearest the receiver depth.  If a candidate's path has
+    fewer crossings than k (family boundary), fall back to the last — the
+    bracket logic treats the miss as off-family anyway.  Returns
+    ``(states (J, C), found (J,) bool)``; state rows are zero where no
+    crossing exists.  The ``kmah_col`` column is NOT interpolated (the
+    caustic count is step-quantized).
+    """
+    x = h[:, :, x_col]                                       # (S, J)
+    d = x - xr[None, :]
+    n_steps, n_cand = x.shape
+    if n_steps < 2:
+        return np.zeros((n_cand, h.shape[2])), np.zeros(n_cand, bool)
+    step_ok = np.arange(n_steps - 1)[:, None] < last[None, :]
+    hit = step_ok & (d[:-1] * d[1:] < 0)                     # (S-1, J)
+    cum = np.cumsum(hit, 0)
+    counts = cum[-1]
+    found = counts > 0
+    target = np.minimum(ordk, np.maximum(counts - 1, 0))
+    sel = hit & (cum - 1 == target[None, :])   # one True per found column
+    idx = sel.argmax(0)
+    j = np.arange(n_cand)
+    h0, h1 = h[idx, j], h[idx + 1, j]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac = (d[idx, j] / (x[idx, j] - x[idx + 1, j]))[:, None]
+        out = np.where(found[:, None], h0 + frac * (h1 - h0), 0.0)
+    out[:, kmah_col] = np.where(found, h0[:, kmah_col], 0.0)
+    return out, found
 
 
 def find_eigenrays(op_name: str, medium, *, source, receivers, delta_s,
@@ -117,7 +173,19 @@ def find_eigenrays(op_name: str, medium, *, source, receivers, delta_s,
         x64 = jax.enable_x64(True)
     else:
         x64 = contextlib.nullcontext()
-    with x64:
+    # The solve is a host-side Newton driving ~iters short fan traces with
+    # full histories read back each time.  On a remote TPU backend that is
+    # all tunnel round-trips — and TPUs have no native f64, which eigenray
+    # landing curves need (docstring above) — so the traces run on the host
+    # CPU backend whenever one exists.  Scoped: the production f32 dynamic
+    # tier (trace_dynamic on-mesh) is unaffected.
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        dev = (contextlib.nullcontext() if jax.default_backend() == "cpu"
+               else jax.default_device(cpu))
+    except RuntimeError:
+        dev = contextlib.nullcontext()
+    with x64, dev:
         return _find_eigenrays(op_name, medium, source=source,
                                receivers=receivers, delta_s=delta_s,
                                max_size=max_size, box=box, fan=fan,
@@ -149,34 +217,32 @@ def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
 
     hist, last = fan_trace(np.asarray(scen.theta0, dtype))
 
-    # --- bracket scan: per receiver, per crossing ordinal ------------------
+    # --- bracket scan: per unique range, vectorized over (receiver, ray,
+    # ordinal).  A (range x depth) receiver GRID shares one crossing scan
+    # per range column, so a full TL field map costs len(ranges) numpy
+    # passes, not n_receivers x n_fan python loops.
     cand_th_lo, cand_th_hi, cand_rec = [], [], []
     cand_flo, cand_ord = [], []
-    for ri, (xr, yr) in enumerate(receivers):
-        per_ray = [_crossings(hist[:, r], last[r], xr)
-                   for r in range(hist.shape[1])]
-        depth = np.full((hist.shape[1], max(len(c) for c in per_ray) or 1),
-                        np.nan)
-        for r, c in enumerate(per_ray):
-            depth[r, : len(c)] = c[:, _Y]
-        f = depth - yr
-        for k in range(depth.shape[1]):
-            fk = f[:, k]
-            ok = ~np.isnan(fk[:-1]) & ~np.isnan(fk[1:])
-            s0, s1 = np.sign(fk[:-1]), np.sign(fk[1:])
-            # any sign TRANSITION brackets a root — including an exact hit
-            # (a fan ray landing dead on the receiver, e.g. the axial ray
-            # of a symmetric waveguide, makes f == 0: the plain product
-            # test f0*f1 < 0 would drop it).  An exact hit flags both of
-            # its neighboring intervals; the duplicate converges to the
-            # same root and is merged below.
-            sign = ok & (s0 != s1) & ~((s0 == 0) & (s1 == 0))
-            for r in np.where(sign)[0]:
-                cand_th_lo.append(scen.theta0[r])
-                cand_th_hi.append(scen.theta0[r + 1])
-                cand_flo.append(fk[r])
-                cand_rec.append(ri)
-                cand_ord.append(k)
+    uniq_xr, xr_inv = np.unique(receivers[:, 0], return_inverse=True)
+    for ui, xru in enumerate(uniq_xr):
+        depth = _crossing_depths(hist, last, xru)      # (R, M) nan-padded
+        here = np.where(xr_inv == ui)[0]               # receivers at xru
+        f = depth[None, :, :] - receivers[here, 1][:, None, None]
+        ok = ~np.isnan(f[:, :-1, :]) & ~np.isnan(f[:, 1:, :])
+        s0, s1 = np.sign(f[:, :-1, :]), np.sign(f[:, 1:, :])
+        # any sign TRANSITION brackets a root — including an exact hit
+        # (a fan ray landing dead on the receiver, e.g. the axial ray
+        # of a symmetric waveguide, makes f == 0: the plain product
+        # test f0*f1 < 0 would drop it).  An exact hit flags both of
+        # its neighboring intervals; the duplicate converges to the
+        # same root and is merged below.
+        sign = ok & (s0 != s1) & ~((s0 == 0) & (s1 == 0))
+        ki, ri, kk = np.nonzero(sign)                  # (rec, ray, ordinal)
+        cand_th_lo.extend(scen.theta0[ri])
+        cand_th_hi.extend(scen.theta0[ri + 1])
+        cand_flo.extend(f[ki, ri, kk])
+        cand_rec.extend(here[ki])
+        cand_ord.extend(kk)
     if not cand_th_lo:
         z = np.empty(0)
         zi = np.empty(0, np.int32)
@@ -197,31 +263,16 @@ def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
     yr = receivers[rec, 1]
     th = 0.5 * (lo + hi)
 
-    def pick(c, j):
-        """The candidate's bracketed crossing: its fan-scan ORDINAL.
-
-        Rays can cross a receiver range several times (loops, turn-backs);
-        each ordinal is its own landing curve and its own bracket, so the
-        polish must follow ordinal k, not whichever crossing happens to
-        land nearest the receiver depth.  If the current angle's path has
-        fewer crossings than k (family boundary), fall back to the last —
-        the bracket logic treats the miss as off-family anyway.
-        """
-        return c[min(int(ordk[j]), len(c) - 1)]
-
     # --- safeguarded Newton, batched over every candidate ------------------
+    # (the crossing pick follows each candidate's fan-scan ORDINAL — see
+    # _pick_crossings — vectorized over all brackets of all receivers)
     state = np.zeros((len(th), 7))
     fcur = np.full(len(th), np.inf)
     for _ in range(int(iters)):
         h, l = fan_trace(th)
-        for j in range(len(th)):
-            c = _crossings(h[:, j], l[j], xr[j])
-            if len(c) == 0:
-                fcur[j] = np.nan
-                continue
-            cj = pick(c, j)
-            state[j] = cj
-            fcur[j] = cj[_Y] - yr[j]
+        st, found = _pick_crossings(h, l, xr, ordk)
+        state = np.where(found[:, None], st, state)
+        fcur = np.where(found, st[:, _Y] - yr, np.nan)
         # convergence check BEFORE any update: the final evaluation must
         # see the angle these residuals belong to, not the next proposal
         if np.all(np.isfinite(fcur)) and np.abs(fcur).max() < tol:
@@ -243,13 +294,7 @@ def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
 
     # --- final evaluation at the converged angles ---------------------------
     h, l = fan_trace(th)
-    rows = np.zeros((len(th), 7))
-    ok = np.zeros(len(th), bool)
-    for j in range(len(th)):
-        c = _crossings(h[:, j], l[j], xr[j])
-        if len(c):
-            rows[j] = pick(c, j)
-            ok[j] = True
+    rows, ok = _pick_crossings(h, l, xr, ordk)
     y_err = np.where(ok, rows[:, _Y] - yr, np.inf)
     n0, _ = medium.n_and_grad(source[0], source[1])
     n0 = np.full(len(th), float(np.asarray(n0)))

@@ -72,19 +72,6 @@ class Eigenrays3(NamedTuple):
         return Eigenrays3(*[np.asarray(f)[m] for f in self])
 
 
-def _crossings3(hist: np.ndarray, last: int, xr: float):
-    """(m, C) interpolated crossing rows of the range plane ``x == xr``."""
-    x = hist[: last + 1, _X]
-    d = x - xr
-    hit = np.where(d[:-1] * d[1:] < 0)[0]
-    if hit.size == 0:
-        return np.empty((0, hist.shape[1]))
-    frac = (d[hit] / (x[hit] - x[hit + 1]))[:, None]
-    out = hist[hit] + frac * (hist[hit + 1] - hist[hit])
-    out[:, _KMAH] = hist[hit, _KMAH]
-    return out
-
-
 def _grid_dirs(center, a, b):
     import jax.numpy as jnp
     u0 = np.asarray(center, np.float64)
@@ -107,6 +94,30 @@ def find_eigenrays3(method: str, medium, *, source, receivers, delta_s,
     receiver).  See the module docstring for the algorithm and its
     resolution caveats.
     """
+    import contextlib
+
+    import jax
+
+    # host-side solve over short fan traces with full-history readbacks:
+    # route to the CPU backend when the default is a remote TPU (same
+    # rationale and scoping as engine/eigenray.find_eigenrays)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        dev = (contextlib.nullcontext() if jax.default_backend() == "cpu"
+               else jax.default_device(cpu))
+    except RuntimeError:
+        dev = contextlib.nullcontext()
+    with dev:
+        return _find_eigenrays3(method, medium, source=source,
+                                receivers=receivers, delta_s=delta_s,
+                                max_size=max_size, box=box,
+                                center_dir=center_dir, fan=fan, iters=iters,
+                                tol=tol)
+
+
+def _find_eigenrays3(method, medium, *, source, receivers, delta_s,
+                     max_size, box, center_dir, fan, iters,
+                     tol) -> Eigenrays3:
     source = np.asarray(source, np.float64)
     receivers = np.atleast_2d(np.asarray(receivers, np.float64))
     if center_dir is None:
@@ -128,29 +139,30 @@ def find_eigenrays3(method: str, medium, *, source, receivers, delta_s,
 
     hist, last = run(dirs_flat, full=False)
 
-    # --- seed scan: grid-local minima of the miss per (receiver, ordinal)
+    # --- seed scan: grid-local minima of the miss per (receiver, ordinal),
+    # vectorized per unique range (engine/eigenray.py shares the crossing
+    # machinery): one numpy pass serves every receiver at that range and
+    # every ordinal at once, so full 3-D receiver grids stay cheap.
+    from raytracing_tpu.engine.eigenray import _crossing_vals
+
     cand_dir, cand_rec, cand_ord = [], [], []
-    for ri, (xr, yr, zr) in enumerate(receivers):
-        per_ray = [_crossings3(hist[:, r], int(last[r]), xr)
-                   for r in range(hist.shape[1])]
-        k_max = max((len(c) for c in per_ray), default=0)
-        for k in range(k_max):
-            m2 = np.full((int(n_a), int(n_b)), np.inf)
-            for r, c in enumerate(per_ray):
-                if k < len(c):
-                    m2[np.unravel_index(r, (int(n_a), int(n_b)))] = (
-                        (c[k, _Y] - yr) ** 2 + (c[k, _Z] - zr) ** 2)
+    uniq_xr, xr_inv = np.unique(receivers[:, 0], return_inverse=True)
+    for ui, xru in enumerate(uniq_xr):
+        yz = _crossing_vals(hist, last, xru, (_Y, _Z), _X)
+        yz = yz.reshape(int(n_a), int(n_b), -1, 2)   # fan grid x ordinal
+        for ri in np.where(xr_inv == ui)[0]:
+            m2 = ((yz[..., 0] - receivers[ri, 1]) ** 2
+                  + (yz[..., 1] - receivers[ri, 2]) ** 2)
+            m2 = np.where(np.isnan(m2), np.inf, m2)
             # interior nodes beating their 4-neighborhood seed a candidate
-            for i in range(1, int(n_a) - 1):
-                for j in range(1, int(n_b) - 1):
-                    v = m2[i, j]
-                    if not np.isfinite(v):
-                        continue
-                    if (v <= m2[i - 1, j] and v <= m2[i + 1, j]
-                            and v <= m2[i, j - 1] and v <= m2[i, j + 1]):
-                        cand_dir.append(dirs[i, j])
-                        cand_rec.append(ri)
-                        cand_ord.append(k)
+            c = m2[1:-1, 1:-1]
+            is_min = (np.isfinite(c)
+                      & (c <= m2[:-2, 1:-1]) & (c <= m2[2:, 1:-1])
+                      & (c <= m2[1:-1, :-2]) & (c <= m2[1:-1, 2:]))
+            ii, jj, kk = np.nonzero(is_min)
+            cand_dir.extend(dirs[ii + 1, jj + 1])
+            cand_rec.extend([ri] * len(ii))
+            cand_ord.extend(kk)
     if not cand_dir:
         z = np.empty(0)
         zi = np.empty(0, np.int32)
@@ -163,44 +175,45 @@ def find_eigenrays3(method: str, medium, *, source, receivers, delta_s,
     xr = receivers[rec, 0]
     tgt = receivers[rec, 1:3]
 
-    def pick(c, j):
-        # follow the candidate's seeded crossing ORDINAL (each ordinal is
-        # its own landing surface); nearest-miss picking could hop to a
-        # different crossing of a looping path mid-polish —
-        # engine/eigenray.py has the same rule
-        return c[min(int(ordk[j]), len(c) - 1)]
-
     # --- damped Gauss-Newton, all candidates in one trace per iteration --
+    # (each candidate follows its seeded crossing ORDINAL — _pick_crossings
+    # in engine/eigenray.py, shared; nearest-miss picking could hop to a
+    # different crossing of a looping path mid-polish)
     import jax.numpy as jnp
+
+    from raytracing_tpu.engine.eigenray import _pick_crossings
+
     miss = np.full(len(u), np.inf)
     for _ in range(int(iters)):
         h, l = run(u, full=True)
-        delta = np.zeros((len(u), 2))
-        for j in range(len(u)):
-            c = _crossings3(h[:, j], int(l[j]), xr[j])
-            if len(c) == 0:
-                miss[j] = np.inf
-                continue
-            cj = pick(c, j)
-            m = cj[[_Y, _Z]] - tgt[j]
-            miss[j] = np.linalg.norm(m)
-            uc = cj[_U:_U + 3]
-            dpa = cj[_DPA:_DPA + 3]
-            dpb = cj[_DPB:_DPB + 3]
-            ux = uc[0] if abs(uc[0]) > 1e-9 else np.copysign(1e-9, uc[0])
-            M = np.array([
-                [dpa[1] - dpa[0] * uc[1] / ux, dpb[1] - dpb[0] * uc[1] / ux],
-                [dpa[2] - dpa[0] * uc[2] / ux, dpb[2] - dpb[0] * uc[2] / ux]])
-            det = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
-            if abs(det) > 1e-12 * (np.abs(M).max() ** 2 + 1e-30):
-                d = -np.linalg.solve(M, m)
-            else:               # near-caustic: damped gradient step
-                d = -M.T @ m / (np.sum(M * M) + 1e-30)
-            # clamp to one grid pitch: seeds are at most a cell away
-            nrm = np.linalg.norm(d)
-            if nrm > pitch:
-                d *= pitch / nrm
-            delta[j] = d
+        st, found = _pick_crossings(h, l, xr, ordk, _X, _KMAH)
+        m = st[:, [_Y, _Z]] - tgt                           # (J, 2)
+        miss = np.where(found, np.linalg.norm(m, axis=1), np.inf)
+        uc = st[:, _U:_U + 3]
+        dpa, dpb = st[:, _DPA:_DPA + 3], st[:, _DPB:_DPB + 3]
+        ux = np.where(np.abs(uc[:, 0]) > 1e-9, uc[:, 0],
+                      np.copysign(1e-9, uc[:, 0]))
+        m00 = dpa[:, 1] - dpa[:, 0] * uc[:, 1] / ux
+        m01 = dpb[:, 1] - dpb[:, 0] * uc[:, 1] / ux
+        m10 = dpa[:, 2] - dpa[:, 0] * uc[:, 2] / ux
+        m11 = dpb[:, 2] - dpb[:, 0] * uc[:, 2] / ux
+        det = m00 * m11 - m01 * m10
+        mmax = np.maximum(np.maximum(np.abs(m00), np.abs(m01)),
+                          np.maximum(np.abs(m10), np.abs(m11)))
+        newton_ok = np.abs(det) > 1e-12 * (mmax ** 2 + 1e-30)
+        safe_det = np.where(newton_ok, det, 1.0)
+        d_n = np.stack([-(m11 * m[:, 0] - m01 * m[:, 1]) / safe_det,
+                        -(m00 * m[:, 1] - m10 * m[:, 0]) / safe_det], 1)
+        # near-caustic: damped gradient step -M^T m / |M|^2
+        ss = m00 ** 2 + m01 ** 2 + m10 ** 2 + m11 ** 2 + 1e-30
+        d_g = np.stack([-(m00 * m[:, 0] + m10 * m[:, 1]) / ss,
+                        -(m01 * m[:, 0] + m11 * m[:, 1]) / ss], 1)
+        delta = np.where(found[:, None],
+                         np.where(newton_ok[:, None], d_n, d_g), 0.0)
+        # clamp to one grid pitch: seeds are at most a cell away
+        nrm = np.linalg.norm(delta, axis=1, keepdims=True)
+        delta = np.where(nrm > pitch, delta * (pitch / np.maximum(nrm, 1e-300)),
+                         delta)
         if np.nanmax(np.where(np.isinf(miss), np.nan, miss),
                      initial=0.0) < tol and np.all(np.isfinite(miss)):
             break
@@ -210,13 +223,7 @@ def find_eigenrays3(method: str, medium, *, source, receivers, delta_s,
 
     # --- final evaluation --------------------------------------------------
     h, l = run(u, full=True)
-    rows = np.zeros((len(u), h.shape[2]))
-    ok = np.zeros(len(u), bool)
-    for j in range(len(u)):
-        c = _crossings3(h[:, j], int(l[j]), xr[j])
-        if len(c):
-            rows[j] = pick(c, j)
-            ok[j] = True
+    rows, ok = _pick_crossings(h, l, xr, ordk, _X, _KMAH)
     miss = np.where(ok, np.linalg.norm(rows[:, [_Y, _Z]] - tgt, axis=1),
                     np.inf)
     n0, _ = medium.n_and_grad3(*(np.asarray(v) for v in source))

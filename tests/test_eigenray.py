@@ -104,3 +104,23 @@ def test_no_arrivals_is_empty_not_error():
                          fan=(0.0, 1.0, 16))
     assert len(eig.theta0) == 0
     assert np.isinf(incoherent_tl(eig, n_receivers=1)).all()
+
+
+def test_receiver_grid_matches_per_receiver_solves():
+    """The vectorized bracket scan (one crossing pass per unique range,
+    all receivers/ordinals at once) finds exactly the arrivals that
+    solving each receiver alone finds."""
+    grid = [(12.0, 0.0), (12.0, 0.4), (20.0, 0.0), (20.0, -0.3)]
+    kw = dict(delta_s=0.02, max_size=1500, box=(-1, 23, -1.5, 1.5),
+              fan=(-0.6, 0.6, 192))
+    eig = find_eigenrays("op6", _waveguide(), source=(0, 0),
+                         receivers=grid, **kw)
+    for i, rcv in enumerate(grid):
+        solo = find_eigenrays("op6", _waveguide(), source=(0, 0),
+                              receivers=[rcv], **kw)
+        mine = eig.for_receiver(i)
+        assert len(mine.theta0) == len(solo.theta0) > 0
+        np.testing.assert_allclose(np.sort(mine.theta0),
+                                   np.sort(solo.theta0), atol=1e-9)
+        np.testing.assert_allclose(np.sort(mine.traveltime),
+                                   np.sort(solo.traveltime), rtol=1e-9)
