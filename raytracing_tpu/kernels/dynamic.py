@@ -1,0 +1,341 @@
+"""Fused Pallas dynamic integrator: kinematics + paraxial tangent in VMEM.
+
+The dynamic tier (engine/dynamic.py) propagates d(state)/d(theta0) with
+``jax.jvp`` through the scan engine — exact, but scan-tier speed (~1 G
+ray-steps/s on-chip vs 24-42 G for the fused kinematic kernels).  ``jvp``
+does not cross ``pallas_call``, so the kernel tier needs the tangent
+recurrences written BY HAND.  This module is that: the closed-form
+directional derivative of each fused step map, carried per lane alongside
+the kinematic state, for the analytic fields x the smooth op subset
+(op1/op2/op6/op8 — the golden ops are excluded by design: their cost
+minimizer is piecewise constant in theta0, so their true tangent is zero
+almost everywhere, engine/dynamic.py "Solver caveat").
+
+What rides in the carry per ray (beyond kernels/fused.py's):
+
+* ``dpx, dpy`` — d(pos)/d(theta0), the paraxial position tangent;
+* ``dth``     — d(angle)/d(theta0).  The unit tangent's derivative is
+  recovered as ``du = dth * u_perp`` (u_perp = (-uy, ux)) — one scalar
+  instead of a 2-vector, and the normalization constraint u.du = 0 holds
+  by construction;
+* ``sgn, kmah`` — running sign of the transverse spreading
+  ``q = dpos . u_perp`` and the KMAH caustic count (f32 lanes: Mosaic
+  cannot carry i1/i32 through scf.for, kernels/fused.py convention).
+
+The recurrences need the field's HESSIAN (d(grad n) = H . dpos), which the
+kinematic kernels never touch; ``_field_fn_h`` extends the inlined
+analytic fields with their closed-form second derivatives — the quantity
+the reference scaffolds as bicubic Hessian splines and never uses
+(RT_bench.py:459-462, its only dead code).
+
+Tangent maps, derived from kernels/fused.py's step algebra (same symbols):
+
+* 1st-order position (op1/op2):  D = u ds
+      dD = dth * u_perp * ds
+* 2nd-order position (op6/op8):  D = u ds + t ds^2/(2n),  t = g - (g.u)u
+      dt = dg - ((dg.u) + (g.du)) u - (g.u) du
+      dD = du ds + (dt / (2n) - t dn / (2n^2)) ds^2
+  with dn = g . dpos, dg = H . dpos, du = dth u_perp.
+* momentum-impulse angle (op1/op8):  s = n u + (g + g2) ds/2, u' = s/|s|
+      dth' = (ds_vec . u'_perp) / |s|
+      ds_vec = dn u + n du + (dg + dg2) ds/2
+  (the component of ds_vec along u' cancels in the normalization).
+* RK2 angle (op2/op6):  k1 = ds (u x g)/n, u1 = rot(u, k1),
+  k2 = ds (u1 x g2)/n2, u' = rot(u, (k1+k2)/2)
+      dk1 = ds [ (du x g + u x dg)/n - (u x g) dn/n^2 ]
+      du1 = (dth + dk1) u1_perp
+      dk2 = ds [ (du1 x g2 + u1 x dg2)/n2 - (u1 x g2) dn2/n2^2 ]
+      dth' = dth + (dk1 + dk2)/2
+  where a x b = ax by - ay bx and u_perp x g = -(u . g).
+
+Launch tangent: the source point is FIXED (dpos0 = 0, dth0 = 1) — the
+point-source paraxial basis, same as engine/dynamic.py's jvp of launch.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracing_tpu.config import THCK_PARAM
+
+LANES = 128
+
+#: analytic fields with inlined Hessians
+DYN_FUSED_FIELDS = ("fisheye", "vert_heterogeneous", "interface")
+#: smooth fused ops whose hand tangent is implemented
+DYN_FUSED_OPS = ("op1", "op2", "op6", "op8")
+
+_SQRT2 = 1.4142135623730951
+
+
+def _field_fn_h(field: str):
+    """n, grad n AND the Hessian of n, inlined (media/fields.py twins).
+
+    Returns ``f(x, y) -> (n, gx, gy, hxx, hxy, hyy)`` with closed-form
+    second derivatives — checked against jax.hessian of the field in
+    tests/test_dynamic_kernel.py.
+    """
+    if field == "fisheye":
+        def f(x, y):
+            n = 1.0 / (1.0 + x * x + y * y)
+            n2 = n * n
+            c = -2.0 * n2
+            n3_8 = 8.0 * n2 * n
+            return (n, c * x, c * y,
+                    c + n3_8 * x * x, n3_8 * x * y, c + n3_8 * y * y)
+    elif field == "vert_heterogeneous":
+        def f(x, y):
+            n = 1.0 / (18.0 + 2.0 * y)
+            zero = jnp.zeros_like(x)
+            n2 = n * n
+            return n, zero, -2.0 * n2, zero, zero, 8.0 * n2 * n
+    else:  # interface
+        def f(x, y):
+            sig = 1.0 / (1.0 + jnp.exp(-y / THCK_PARAM))
+            n = _SQRT2 - (_SQRT2 - 1.0) * sig
+            zero = jnp.zeros_like(x)
+            d = sig * (1.0 - sig)
+            gy = -(_SQRT2 - 1.0) * d / THCK_PARAM
+            hyy = (-(_SQRT2 - 1.0) * d * (1.0 - 2.0 * sig)
+                   / (THCK_PARAM * THCK_PARAM))
+            return n, zero, gy, zero, zero, hyy
+    return f
+
+
+def _make_dynamic_kernel(field: str, op: str, steps: int, box):
+    """Build the fused dynamic step kernel (kernels/fused.py structure)."""
+    nag = _field_fn_h(field)
+    second_order = op in ("op6", "op8")
+    rk2 = op in ("op2", "op6")
+    limx_i, limx_s, limy_i, limy_s = [float(v) for v in box]
+
+    def kernel(*refs):
+        (x_ref, y_ref, ux_ref, uy_ref, zero_ref, ds_ref), out_refs = \
+            refs[:6], refs[6:]
+        x, y = x_ref[...], y_ref[...]
+        ux, uy = ux_ref[...], uy_ref[...]
+        zero = zero_ref[...]
+        ds = ds_ref[0]
+        limit = ds_ref[1]
+
+        def rot(ax, ay, d):
+            # degree-5 small-angle rotation (kernels/fused.py RK2 note)
+            d2 = d * d
+            s = d * (1.0 - d2 * (1.0 / 6.0) * (1.0 - d2 * 0.05))
+            c = 1.0 - d2 * 0.5 * (1.0 - d2 * (1.0 / 12.0))
+            return ax * c - ay * s, ax * s + ay * c
+
+        def body(i, carry):
+            in_limit = i.astype(jnp.float32) < limit
+            (x, y, cx, cy, ux, uy, n, gx, gy, hxx, hxy, hyy, tt, dsim,
+             active, dpx, dpy, dth, sgn, kmah) = carry
+
+            # tangent of the carried state at the step's start
+            dn = gx * dpx + gy * dpy
+            dgx = hxx * dpx + hxy * dpy
+            dgy = hxy * dpx + hyy * dpy
+            # du = dth * u_perp
+            dux = -dth * uy
+            duy = dth * ux
+
+            # -- position advance + its tangent ---------------------------
+            if second_order:
+                gdotu = gx * ux + gy * uy
+                inv_n = 1.0 / n
+                half_fac = ds * ds * 0.5 * inv_n
+                txx = gx - gdotu * ux
+                txy = gy - gdotu * uy
+                ddx = ux * ds + txx * half_fac
+                ddy = uy * ds + txy * half_fac
+                dgdotu = dgx * ux + dgy * uy + gx * dux + gy * duy
+                dtx = dgx - dgdotu * ux - gdotu * dux
+                dty = dgy - dgdotu * uy - gdotu * duy
+                ddpx = (dux * ds
+                        + (dtx - txx * dn * inv_n) * half_fac)
+                ddpy = (duy * ds
+                        + (dty - txy * dn * inv_n) * half_fac)
+            else:
+                ddx = ux * ds
+                ddy = uy * ds
+                ddpx = dux * ds
+                ddpy = duy * ds
+            # Kahan on the primal positions only: the tangents are smooth
+            # O(q) quantities whose own roundoff never reaches the primal
+            dx = ddx - cx
+            nx2 = x + dx
+            cx2 = (nx2 - x) - dx
+            dy = ddy - cy
+            ny2 = y + dy
+            cy2 = (ny2 - y) - dy
+            dpx2 = dpx + ddpx
+            dpy2 = dpy + ddpy
+
+            n2, gx2, gy2, hxx2, hxy2, hyy2 = nag(nx2, ny2)
+            dn2 = gx2 * dpx2 + gy2 * dpy2
+            dgx2 = hxx2 * dpx2 + hxy2 * dpy2
+            dgy2 = hxy2 * dpx2 + hyy2 * dpy2
+
+            # -- angle update + its tangent -------------------------------
+            if rk2:
+                inv_n = 1.0 / n
+                inv_n2 = 1.0 / n2
+                cross1 = ux * gy - uy * gx
+                k1 = ds * cross1 * inv_n
+                ux1, uy1 = rot(ux, uy, k1)
+                cross2 = ux1 * gy2 - uy1 * gx2
+                k2 = ds * cross2 * inv_n2
+                nux, nuy = rot(ux, uy, (k1 + k2) * 0.5)
+                # tangent: du x g = -dth (u.g); u x dg elementwise
+                dcross1 = (-dth * (ux * gx + uy * gy)
+                           + ux * dgy - uy * dgx)
+                dk1 = ds * (dcross1 - cross1 * dn * inv_n) * inv_n
+                dth1 = dth + dk1
+                dcross2 = (-dth1 * (ux1 * gx2 + uy1 * gy2)
+                           + ux1 * dgy2 - uy1 * dgx2)
+                dk2 = ds * (dcross2 - cross2 * dn2 * inv_n2) * inv_n2
+                ndth = dth + (dk1 + dk2) * 0.5
+            else:
+                half = ds * 0.5
+                sx = n * ux + (gx + gx2) * half
+                sy = n * uy + (gy + gy2) * half
+                inv = jax.lax.rsqrt(sx * sx + sy * sy)
+                nux = sx * inv
+                nuy = sy * inv
+                dsx = dn * ux + n * dux + (dgx + dgx2) * half
+                dsy = dn * uy + n * duy + (dgy + dgy2) * half
+                # dth' = (ds_vec . u'_perp) |s|^-1
+                ndth = (dsx * (-nuy) + dsy * nux) * inv
+
+            if second_order:
+                dist = jnp.sqrt(ddx * ddx + ddy * ddy)
+                ntt = tt + dist * (n + n2) * 0.5
+                ndsim = dsim + dist
+            else:
+                ntt = tt + ds * (n + n2) * 0.5
+                ndsim = dsim + ds
+
+            # -- caustic bookkeeping (engine/dynamic.py body) -------------
+            q2 = dpx2 * (-nuy) + dpy2 * nux
+            s_new = jnp.sign(q2)
+
+            out = ((nx2 > limx_s) | (nx2 < limx_i)
+                   | (ny2 > limy_s) | (ny2 < limy_i))
+            keep = (active > 0.5) & in_limit
+
+            flip = keep & (sgn != 0.0) & (s_new != 0.0) & (s_new != sgn)
+            nkmah = kmah + jnp.where(flip, 1.0, 0.0)
+            nsgn = jnp.where(keep & (s_new != 0.0), s_new, sgn)
+
+            def sel(new, old):
+                return jnp.where(keep, new, old)
+
+            nactive = jnp.where(keep & out, zero, active)
+            return (sel(nx2, x), sel(ny2, y), sel(cx2, cx), sel(cy2, cy),
+                    sel(nux, ux), sel(nuy, uy), sel(n2, n), sel(gx2, gx),
+                    sel(gy2, gy), sel(hxx2, hxx), sel(hxy2, hxy),
+                    sel(hyy2, hyy), sel(ntt, tt), sel(ndsim, dsim),
+                    nactive, sel(dpx2, dpx), sel(dpy2, dpy),
+                    sel(ndth, dth), nsgn, nkmah)
+
+        n, gx, gy, hxx, hxy, hyy = nag(x, y)
+        carry0 = (x, y, zero, zero, ux, uy, n, gx, gy, hxx, hxy, hyy,
+                  zero, zero, zero + 1.0,
+                  zero, zero, zero + 1.0, zero, zero)
+        final = jax.lax.fori_loop(0, steps, body, carry0)
+        (fx, fy, _, _, fux, fuy, fn, _, _, _, _, _, ftt, fdsim, fact,
+         fdpx, fdpy, fdth, _, fkmah) = final
+        outs = (fx, fy, fux, fuy, fn, ftt, fdsim, fact, fdpx, fdpy,
+                fdth, fkmah)
+        for ref, val in zip(out_refs, outs):
+            ref[...] = val
+
+    return kernel
+
+
+class DynFinal(NamedTuple):
+    """Final kinematic + paraxial state of a fused dynamic run."""
+
+    pos: Any          # (R, 2)
+    tangent: Any      # (R, 2) unit tangent (cos/sin of the exit angle)
+    n: Any            # (R,)   index at the final position
+    traveltime: Any   # (R,)
+    dist_sim: Any     # (R,)
+    active: Any       # (R,) bool
+    q: Any            # (R,)   transverse spreading dpos . u_perp
+    dtheta: Any       # (R,)   d(angle)/d(theta0)
+    kmah: Any         # (R,) int32 caustic count
+
+    def amplitude(self, n0):
+        from raytracing_tpu.engine.dynamic import spreading_amplitude
+        return spreading_amplitude(self.q, self.n, n0)
+
+
+@functools.partial(jax.jit, static_argnames=("field", "op", "steps", "box",
+                                             "block_rays", "interpret"))
+def dynamic_trace_final(pos0, theta0, delta_s, *, field: str, op: str,
+                        steps: int, box, block_rays: int = 4096,
+                        interpret: bool = False,
+                        step_limit=None) -> DynFinal:
+    """Fused dynamic trace: kinematics + exact-map paraxial tangent.
+
+    Same launch contract as :func:`kernels.fused.fused_trace_final`; the
+    result adds ``q``/``dtheta``/``kmah``, from which
+    :func:`engine.dynamic.spreading_amplitude` and
+    :func:`engine.dynamic.transmission_loss_db` derive the point-source
+    field per ray.  The scan tier (:func:`engine.dynamic.trace_dynamic`)
+    remains the history-mode / sampled-media / custom-field path; this
+    kernel is the million-ray metrics engine for the analytic fields.
+    """
+    if field not in DYN_FUSED_FIELDS:
+        raise ValueError(f"dynamic kernel supports fields {DYN_FUSED_FIELDS},"
+                         f" got {field!r}")
+    if op not in DYN_FUSED_OPS:
+        raise ValueError(
+            f"dynamic kernel supports ops {DYN_FUSED_OPS} (the golden ops' "
+            f"tangent is zero a.e. — engine/dynamic.py), got {op!r}")
+    r = pos0.shape[0]
+    if r % block_rays:
+        raise ValueError(f"rays {r} not a multiple of block {block_rays}")
+    rows = block_rays // LANES
+    shape2 = (r // LANES, LANES)
+    x = pos0[:, 0].reshape(shape2)
+    y = pos0[:, 1].reshape(shape2)
+    ux = jnp.cos(theta0).reshape(shape2)
+    uy = jnp.sin(theta0).reshape(shape2)
+    if step_limit is None:
+        step_limit = steps
+    ds = jnp.stack([jnp.asarray(delta_s, jnp.float32),
+                    jnp.asarray(step_limit, jnp.float32)])
+    kernel = _make_dynamic_kernel(field, op, steps, box)
+    blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(r // block_rays,),
+        in_specs=[blk, blk, blk, blk, blk,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[blk] * 12,
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 12,
+        cost_estimate=pl.CostEstimate(
+            flops=160 * r * steps, bytes_accessed=20 * 4 * r,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, y, ux, uy, jnp.zeros(shape2, jnp.float32), ds)
+    (fx, fy, fux, fuy, fn, tt, dsim, act, dpx, dpy, dth, kmah) = outs
+    # q from the carried tangent and the exit direction (engine/dynamic.py
+    # computes the same contraction after its scan)
+    q = (dpx.reshape(-1) * (-fuy.reshape(-1))
+         + dpy.reshape(-1) * fux.reshape(-1))
+    return DynFinal(
+        pos=jnp.stack([fx.reshape(-1), fy.reshape(-1)], axis=-1),
+        tangent=jnp.stack([fux.reshape(-1), fuy.reshape(-1)], axis=-1),
+        n=fn.reshape(-1), traveltime=tt.reshape(-1),
+        dist_sim=dsim.reshape(-1), active=act.reshape(-1) > 0.5, q=q,
+        dtheta=dth.reshape(-1),
+        kmah=kmah.reshape(-1).astype(jnp.int32))

@@ -21,14 +21,34 @@ _SQRT2 = 1.4142135623730951
 
 
 # -- Sharp interface: sigmoid in y (RT_bench.py:106-108) --------------------
+def _sigmoid(t):
+    """Overflow-safe logistic 1/(1 + e^-t), jvp-safe in float32.
+
+    The reference's literal form (RT_bench.py:107) computes ``e^-t`` which
+    overflows float32 for t < ~ -88 — only |y| > 0.44 at THCK_PARAM =
+    0.005, where the PRIMAL still rounds correctly (1/inf = 0) but any
+    tangent through it is inf/inf = NaN, which silently poisoned f32
+    dynamic/diff traces of the interface scenario.  Both branches here
+    exponentiate ``-|t|`` (never overflows); the t >= 0 branch is the
+    reference's expression verbatim, so f64 parity is bit-identical on
+    the refracting side and within one ulp below.
+    """
+    # -|t| via a select of inputs, not jnp.abs: abs's jvp has a zero
+    # "derivative" at t == 0, which would zero the sigmoid's tangent right
+    # on the interface midline; the select's jvp picks a branch instead
+    pos = t >= 0
+    e = jnp.exp(jnp.where(pos, -t, t))
+    return jnp.where(pos, 1.0 / (1.0 + e), e / (1.0 + e))
+
+
 def interface(x, y):
     """n = sqrt(2) - (sqrt(2)-1) / (1 + exp(-y/THCK_PARAM))."""
-    return _SQRT2 - (_SQRT2 - 1.0) / (1.0 + jnp.exp(-y / THCK_PARAM))
+    return _SQRT2 - (_SQRT2 - 1.0) * _sigmoid(y / THCK_PARAM)
 
 
 def interface_grad(x, y):
     """Closed-form (dn/dx, dn/dy) of :func:`interface`."""
-    sig = 1.0 / (1.0 + jnp.exp(-y / THCK_PARAM))
+    sig = _sigmoid(y / THCK_PARAM)
     dndy = -(_SQRT2 - 1.0) * sig * (1.0 - sig) / THCK_PARAM
     return jnp.zeros_like(dndy), dndy
 
