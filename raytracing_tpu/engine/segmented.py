@@ -1035,7 +1035,7 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
                      sort: bool = True, gamma: float = 1.0,
                      mesh=None, gold_schedule: tuple | None = None,
                      row_windows: bool | None = None,
-                     oriented: bool = False) -> FusedFinal:
+                     oriented: bool = True) -> FusedFinal:
     """Production-tier tracing through a 2-D sampled-spline medium.
 
     The block-shared-window successor to :func:`grid_trace`: rays are
@@ -1057,6 +1057,18 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
     coarse calibrated divisors (1.7 vs 3.0 G, 0.14 vs 0.44 G: the per-row
     refresh's 128x window count dominates its per-step gather saving), so
     it is kept as an experiment knob, not the default.
+
+    ``oriented`` (default True) lets every block pick, per refresh, the
+    RECTANGLE of its gather-chunk class — (4,32)...(32,4) at one chunk,
+    (8,32)/(16,16)/(32,8) at two — that best fits its bbox+drift, so
+    axis-dominated drift spends lane capacity along the motion instead of
+    escalating to the next chunk class.  The per-block width rides in the
+    SMEM bases row, so one compiled kernel serves every shape and
+    trajectories are BIT-IDENTICAL to square windows (tested).  Measured
+    on-chip (benchmarks/oriented_probe.py, 1M rays): 0.36 -> 0.60 G at
+    the reference's coarse divisor 303 and 2.94 -> 3.37 G at the
+    precision divisor 4587 — the auto ladder stays on cheaper chunk
+    classes longer.  ``oriented=False`` restores the square ladder.
 
     Unlike :func:`grid_trace` this has NO ``delta_s < cell`` restriction —
     the coarse calibrated fisheye divisors (278-325, RT_bench.py:1431-1450)
