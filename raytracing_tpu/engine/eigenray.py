@@ -140,11 +140,39 @@ def _pick_crossings(h: np.ndarray, last: np.ndarray, xr: np.ndarray,
     return out, found
 
 
+def _solve_device(on_host):
+    """Device scope for the host-coordinated eigenray solves.
+
+    ``on_host=None`` (the default) resolves from ``RT_EIGENRAY_ON_HOST``
+    (unset/1 = route to the CPU backend, 0 = keep the default backend).
+    The CPU route exists for remote-TPU backends, where the Newton
+    iterations' full-history readbacks are all tunnel round-trips and the
+    chip has no native f64 — but a LOCAL accelerator with fast f64 (a GPU)
+    is better served by its default backend, hence the opt-out.
+    """
+    import contextlib
+    import os
+
+    import jax
+
+    if on_host is None:
+        on_host = os.environ.get("RT_EIGENRAY_ON_HOST", "1") != "0"
+    if not on_host:
+        return contextlib.nullcontext()
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        return (contextlib.nullcontext()
+                if jax.default_backend() == "cpu"
+                else jax.default_device(cpu))
+    except RuntimeError:
+        return contextlib.nullcontext()
+
+
 def find_eigenrays(op_name: str, medium, *, source, receivers, delta_s,
                    max_size: int, box, fan=(0.0, np.pi / 2, 256),
                    gamma: float = 1.0, dtype=np.float64, iters: int = 12,
-                   tol: float = 1e-9, max_arrivals: int | None = None
-                   ) -> Eigenrays:
+                   tol: float = 1e-9, max_arrivals: int | None = None,
+                   on_host: bool | None = None) -> Eigenrays:
     """Find every fan-resolved ray path from ``source`` to each receiver.
 
     ``receivers`` is (K, 2); ``fan`` = (theta_lo, theta_hi, count) bounds
@@ -177,15 +205,10 @@ def find_eigenrays(op_name: str, medium, *, source, receivers, delta_s,
     # full histories read back each time.  On a remote TPU backend that is
     # all tunnel round-trips — and TPUs have no native f64, which eigenray
     # landing curves need (docstring above) — so the traces run on the host
-    # CPU backend whenever one exists.  Scoped: the production f32 dynamic
-    # tier (trace_dynamic on-mesh) is unaffected.
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-        dev = (contextlib.nullcontext() if jax.default_backend() == "cpu"
-               else jax.default_device(cpu))
-    except RuntimeError:
-        dev = contextlib.nullcontext()
-    with x64, dev:
+    # CPU backend by default (opt out via on_host=False or
+    # RT_EIGENRAY_ON_HOST=0 for local accelerators with fast f64).  Scoped:
+    # the production f32 dynamic tier (trace_dynamic on-mesh) is unaffected.
+    with x64, _solve_device(on_host):
         return _find_eigenrays(op_name, medium, source=source,
                                receivers=receivers, delta_s=delta_s,
                                max_size=max_size, box=box, fan=fan,

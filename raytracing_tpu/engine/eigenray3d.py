@@ -86,7 +86,8 @@ def _grid_dirs(center, a, b):
 def find_eigenrays3(method: str, medium, *, source, receivers, delta_s,
                     max_size: int, box=None, center_dir=None,
                     fan=(-0.3, 0.3, 25, -0.3, 0.3, 25), iters: int = 12,
-                    tol: float = 1e-9) -> Eigenrays3:
+                    tol: float = 1e-9,
+                    on_host: bool | None = None) -> Eigenrays3:
     """Every fan-resolved 3-D ray path from ``source`` to each receiver.
 
     ``fan`` = (a_lo, a_hi, n_a, b_lo, b_hi, n_b): the launch-direction
@@ -94,20 +95,13 @@ def find_eigenrays3(method: str, medium, *, source, receivers, delta_s,
     receiver).  See the module docstring for the algorithm and its
     resolution caveats.
     """
-    import contextlib
-
-    import jax
+    from raytracing_tpu.engine.eigenray import _solve_device
 
     # host-side solve over short fan traces with full-history readbacks:
     # route to the CPU backend when the default is a remote TPU (same
-    # rationale and scoping as engine/eigenray.find_eigenrays)
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-        dev = (contextlib.nullcontext() if jax.default_backend() == "cpu"
-               else jax.default_device(cpu))
-    except RuntimeError:
-        dev = contextlib.nullcontext()
-    with dev:
+    # rationale, scoping, and on_host/RT_EIGENRAY_ON_HOST opt-out as
+    # engine/eigenray.find_eigenrays)
+    with _solve_device(on_host):
         return _find_eigenrays3(method, medium, source=source,
                                 receivers=receivers, delta_s=delta_s,
                                 max_size=max_size, box=box,

@@ -63,6 +63,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from raytracing_tpu.config import THCK_PARAM
+from raytracing_tpu.media.fields import _sigmoid
 
 LANES = 128
 
@@ -97,7 +98,12 @@ def _field_fn_h(field: str):
             return n, zero, -2.0 * n2, zero, zero, 8.0 * n2 * n
     else:  # interface
         def f(x, y):
-            sig = 1.0 / (1.0 + jnp.exp(-y / THCK_PARAM))
+            # overflow-safe two-branch logistic (media/fields._sigmoid):
+            # the literal 1/(1+exp(-t)) overflows f32 for t < ~-88, and
+            # while the hand-derived tangent here never jvp's through it,
+            # anyone autodiffing or copying this helper would inherit the
+            # inf/inf NaN the fields module already fixed (PARITY.md #30)
+            sig = _sigmoid(y / THCK_PARAM)
             n = _SQRT2 - (_SQRT2 - 1.0) * sig
             zero = jnp.zeros_like(x)
             d = sig * (1.0 - sig)
@@ -324,7 +330,9 @@ def dynamic_trace_final(pos0, theta0, delta_s, *, field: str, op: str,
         out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 12,
         cost_estimate=pl.CostEstimate(
             flops=160 * r * steps, bytes_accessed=20 * 4 * r,
-            transcendentals=0),
+            # the rational fields are transcendental-free; interface pays
+            # one exp per ray-step (the VPU cost ceiling, CLAUDE.md)
+            transcendentals=r * steps if field == "interface" else 0),
         interpret=interpret,
     )(x, y, ux, uy, jnp.zeros(shape2, jnp.float32), ds)
     (fx, fy, fux, fuy, fn, tt, dsim, act, dpx, dpy, dth, kmah) = outs
