@@ -867,7 +867,7 @@ def _tiled_sweep_segments(state, nodes3d, scal, n_seg, *, op, segment, box,
     tile_spec = pl.BlockSpec((1, n_ch, LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     base_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    n_state = 9
+    n_state, _ = _state_layout(op, False)   # 9, +4 op7 window comps
     call = pl.pallas_call(
         kernel,
         grid=(nblocks,),
@@ -930,12 +930,10 @@ def grid_sweep_tiled(op: str, pos0, theta0, delta_s, step_limits, medium, *,
     if not isinstance(medium, (HermiteGridMedium, C1GridMedium)):
         raise ValueError("grid_sweep_tiled needs a HermiteGridMedium or "
                          "C1GridMedium")
-    if op not in FUSED_OPS or op == "op7":
-        # op7 carries a 4-component position window the batched kernel's
-        # n_state=9 layout does not provision (ADVICE r2 #1)
-        raise ValueError(f"grid_sweep_tiled supports {FUSED_OPS} minus op7 "
-                         "(op7 and golden candidates run per-candidate "
-                         f"through grid_trace_tiled), got {op!r}")
+    if op not in FUSED_OPS:
+        raise ValueError(f"grid_sweep_tiled supports {FUSED_OPS} (golden "
+                         "candidates run per-candidate through "
+                         f"grid_trace_tiled), got {op!r}")
     meta = (float(medium.x0), float(medium.y0), float(medium.inv_hx),
             float(medium.inv_hy), int(medium.nx), int(medium.ny))
     pitch = min(1.0 / meta[2], 1.0 / meta[3])
@@ -976,16 +974,12 @@ def grid_sweep_tiled(op: str, pos0, theta0, delta_s, step_limits, medium, *,
         segment = max(1, int((cap - 2) * 0.5 * pitch / ds_max))
         steps_max = int(step_limits[idx].max())
         nb = len(idx)
-        comps_pos = np.repeat(pos0[idx], block_rays, axis=0)
-        comps_th = np.repeat(theta0[idx], block_rays)
-        x = jnp.asarray(comps_pos[:, 0])
-        y = jnp.asarray(comps_pos[:, 1])
-        ux = jnp.cos(jnp.asarray(comps_th))
-        uy = jnp.sin(jnp.asarray(comps_th))
-        zeros = jnp.zeros(nb * block_rays, jnp.float32)
-        ones = jnp.ones(nb * block_rays, jnp.float32)
-        state = tuple(c.reshape(-1, LANES) for c in
-                      [x, y, ux, uy, zeros, zeros, zeros, zeros, ones])
+        comps_pos = jnp.asarray(np.repeat(pos0[idx], block_rays, axis=0))
+        comps_th = jnp.asarray(np.repeat(theta0[idx], block_rays))
+        # the shared resume layout — provisions op7's 4-comp window (MxSA,
+        # RT_bench.py:21-27, 626-650) exactly as grid_trace_tiled does
+        state = tuple(c.reshape(-1, LANES) for c in _initial_comps(
+            op, comps_pos, comps_th, with_stats=False))
         scal = jnp.asarray(
             np.stack([delta_s[idx], step_limits[idx],
                       np.zeros(nb, np.float32)], axis=-1))

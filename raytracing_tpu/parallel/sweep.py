@@ -197,11 +197,7 @@ def run_candidates_fused(op_name: str, scen: config.ScenarioConfig,
         ("mean_err", "max_err") if scen.is_interface else
         ("closure_pct",) if scen.is_fisheye else ("cv_pct",))}
 
-    if use_grid and op_name not in GOLDEN_OPS and op_name != "op7":
-        # op7's 4-component position window is provisioned by
-        # grid_trace_tiled but not by the batched sweep kernel's fixed
-        # n_state=9 layout — op7 (and the golden family) run per-candidate
-        # through grid_trace_tiled in the loop below instead (ADVICE r2 #1)
+    if use_grid and op_name not in GOLDEN_OPS:
         # batched: one candidate per kernel block, each with its own
         # (delta_s, limit) scalar row and its own window — the whole sweep
         # advances in ~max_steps/segment launches (engine/segmented.

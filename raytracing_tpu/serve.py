@@ -28,6 +28,11 @@ a dependency-free (stdlib http.server) JSON API over the fused-kernel tier:
                                 medium: travel time / amplitude / KMAH per
                                 multipath arrival + per-receiver TL
                                 (engine/eigenray.py)
+    POST /v1/eigenrays3      -> {"samples", "y", "source", "receivers",
+                                "delta_s", "steps", "fan", "omega"?} —
+                                the 3-D twin: two-angle Gauss-Newton
+                                arrivals through the lifted profile
+                                (engine/eigenray3d.py)
 
 Compiled executables are cached by (op, field, steps, block) through the
 jit caches underneath ``fast_trace``, so the first request per
@@ -586,6 +591,129 @@ def _trace3d_samples_request(body: dict) -> dict:
     return resp
 
 
+def _eigenrays3_request(body: dict) -> dict:
+    """3-D boundary-value arrivals through a POSTed measured profile.
+
+    The 3-D twin of ``/v1/eigenrays`` (engine/eigenray3d.py): the profile
+    lifts via Stratified3D exactly as /v1/trace3d_samples, the launch-
+    direction fan is a 2-D (alpha, beta) grid around ``center_dir``
+    (default: source -> mean receiver), and each arrival carries travel
+    time, |det Q| spherical amplitude, KMAH count and residual miss;
+    per-receiver incoherent (and, with ``omega``, coherent) TL reduce the
+    3-D arrivals through the same machinery as 2-D.
+    """
+    from raytracing_tpu.engine import eigenray as er
+    from raytracing_tpu.engine.eigenray3d import find_eigenrays3
+    from raytracing_tpu.engine.trace3d import canonical3
+    from raytracing_tpu.media.fields3d import Stratified3D
+    from raytracing_tpu.media.samples import medium_from_samples
+
+    family = str(body.get("family", "parity"))
+    if "samples" not in body:
+        raise ValueError("this endpoint needs 'samples' (a 1-D profile of "
+                         "refractive-index values) and its 'y' axis")
+    samples = _finite("samples", np.asarray(body["samples"], np.float64))
+    if samples.ndim != 1:
+        raise ValueError("3-D eigenrays lift 1-D PROFILES (n = n(y)); got "
+                         "2-D samples — use /v1/eigenrays for the planar "
+                         "pipeline")
+    if not 0 < samples.size <= MAX_SAMPLE_VALUES:
+        raise ValueError(f"samples size must be in [1, {MAX_SAMPLE_VALUES}],"
+                         f" got {samples.size}")
+    y = _finite("y", np.asarray(body.get("y", ()), np.float64))
+    with jax.enable_x64(True):    # f64 tables: eigenray landing-curve floor
+        medium2d, default_box, kind = medium_from_samples(
+            samples, None, y, family=family, dtype=np.float64)
+    medium = Stratified3D(medium2d)
+
+    method = canonical3(str(body.get("op", "op6")))
+    source = _finite("source", np.asarray(body.get("source", ()),
+                                          np.float64))
+    if source.shape != (3,):
+        raise ValueError(f"source must be [x, y, z], got {source.shape}")
+    receivers = _finite("receivers",
+                        np.atleast_2d(np.asarray(body.get("receivers", ()),
+                                                 np.float64)))
+    if receivers.ndim != 2 or receivers.shape[1] != 3 or \
+            not 1 <= len(receivers) <= MAX_RECEIVERS:
+        raise ValueError(f"receivers must be (k, 3) with k in "
+                         f"[1, {MAX_RECEIVERS}], got {receivers.shape}")
+    delta_s = float(body.get("delta_s", 0.0))
+    if not (np.isfinite(delta_s) and delta_s > 0):
+        raise ValueError(f"delta_s must be finite and > 0, got {delta_s}")
+    steps = int(body.get("steps", 0))
+    fan_spec = body.get("fan", {})
+    if not isinstance(fan_spec, dict):
+        raise ValueError("fan must be {'alpha': [lo, hi], 'beta': "
+                         "[lo, hi], 'count': [n_a, n_b]}")
+    al = np.asarray(fan_spec.get("alpha", (-0.3, 0.3)),
+                    np.float64).reshape(-1)
+    be = np.asarray(fan_spec.get("beta", (-0.3, 0.3)),
+                    np.float64).reshape(-1)
+    _finite("fan alpha", al)
+    _finite("fan beta", be)
+    if len(al) != 2 or not al[0] < al[1] or len(be) != 2 or \
+            not be[0] < be[1]:
+        raise ValueError("fan alpha/beta must each be [lo, hi] with "
+                         f"lo < hi, got {al} / {be}")
+    cnt = np.asarray(fan_spec.get("count", (25, 25)), np.int64).reshape(-1)
+    if len(cnt) != 2 or not np.all((4 <= cnt) & (cnt * cnt[::-1]
+                                                 <= MAX_FAN * MAX_FAN)):
+        raise ValueError(f"fan count must be [n_a, n_b] with n >= 4 and "
+                         f"n_a*n_b <= {MAX_FAN * MAX_FAN}, got {cnt}")
+    n_fan = int(cnt[0] * cnt[1])
+    if not 1 <= steps * n_fan <= MAX_EIGEN_ELEMS:
+        raise ValueError(
+            f"steps * fan grid size must be in [1, {MAX_EIGEN_ELEMS}] "
+            f"(f64 full-history memory bound), got {steps * n_fan}")
+    center = body.get("center_dir")
+    if center is not None:
+        center = _finite("center_dir", np.asarray(center, np.float64))
+        if center.shape != (3,) or not np.linalg.norm(center) > 0:
+            raise ValueError("center_dir must be a nonzero 3-vector")
+    box = body.get("box")
+    if box is not None:
+        box = tuple(float(v) for v in box)
+        if len(box) != 6 or not np.all(np.isfinite(box)):
+            raise ValueError(f"box must be 6 finite floats, got {box!r}")
+    else:
+        box = (-1e30, 1e30, default_box[2], default_box[3], -1e30, 1e30)
+    omega = body.get("omega")
+    if omega is not None and not (np.isfinite(float(omega))
+                                  and float(omega) > 0):
+        raise ValueError(f"omega must be finite and > 0, got {omega}")
+
+    t0 = time.perf_counter()
+    eig = find_eigenrays3(
+        method, medium, source=source, receivers=receivers,
+        delta_s=delta_s, max_size=steps, box=box, center_dir=center,
+        fan=(float(al[0]), float(al[1]), int(cnt[0]),
+             float(be[0]), float(be[1]), int(cnt[1])))
+    dt = time.perf_counter() - t0
+    k = len(receivers)
+    itl = er.incoherent_tl(eig, n_receivers=k)
+    resp = {
+        "op": method, "family": family, "medium_kind": f"{kind}-3d",
+        "delta_s": delta_s, "steps": steps,
+        "fan_count": [int(cnt[0]), int(cnt[1])],
+        "seconds": round(dt, 4),
+        "arrivals": [
+            {"receiver": int(r), "dir0": [float(v) for v in d],
+             "traveltime": float(tt), "amplitude": float(a),
+             "kmah": int(m), "miss": float(ms), "converged": bool(c)}
+            for r, d, tt, a, m, ms, c in zip(
+                eig.receiver, eig.dir0, eig.traveltime, eig.amplitude,
+                eig.kmah, eig.miss, eig.converged)],
+        "incoherent_tl_db": [None if not np.isfinite(v) else float(v)
+                             for v in itl],
+    }
+    if omega is not None:
+        ctl = er.coherent_tl(eig, float(omega), n_receivers=k)
+        resp["coherent_tl_db"] = [None if not np.isfinite(v) else float(v)
+                                  for v in ctl]
+    return resp
+
+
 class _Handler(BaseHTTPRequestHandler):
     def _send(self, code: int, payload: dict):
         data = json.dumps(payload).encode()
@@ -611,7 +739,8 @@ class _Handler(BaseHTTPRequestHandler):
                                            "/v1/trace", "/v1/trace_samples",
                                            "/v1/calibrate_samples",
                                            "/v1/eigenrays",
-                                           "/v1/trace3d_samples"]})
+                                           "/v1/trace3d_samples",
+                                           "/v1/eigenrays3"]})
         else:
             self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -619,6 +748,7 @@ class _Handler(BaseHTTPRequestHandler):
                     "/v1/trace_samples": _trace_samples_request,
                     "/v1/calibrate_samples": _calibrate_samples_request,
                     "/v1/eigenrays": _eigenrays_request,
+                    "/v1/eigenrays3": _eigenrays3_request,
                     "/v1/trace3d_samples": _trace3d_samples_request}
 
     def do_POST(self):

@@ -321,7 +321,7 @@ def test_fuzzed_payloads_never_5xx(server):
                                     replace=False)}
 
     endpoints = ["/v1/trace", "/v1/trace_samples", "/v1/calibrate_samples",
-                 "/v1/eigenrays", "/v1/trace3d_samples"]
+                 "/v1/eigenrays", "/v1/trace3d_samples", "/v1/eigenrays3"]
     for i in range(80):
         body = {k: rand_value()
                 for k in rng.choice(keys, rng.integers(0, 6), replace=False)}
@@ -414,6 +414,61 @@ def test_eigenrays_endpoint(server):
     assert len(body["incoherent_tl_db"]) == 2
     assert all(v is not None for v in body["incoherent_tl_db"])
     assert len(body["coherent_tl_db"]) == 2
+
+
+def test_eigenrays3_endpoint(server):
+    """3-D boundary-value arrivals (the /v1/eigenrays twin): a lifted
+    waveguide profile, a direction-grid fan, per-receiver TL."""
+    import numpy as np
+    y = np.linspace(-1.5, 1.5, 61)
+    col = 1.2 - 0.25 * y * y
+    req = {"samples": col.tolist(), "y": y.tolist(), "op": "op6",
+           "family": "c1", "delta_s": 0.02, "steps": 320,
+           "box": [-1.0, 10.0, -1.5, 1.5, -5.0, 5.0],
+           "source": [0.0, 0.0, 0.0],
+           "receivers": [[4.0, 0.0, 0.0], [4.0, 0.2, 0.1]],
+           "fan": {"alpha": [-0.35, 0.35], "beta": [-0.35, 0.35],
+                   "count": [17, 17]}, "omega": 40.0}
+    code, body = _post(server + "/v1/eigenrays3", req)
+    assert code == 200, body
+    assert body["medium_kind"] == "profile-3d"
+    assert body["fan_count"] == [17, 17]
+    arr = body["arrivals"]
+    assert len(arr) >= 2
+    assert {a["receiver"] for a in arr} == {0, 1}
+    assert all(a["converged"] for a in arr)
+    assert all(a["miss"] < 1e-6 for a in arr)
+    keys = [(a["receiver"], a["traveltime"]) for a in arr]
+    assert keys == sorted(keys)
+    assert len(body["incoherent_tl_db"]) == 2
+    assert all(v is not None for v in body["incoherent_tl_db"])
+    assert len(body["coherent_tl_db"]) == 2
+
+
+def test_eigenrays3_rejects_bad_shapes(server):
+    import numpy as np
+    y = np.linspace(-1.0, 1.0, 21)
+    base = {"samples": (1.2 - 0.1 * y * y).tolist(), "y": y.tolist(),
+            "delta_s": 0.05, "steps": 40, "source": [0.0, 0.0, 0.0],
+            "receivers": [[1.0, 0.0, 0.0]], "box": [-1, 2, -1, 1, -1, 1]}
+    code, body = _post(server + "/v1/eigenrays3",
+                       dict(base, source=[0.0, 0.0]))
+    assert code == 400 and "source" in body["error"]
+    code, body = _post(server + "/v1/eigenrays3",
+                       dict(base, receivers=[[1.0, 0.0]]))
+    assert code == 400 and "receivers" in body["error"]
+    code, body = _post(server + "/v1/eigenrays3",
+                       dict(base, fan={"alpha": [0.5, -0.5]}))
+    assert code == 400
+    # 2-D samples are the planar pipeline's job
+    code, body = _post(server + "/v1/eigenrays3",
+                       dict(base, samples=[[1.0, 1.1], [1.0, 1.1]]))
+    assert code == 400 and "PROFILES" in body["error"]
+    # budget bound: fan grid * steps capped
+    code, body = _post(server + "/v1/eigenrays3",
+                       dict(base, steps=100000,
+                            fan={"count": [64, 64]}))
+    assert code == 400 and "bound" in body["error"]
 
 
 def test_eigenrays_rejects_golden_and_bad_shapes(server):

@@ -264,11 +264,11 @@ def test_fused_sweep_aniso_golden_cv_matches_scan():
     np.testing.assert_allclose(fused["cv_pct"], scan["cv_pct"], atol=1e-3)
 
 
-def test_grid_sweep_rejects_op7_and_small_grids():
-    """ADVICE r2 #1/#3: the batched sweep kernel's fixed n_state layout
-    cannot carry op7's position window (named error, not a shape crash),
-    and window classes larger than the medium go to the fallback list
-    instead of slicing off the node table."""
+def test_grid_sweep_rejects_golden_and_small_grids():
+    """The batched sweep covers the smooth fused ops; golden candidates
+    raise a named error (not a shape crash), and window classes larger
+    than the medium go to the fallback list instead of slicing off the
+    node table (ADVICE r2 #3)."""
     import raytracing_tpu as rt
     from raytracing_tpu.engine.segmented import grid_sweep_tiled
     from raytracing_tpu.media.hermite import build_hermite_medium
@@ -281,8 +281,8 @@ def test_grid_sweep_rejects_op7_and_small_grids():
         1.0 / (1.0 + X ** 2 + Y ** 2), x, x, dtype=np.float32))
     pos = np.tile(np.array([[1.0, 0.0]], np.float32), (2, 1))
     th = np.full(2, np.pi / 2, np.float32)
-    with pytest.raises(ValueError, match="minus op7"):
-        grid_sweep_tiled("op7", pos, th, np.float32([0.1, 0.2]),
+    with pytest.raises(ValueError, match="golden"):
+        grid_sweep_tiled("op5", pos, th, np.float32([0.1, 0.2]),
                          np.float32([10, 10]), small, box=tuple(scen.box),
                          interpret=True)
     # 9-node grid (8 cells) fits no window class: every candidate falls back
@@ -293,10 +293,12 @@ def test_grid_sweep_rejects_op7_and_small_grids():
     assert np.all(np.isnan(final))
 
 
-def test_grid_sweep_op7_routes_per_candidate():
-    """run_candidates_fused('op7', grid medium) must route through
-    grid_trace_tiled per candidate (which provisions op7's window state)
-    instead of the batched kernel (ADVICE r2 #1)."""
+def test_grid_sweep_op7_batched():
+    """op7 (MxSA, a named algorithm of the paper, RT_bench.py:21-27,
+    626-650) calibrates on the sampled medium at batched-sweep speed: the
+    sweep layout provisions its 4-component position window (n_state=13)
+    exactly as grid_trace_tiled does, and the metric matches the scan-tier
+    sweep."""
     import raytracing_tpu as rt
     from raytracing_tpu.media.spline import build_grid_medium
     from raytracing_tpu.parallel.sweep import (run_candidates,
@@ -304,7 +306,7 @@ def test_grid_sweep_op7_routes_per_candidate():
 
     scen = rt.scenario("fisheye")
     gm = build_grid_medium("fisheye", scen.box, dtype=np.float32)
-    divs = np.array([60], np.int64)
+    divs = np.array([60, 200], np.int64)
     ds = (2 * np.pi / divs).astype(np.float32)
     sizes = 1 * divs
     g = run_candidates_fused("op7", scen, ds, sizes - 1,
