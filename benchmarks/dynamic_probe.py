@@ -52,6 +52,8 @@ def main(argv=None):
                          "canary (CLAUDE.md compile rules)")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU interpret-mode dry run of this script itself")
+    ap.add_argument("--strat", action="store_true",
+                    help="add the sampled-media (stratified-table) rows")
     args = ap.parse_args(argv)
     if args.tiny:
         args.rays, args.steps, args.ops = 1024, 16, "op6"
@@ -104,6 +106,65 @@ def main(argv=None):
             "dtheta_max_rel": float(np.abs(kd - rd).max()
                                     / max(float(np.abs(rd).max()), 1e-30)),
             "kmah_match": bool((kk == rk).all()),
+        }
+        print(json.dumps(out), flush=True)
+
+    if args.strat:
+        _strat_rows(args)
+
+
+def _strat_rows(args):
+    """Sampled-media dynamic rows: the strat kernel over both table
+    families (kernels/dynamic.dynamic_trace_final_strat) vs the scan
+    tier's jvp-through-the-gathered-spline, plus throughput."""
+    from raytracing_tpu import config
+    from raytracing_tpu.kernels.dynamic import dynamic_trace_final_strat
+    from raytracing_tpu.media.c1 import build_c1_stratified
+    from raytracing_tpu.media.spline import build_stratified_medium
+
+    r, steps = args.rays, args.steps
+    box = (-2.0, 25.0, -2.5, 1.0)
+    ds = np.float32(0.05)
+    theta_np = np.linspace(0.05, np.pi / 2 - 0.05, r).astype(np.float32)
+    theta0 = jax.device_put(theta_np)
+    pos0 = jax.device_put(np.tile(np.array([[0.0, -1.0]], np.float32),
+                                  (r, 1)))
+    scen = config.ScenarioConfig(
+        name="t", key="-", field="vert_heterogeneous", gamma=1.0,
+        ray_count=r, theta0=theta_np,
+        pos0=np.tile(np.array([0.0, -1.0], np.float32), (r, 1)),
+        s_max=0.0, box=box)
+    for family, build in (("parity", build_stratified_medium),
+                          ("c1", build_c1_stratified)):
+        med = build("vert_heterogeneous", box)
+        try:
+            cold, warm, res = _time(lambda: dynamic_trace_final_strat(
+                pos0, theta0, ds, med, op="op6", steps=steps, box=box,
+                block_rays=1024, interpret=args.interpret))
+        except Exception as e:
+            print(json.dumps({"op": "op6", "family": family, "error":
+                              f"{type(e).__name__}: {str(e)[:300]}"}),
+                  flush=True)
+            continue
+        sub = min(r, 4096)
+        idx = slice(0, r, max(1, r // sub))
+        ref = rt.trace_dynamic("op6", scen, med, delta_s=float(ds),
+                               mode="metrics", dtype=np.float32,
+                               pos0=np.asarray(pos0)[idx],
+                               theta0=theta_np[idx], max_size=steps + 1)
+        kq = np.asarray(res.q)[idx]
+        rq = np.asarray(ref.q)
+        out = {
+            "op": "op6", "family": family, "medium": "sampled-1d-tables",
+            "rays": r, "steps": steps,
+            "cold_s": round(cold, 2), "warm_s": round(warm, 4),
+            "gsteps_per_sec": round(r * steps / warm / 1e9, 3),
+            "pos_max_abs": float(np.abs(np.asarray(res.pos)[idx]
+                                        - np.asarray(ref.pos)).max()),
+            "q_max_rel": float(np.abs(kq - rq).max()
+                               / max(float(np.abs(rq).max()), 1e-30)),
+            "kmah_match": bool((np.asarray(res.kmah)[idx]
+                                == np.asarray(ref.kmah)).all()),
         }
         print(json.dumps(out), flush=True)
 

@@ -363,6 +363,83 @@ def fast_trace(op_name: str, scen: config.ScenarioConfig, medium, *,
                       mom_m2=None if mom[2] is None else mom[2][:r])
 
 
+def fast_dynamic(op_name: str, scen: config.ScenarioConfig, medium, *,
+                 delta_s, pos0, theta0, steps: int | None = None,
+                 divisor: int | None = None, n_turns: int = config.N_TURNS,
+                 block_rays: int = 4096, interpret: bool | None = None):
+    """Metrics-only DYNAMIC trace through the fastest available path.
+
+    The dynamic twin of :func:`fast_trace`: routes to the fused dynamic
+    kernel (kernels/dynamic.py — hand-derived paraxial tangents, ~6x the
+    scan tier on-chip) for the analytic fields and the sampled stratified
+    families, and falls back to the scan tier's exact jvp
+    (engine/dynamic.trace_dynamic) everywhere else (2-D grid media,
+    history mode callers use trace_dynamic directly).  Returns
+    ``(DynFinal, engine)`` with engine in {"dynamic-kernel",
+    "dynamic-kernel-strat", "dynamic-scan"}.
+
+    Golden/Newton ops are rejected by the kernels and meaningless on the
+    scan tier too (their tangent is zero a.e., engine/dynamic.py "Solver
+    caveat") — they fall through to the scan fallback so callers get the
+    same well-defined (if useless) jvp the scan tier gives.
+    """
+    from raytracing_tpu.engine.dynamic import trace_dynamic
+    from raytracing_tpu.kernels.dynamic import (
+        DYN_FUSED_FIELDS, DYN_FUSED_OPS, DynFinal, dynamic_trace_final,
+        dynamic_trace_final_strat)
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    block_rays = max(128, -(-int(block_rays) // 128) * 128)
+    op = canonical(op_name)
+    medium = compact_for_trace(medium, scen.box, delta_s)
+    if steps is None:
+        steps = scen.max_size(float(delta_s), divisor, n_turns) - 1
+
+    kernel = None
+    if op in DYN_FUSED_OPS:
+        if (isinstance(medium, AnalyticMedium)
+                and medium.field in DYN_FUSED_FIELDS):
+            kernel, eng = (
+                lambda p, t: dynamic_trace_final(
+                    p, t, jnp.float32(delta_s), field=medium.field, op=op,
+                    steps=int(steps), box=tuple(scen.box),
+                    block_rays=block_rays, interpret=interpret),
+                "dynamic-kernel")
+        elif isinstance(medium, (StratifiedGridMedium, C1StratifiedMedium)):
+            kernel, eng = (
+                lambda p, t: dynamic_trace_final_strat(
+                    p, t, jnp.float32(delta_s), medium, op=op,
+                    steps=int(steps), box=tuple(scen.box),
+                    block_rays=block_rays, interpret=interpret),
+                "dynamic-kernel-strat")
+    if kernel is not None:
+        r = len(theta0)
+        pad = (-r) % block_rays
+        pos0 = jnp.asarray(pos0, jnp.float32)
+        theta0 = jnp.asarray(theta0, jnp.float32)
+        if pad:
+            pos0 = jnp.concatenate([pos0, jnp.tile(pos0[-1:], (pad, 1))])
+            theta0 = jnp.concatenate([theta0, jnp.tile(theta0[-1:], pad)])
+        res = kernel(pos0, theta0)
+        if pad:
+            res = DynFinal(*(v[:r] for v in res))
+        return res, eng
+
+    d = trace_dynamic(op, scen, medium, delta_s=float(delta_s),
+                      mode="metrics", dtype=np.float32,
+                      pos0=jnp.asarray(pos0, jnp.float32),
+                      theta0=jnp.asarray(theta0, jnp.float32),
+                      max_size=int(steps) + 1,
+                      step_limit=int(steps))
+    tangent = jnp.stack([jnp.cos(d.angle), jnp.sin(d.angle)], axis=-1)
+    return (DynFinal(pos=d.pos, tangent=tangent, n=d.n,
+                     traveltime=d.traveltime, dist_sim=d.dist_sim,
+                     active=d.exit_step == int(steps), q=d.q,
+                     dtheta=d.dtheta, kmah=d.kmah),
+            "dynamic-scan")
+
+
 def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
                        delta_s, pos0, theta0, mesh, steps: int,
                        block_rays: int = 4096,

@@ -114,14 +114,78 @@ def _field_fn_h(field: str):
     return f
 
 
-def _make_dynamic_kernel(field: str, op: str, steps: int, box):
-    """Build the fused dynamic step kernel (kernels/fused.py structure)."""
-    nag = _field_fn_h(field)
+def _strat_nag_h(tables, y0: float, inv_hy: float, ny: int):
+    """n / grad / n-tangent / Hessian from VMEM 1-D cell tables.
+
+    The dynamic twin of :func:`kernels.fused._strat_nag` (same gather
+    layout — ``tables`` is the (C, NCH, rows, 128) VMEM value from
+    ``strat_tables``), extended with what the paraxial recurrences need:
+
+    * ``hyy`` — the exact in-cell second derivative of the evaluated
+      surface, i.e. the live form of the reference's dead Hessian splines
+      (RT_bench.py:459-462);
+    * ``(gnx, gny)`` — the derivative of the *n channel itself*, which for
+      the PARITY family (6 channels) differs from the ray-equation
+      gradient: n is the bilinear of Zy while g is a separate cubic
+      (media/spline.StratifiedGridMedium), so the scan tier's exact jvp
+      differentiates n as (Zy[i+1] - Zy[i]) * inv_hy.  The C1 family
+      (4 channels) is consistent by construction: gn == g.
+
+    Returns ``f(x, y) -> (n, gx, gy, gnx, gny, hxx, hxy, hyy)``.
+    """
+    nch = tables.shape[1]
+    chans = tables.shape[0]
+
+    def nag(x, y):
+        fy = jnp.clip((y - y0) * inv_hy, 0.0, float(ny - 1))
+        iy = jnp.minimum(jnp.floor(fy), float(ny - 2))
+        uy = fy - iy
+        ii = iy.astype(jnp.int32)
+        local = jnp.bitwise_and(ii, jnp.int32(LANES - 1))      # ii % 128
+        chunk = jnp.right_shift(ii, jnp.int32(7))              # ii // 128
+        vals = [jnp.zeros_like(y) for _ in range(chans)]
+        for k in range(nch):
+            hit = chunk == k
+            for c in range(chans):
+                g = jnp.take_along_axis(tables[c, k], local, axis=1)
+                vals[c] = jnp.where(hit, g, vals[c])
+        zero = jnp.zeros_like(x)
+        if chans == 4:
+            # C1: one cubic serves n, dn/dy AND d2n/dy2 (media/c1.py)
+            c0, c1, c2, c3 = vals
+            n = c0 + uy * (c1 + uy * (c2 + uy * c3))
+            gy = (c1 + uy * (2.0 * c2 + uy * 3.0 * c3)) * inv_hy
+            hyy = (2.0 * c2 + 6.0 * c3 * uy) * (inv_hy * inv_hy)
+            return n, zero, gy, zero, gy, zero, zero, hyy
+        # parity: bilinear n + cubic gy cells (gy already in physical
+        # units, media/spline.py:137 — only the chain rule d(uy)/dy
+        # = inv_hy enters its derivative)
+        zlo, zhi, c0, c1, c2, c3 = vals
+        n = (1.0 - uy) * zlo + uy * zhi
+        gy = c0 + uy * (c1 + uy * (c2 + uy * c3))
+        hyy = (c1 + uy * (2.0 * c2 + uy * 3.0 * c3)) * inv_hy
+        gny = (zhi - zlo) * inv_hy
+        return n, zero, gy, zero, gny, zero, zero, hyy
+
+    return nag
+
+
+def _make_dynamic_kernel(field: str, op: str, steps: int, box, strat=None):
+    """Build the fused dynamic step kernel (kernels/fused.py structure).
+
+    ``strat`` = (y0, inv_hy, ny) switches the field evaluation from the
+    inlined analytic Hessian twins to VMEM 1-D cell tables
+    (``_strat_nag_h``), and splits the n-channel tangent from the
+    ray-equation gradient (the parity stratified family is gradient-
+    inconsistent by reference design, docs/PARITY.md).
+    """
+    split = strat is not None
+    nf = 8 if split else 6      # field values carried between steps
     second_order = op in ("op6", "op8")
     rk2 = op in ("op2", "op6")
     limx_i, limx_s, limy_i, limy_s = [float(v) for v in box]
 
-    def kernel(*refs):
+    def kernel_impl(nag, *refs):
         (x_ref, y_ref, ux_ref, uy_ref, zero_ref, ds_ref), out_refs = \
             refs[:6], refs[6:]
         x, y = x_ref[...], y_ref[...]
@@ -139,11 +203,17 @@ def _make_dynamic_kernel(field: str, op: str, steps: int, box):
 
         def body(i, carry):
             in_limit = i.astype(jnp.float32) < limit
-            (x, y, cx, cy, ux, uy, n, gx, gy, hxx, hxy, hyy, tt, dsim,
-             active, dpx, dpy, dth, sgn, kmah) = carry
+            x, y, cx, cy, ux, uy = carry[:6]
+            fvals = carry[6:6 + nf]
+            (tt, dsim, active, dpx, dpy, dth, sgn, kmah) = carry[6 + nf:]
+            if split:
+                n, gx, gy, gnx, gny, hxx, hxy, hyy = fvals
+            else:
+                n, gx, gy, hxx, hxy, hyy = fvals
+                gnx, gny = gx, gy
 
             # tangent of the carried state at the step's start
-            dn = gx * dpx + gy * dpy
+            dn = gnx * dpx + gny * dpy
             dgx = hxx * dpx + hxy * dpy
             dgy = hxy * dpx + hyy * dpy
             # du = dth * u_perp
@@ -182,8 +252,13 @@ def _make_dynamic_kernel(field: str, op: str, steps: int, box):
             dpx2 = dpx + ddpx
             dpy2 = dpy + ddpy
 
-            n2, gx2, gy2, hxx2, hxy2, hyy2 = nag(nx2, ny2)
-            dn2 = gx2 * dpx2 + gy2 * dpy2
+            fvals2 = nag(nx2, ny2)
+            if split:
+                n2, gx2, gy2, gnx2, gny2, hxx2, hxy2, hyy2 = fvals2
+            else:
+                n2, gx2, gy2, hxx2, hxy2, hyy2 = fvals2
+                gnx2, gny2 = gx2, gy2
+            dn2 = gnx2 * dpx2 + gny2 * dpy2
             dgx2 = hxx2 * dpx2 + hxy2 * dpy2
             dgy2 = hxy2 * dpx2 + hyy2 * dpy2
 
@@ -242,24 +317,38 @@ def _make_dynamic_kernel(field: str, op: str, steps: int, box):
                 return jnp.where(keep, new, old)
 
             nactive = jnp.where(keep & out, zero, active)
-            return (sel(nx2, x), sel(ny2, y), sel(cx2, cx), sel(cy2, cy),
-                    sel(nux, ux), sel(nuy, uy), sel(n2, n), sel(gx2, gx),
-                    sel(gy2, gy), sel(hxx2, hxx), sel(hxy2, hxy),
-                    sel(hyy2, hyy), sel(ntt, tt), sel(ndsim, dsim),
-                    nactive, sel(dpx2, dpx), sel(dpy2, dpy),
-                    sel(ndth, dth), nsgn, nkmah)
+            return ((sel(nx2, x), sel(ny2, y), sel(cx2, cx), sel(cy2, cy),
+                     sel(nux, ux), sel(nuy, uy))
+                    + tuple(sel(new, old)
+                            for new, old in zip(fvals2, fvals))
+                    + (sel(ntt, tt), sel(ndsim, dsim), nactive,
+                       sel(dpx2, dpx), sel(dpy2, dpy), sel(ndth, dth),
+                       nsgn, nkmah))
 
-        n, gx, gy, hxx, hxy, hyy = nag(x, y)
-        carry0 = (x, y, zero, zero, ux, uy, n, gx, gy, hxx, hxy, hyy,
-                  zero, zero, zero + 1.0,
-                  zero, zero, zero + 1.0, zero, zero)
+        fvals0 = nag(x, y)
+        carry0 = ((x, y, zero, zero, ux, uy) + tuple(fvals0)
+                  + (zero, zero, zero + 1.0,
+                     zero, zero, zero + 1.0, zero, zero))
         final = jax.lax.fori_loop(0, steps, body, carry0)
-        (fx, fy, _, _, fux, fuy, fn, _, _, _, _, _, ftt, fdsim, fact,
-         fdpx, fdpy, fdth, _, fkmah) = final
+        fx, fy, _, _, fux, fuy = final[:6]
+        fn = final[6]
+        (ftt, fdsim, fact, fdpx, fdpy, fdth, _, fkmah) = final[6 + nf:]
         outs = (fx, fy, fux, fuy, fn, ftt, fdsim, fact, fdpx, fdpy,
                 fdth, fkmah)
         for ref, val in zip(out_refs, outs):
             ref[...] = val
+
+    if strat is None:
+        nag_a = _field_fn_h(field)
+
+        def kernel(*refs):
+            kernel_impl(nag_a, *refs)
+    else:
+        y0, inv_hy, ny = strat
+
+        def kernel(tables_ref, *refs):
+            kernel_impl(_strat_nag_h(tables_ref[...], y0, inv_hy, ny),
+                        *refs)
 
     return kernel
 
@@ -335,6 +424,10 @@ def dynamic_trace_final(pos0, theta0, delta_s, *, field: str, op: str,
             transcendentals=r * steps if field == "interface" else 0),
         interpret=interpret,
     )(x, y, ux, uy, jnp.zeros(shape2, jnp.float32), ds)
+    return _pack_dyn_final(outs)
+
+
+def _pack_dyn_final(outs) -> DynFinal:
     (fx, fy, fux, fuy, fn, tt, dsim, act, dpx, dpy, dth, kmah) = outs
     # q from the carried tangent and the exit direction (engine/dynamic.py
     # computes the same contraction after its scan)
@@ -347,3 +440,68 @@ def dynamic_trace_final(pos0, theta0, delta_s, *, field: str, op: str,
         dist_sim=dsim.reshape(-1), active=act.reshape(-1) > 0.5, q=q,
         dtheta=dth.reshape(-1),
         kmah=kmah.reshape(-1).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("op", "steps", "box",
+                                             "block_rays", "interpret"))
+def dynamic_trace_final_strat(pos0, theta0, delta_s, medium, *, op: str,
+                              steps: int, box, block_rays: int = 4096,
+                              interpret: bool = False,
+                              step_limit=None) -> DynFinal:
+    """Fused dynamic trace through a SAMPLED stratified medium.
+
+    The production case for the dynamic/eigenray tier: serve
+    ``/v1/eigenrays`` posts measured profiles, whose paraxial tangents
+    previously only ran at scan-tier speed (jvp through the gathered
+    spline).  The Hessian each tangent needs is exactly the in-cell
+    second derivative the 1-D cell tables already encode — the live form
+    of the reference's dead Hessian splines (RT_bench.py:459-462) — so
+    the kernel evaluates it with the same ``tpu.dynamic_gather`` pass
+    that fetches n and dn/dy (``_strat_nag_h``).  Accepts the parity
+    ``media.spline.StratifiedGridMedium`` (6 channels; the n-channel
+    tangent is split from the ray-equation gradient to match the scan
+    tier's exact jvp of the inconsistent pair) and the consistent
+    ``media.c1.C1StratifiedMedium`` (4 channels).
+    """
+    if op not in DYN_FUSED_OPS:
+        raise ValueError(
+            f"dynamic kernel supports ops {DYN_FUSED_OPS} (the golden ops' "
+            f"tangent is zero a.e. — engine/dynamic.py), got {op!r}")
+    from raytracing_tpu.kernels.fused import strat_tables
+
+    r = pos0.shape[0]
+    if r % block_rays:
+        raise ValueError(f"rays {r} not a multiple of block {block_rays}")
+    rows = block_rays // LANES
+    shape2 = (r // LANES, LANES)
+    x = jnp.asarray(pos0[:, 0], jnp.float32).reshape(shape2)
+    y = jnp.asarray(pos0[:, 1], jnp.float32).reshape(shape2)
+    ux = jnp.cos(theta0).astype(jnp.float32).reshape(shape2)
+    uy = jnp.sin(theta0).astype(jnp.float32).reshape(shape2)
+    if step_limit is None:
+        step_limit = steps
+    ds = jnp.stack([jnp.asarray(delta_s, jnp.float32),
+                    jnp.asarray(step_limit, jnp.float32)])
+    tables, strat, nch = strat_tables(medium, rows)
+    kernel = _make_dynamic_kernel("stratified", op, steps, box, strat=strat)
+    blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(r // block_rays,),
+        in_specs=[pl.BlockSpec((tables.shape[0], nch, rows, LANES),
+                               lambda i: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  blk, blk, blk, blk, blk,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[blk] * 12,
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 12,
+        cost_estimate=pl.CostEstimate(
+            # two table evaluations per step (carry refresh + post-move),
+            # each ~30 flops per gathered channel chunk (fused.py's model)
+            flops=(160 + 30 * nch * tables.shape[0]) * r * steps,
+            bytes_accessed=(20 + tables.shape[0] * nch) * 4 * r,
+            transcendentals=0),
+        interpret=interpret,
+    )(tables, x, y, ux, uy, jnp.zeros(shape2, jnp.float32), ds)
+    return _pack_dyn_final(outs)

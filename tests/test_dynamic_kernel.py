@@ -96,6 +96,92 @@ def test_kernel_tangent_matches_scan_jvp(field, op):
                           == steps)
 
 
+@pytest.mark.parametrize("family", ["parity", "c1"])
+@pytest.mark.parametrize("op", DYN_FUSED_OPS)
+def test_strat_kernel_tangent_matches_scan_jvp(family, op):
+    """Sampled-media dynamic kernel vs the scan tier's exact jvp.
+
+    The scan tier differentiates straight through the gathered spline
+    (bilinear n + cubic gy for the parity family — an INCONSISTENT pair
+    whose n-tangent is the bilinear slope, media/spline.py:130-138), so
+    the kernel's split gn/g channels (`_strat_nag_h`) must reproduce it,
+    not the C1 idealization.
+    """
+    from raytracing_tpu.kernels.dynamic import dynamic_trace_final_strat
+    from raytracing_tpu.media.c1 import build_c1_stratified
+    from raytracing_tpu.media.spline import build_stratified_medium
+
+    r = 256
+    field = "vert_heterogeneous"
+    pos0, theta0, ds, steps, box = _launch(field, r)
+    scen = config.ScenarioConfig(
+        name="t", key="-", field=field, gamma=1.0, ray_count=r,
+        theta0=theta0, pos0=pos0, s_max=0.0, box=box)
+    build = build_stratified_medium if family == "parity" \
+        else build_c1_stratified
+    med = build(field, box)
+    ref = trace_dynamic(op, scen, med, delta_s=ds, mode="metrics",
+                        dtype=F32, pos0=pos0, theta0=theta0,
+                        max_size=steps + 1)
+    out = dynamic_trace_final_strat(jnp.asarray(pos0), jnp.asarray(theta0),
+                                    ds, med, op=op, steps=steps, box=box,
+                                    block_rays=256, interpret=True)
+    qr, qk = np.asarray(ref.q), np.asarray(out.q)
+    assert np.abs(qk - qr).max() / np.abs(qr).max() < 2e-3
+    dr, dk = np.asarray(ref.dtheta), np.asarray(out.dtheta)
+    assert np.abs(dk - dr).max() / np.abs(dr).max() < 2e-3
+    assert (np.asarray(ref.kmah) == np.asarray(out.kmah)).mean() > 0.99
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.traveltime),
+                               np.asarray(ref.traveltime), atol=2e-4)
+
+
+def test_strat_dynamic_kernel_rejects_golden():
+    from raytracing_tpu.kernels.dynamic import dynamic_trace_final_strat
+    from raytracing_tpu.media.spline import build_stratified_medium
+
+    med = build_stratified_medium("vert_heterogeneous", (-2, 5, -2.5, 1))
+    with pytest.raises(ValueError, match="zero a.e."):
+        dynamic_trace_final_strat(np.zeros((128, 2), F32),
+                                  np.zeros(128, F32), F32(0.01), med,
+                                  op="op5", steps=4, box=(-1, 1, -1, 1),
+                                  block_rays=128)
+
+
+def test_fast_dynamic_dispatch_routes_and_agrees():
+    """fast_dynamic picks the kernel for analytic + stratified media, the
+    scan tier otherwise, with ragged ray counts padded transparently."""
+    from raytracing_tpu.engine.fast import fast_dynamic
+    from raytracing_tpu.media.spline import build_stratified_medium
+
+    r = 250     # NOT a lane multiple: exercises the pad/slice path
+    field = "vert_heterogeneous"
+    pos0, theta0, ds, steps, box = _launch(field, 256)
+    pos0, theta0 = pos0[:r], theta0[:r]
+    scen = config.ScenarioConfig(
+        name="t", key="-", field=field, gamma=1.0, ray_count=r,
+        theta0=theta0, pos0=pos0, s_max=0.0, box=box)
+    amed = rt.analytic_medium(field)
+    smed = build_stratified_medium(field, box)
+    kw = dict(delta_s=ds, pos0=pos0, theta0=theta0, steps=steps)
+
+    res_a, eng_a = fast_dynamic("op6", scen, amed, **kw)
+    assert eng_a == "dynamic-kernel" and res_a.q.shape == (r,)
+    res_s, eng_s = fast_dynamic("op6", scen, smed, **kw)
+    assert eng_s == "dynamic-kernel-strat" and res_s.q.shape == (r,)
+    res_f, eng_f = fast_dynamic("op5", scen, amed, **kw)   # golden: scan
+    assert eng_f == "dynamic-scan" and res_f.q.shape == (r,)
+
+    # the kernel tiers agree with the scan tier (coarse bar: the per-op
+    # parity bars live in the dedicated tests above)
+    ref = trace_dynamic("op6", scen, amed, delta_s=ds, mode="metrics",
+                        dtype=F32, pos0=pos0, theta0=theta0,
+                        max_size=steps + 1)
+    qa = np.asarray(res_a.q)
+    assert np.abs(qa - np.asarray(ref.q)).max() / np.abs(qa).max() < 2e-3
+
+
 def test_q_matches_central_difference_of_kinematic_kernel():
     """Tangent-free oracle: q == dpos/dtheta0 . u_perp by central FD of the
     kinematic fused kernel (shares the step map, not the tangent code)."""
