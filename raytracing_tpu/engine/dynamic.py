@@ -111,21 +111,65 @@ def _perp(angle):
     return jnp.stack([-jnp.sin(angle), jnp.cos(angle)], axis=-1)
 
 
+class CrossingFan(NamedTuple):
+    """Range-line crossings of a whole fan, recorded ON DEVICE.
+
+    ``depths[r, j, k]`` is the depth of fan ray ``r``'s k-th crossing of
+    the range line ``x == ranges[j]`` (nan where the ray crosses fewer
+    than k+1 times); ``counts`` the total crossings (which may exceed the
+    recorded ``max_ord``).  This is the landing-curve view the eigenray
+    bracket scan needs, at O(R x NR x max_ord) readback instead of the
+    full (S x R x 7) history (VERDICT r3: "brackets come home as
+    O(receivers) scalars instead of full histories through the tunnel").
+    """
+
+    depths: Any   # (R, NR, max_ord)
+    counts: Any   # (R, NR) int32
+
+
+#: column order of CrossingPick.state (and the kernels' crossing records)
+CROSS_COLS = ("y", "traveltime", "angle", "q", "kmah", "n")
+
+
+class CrossingPick(NamedTuple):
+    """Per-ray state at ITS OWN target crossing, recorded on device.
+
+    Ray ``r`` records the full interpolated state (CROSS_COLS layout; the
+    step-quantized kmah is taken from the pre-crossing step, matching
+    ``engine.eigenray._pick_crossings``) at its ``min(ordk[r],
+    count-1)``-th crossing of ``x == xr[r]`` — the Newton-polish view,
+    O(candidates x 6) readback per iteration.
+    """
+
+    state: Any    # (R, 6) CROSS_COLS; zero rows where found is False
+    found: Any    # (R,) bool: at least one crossing
+
+
 @functools.lru_cache(maxsize=None)
 def _build_dynamic_fn(op_name: str, max_size: int, mode: str,
-                      dtype_name: str):
+                      dtype_name: str, max_ord: int = 0):
     """Compile-cached dynamic scan: primal step + exact jvp tangent.
 
     ``box`` enters ``run`` as a TRACED (4,) operand, not a cache key: the
     eigenray serving endpoint forwards request-supplied boxes, and keying
     the unbounded lru_cache on user floats would pin one compiled scan per
     distinct box for the life of the server.
+
+    ``mode``: "history" / "metrics" as before, plus the two on-device
+    crossing-recording modes ("cross_fan" / "cross_pick", see
+    :class:`CrossingFan` / :class:`CrossingPick`) whose extra operands
+    ride in ``aux`` (the receiver ranges, or the per-ray (xr, ordk)
+    targets) — traced, so one compiled scan serves every receiver set of
+    the same shape.
     """
     dtype = np.dtype(dtype_name)
     op = build_op(op_name, dtype)
     history = mode == "history"
+    cross_fan = mode == "cross_fan"
+    cross_pick = mode == "cross_pick"
 
-    def run(pos0, theta0, medium, gamma, delta_s, step_limit, box):
+    def run(pos0, theta0, medium, gamma, delta_s, step_limit, box,
+            aux=None):
         limx_i, limx_s, limy_i, limy_s = box[0], box[1], box[2], box[3]
         pos0 = jnp.asarray(pos0, dtype)
         theta0 = jnp.asarray(theta0, dtype)
@@ -165,7 +209,9 @@ def _build_dynamic_fn(op_name: str, max_size: int, mode: str,
             return jax.tree.map(one, new, old)
 
         def body(carry, i):
-            pt, dpt, tt, dsim, dreal, active, exit_step, sgn, kmah = carry
+            (pt, dpt, tt, dsim, dreal, active, exit_step, sgn,
+             kmah) = carry[:9]
+            cross = carry[9:]
             pt_n, dpt_n = jax.jvp(lambda p: step_pt(p, i), (pt,), (dpt,))
 
             dist = jnp.linalg.norm(pt_n.pos - pt.pos, axis=-1)
@@ -189,8 +235,55 @@ def _build_dynamic_fn(op_name: str, max_size: int, mode: str,
             exit2 = jnp.where(newly_exited, i, exit_step)
             active2 = active & ~out & (i < step_limit)
 
+            # -- on-device crossing records --------------------------------
+            # frozen rays self-exclude: pt2 == pt makes d0*d1 = d0^2 >= 0,
+            # which matches the host scan's step_ok masking (the exit step
+            # itself still counts, exactly as `step_ok` includes j = last-1)
+            if cross_fan or cross_pick:
+                x0, x1 = pt.pos[..., 0], pt2.pos[..., 0]
+            if cross_fan:
+                cnt, depths = cross
+                ranges = aux
+                d0 = x0[:, None] - ranges[None, :]
+                d1 = x1[:, None] - ranges[None, :]
+                hit = d0 * d1 < 0
+                frac = jnp.where(
+                    hit, d0 / jnp.where(hit, (x0 - x1)[:, None], 1.0), 0.0)
+                ycross = (pt.pos[..., 1][:, None]
+                          + frac * (pt2.pos[..., 1]
+                                    - pt.pos[..., 1])[:, None])
+                oh = hit[:, :, None] & (cnt[:, :, None] == jnp.arange(
+                    max_ord, dtype=jnp.int32)[None, None, :])
+                cross = (cnt + hit.astype(jnp.int32),
+                         jnp.where(oh, ycross[:, :, None], depths))
+            elif cross_pick:
+                cnt, rec = cross
+                xr, ordk = aux
+                d0, d1 = x0 - xr, x1 - xr
+                hit = d0 * d1 < 0
+                frac = jnp.where(hit, d0 / jnp.where(hit, x0 - x1, 1.0),
+                                 0.0)
+                q0 = jnp.sum(dpt.pos * _perp(pt.angle), axis=-1)
+
+                def lerp(a, b):
+                    return a + frac * (b - a)
+
+                row = jnp.stack([
+                    lerp(pt.pos[..., 1], pt2.pos[..., 1]),
+                    lerp(tt, tt2),
+                    lerp(pt.angle, pt2.angle),
+                    lerp(q0, q),
+                    kmah.astype(dtype),   # pre-crossing step (host's h0)
+                    lerp(pt.n, pt2.n),
+                ], axis=-1)
+                # the LAST crossing with ordinal <= ordk is exactly
+                # min(ordk, count - 1): the host _pick_crossings fallback
+                take = hit & (cnt <= ordk)
+                cross = (cnt + hit.astype(jnp.int32),
+                         jnp.where(take[:, None], row, rec))
+
             carry2 = (pt2, dpt2, tt2, dsim2, dreal2, active2, exit2,
-                      sgn2, kmah2)
+                      sgn2, kmah2) + cross
             if history:
                 # rows FREEZE after exit (unlike the parity engine's zero
                 # rows, RT_bench.py:800-805) — frozen rows interpolate
@@ -208,10 +301,25 @@ def _build_dynamic_fn(op_name: str, max_size: int, mode: str,
         sgn0 = jnp.zeros_like(theta0, dtype=jnp.int8)
         kmah0 = jnp.zeros_like(theta0, dtype=jnp.int32)
         zeros = jnp.zeros_like(theta0)
-        carry0 = (pt0, dpt0, zeros, zeros, zeros, active0, exit0, sgn0, kmah0)
+        if cross_fan:
+            nr = aux.shape[0]
+            cross0 = (jnp.zeros(theta0.shape + (nr,), jnp.int32),
+                      jnp.full(theta0.shape + (nr, max_ord), jnp.nan,
+                               dtype))
+        elif cross_pick:
+            cross0 = (jnp.zeros_like(theta0, dtype=jnp.int32),
+                      jnp.zeros(theta0.shape + (6,), dtype))
+        else:
+            cross0 = ()
+        carry0 = (pt0, dpt0, zeros, zeros, zeros, active0, exit0, sgn0,
+                  kmah0) + cross0
         steps = jnp.arange(1, max_size, dtype=jnp.int32)
-        (ptf, dptf, ttf, dsimf, drealf, _, exitf, _, kmahf), rows = (
-            jax.lax.scan(body, carry0, steps))
+        finalc, rows = jax.lax.scan(body, carry0, steps)
+        (ptf, dptf, ttf, dsimf, drealf, _, exitf, _, kmahf) = finalc[:9]
+        if cross_fan:
+            return CrossingFan(depths=finalc[10], counts=finalc[9])
+        if cross_pick:
+            return CrossingPick(state=finalc[10], found=finalc[9] > 0)
 
         qf = jnp.sum(dptf.pos * _perp(ptf.angle), axis=-1)
         if history:
@@ -264,3 +372,79 @@ def trace_dynamic(op_name: str, scen: config.ScenarioConfig, medium, *,
               jnp.asarray(scen.gamma, dtype), jnp.asarray(delta_s, dtype),
               jnp.asarray(step_limit, jnp.int32),
               jnp.asarray(tuple(scen.box), dtype))
+
+
+def _crossing_args(scen, delta_s, dtype, pos0, theta0, step_limit,
+                   max_size, divisor, n_turns):
+    dtype = np.dtype(dtype)
+    if max_size is None:
+        max_size = scen.max_size(delta_s, divisor, n_turns)
+    if step_limit is None:
+        step_limit = max_size - 1
+    if pos0 is None:
+        pos0 = scen.pos0
+    if theta0 is None:
+        theta0 = scen.theta0
+    return dtype, int(max_size), int(step_limit), (
+        jnp.asarray(pos0, dtype), jnp.asarray(theta0, dtype))
+
+
+def trace_crossings_fan(op_name: str, scen: config.ScenarioConfig, medium,
+                        *, delta_s: float, ranges, max_ord: int = 8,
+                        divisor: int | None = None,
+                        n_turns: int = config.N_TURNS, dtype=np.float32,
+                        pos0=None, theta0=None,
+                        step_limit: int | None = None,
+                        max_size: int | None = None) -> CrossingFan:
+    """Dynamic fan trace that records range-line crossings ON DEVICE.
+
+    The eigenray bracket scan's input (every fan ray's landing depths at
+    every receiver range, per crossing ordinal up to ``max_ord``) without
+    materializing the (S, R, 7) history: the crossing detection and linear
+    interpolation run inside the scan, so only (R, NR, max_ord) comes back
+    — the difference between a 100+ MB tunnel readback per Newton
+    iteration and a few hundred KB (VERDICT r3 #2).  Crossings beyond
+    ``max_ord`` per (ray, range) are counted but not recorded; raise it
+    for loopy multi-turn traces.
+    """
+    op_name = canonical(op_name)
+    dtype, max_size, step_limit, (p0, t0) = _crossing_args(
+        scen, delta_s, dtype, pos0, theta0, step_limit, max_size,
+        divisor, n_turns)
+    _, run_jit = _build_dynamic_fn(op_name, max_size, "cross_fan",
+                                   dtype.name, int(max_ord))
+    return run_jit(p0, t0, medium, jnp.asarray(scen.gamma, dtype),
+                   jnp.asarray(delta_s, dtype),
+                   jnp.asarray(step_limit, jnp.int32),
+                   jnp.asarray(tuple(scen.box), dtype),
+                   aux=jnp.asarray(ranges, dtype))
+
+
+def trace_crossings_pick(op_name: str, scen: config.ScenarioConfig, medium,
+                         *, delta_s: float, xr, ordk,
+                         divisor: int | None = None,
+                         n_turns: int = config.N_TURNS, dtype=np.float32,
+                         pos0=None, theta0=None,
+                         step_limit: int | None = None,
+                         max_size: int | None = None) -> CrossingPick:
+    """Dynamic trace recording each ray's own target crossing on device.
+
+    The Newton-polish view: candidate ray ``r`` brings home the full
+    interpolated state (:data:`CROSS_COLS`) at its ``ordk[r]``-th crossing
+    of ``x == xr[r]`` — O(candidates x 6) per iteration instead of the
+    full history (the semantics of ``engine.eigenray._pick_crossings``,
+    including the fall-back to the last crossing when the path has fewer
+    than ``ordk`` of them).
+    """
+    op_name = canonical(op_name)
+    dtype, max_size, step_limit, (p0, t0) = _crossing_args(
+        scen, delta_s, dtype, pos0, theta0, step_limit, max_size,
+        divisor, n_turns)
+    _, run_jit = _build_dynamic_fn(op_name, max_size, "cross_pick",
+                                   dtype.name)
+    return run_jit(p0, t0, medium, jnp.asarray(scen.gamma, dtype),
+                   jnp.asarray(delta_s, dtype),
+                   jnp.asarray(step_limit, jnp.int32),
+                   jnp.asarray(tuple(scen.box), dtype),
+                   aux=(jnp.asarray(xr, dtype),
+                        jnp.asarray(ordk, jnp.int32)))

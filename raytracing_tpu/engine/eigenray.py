@@ -8,14 +8,19 @@ given receiver, with travel time, amplitude and caustic phase per arrival.
 
 Strategy, batched end to end:
 
-1. one dynamic fan trace (:func:`engine.dynamic.trace_dynamic`, history
-   mode) from the source;
-2. host-side range scan: for every receiver, every crossing of its range
-   line ``x = xr`` is linearly interpolated per fan ray, and a sign change
-   of ``y(xr) - yr`` between adjacent fan rays (same crossing ordinal)
+1. one dynamic fan trace from the source that records its range-line
+   crossings ON DEVICE (:func:`engine.dynamic.trace_crossings_fan`):
+   every crossing of every receiver range ``x = xr`` is linearly
+   interpolated inside the scan, so the host reads back (fan, ranges,
+   ordinal) depths — O(KB) — instead of the full (steps, fan, 7) history
+   (which, over a remote-TPU tunnel, was the pipeline's whole cost);
+2. host-side bracket scan over those depths: a sign change of
+   ``y(xr) - yr`` between adjacent fan rays (same crossing ordinal)
    brackets one eigenray;
 3. safeguarded Newton on the launch angle, batched over ALL brackets of
-   ALL receivers in one dynamic trace per iteration.  The Newton slope is
+   ALL receivers in one dynamic trace per iteration, each candidate
+   recording its own ordinal-k crossing state on device
+   (:func:`engine.dynamic.trace_crossings_pick`).  The Newton slope is
    free: the derivative of crossing depth w.r.t. launch angle at fixed
    range is exactly ``q / cos(angle)`` — the along-ray component of the
    paraxial tangent cancels identically — so each iteration is quadratic
@@ -33,9 +38,14 @@ from typing import Any, NamedTuple
 import numpy as np
 
 from raytracing_tpu import config
-from raytracing_tpu.engine.dynamic import (DYN_COLS, spreading_amplitude,
-                                           trace_dynamic)
+from raytracing_tpu.engine.dynamic import (CROSS_COLS, DYN_COLS,
+                                           spreading_amplitude,
+                                           trace_crossings_fan,
+                                           trace_crossings_pick)
 
+# history-row columns (DYN_COLS): the host-side crossing scans below keep
+# this layout for the 3-D solver (engine/eigenray3d.py), which still reads
+# full histories (its two-angle fan has no 1-D bracket structure)
 _X = DYN_COLS.index("x")
 _Y = DYN_COLS.index("y")
 _TT = DYN_COLS.index("traveltime")
@@ -43,6 +53,15 @@ _ANG = DYN_COLS.index("angle")
 _Q = DYN_COLS.index("q")
 _KMAH = DYN_COLS.index("kmah")
 _N = DYN_COLS.index("n")
+
+# on-device crossing-record columns (engine/dynamic.CROSS_COLS): what the
+# 2-D solver reads back per candidate per Newton iteration
+_CY = CROSS_COLS.index("y")
+_CTT = CROSS_COLS.index("traveltime")
+_CANG = CROSS_COLS.index("angle")
+_CQ = CROSS_COLS.index("q")
+_CKMAH = CROSS_COLS.index("kmah")
+_CN = CROSS_COLS.index("n")
 
 
 class Eigenrays(NamedTuple):
@@ -172,7 +191,8 @@ def find_eigenrays(op_name: str, medium, *, source, receivers, delta_s,
                    max_size: int, box, fan=(0.0, np.pi / 2, 256),
                    gamma: float = 1.0, dtype=np.float64, iters: int = 12,
                    tol: float = 1e-9, max_arrivals: int | None = None,
-                   on_host: bool | None = None) -> Eigenrays:
+                   on_host: bool | None = None, mesh=None,
+                   max_ord: int = 8) -> Eigenrays:
     """Find every fan-resolved ray path from ``source`` to each receiver.
 
     ``receivers`` is (K, 2); ``fan`` = (theta_lo, theta_hi, count) bounds
@@ -213,12 +233,14 @@ def find_eigenrays(op_name: str, medium, *, source, receivers, delta_s,
                                receivers=receivers, delta_s=delta_s,
                                max_size=max_size, box=box, fan=fan,
                                gamma=gamma, dtype=dtype, iters=iters,
-                               tol=tol, max_arrivals=max_arrivals)
+                               tol=tol, max_arrivals=max_arrivals,
+                               mesh=mesh, max_ord=max_ord)
 
 
 def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
                     max_size, box, fan, gamma, dtype, iters,
-                    tol, max_arrivals=None) -> Eigenrays:
+                    tol, max_arrivals=None, mesh=None,
+                    max_ord: int = 8) -> Eigenrays:
     source = np.asarray(source, dtype)
     receivers = np.atleast_2d(np.asarray(receivers, dtype))
     th_lo, th_hi, n_fan = fan
@@ -231,24 +253,69 @@ def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
         pos0=np.tile(source, (int(n_fan), 1)), s_max=0.0,
         box=tuple(float(b) for b in box))
 
-    def fan_trace(theta0):
-        pos0 = np.tile(source, (len(theta0), 1))
-        res = trace_dynamic(op_name, scen, medium, delta_s=delta_s,
-                            dtype=dtype, pos0=pos0, theta0=theta0,
-                            max_size=max_size, mode="history")
-        return np.asarray(res.history), np.asarray(res.exit_step)
+    def launch(theta0, *per_ray):
+        """(pos0, theta0, extras) ready for the device — padded to the
+        mesh's ray axis and sharded over it when a mesh is given, so the
+        Newton iterations' trace legs (fans first, then variable candidate
+        batches) become mesh programs.  Returns the true count k so
+        callers slice the pad off."""
+        k = len(theta0)
+        pos0 = np.tile(source, (k, 1))
+        if mesh is None:
+            return k, pos0, theta0, per_ray
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
 
-    hist, last = fan_trace(np.asarray(scen.theta0, dtype))
+        ndev = int(mesh.shape["rays"])
+        pad = (-k) % ndev
+        if pad:
+            theta0 = np.concatenate([theta0,
+                                     np.full(pad, theta0[-1],
+                                             theta0.dtype)])
+            pos0 = np.tile(source, (k + pad, 1))
+            per_ray = tuple(np.concatenate([v, np.repeat(v[-1:], pad)])
+                            for v in per_ray)
+        rays = NamedSharding(mesh, PartitionSpec("rays"))
+        theta0 = jax.device_put(theta0, rays)
+        pos0 = jax.device_put(
+            pos0, NamedSharding(mesh, PartitionSpec("rays", None)))
+        per_ray = tuple(jax.device_put(v, rays) for v in per_ray)
+        return k, pos0, theta0, per_ray
 
-    # --- bracket scan: per unique range, vectorized over (receiver, ray,
-    # ordinal).  A (range x depth) receiver GRID shares one crossing scan
-    # per range column, so a full TL field map costs len(ranges) numpy
-    # passes, not n_receivers x n_fan python loops.
+    def fan_crossings(theta0, ranges, m_ord):
+        k, pos0, theta0, _ = launch(theta0)
+        res = trace_crossings_fan(op_name, scen, medium, delta_s=delta_s,
+                                  ranges=ranges, max_ord=m_ord, dtype=dtype,
+                                  pos0=pos0, theta0=theta0,
+                                  max_size=max_size)
+        return np.asarray(res.depths)[:k], np.asarray(res.counts)[:k]
+
+    def pick(theta0, xr, ordk):
+        k, pos0, theta0, (xr, ordk) = launch(theta0, xr, ordk)
+        res = trace_crossings_pick(op_name, scen, medium, delta_s=delta_s,
+                                   xr=xr, ordk=ordk, dtype=dtype,
+                                   pos0=pos0, theta0=theta0,
+                                   max_size=max_size)
+        return np.asarray(res.state)[:k], np.asarray(res.found)[:k]
+
+    # --- bracket scan: ONE on-device fan trace records every range-line
+    # crossing (engine/dynamic.trace_crossings_fan) — histories never
+    # materialize; the host sees (R, NR, max_ord) depths.  A (range x
+    # depth) receiver GRID shares the fan's crossing records across its
+    # whole depth column, so a full TL field map costs one fan trace.
+    uniq_xr, xr_inv = np.unique(receivers[:, 0], return_inverse=True)
+    fan_th = np.asarray(scen.theta0, dtype)
+    depths, counts = fan_crossings(fan_th, uniq_xr, int(max_ord))
+    if counts.size and int(counts.max()) > int(max_ord):
+        # loopy paths crossed more often than the record provisioned;
+        # one re-run at the observed count keeps the scan exact
+        depths, counts = fan_crossings(fan_th, uniq_xr,
+                                       int(counts.max()))
+
     cand_th_lo, cand_th_hi, cand_rec = [], [], []
     cand_flo, cand_ord = [], []
-    uniq_xr, xr_inv = np.unique(receivers[:, 0], return_inverse=True)
     for ui, xru in enumerate(uniq_xr):
-        depth = _crossing_depths(hist, last, xru)      # (R, M) nan-padded
+        depth = depths[:, ui, :]                       # (R, M) nan-padded
         here = np.where(xr_inv == ui)[0]               # receivers at xru
         f = depth[None, :, :] - receivers[here, 1][:, None, None]
         ok = ~np.isnan(f[:, :-1, :]) & ~np.isnan(f[:, 1:, :])
@@ -287,15 +354,14 @@ def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
     th = 0.5 * (lo + hi)
 
     # --- safeguarded Newton, batched over every candidate ------------------
-    # (the crossing pick follows each candidate's fan-scan ORDINAL — see
-    # _pick_crossings — vectorized over all brackets of all receivers)
-    state = np.zeros((len(th), 7))
+    # (each candidate records ITS OWN ordinal-k crossing on device —
+    # trace_crossings_pick — so an iteration reads back (J, 6) scalars)
+    state = np.zeros((len(th), 6))
     fcur = np.full(len(th), np.inf)
     for _ in range(int(iters)):
-        h, l = fan_trace(th)
-        st, found = _pick_crossings(h, l, xr, ordk)
+        st, found = pick(th, xr, ordk)
         state = np.where(found[:, None], st, state)
-        fcur = np.where(found, st[:, _Y] - yr, np.nan)
+        fcur = np.where(found, st[:, _CY] - yr, np.nan)
         # convergence check BEFORE any update: the final evaluation must
         # see the angle these residuals belong to, not the next proposal
         if np.all(np.isfinite(fcur)) and np.abs(fcur).max() < tol:
@@ -308,7 +374,7 @@ def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
         lo = np.where(neg, th, lo)
         hi = np.where(~lost & ~neg, th, hi)
         # Newton proposal from the exact paraxial slope dy/dth = q / cos(a)
-        slope = state[:, _Q] / np.cos(state[:, _ANG])
+        slope = state[:, _CQ] / np.cos(state[:, _CANG])
         with np.errstate(divide="ignore", invalid="ignore"):
             prop = th - fcur / slope
         mid = 0.5 * (lo + hi)
@@ -316,13 +382,12 @@ def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
         th = np.where(use, prop, np.where(lost, 0.5 * (lo + th), mid))
 
     # --- final evaluation at the converged angles ---------------------------
-    h, l = fan_trace(th)
-    rows, ok = _pick_crossings(h, l, xr, ordk)
-    y_err = np.where(ok, rows[:, _Y] - yr, np.inf)
+    rows, ok = pick(th, xr, ordk)
+    y_err = np.where(ok, rows[:, _CY] - yr, np.inf)
     n0, _ = medium.n_and_grad(source[0], source[1])
     n0 = np.full(len(th), float(np.asarray(n0)))
-    amp = np.asarray(spreading_amplitude(rows[:, _Q], rows[:, _N], n0))
-    order = np.lexsort((rows[:, _TT], rec))
+    amp = np.asarray(spreading_amplitude(rows[:, _CQ], rows[:, _CN], n0))
+    order = np.lexsort((rows[:, _CTT], rec))
     keep = ok[order]
     order = order[keep]
     # merge duplicate roots: adjacent brackets around an exact fan hit — or
@@ -333,7 +398,7 @@ def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
     # keeps same-angle arrivals of DIFFERENT crossing ordinals distinct
     # (one ray can pass a receiver range several times).
     pitch = (float(th_hi) - float(th_lo)) / max(int(n_fan) - 1, 1)
-    tts = rows[:, _TT]
+    tts = rows[:, _CTT]
     dedup = []
     for j in order:
         dup = any(rec[j] == rec[i] and abs(th[j] - th[i]) < 1e-3 * pitch
@@ -344,9 +409,9 @@ def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
     order = np.asarray(dedup, int)
     return Eigenrays(
         receiver=rec[order], theta0=th[order],
-        traveltime=rows[order, _TT], y_err=y_err[order],
-        q=rows[order, _Q], kmah=rows[order, _KMAH].astype(np.int32),
-        angle=rows[order, _ANG], n=rows[order, _N], n0=n0[order],
+        traveltime=rows[order, _CTT], y_err=y_err[order],
+        q=rows[order, _CQ], kmah=rows[order, _CKMAH].astype(np.int32),
+        angle=rows[order, _CANG], n=rows[order, _CN], n0=n0[order],
         amplitude=amp[order],
         converged=np.abs(y_err[order]) < max(tol * 1e3, 1e-6))
 
