@@ -67,6 +67,10 @@ from raytracing_tpu.media.c1 import (  # noqa: F401
     c1_medium_from_samples,
     c1_stratified_from_samples,
 )
+from raytracing_tpu.media.grid3 import (  # noqa: F401
+    C1Grid3Medium,
+    c1_medium3_from_samples,
+)
 from raytracing_tpu.media.medium import AnalyticMedium, analytic_medium  # noqa: F401
 from raytracing_tpu.media.spline import (  # noqa: F401
     grid_medium_from_samples,
@@ -92,6 +96,7 @@ __all__ = [
     "transmission_loss_db",
     "Eigenrays", "find_eigenrays", "coherent_tl", "incoherent_tl",
     "Trace3Result", "trace3d", "bouguer_invariant",
+    "C1Grid3Medium", "c1_medium3_from_samples",
     "Dynamic3Result", "trace_dynamic3", "Eigenrays3", "find_eigenrays3",
     "Analytic3D", "Custom3D", "Stratified3D", "analytic_medium3",
     "ALIASES", "ANISO_OPS", "EXTENSION_OPS", "OP_NAMES",

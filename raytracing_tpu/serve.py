@@ -17,10 +17,12 @@ a dependency-free (stdlib http.server) JSON API over the fused-kernel tier:
                                 pick delta_s for that medium by Richardson
                                 self-convergence (measured media have no
                                 closed-form physics oracle)
-    POST /v1/trace3d_samples -> {"samples", "y", "op", "delta_s",
-                                "steps", "pos0"/"dir0" or a "launch" cone}
-                                — 3-D tracing of a posted 1-D profile
-                                (engine/trace3d.py), with the
+    POST /v1/trace3d_samples -> {"samples", "y" (+ "x"/"z" for 3-D grids),
+                                "op", "delta_s", "steps", "pos0"/"dir0" or
+                                a "launch" cone} — 3-D tracing of a posted
+                                1-D profile (lifted, n = n(y)) or a 3-D
+                                (nz, ny, nx) measured grid (tri-Hermite
+                                tables, media/grid3.py), with the
                                 horizontal-slowness conservation report
     POST /v1/eigenrays       -> {"samples", ..., "source", "receivers",
                                 "delta_s", "steps", "fan", "omega"?} —
@@ -494,22 +496,43 @@ def _trace3d_samples_request(body: dict) -> dict:
     from raytracing_tpu.media.fields3d import Stratified3D
     from raytracing_tpu.media.samples import medium_from_samples
 
-    family = str(body.get("family", "parity"))
     if "samples" not in body:
-        raise ValueError("this endpoint needs 'samples' (a 1-D profile of "
-                         "refractive-index values) and its 'y' axis")
+        raise ValueError("this endpoint needs 'samples' (a 1-D profile or "
+                         "a 3-D (nz, ny, nx) grid of refractive-index "
+                         "values) and its coordinate axes")
     samples = _finite("samples", np.asarray(body["samples"], np.float64))
-    if samples.ndim != 1:
-        raise ValueError("3-D tracing lifts 1-D PROFILES only (n = n(y)); "
-                         "got 2-D samples — use /v1/trace_samples for the "
-                         "planar grid pipeline")
     if not 0 < samples.size <= MAX_SAMPLE_VALUES:
         raise ValueError(f"samples size must be in [1, {MAX_SAMPLE_VALUES}],"
                          f" got {samples.size}")
     y = _finite("y", np.asarray(body.get("y", ()), np.float64))
-    medium2d, default_box, kind = medium_from_samples(samples, None, y,
-                                                      family=family)
-    medium = Stratified3D(medium2d)
+    if samples.ndim == 1:
+        family = str(body.get("family", "parity"))
+        medium2d, default_box, kind = medium_from_samples(samples, None, y,
+                                                          family=family)
+        medium = Stratified3D(medium2d)
+    elif samples.ndim == 3:
+        # genuinely 3-D measured field: tri-Hermite tables (media/grid3.py).
+        # Only the consistent-gradient family exists in 3-D — the parity
+        # family reproduces the reference's 2-D pipeline, which has no 3-D
+        # form to be faithful to.
+        family = str(body.get("family", "c1"))
+        if family != "c1":
+            raise ValueError("3-D sampled grids have only the 'c1' "
+                             "(consistent-gradient tri-Hermite) family; "
+                             f"got family={family!r}")
+        from raytracing_tpu.media.grid3 import c1_medium3_from_samples
+
+        x_ax = _finite("x", np.asarray(body.get("x", ()), np.float64))
+        z_ax = _finite("z", np.asarray(body.get("z", ()), np.float64))
+        medium = c1_medium3_from_samples(samples, x_ax, y, z_ax)
+        default_box = (float(x_ax[0]), float(x_ax[-1]),
+                       float(y[0]), float(y[-1]),
+                       float(z_ax[0]), float(z_ax[-1]))
+        kind = "grid3"
+    else:
+        raise ValueError("samples must be a 1-D profile (n = n(y)) or a "
+                         "3-D (nz, ny, nx) grid; got 2-D samples — use "
+                         "/v1/trace_samples for the planar grid pipeline")
 
     method = canonical3(str(body.get("op", "op6")))
     delta_s = float(body.get("delta_s", 0.0))
@@ -561,6 +584,8 @@ def _trace3d_samples_request(body: dict) -> dict:
         box = tuple(float(v) for v in box)
         if len(box) != 6 or not np.all(np.isfinite(box)):
             raise ValueError(f"box must be 6 finite floats, got {box!r}")
+    elif kind == "grid3":
+        box = default_box          # sampled region; queries clamp beyond it
     else:
         box = (-1e30, 1e30, default_box[2], default_box[3], -1e30, 1e30)
     report_cv = bool(body.get("report_conservation", False))
@@ -573,7 +598,9 @@ def _trace3d_samples_request(body: dict) -> dict:
 
     resp = {
         "op": method, "rays": rays, "steps": steps, "family": family,
-        "medium_kind": f"{kind}-3d", "delta_s": delta_s,
+        # lifted profiles report "profile-3d"; native 3-D grids are "grid3"
+        "medium_kind": kind if kind == "grid3" else f"{kind}-3d",
+        "delta_s": delta_s,
         "seconds": round(dt, 4),
         "ray_steps_per_sec": round(rays * steps / dt, 1),
         # the scan's `active` means "still integrating" (false for every

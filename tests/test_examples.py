@@ -93,6 +93,7 @@ def test_eddy_3d_example():
     out = _run("eddy_3d.py", extra="sys.argv = ['x', '32', '2300']; ")
     assert out.strip().endswith("ok")
     assert "out-of-plane" in out
+    assert "from raw samples" in out     # the tri-Hermite measured-grid leg
 
 
 def test_tl_field_map_example(tmp_path):

@@ -513,6 +513,34 @@ def test_trace3d_samples_endpoint(server):
     assert body["slowness_cv_pct_max"] < 0.05   # the reference bar, in 3-D
 
 
+def test_trace3d_samples_grid3_endpoint(server):
+    """A posted 3-D measured grid traces through tri-Hermite tables
+    (media/grid3.py) — the genuinely 3-D sampled-medium surface."""
+    import numpy as np
+    ax = np.linspace(-1.5, 1.5, 13)
+    Zg, Yg, Xg = np.meshgrid(ax, ax, ax, indexing="ij")
+    F = 1.2 - 0.1 * (Yg ** 2 + 0.3 * Xg * Zg)
+    req = {"samples": F.tolist(), "x": ax.tolist(), "y": ax.tolist(),
+           "z": ax.tolist(), "op": "op6", "delta_s": 0.02, "steps": 120,
+           "rays": 64,
+           "launch": {"pos": [-1.0, 0.0, 0.0], "axis": [1.0, 0.0, 0.1],
+                      "half_angle": 0.15}}
+    code, body = _post(server + "/v1/trace3d_samples", req)
+    assert code == 200, body
+    assert body["medium_kind"] == "grid3"
+    assert body["rays"] == 64
+
+    # 3-D grids exist only in the consistent-gradient family
+    code, body = _post(server + "/v1/trace3d_samples",
+                       dict(req, family="parity"))
+    assert code == 400 and "c1" in body["error"]
+    # missing axes
+    bad = dict(req)
+    del bad["z"]
+    code, body = _post(server + "/v1/trace3d_samples", bad)
+    assert code == 400
+
+
 def test_trace3d_samples_rejections(server):
     import numpy as np
     y = np.linspace(-1.0, 1.0, 21)
@@ -523,7 +551,7 @@ def test_trace3d_samples_rejections(server):
     code, body = _post(server + "/v1/trace3d_samples",
                        dict(base, samples=[[1.0, 1.0], [1.0, 1.0]],
                             x=[0, 1]))
-    assert code == 400 and "1-D PROFILES" in body["error"]
+    assert code == 400 and "got 2-D samples" in body["error"]
     code, body = _post(server + "/v1/trace3d_samples", dict(base, op="op5"))
     assert code == 400 and "planar" in body["error"]
     code, body = _post(server + "/v1/trace3d_samples",
