@@ -27,6 +27,9 @@ import jax
 import raytracing_tpu as rt
 from raytracing_tpu.bench.harness import benchmark
 from raytracing_tpu.engine import oracles
+from raytracing_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 NORTH_STAR = 1.0e9  # ray-steps/sec/chip (BASELINE.json)
 

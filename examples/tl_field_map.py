@@ -8,19 +8,35 @@ reads daily (Bellhop's classic pcolormesh): the SOFAR channel shows as a
 low-loss duct around the sound axis, shadow zones as empty cells.
 
 Run:  python examples/tl_field_map.py [n_ranges] [n_depths] [fan] [out.png]
+
+``RT_TL_TPU=1`` runs the WHOLE pipeline on the accelerator in f32: the
+crossing scans ride inside the dynamic scan (engine/dynamic.
+trace_crossings_*), so only O(receivers) scalars cross the link per Newton
+iteration.  Measured vs this script's CPU/f64 solve
+(benchmarks/eigenray_tpu_probe.py, logs_r4/14): every arrival matched,
+launch angle <= 7e-6, travel time <= 9.1e-6 rel, KMAH exact; amplitude
+floors at 2.3e-5 rel (~2e-4 dB of TL) — the f32 paraxial-accumulation
+floor, independent of Newton tol.
 """
+import os
 import sys
 
 import jax
 import numpy as np
 
-jax.config.update("jax_enable_x64", True)   # eigenray work is f64
-# ... and host-side: the solve is short f64 fan traces with full history
-# readbacks, so the CPU backend beats a remote TPU tunnel by minutes
-# (JAX_PLATFORMS the env var is ignored here; the config update is not)
-jax.config.update("jax_platforms", "cpu")
+ON_TPU = os.environ.get("RT_TL_TPU", "0") == "1"
+DTYPE = np.float32 if ON_TPU else np.float64
+if not ON_TPU:
+    jax.config.update("jax_enable_x64", True)   # f64 reference solve...
+    # ... host-side: short f64 fan traces beat a remote TPU tunnel, and
+    # the TPU stores no f64 anyway (JAX_PLATFORMS the env var is ignored
+    # here; the config update is not)
+    jax.config.update("jax_platforms", "cpu")
 
 import raytracing_tpu as rt  # noqa: E402
+from raytracing_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 n_ranges = int(sys.argv[1]) if len(sys.argv) > 1 else 19
 n_depths = int(sys.argv[2]) if len(sys.argv) > 2 else 12
@@ -31,7 +47,7 @@ out_png = sys.argv[4] if len(sys.argv) > 4 else None
 depth = np.linspace(-3.0, 0.0, 121)
 eta = 2.0 * (depth + 1.0)
 c = 1.49 * (1.0 + 0.0057 * (eta - 1.0 + np.exp(-eta)))
-medium = rt.c1_stratified_from_samples(c.min() / c, depth, dtype=np.float64)
+medium = rt.c1_stratified_from_samples(c.min() / c, depth, dtype=DTYPE)
 
 ranges = np.linspace(4.0, 40.0, n_ranges)
 depths = np.linspace(-2.5, -0.2, n_depths)
@@ -42,7 +58,8 @@ eig = rt.find_eigenrays(
     "op6", medium, source=(0.0, -1.0), receivers=receivers, delta_s=0.01,
     max_size=int(ranges.max() / 0.01 * 1.2),
     box=(-1.0, ranges.max() + 2.0, -3.0, 0.0),
-    fan=(-0.3, 0.3, n_fan), tol=1e-7)
+    fan=(-0.3, 0.3, n_fan), tol=2e-6 if ON_TPU else 1e-7,
+    dtype=DTYPE, on_host=not ON_TPU)
 
 itl = rt.incoherent_tl(eig, n_receivers=len(receivers))
 tl_map = itl.reshape(n_ranges, n_depths)          # (range, depth)

@@ -802,10 +802,13 @@ def create_server(host: str = "127.0.0.1", port: int = 8080) -> ThreadingHTTPSer
 def main(argv=None):
     import argparse
 
+    from raytracing_tpu.utils.cache import enable_persistent_cache
+
     p = argparse.ArgumentParser(description="raytracing_tpu serving endpoint")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     args = p.parse_args(argv)
+    enable_persistent_cache()  # daemon restarts reuse compiled programs
     srv = create_server(args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} "
           f"(device: {jax.devices()[0]})")

@@ -20,6 +20,14 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache: re-runs of the suite load serialized CPU
+# executables instead of recompiling (also softens the per-module
+# clear_caches below — dropped executables reload from disk in ms).
+# RT_NO_CACHE=1 opts out.
+from raytracing_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
