@@ -56,10 +56,18 @@ ANISO_DIVISOR = {"op10": 2.53, "op11": 2.74}
 # different op).  calibrated_with_fallback's chain covers only the
 # SAMPLED reference tables.
 
-#: interface, analytic sigmoid: DELTA_S = SIGMA / divisor
+#: interface, analytic sigmoid: DELTA_S = SIGMA / divisor.
+#: op6 is pinned at 5.0 rather than its mean-bar acceptance crossing
+#: (4.5): the search policy targets only the MEAN Snell bar (< 0.2 deg,
+#: RT_bench.py:1296-1406), and at 4.5 the MAX-error bar (< 0.8 deg,
+#: RT_bench.py:69, 1329) passed with 1 % margin (0.7922 deg) — one
+#: recalibration away from a red headline oracle.  Measured on-chip
+#: (benchmarks/snell_margin_probe.py, logs_r4/17): 5.0 gives max
+#: 0.6473 deg (19 % margin), mean 0.0871 deg; the probe also reproduced
+#: 0.7922 exactly, i.e. the number is deterministic per binary.
 ANALYTIC_INTERFACE_DIVISOR = {
     "op1": 67.2, "op2": 67.2, "op3": 3.89, "op4": 3.66, "op5": 3.66,
-    "op6": 4.5, "op7": None, "op8": 4.25, "op9": 4.27,
+    "op6": 5.0, "op7": None, "op8": 4.25, "op9": 4.27,
 }
 
 #: vert-heterogeneous, analytic linear gradient: DELTA_S = SIGMA / divisor.
