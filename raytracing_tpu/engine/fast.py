@@ -440,6 +440,59 @@ def fast_dynamic(op_name: str, scen: config.ScenarioConfig, medium, *,
             "dynamic-scan")
 
 
+def fast_trace3(method: str, medium, *, pos0, dir0, delta_s, steps: int,
+                box, block_rays: int = 4096,
+                interpret: bool | None = None):
+    """Metrics-only 3-D trace through the fastest available path.
+
+    The 3-D twin of :func:`fast_trace`: routes (method, medium) to the
+    fused 3-D kernel (kernels/fused3d.py — measured 6.3 G vs the 1.3 G
+    3-D scan tier on-chip, benchmarks/logs_r4/07) when the vector op and
+    the analytic field are in its coverage, and falls back to the scan
+    tier (engine/trace3d.trace3d, mode="metrics") for everything else —
+    Custom3D / Stratified3D / sampled grid3 media, op7's windowed family,
+    history/stats callers.  Returns ``(Fused3Final, engine)`` with engine
+    in {"fused3d", "scan3d"}.
+    """
+    from raytracing_tpu.engine.trace3d import canonical3, trace3d
+    from raytracing_tpu.kernels.fused3d import (
+        FUSED3_FIELDS, FUSED3_OPS, Fused3Final, fused3d_trace_final)
+    from raytracing_tpu.media.fields3d import Analytic3D
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    block_rays = max(128, -(-int(block_rays) // 128) * 128)
+    method = canonical3(method)
+    if box is None or len(tuple(box)) != 6:
+        raise ValueError(f"fast_trace3 needs a 6-face box, got {box!r}")
+
+    if (method in FUSED3_OPS and isinstance(medium, Analytic3D)
+            and medium.field in FUSED3_FIELDS):
+        r = len(dir0)
+        pad = (-r) % block_rays
+        pos0 = jnp.asarray(pos0, jnp.float32)
+        dir0 = jnp.asarray(dir0, jnp.float32)
+        if pad:
+            pos0 = jnp.concatenate([pos0, jnp.tile(pos0[-1:], (pad, 1))])
+            dir0 = jnp.concatenate([dir0, jnp.tile(dir0[-1:], (pad, 1))])
+        res = fused3d_trace_final(
+            pos0, dir0, jnp.float32(delta_s), field=medium.field,
+            op=method, steps=int(steps), box=tuple(box),
+            block_rays=block_rays, interpret=interpret)
+        if pad:
+            res = Fused3Final(*(v[:r] for v in res))
+        return res, "fused3d"
+
+    t = trace3d(method, medium, pos0=pos0, dir0=dir0,
+                delta_s=float(delta_s), steps=int(steps), box=tuple(box),
+                mode="metrics", dtype=np.float32)
+    st = t.final
+    return (Fused3Final(pos=st.pos, tangent=st.unitv,
+                        traveltime=st.traveltime, dist_sim=st.dist_sim,
+                        active=st.active),
+            "scan3d")
+
+
 def fast_trace_sharded(op_name: str, scen: config.ScenarioConfig, medium, *,
                        delta_s, pos0, theta0, mesh, steps: int,
                        block_rays: int = 4096,

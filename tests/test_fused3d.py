@@ -133,3 +133,36 @@ def test_named_errors():
     assert isinstance(
         fused3d_trace_final(pos0, dir0, 0.01, field="fisheye", op="op6",
                             **kw), Fused3Final)
+
+
+def test_fast_trace3_dispatch():
+    """fast_trace3 (engine/fast.py): analytic fisheye routes to the fused
+    3-D kernel, a Custom3D falls back to the scan tier, both agree, and
+    ragged batches are padded/truncated transparently."""
+    from raytracing_tpu.engine.fast import fast_trace3
+    from raytracing_tpu.media.fields3d import Custom3D
+
+    pos0, dir0 = _fan()
+    med = analytic_medium3("fisheye")
+    kw = dict(pos0=pos0, dir0=dir0, delta_s=0.02, steps=200, box=BOX,
+              block_rays=128)
+    res, eng = fast_trace3("op6", med, **kw)
+    assert eng == "fused3d"
+    t = trace3d("op6", med, pos0=pos0, dir0=dir0, delta_s=0.02, steps=200,
+                box=BOX, mode="metrics")
+    np.testing.assert_allclose(np.asarray(res.pos),
+                               np.asarray(t.final.pos), atol=5e-6)
+    # scan fallback keeps the same result type
+    cm = Custom3D(lambda x, y, z: 1.0 + 0.0 * x)
+    res2, eng2 = fast_trace3("op6", cm, **kw)
+    assert eng2 == "scan3d" and isinstance(res2, type(res))
+    # ragged batch: 100 rays pad to the 128 block and come back as 100
+    res3, eng3 = fast_trace3("op6", med, pos0=pos0[:100], dir0=dir0[:100],
+                             delta_s=0.02, steps=200, box=BOX,
+                             block_rays=128)
+    assert eng3 == "fused3d" and res3.pos.shape == (100, 3)
+    np.testing.assert_array_equal(np.asarray(res3.pos),
+                                  np.asarray(res.pos)[:100])
+    with pytest.raises(ValueError, match="box"):
+        fast_trace3("op6", med, pos0=pos0, dir0=dir0, delta_s=0.02,
+                    steps=8, box=BOX[:4])
