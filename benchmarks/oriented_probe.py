@@ -47,6 +47,13 @@ def main(argv=None):
     ap.add_argument("--div", type=int, default=303)
     ap.add_argument("--segs", default="2,3,4,5,6")
     ap.add_argument("--op", default="op6")
+    ap.add_argument("--pack", type=int, default=0,
+                    help="run ONLY packed-refresh configs at this P "
+                         "(engine/segmented._cells_packed)")
+    ap.add_argument("--block", type=int, default=1024,
+                    help="rays per kernel block (bigger blocks = fewer "
+                         "window copies = fewer refresh bytes, at the "
+                         "cost of larger bboxes)")
     args = ap.parse_args(argv)
 
     scen = rt.scenario("fisheye")
@@ -61,24 +68,49 @@ def main(argv=None):
                                   (r, 1)))
     ds = 2 * np.pi / args.div
     steps = args.div            # one turn
-    base = dict(steps=steps, box=tuple(scen.box), block_rays=1024)
+    base = dict(steps=steps, box=tuple(scen.box), block_rays=args.block)
 
     def run(tag, **kw):
+        from raytracing_tpu.engine.segmented import LAST_TILED_STATS
         cold, warm, res = _time(lambda: grid_trace_tiled(
             args.op, pos0, theta0, np.float32(ds), hm, **base, **kw))
         g = r * steps / warm / 1e9
         print(json.dumps({"config": tag, "div": args.div,
                           "cold_s": round(cold, 2),
                           "warm_s": round(warm, 3),
-                          "gsteps_per_sec": round(g, 3)}), flush=True)
+                          "gsteps_per_sec": round(g, 3),
+                          "replays": LAST_TILED_STATS.get("replays"),
+                          "min_segment": LAST_TILED_STATS.get(
+                              "min_segment")}), flush=True)
         return res
+
+    segs = [int(s) for s in args.segs.split(",") if s]
+    if args.pack:
+        # packed-refresh sweep (VERDICT r3 #4): the refresh gather is the
+        # largest coarse-regime term (~0.27 of 0.6 s at div 303); P-cell
+        # rows recover gather bandwidth (refresh_probe.py: 7.9 -> 13.3 ->
+        # 19.9 GB/s at P=1/4/16).  Trajectories are bit-identical at equal
+        # segmentation (tests/test_grid_tiled.py), so compare warm times
+        # directly against logs_r4/08's unpacked rows.
+        P = args.pack
+        ref = run("auto (square ladder)")
+        res = run(f"auto oriented pack={P}", oriented=True, pack=P)
+        print(f"  bit-identical to auto: "
+              f"{bool(np.array_equal(np.asarray(ref.pos), np.asarray(res.pos)))}",
+              flush=True)
+        for seg in segs:
+            run(f"packed{P} 1-chunk seg={seg}", oriented=True, pack=P,
+                tile_shape=(11, 11), segment=seg)
+        for seg in segs:
+            run(f"packed{P} 2-chunk seg={seg + 2}", oriented=True, pack=P,
+                tile_shape=(16, 16), segment=seg + 2)
+        return
 
     ref = run("auto (square ladder)")
     res = run("auto oriented", oriented=True)
     print(f"  bit-identical to auto: "
           f"{bool(np.array_equal(np.asarray(ref.pos), np.asarray(res.pos)))}",
           flush=True)
-    segs = [int(s) for s in args.segs.split(",") if s]
     for seg in segs:
         res = run(f"oriented 1-chunk seg={seg}", oriented=True,
                   tile_shape=(11, 11), segment=seg)

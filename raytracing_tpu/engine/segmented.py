@@ -485,8 +485,56 @@ def _window_ids(bix, biy, th, tw, n_lanes, ncx):
     return (biy[:, None] + jy) * ncx + (bix[:, None] + jx)
 
 
+def _cells_packed(nodes3d, pack):
+    """:func:`_cells36` re-rowed to ``pack`` x-consecutive cells per row.
+
+    The refresh gather is latency-bound on short rows (TPU row-gather:
+    36-float rows 7.9 GB/s, 144-float 13.3, 576-float 19.9 —
+    benchmarks/refresh_probe.py / ARCHITECTURE "refresh economics"), so
+    packing P cells per gather row recovers bandwidth at the cost of
+    snapping window x-bases to P-cell alignment (:func:`_window_bases`
+    ``pack``).  The x-axis is zero-padded to a multiple of ``pack`` so
+    every grid row reshapes cleanly; padded cells sit only in window
+    SLACK — a contained ray's cell index never reaches them (``_cells``
+    clamps ix to nx-2), same as today's chunk-padding lanes.
+
+    Returns ``(table, ncx_pad)``: table ((ny-1) * ncx_pad / pack,
+    pack * 4 * CH) with cells cell-major inside a row (so the gathered
+    block reshapes back to the exact :func:`_cells36` layout), and the
+    padded x-cell count ``ncx_pad`` (the packed grid's row stride).
+    """
+    ch = nodes3d.shape[-1]
+    cells = jnp.stack(
+        [nodes3d[:-1, :-1], nodes3d[:-1, 1:],
+         nodes3d[1:, :-1], nodes3d[1:, 1:]],
+        axis=-1).reshape(nodes3d.shape[0] - 1, nodes3d.shape[1] - 1,
+                         4 * ch)
+    ncx = cells.shape[1]
+    ncx_pad = -(-ncx // pack) * pack
+    if ncx_pad != ncx:
+        cells = jnp.pad(cells, ((0, 0), (0, ncx_pad - ncx), (0, 0)))
+    return cells.reshape(-1, pack * 4 * ch), ncx_pad
+
+
+def _window_gids(bix, biy, th, tw, n_lanes, ncx_pad, pack):
+    """Packed-row ids of each window's lane layout (``_cells_packed``).
+
+    Same lane walk as :func:`_window_ids` but one id per ``pack``
+    consecutive lanes: groups never straddle a window row (``pack``
+    divides every ``tw``) and start P-aligned (``bix`` is snapped), so
+    each gathered row is exactly those lanes' cells in order.
+    """
+    jg = jnp.arange(0, n_lanes, pack, dtype=jnp.int32)[None, :]
+    thv = jnp.asarray(th, jnp.int32).reshape(-1, 1)
+    twv = jnp.asarray(tw, jnp.int32).reshape(-1, 1)
+    jy = jnp.minimum(jg // twv, thv - 1)
+    jx = jg % twv
+    return ((biy[:, None] + jy) * ncx_pad + (bix[:, None] + jx)) // pack
+
+
 def _window_bases(st, flag, meta, th, tw, ngroups, group_rays,
-                  margin_x, margin_y, pred=None, shapes=None):
+                  margin_x, margin_y, pred=None, shapes=None,
+                  pack=1, ncx_pad=None):
     """Containment check + window placement for G groups of rays.
 
     Computes every group's cell bounding box, accumulates the containment
@@ -542,16 +590,39 @@ def _window_bases(st, flag, meta, th, tw, ngroups, group_rays,
     twf = tw_v.astype(jnp.float32)
     thf = th_v.astype(jnp.float32)
     # center the window's slack on the bbox
+    ncx_clip = float(nx - 1) if pack == 1 else float(ncx_pad)
     bix = jnp.clip(ixm - jnp.floor((twf - 1.0 - span_x) * 0.5),
-                   0.0, float(nx - 1) - twf).astype(jnp.int32)
+                   0.0, ncx_clip - twf).astype(jnp.int32)
     biy = jnp.clip(iym - jnp.floor((thf - 1.0 - span_y) * 0.5),
                    0.0, float(ny - 1) - thf).astype(jnp.int32)
+    if pack > 1:
+        # Packed refresh rows need P-aligned x-bases (_cells_packed).
+        # Center-then-snap-DOWN costs up to pack-1 cells of right slack —
+        # enough to flip a window sized at the containment edge into a
+        # replay storm (measured: logs_r4/18's hand-picked segments) — so
+        # when the snapped window leaves the right requirement short, bump
+        # one pack unit rightward IF the left margin survives it.  Grid
+        # edges stay inherently safe (``_cells`` caps ix into [0, nx-2];
+        # the x-padding lets a window reach ncx_pad - tw >= nx-1 - tw, so
+        # a fitting span always has a legal aligned placement).  Right
+        # containment, the one side alignment can still eat, re-enters
+        # the flag explicitly.
+        bix = (bix // pack) * pack
+        bf = bix.astype(jnp.float32)
+        need_right = jnp.minimum(ixM + margin_x, float(nx - 2))
+        left_limit = jnp.maximum(jnp.floor(ixm - margin_x), 0.0)
+        bump = ((need_right > bf + twf - 1.0)
+                & (bf + float(pack) <= left_limit)
+                & (bf + float(pack) <= ncx_clip - twf))
+        bix = jnp.where(bump, bix + pack, bix)
+        flag = jnp.maximum(flag, jnp.max(
+            need_right - (bix.astype(jnp.float32) + twf - 1.0)))
     return flag, bix, biy, tw_v, th_v
 
 
 def _refresh_windows(st, flag, c36, meta, th, tw, nblocks, block_rays,
                      margin_x, margin_y, nchunks, n_ch, pred=None,
-                     shapes=None):
+                     shapes=None, pack=1, ncx_pad=None):
     """One per-BLOCK window refresh: (flag', tiles, bases).
 
     ``c36`` is the :func:`_cells36` table; tiles come back as
@@ -560,14 +631,26 @@ def _refresh_windows(st, flag, c36, meta, th, tw, nblocks, block_rays,
     kernel's SMEM table — the kernel's flat local index uses the
     per-block tw (``kernels.fused._tile_nag``), which is how oriented
     shape sets (``shapes``) reach the device without a recompile.
+
+    ``pack > 1``: ``c36`` is the :func:`_cells_packed` table instead and
+    the gather pulls ``pack``-cell rows (pack * cell_ch floats each) —
+    the same floats in the same order, so everything downstream of the
+    reshape (and the kernel itself) is untouched; only the row count
+    drops pack-fold, which is what recovers gather bandwidth.
     """
     x0, y0, inv_hx, inv_hy, nx, ny = meta
     flag, bix, biy, tw_v, th_v = _window_bases(
         st, flag, meta, th, tw, nblocks, block_rays, margin_x, margin_y,
-        pred, shapes)
-    wid = _window_ids(bix, biy, th_v, tw_v, nchunks * LANES, nx - 1)
-    cell_ch = c36.shape[-1]               # 36 parity / 16 C1
-    cells = c36[wid]                      # (nblocks, nchunks*LANES, cell_ch)
+        pred, shapes, pack, ncx_pad)
+    if pack == 1:
+        wid = _window_ids(bix, biy, th_v, tw_v, nchunks * LANES, nx - 1)
+        cell_ch = c36.shape[-1]           # 36 parity / 16 C1
+        cells = c36[wid]                  # (nblocks, nchunks*LANES, cell_ch)
+    else:
+        gid = _window_gids(bix, biy, th_v, tw_v, nchunks * LANES,
+                           ncx_pad, pack)
+        cell_ch = c36.shape[-1] // pack
+        cells = c36[gid].reshape(nblocks, nchunks * LANES, cell_ch)
     tiles = jnp.transpose(
         cells.reshape(nblocks, nchunks, LANES, cell_ch),
         (0, 1, 3, 2)).reshape(nblocks, n_ch, LANES)
@@ -613,7 +696,7 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
                               interpret, meta, tile_shape, stats=False,
                               n_state=9, gold_schedule=None,
                               row_windows=False, use_pred=False,
-                              shapes=None):
+                              shapes=None, pack=1):
     """Chain tiled-kernel launches; slice block windows between them.
 
     Each iteration (all inside ONE jit): compute every kernel block's cell
@@ -645,6 +728,15 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
         if any(-(-t * w // LANES) != nchunks for t, w in shapes):
             raise ValueError(f"oriented shapes {shapes} must all use the "
                              f"tile class's {nchunks} gather chunk(s)")
+    if pack > 1:
+        if row_windows:
+            raise ValueError("packed refresh rows are a block-window mode")
+        if LANES % pack or tw % pack:
+            raise ValueError(f"pack {pack} must divide LANES and the "
+                             f"window width, got tw={tw}")
+        if shapes is not None and any(w % pack for _, w in shapes):
+            raise ValueError(f"oriented shapes {shapes} must all have "
+                             f"pack-{pack}-aligned widths")
     node_ch = nodes3d.shape[-1]           # 9 parity / 4 C1 (media/c1.py)
     cell_ch = 4 * node_ch
     if row_windows and node_ch != 9:
@@ -751,8 +843,12 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
         # coordinate during one segment
         margin_x = jnp.ceil(travel * inv_hx)
         margin_y = jnp.ceil(travel * inv_hy)
-    c36 = jnp.transpose(_cells36(nodes3d)) if row_windows \
-        else _cells36(nodes3d)
+    if row_windows:
+        c36, ncx_pad = jnp.transpose(_cells36(nodes3d)), None
+    elif pack > 1:
+        c36, ncx_pad = _cells_packed(nodes3d, pack)
+    else:
+        c36, ncx_pad = _cells36(nodes3d), None
 
     def seg_body(k, carry):
         st, flag = carry
@@ -773,7 +869,8 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
         else:
             flag, tiles, bases = _refresh_windows(
                 st, flag, c36, meta, th, tw, nblocks, block_rays,
-                margin_x, margin_y, nchunks, n_ch, pred, shapes)
+                margin_x, margin_y, nchunks, n_ch, pred, shapes,
+                pack, ncx_pad)
         offset = offset0 + k.astype(jnp.float32) * segment
         if golden:
             ds_vec = golden_scalars(delta_s, gamma, limit, offset, iters)
@@ -790,7 +887,7 @@ def _tiled_run_segments_inner(state, nodes3d, delta_s, limit, offset0,
 @functools.partial(jax.jit, static_argnames=(
     "op", "segment", "box", "block_rays", "interpret", "meta", "tile_shape",
     "stats", "n_state", "gold_schedule", "row_windows", "use_pred",
-    "shapes"))
+    "shapes", "pack"))
 def _tiled_run_segments(*args, **kw):
     return _tiled_run_segments_inner(*args, **kw)
 
@@ -798,7 +895,7 @@ def _tiled_run_segments(*args, **kw):
 @functools.partial(jax.jit, static_argnames=(
     "op", "segment", "box", "block_rays", "interpret", "meta", "tile_shape",
     "stats", "n_state", "mesh", "mesh_axes", "gold_schedule", "row_windows",
-    "use_pred", "shapes"))
+    "use_pred", "shapes", "pack"))
 def _tiled_run_segments_sharded(state, nodes3d, delta_s, limit, offset0,
                                 n_seg, gamma, *, mesh, mesh_axes, **kw):
     """The round body under ``shard_map``: rays sharded, windows local.
@@ -902,6 +999,13 @@ def _tiled_sweep_segments(state, nodes3d, scal, n_seg, *, op, segment, box,
 
 #: window classes for the batched sweep, smallest first
 _SWEEP_TILES = ((11, 11), (16, 16), (22, 22), (32, 32))
+
+#: diagnostics of the LAST grid_trace_tiled call (host-side counters, no
+#: API change): replay count, adaptive-round count, the smallest segment
+#: the run was forced to, the (pack-adjusted) tile it ended on, and pack.
+#: Perf probes read this to tell "slow kernel" from "replay storm"
+#: (benchmarks/oriented_probe.py --pack).
+LAST_TILED_STATS: dict = {}
 
 
 def grid_sweep_tiled(op: str, pos0, theta0, delta_s, step_limits, medium, *,
@@ -1029,7 +1133,8 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
                      sort: bool = True, gamma: float = 1.0,
                      mesh=None, gold_schedule: tuple | None = None,
                      row_windows: bool | None = None,
-                     oriented: bool = True) -> FusedFinal:
+                     oriented: bool | None = None,
+                     pack: int | str = "auto") -> FusedFinal:
     """Production-tier tracing through a 2-D sampled-spline medium.
 
     The block-shared-window successor to :func:`grid_trace`: rays are
@@ -1052,7 +1157,9 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
     refresh's 128x window count dominates its per-step gather saving), so
     it is kept as an experiment knob, not the default.
 
-    ``oriented`` (default True) lets every block pick, per refresh, the
+    ``oriented`` (default None = on for block windows, off for row
+    windows — explicit True with ``row_windows`` is an error) lets every
+    block pick, per refresh, the
     RECTANGLE of its gather-chunk class — (4,32)...(32,4) at one chunk,
     (8,32)/(16,16)/(32,8) at two — that best fits its bbox+drift, so
     axis-dominated drift spends lane capacity along the motion instead of
@@ -1063,6 +1170,31 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
     the reference's coarse divisor 303 and 2.94 -> 3.37 G at the
     precision divisor 4587 — the auto ladder stays on cheaper chunk
     classes longer.  ``oriented=False`` restores the square ladder.
+
+    ``pack`` (1/2/4/8/16) packs that many x-consecutive cells into each
+    refresh gather row (:func:`_cells_packed`): the TPU gather engine is
+    latency-bound on short rows (36-float rows 7.9 GB/s; 144-float 13.3;
+    576-float 19.9 — benchmarks/refresh_probe.py; the in-situ refresh
+    itself measured 6.7 -> 3.8 ms at pack=4, logs_r4/19), and at coarse
+    steps the refresh gather is the single largest term of the wall
+    clock, so packing trades up to ``pack - 1`` cells of window x-slack
+    (bases snap to P alignment; containment stays VERIFIED per refresh)
+    for a bandwidth-proportional cut of the refresh term.  Window widths
+    round up to a ``pack`` multiple within the same gather-chunk class
+    (e.g. (11, 11) -> (10, 12) at pack=4) and oriented shapes round the
+    same way; the gathered floats — and so the trajectories — are
+    BIT-IDENTICAL to ``pack=1`` at equal segmentation (tested).  The
+    "auto" default packs at 4 only in the COARSE regime
+    (delta_s > pitch/4, where refreshes dominate: +15-30% measured at
+    divisor 303, logs_r4/21-22) and stays unpacked at fine steps, where
+    the slack trade shortens segments for refreshes that barely happen
+    (-6% measured at divisor 4587, logs_r4/23).  Auto segment sizing
+    reserves the alignment snap, so it may pick a different segment than
+    pack=1 would — which re-times the refresh cadence; golden ops
+    re-derive their direction by exact cos/sin at each launch (vs
+    polynomial rotations within), so THEIR trajectories carry a known
+    ~1e-8/step cadence sensitivity (7e-6 over 606 coarse fisheye steps,
+    measured) that any segmentation change exposes — pack or not.
 
     Unlike :func:`grid_trace` this has NO ``delta_s < cell`` restriction —
     the coarse calibrated fisheye divisors (278-325, RT_bench.py:1431-1450)
@@ -1098,9 +1230,27 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
     if oriented and row_windows:
         # rows-mode kernels gather per sublane row with a static shape;
         # silently dropping the shape set would size segments for
-        # rectangle capacity the run can't use (flag replays every round)
+        # rectangle capacity the run can't use (flag replays every round).
+        # Only an EXPLICIT oriented=True conflicts — the None default
+        # resolves to "oriented for block windows, off for row windows"
+        # (round-3's unconditional raise broke every default-oriented
+        # row-window call, caught by the row-window tests this round)
         raise ValueError("oriented shape sets are a block-window mode; "
                          "drop row_windows or oriented")
+    if oriented is None:
+        oriented = not row_windows
+    if pack == "auto":
+        # coarse regime (a ray crosses cells in a few steps): refreshes
+        # dominate and packing pays; fine regime: the slack trade loses
+        pitch0 = min(1.0 / float(medium.inv_hx), 1.0 / float(medium.inv_hy))
+        pack = 4 if (not row_windows
+                     and float(delta_s) > 0.25 * pitch0) else 1
+    if pack not in (1, 2, 4, 8, 16):
+        raise ValueError(f"pack must be 1, 2, 4, 8, 16 or 'auto', "
+                         f"got {pack}")
+    if pack > 1 and row_windows:
+        raise ValueError("packed refresh rows are a block-window mode; "
+                         "drop row_windows or pack")
     th, tw = tile_shape                  # window size in CELLS
     r = pos0.shape[0]
     if r % block_rays:
@@ -1132,6 +1282,46 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
                          f">= 8 sublane rows per block, got {tile_shape} / "
                          f"block_rays {block_rays}")
 
+    def _pk(tile):
+        """Ladder tile -> pack-aligned width inside its gather-chunk class.
+
+        Widths round UP to a multiple of ``pack`` (the padded table always
+        holds the wider window: ncx_pad >= any pack-rounded tw that passed
+        the grid-size check), heights round DOWN so the cell count stays
+        within the class's chunks — e.g. (11, 11) -> (10, 12) at pack=4,
+        (22, 22) -> (21, 24).
+        """
+        if pack == 1:
+            return tile
+        t, w = tile
+        nch = -(-t * w // LANES)
+        w2 = -(-w // pack) * pack
+        return (min(t, (nch * LANES) // w2), w2)
+
+    def shapes_for(tile):
+        """The oriented shape set for ``tile`` under the pack constraint.
+
+        Shapes whose width is not a ``pack`` multiple are replaced by
+        their ``_pk`` rounding (e.g. (11, 11) -> (10, 12)) rather than
+        dropped — losing the near-square from the single-chunk set left
+        diagonal-drift blocks with only the extreme rectangles and
+        replay-stormed the coarse regime (logs_r4/21 1-chunk rows);
+        widths already below ``pack`` (e.g. (32, 4) at pack=8) have no
+        same-class rounding and do drop.
+        """
+        if not oriented or use_rows(tile):
+            return None
+        shp = _oriented_shapes(tile, medium)
+        if shp is not None and pack > 1:
+            out = []
+            for s in shp:
+                s2 = s if s[1] % pack == 0 else _pk(s)
+                if (s2[1] % pack == 0 and s2[0] >= 1 and s2 not in out
+                        and s2[0] <= medium.ny - 1):
+                    out.append(s2)
+            shp = tuple(out) if len(out) > 1 else None
+        return shp
+
     # host-side curvature estimate for segment sizing / margin-scheme
     # choice (the traced margins recompute the bound from the live table;
     # 0.0 statics mean a pre-round-3 medium — the 1.0 guess only affects
@@ -1161,11 +1351,12 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
 
     def _fits_oriented(travel_cells, m, shapes):
         # a direction phi fits iff SOME shape holds both axis projections
-        # plus margins and the 4-cell bbox reserve; scan the worst phi
-        # over [0, 45deg] (axis symmetry makes that the whole space)
+        # plus margins and the 4-cell bbox reserve (x also reserves the
+        # pack-alignment snap, < pack cells); scan the worst phi over
+        # [0, 45deg] (axis symmetry makes that the whole space)
         for k in range(9):
             phi = math.pi / 4.0 * k / 8.0
-            need_x = travel_cells * math.cos(phi) + m
+            need_x = travel_cells * math.cos(phi) + m + (pack - 1)
             need_y = travel_cells * math.sin(phi) + m
             if not any(need_x <= tw_s - 1 - 4 and need_y <= th_s - 1 - 4
                        for th_s, tw_s in shapes):
@@ -1174,7 +1365,8 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
 
     def _default_segment(tile, shapes=None):
         # capacity is min(tile) cells; ~4 reserved for the unit bbox
-        cap = max(1.0, float(min(tile) - 1 - 4))
+        # (x additionally reserves the pack-alignment snap)
+        cap = max(1.0, float(min(tile[0], tile[1] - (pack - 1)) - 1 - 4))
         # legacy symmetric margins: travel <= cap / 2 on each side
         seg_old = int(cap * 0.5 * pitch / float(delta_s))
         # drift-predicted margins: the prediction span rides in the bbox,
@@ -1209,16 +1401,11 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
             # already rows x 128 cells at single-chunk cost, so short
             # segments beat paying the chunk multiplier every step.
             grow = {(11, 11): (16, 16), (16, 16): (22, 22), (22, 22): (32, 32)}
-            while (_default_segment(
-                       (th, tw),
-                       _oriented_shapes((th, tw), medium) if oriented
-                       else None) < 4
+            while (_default_segment(_pk((th, tw)), shapes_for((th, tw))) < 4
                    and (th, tw) in grow
                    and 2 * th <= medium.ny - 1 and 2 * tw <= medium.nx - 1):
                 th, tw = grow[(th, tw)]
-        segment = _default_segment(
-            (th, tw),
-            _oriented_shapes((th, tw), medium) if oriented else None)
+        segment = _default_segment(_pk((th, tw)), shapes_for((th, tw)))
     n_state, _ = _state_layout(op, with_stats)
 
     pos0 = jnp.asarray(pos0, jnp.float32)
@@ -1258,13 +1445,12 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
 
     def attempt(state, seg, n_run, done_steps, tile):
         rows_mode = use_rows(tile)
-        shp = (_oriented_shapes(tile, medium)
-               if oriented and not rows_mode else None)
+        shp = shapes_for(tile)
         kw = dict(op=op, segment=seg, box=tuple(box), block_rays=block_rays,
-                  interpret=interpret, meta=meta, tile_shape=tile,
+                  interpret=interpret, meta=meta, tile_shape=_pk(tile),
                   stats=with_stats, n_state=n_state,
                   gold_schedule=gold_schedule, row_windows=rows_mode,
-                  use_pred=_pred_wins(seg), shapes=shp)
+                  use_pred=_pred_wins(seg), shapes=shp, pack=pack)
         if mesh is None:
             return _tiled_run_segments(
                 state, nodes3d, jnp.float32(delta_s), limit,
@@ -1306,15 +1492,21 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
     tile = (th, tw)
     round_refreshes = refreshes_per_round
     done_steps = 0
+    LAST_TILED_STATS.clear()
+    LAST_TILED_STATS.update(replays=0, rounds=0, segment0=seg0,
+                            min_segment=seg, tile=_pk(tile), pack=pack)
     while done_steps < steps:
         n_run = min(round_refreshes, -(-(steps - done_steps) // seg))
         nstate, flag = attempt(state, seg, n_run, done_steps, tile)
+        LAST_TILED_STATS["rounds"] += 1
         if tripped(flag):
+            LAST_TILED_STATS["replays"] += 1
             comps = [s.reshape(-1) for s in state]
             comps, orig_idx = apply_perm(comps, orig_idx)
             state = pin(tuple(c.reshape(-1, LANES) for c in comps))
             nstate, flag = attempt(state, seg, 1, done_steps, tile)
             while tripped(flag):
+                LAST_TILED_STATS["replays"] += 1
                 if seg > 1:
                     seg = max(1, seg // 2)
                 else:
@@ -1332,6 +1524,9 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
             state = nstate
             done_steps += seg
             round_refreshes = 1
+            LAST_TILED_STATS["min_segment"] = min(
+                LAST_TILED_STATS["min_segment"], seg)
+            LAST_TILED_STATS["tile"] = _pk(tile)
         else:
             state = nstate
             done_steps += n_run * seg

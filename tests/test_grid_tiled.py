@@ -454,3 +454,52 @@ def test_tiled_rejects_zero_cadence(fisheye_media):
             grid_trace_tiled("op6", pos0, theta0, np.float32(0.001), hm,
                              steps=10, box=tuple(scen.box), block_rays=1024,
                              interpret=True, **bad)
+
+
+def test_packed_refresh_bit_identical(fisheye_media):
+    """P-cell packed refresh gathers (engine/segmented._cells_packed):
+    the same floats arrive in pack-fold fewer, pack-fold longer rows, so
+    at EQUAL segmentation non-golden trajectories are BIT-identical.
+    Golden ops re-derive their direction by exact cos/sin at each kernel
+    launch (vs polynomial rotations within a launch), so any containment
+    replay the alignment snap provokes — which halves the segment for
+    that round — perturbs them at the known ~1e-8/step refresh-cadence
+    level (same sensitivity as segment=4 vs 6 at pack=1, measured 7e-6
+    over 606 steps); they get a cadence-sized tolerance, not equality."""
+    scen, gm, hm = fisheye_media
+    pos0, theta0 = _fan(2048)
+    ds = np.float32(2 * np.pi / 303)
+    kw = dict(steps=120, box=tuple(scen.box), block_rays=256,
+              interpret=True, segment=4, tile_shape=(16, 16))
+    a6 = grid_trace_tiled("op6", pos0, theta0, ds, hm, **kw)
+    a5 = grid_trace_tiled("op5", pos0, theta0, ds, hm, **kw)
+    for pack in (4, 16):
+        b = grid_trace_tiled("op6", pos0, theta0, ds, hm, pack=pack, **kw)
+        np.testing.assert_array_equal(np.asarray(a6.pos), np.asarray(b.pos))
+        np.testing.assert_array_equal(np.asarray(a6.traveltime),
+                                      np.asarray(b.traveltime))
+        g = grid_trace_tiled("op5", pos0, theta0, ds, hm, pack=pack, **kw)
+        np.testing.assert_allclose(np.asarray(a5.pos), np.asarray(g.pos),
+                                   atol=1e-5)
+
+
+def test_packed_refresh_oriented_and_edges(fisheye_media):
+    """pack composes with oriented shape sets (widths filtered to pack
+    multiples) and stays correct with windows butting the padded right
+    edge of the cell grid; bad configs raise named errors."""
+    scen, gm, hm = fisheye_media
+    pos0, theta0 = _fan(2048)
+    ds = np.float32(2 * np.pi / 303)
+    kw = dict(steps=120, box=tuple(scen.box), block_rays=256,
+              interpret=True, segment=4)
+    a = grid_trace_tiled("op6", pos0, theta0, ds, hm, oriented=True, **kw)
+    b = grid_trace_tiled("op6", pos0, theta0, ds, hm, oriented=True,
+                         pack=4, **kw)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    with pytest.raises(ValueError, match="pack"):
+        grid_trace_tiled("op6", pos0, theta0, ds, hm, pack=3, **kw)
+    with pytest.raises(ValueError, match="block-window"):
+        grid_trace_tiled("op6", pos0, theta0, ds, hm, pack=4,
+                         row_windows=True, steps=120, box=tuple(scen.box),
+                         block_rays=1024, interpret=True,
+                         tile_shape=(8, 16), oriented=False)
