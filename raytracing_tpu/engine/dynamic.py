@@ -58,6 +58,11 @@ from raytracing_tpu.ops.registry import RayPoint, build_op, canonical
 #: history row layout of :func:`trace_dynamic` (mode="history")
 DYN_COLS = ("x", "y", "traveltime", "angle", "q", "kmah", "n")
 
+#: use the compensated hand-written tangent recursion for op6 (see
+#: ``hand_tangent`` in :func:`_build_dynamic_fn`); False restores the
+#: plain ``jax.jvp`` tangent for every op
+HAND_TANGENT = True
+
 
 class DynamicResult(NamedTuple):
     """Kinematic + paraxial state after a dynamic trace."""
@@ -167,6 +172,14 @@ def _build_dynamic_fn(op_name: str, max_size: int, mode: str,
     history = mode == "history"
     cross_fan = mode == "cross_fan"
     cross_pick = mode == "cross_pick"
+    # op6 (HySA, the eigenray/TL default) gets the hand-written tangent
+    # recursion with compensated accumulators; every other smooth op keeps
+    # the exact jax.jvp (see hand_tangent below for why jvp's f32 carry
+    # rounding cannot be compensated from outside).  HAND_TANGENT is a
+    # module-level escape hatch (tests compare the two directly via
+    # ``_build_dynamic_fn.__wrapped__``; flipping the flag at runtime
+    # requires clearing the lru cache).
+    hand = HAND_TANGENT and op_name == "op6"
 
     def run(pos0, theta0, medium, gamma, delta_s, step_limit, box,
             aux=None):
@@ -208,18 +221,133 @@ def _build_dynamic_fn(op_name: str, max_size: int, mode: str,
                 return jnp.where(m, a, b)
             return jax.tree.map(one, new, old)
 
+        def kadd(old, inc, comp):
+            """Kahan step: add a TRUE (unrounded-sum) increment.
+
+            Only increments computed *before* any accumulator addition
+            qualify — recovering an increment from an already-rounded sum
+            (``new - old``) is exactly vacuous (Fast2Sum: re-adding it
+            reproduces the same rounded sum bit-for-bit; measured,
+            logs_r4/20's unchanged amplitude digit).  With true
+            increments the compensation removes the per-step carry
+            rounding whose random walk over ~4k steps was the measured
+            floors (traveltime 9.0e-6 -> 8.2e-8 rel in the same log).
+            """
+            y = inc - comp
+            t = old + y
+            return t, (t - old) - y
+
+        def hand_step(pt, dpt, comps, i):
+            """op6's step AND paraxial tangent with compensated carries.
+
+            ``jax.jvp`` propagates the tangent exactly in REAL arithmetic
+            but its f32 carry additions round inside the traced step
+            where no compensation can reach — and the measured amplitude
+            floor turned out to be slaved to the PRIMAL f32 trajectory
+            (Kahan on the tangents alone moved it 2.28e-5 -> 2.20e-5
+            only, logs_r4/24) — so for the eigenray op the WHOLE step is
+            written out by hand: the same discrete map as the op
+            (ops/steppers.second_order_taylor + ops/angles.tfinal_2o,
+            f64-equal to the op path) with Kahan carries on all four
+            accumulators — primal (pos, angle), the kernel tier's proven
+            primal treatment (kernels/fused.py), and tangent
+            (dpos, dangle).  Field values and their exact directional
+            derivatives along dpos come from one ``jax.jvp`` of
+            ``medium.n_and_grad`` per evaluation point — per-step
+            functions, no accumulation.  Isotropic by construction
+            (op6); the anisotropy channel never enters the map.
+            """
+            cpp, cpa, cdp, cda, ctt = comps
+            ds = delta_s
+            a = pt.angle
+            ux, uy = pt.unitv[..., 0], pt.unitv[..., 1]
+            dpx, dpy = dpt.pos[..., 0], dpt.pos[..., 1]
+            da = dpt.angle
+            dux, duy = -da * uy, da * ux
+            (n, (gx, gy)), (dn, (dgx, dgy)) = jax.jvp(
+                medium.n_and_grad,
+                (pt.pos[..., 0], pt.pos[..., 1]), (dpx, dpy))
+
+            # second_order_taylor increment: D = u ds + T ds^2/(2n),
+            # T = g - (g.u)u — and its tangent
+            gdotu = gx * ux + gy * uy
+            tx = gx - gdotu * ux
+            ty = gy - gdotu * uy
+            dgdotu = dgx * ux + dgy * uy + gx * dux + gy * duy
+            dtx = dgx - dgdotu * ux - gdotu * dux
+            dty = dgy - dgdotu * uy - gdotu * duy
+            inv_n = 1.0 / n
+            half = ds * ds * 0.5 * inv_n
+            dd = jnp.stack([ux * ds + tx * half, uy * ds + ty * half], -1)
+            ddp = jnp.stack([dux * ds + (dtx - tx * dn * inv_n) * half,
+                             duy * ds + (dty - ty * dn * inv_n) * half],
+                            -1)
+            pos_c, cpp_n = kadd(pt.pos, dd, cpp)
+            dpos_c, cdp_n = kadd(dpt.pos, ddp, cdp)
+
+            # field value + tangent at the stepped point (one jvp serves
+            # the primal k2 and its derivative along the NEW dpos)
+            (n2, (gx2, gy2)), (dn2, (dgx2, dgy2)) = jax.jvp(
+                medium.n_and_grad,
+                (pos_c[..., 0], pos_c[..., 1]),
+                (dpos_c[..., 0], dpos_c[..., 1]))
+
+            # tfinal_2o: k1 = ds (ca gy - sa gx)/n at the start point,
+            # k2 the same form at (angle + k1, stepped point)
+            ca, sa = ux, uy              # unitv IS (cos a, sin a)
+            c1 = ca * gy - sa * gx
+            k1 = ds * c1 * inv_n
+            dc1 = da * (-sa * gy - ca * gx) + ca * dgy - sa * dgx
+            dk1 = ds * (dc1 - c1 * dn * inv_n) * inv_n
+            a1 = a + k1
+            ca1, sa1 = jnp.cos(a1), jnp.sin(a1)
+            inv_n2 = 1.0 / n2
+            c2 = ca1 * gy2 - sa1 * gx2
+            k2 = ds * c2 * inv_n2
+            dc2 = ((da + dk1) * (-sa1 * gy2 - ca1 * gx2)
+                   + ca1 * dgy2 - sa1 * dgx2)
+            dk2 = ds * (dc2 - c2 * dn2 * inv_n2) * inv_n2
+            ang_c, cpa_n = kadd(a, (k1 + k2) * 0.5, cpa)
+            dang_c, cda_n = kadd(dpt.angle, (dk1 + dk2) * 0.5, cda)
+
+            unitv_n = jnp.stack([jnp.cos(ang_c), jnp.sin(ang_c)], -1)
+            pt_n = RayPoint(pos=pos_c, angle=ang_c, unitv=unitv_n, n=n2,
+                            grad=jnp.stack([gx2, gy2], -1),
+                            coef=anisotropy(ang_c, gamma), window=None)
+            uperp = jnp.stack([-unitv_n[..., 1], unitv_n[..., 0]], -1)
+            dpt_n = dpt._replace(
+                pos=dpos_c, angle=dang_c,
+                unitv=dang_c[..., None] * uperp, n=dn2,
+                grad=jnp.stack([dgx2, dgy2], -1))
+            return pt_n, dpt_n, (cpp_n, cpa_n, cdp_n, cda_n, ctt)
+
         def body(carry, i):
             (pt, dpt, tt, dsim, dreal, active, exit_step, sgn,
              kmah) = carry[:9]
-            cross = carry[9:]
-            pt_n, dpt_n = jax.jvp(lambda p: step_pt(p, i), (pt,), (dpt,))
+            comps = carry[9]
+            cross = carry[10:]
+            if hand:
+                pt_n, dpt_n, comps_n = hand_step(pt, dpt, comps, i)
+            else:
+                pt_n, dpt_n = jax.jvp(lambda p: step_pt(p, i),
+                                      (pt,), (dpt,))
+                comps_n = comps
 
+            # traveltime's increment is formed here, BEFORE the carry
+            # addition — a true increment, so Kahan applies in both modes
             dist = jnp.linalg.norm(pt_n.pos - pt.pos, axis=-1)
-            tt_n = tt + dist * (pt.coef * pt.n + pt_n.coef * pt_n.n) / 2.0
+            tt_inc = dist * (pt.coef * pt.n + pt_n.coef * pt_n.n) / 2.0
+            tt_n, ctt_n = kadd(tt, tt_inc, comps_n[4])
+            comps_n = comps_n[:4] + (ctt_n,)
 
             pt2 = sel(active, pt_n, pt)
             dpt2 = sel(active, dpt_n, dpt)
             tt2 = jnp.where(active, tt_n, tt)
+            comps2 = tuple(
+                jnp.where(active.reshape(active.shape
+                                         + (1,) * (c.ndim - active.ndim)),
+                          c, o)
+                for c, o in zip(comps_n, comps))
             dsim2 = jnp.where(active, dsim + dist, dsim)
             dreal2 = jnp.where(active, dreal + delta_s, dreal)
 
@@ -236,9 +364,16 @@ def _build_dynamic_fn(op_name: str, max_size: int, mode: str,
             active2 = active & ~out & (i < step_limit)
 
             # -- on-device crossing records --------------------------------
-            # frozen rays self-exclude: pt2 == pt makes d0*d1 = d0^2 >= 0,
-            # which matches the host scan's step_ok masking (the exit step
-            # itself still counts, exactly as `step_ok` includes j = last-1)
+            # frozen rays self-exclude: pt2 == pt gives d0, d1 the same
+            # sign, which matches the host scan's step_ok masking (the
+            # exit step itself still counts, exactly as `step_ok` includes
+            # j = last-1).  The predicate is a SIGN TRANSITION, not
+            # d0*d1 < 0: a step landing EXACTLY on the range line must
+            # count once (frac = 1), or the arrival vanishes — the
+            # compensated position carries make exact landings routine
+            # when delta_s and the range are commensurate (x after 50
+            # Kahan steps of fl(0.02) IS 1.0; found by the axial-arrival
+            # eigenray test the day the carries landed).
             if cross_fan or cross_pick:
                 x0, x1 = pt.pos[..., 0], pt2.pos[..., 0]
             if cross_fan:
@@ -246,7 +381,7 @@ def _build_dynamic_fn(op_name: str, max_size: int, mode: str,
                 ranges = aux
                 d0 = x0[:, None] - ranges[None, :]
                 d1 = x1[:, None] - ranges[None, :]
-                hit = d0 * d1 < 0
+                hit = (d0 < 0) != (d1 < 0)
                 frac = jnp.where(
                     hit, d0 / jnp.where(hit, (x0 - x1)[:, None], 1.0), 0.0)
                 ycross = (pt.pos[..., 1][:, None]
@@ -260,7 +395,7 @@ def _build_dynamic_fn(op_name: str, max_size: int, mode: str,
                 cnt, rec = cross
                 xr, ordk = aux
                 d0, d1 = x0 - xr, x1 - xr
-                hit = d0 * d1 < 0
+                hit = (d0 < 0) != (d1 < 0)
                 frac = jnp.where(hit, d0 / jnp.where(hit, x0 - x1, 1.0),
                                  0.0)
                 q0 = jnp.sum(dpt.pos * _perp(pt.angle), axis=-1)
@@ -283,7 +418,7 @@ def _build_dynamic_fn(op_name: str, max_size: int, mode: str,
                          jnp.where(take[:, None], row, rec))
 
             carry2 = (pt2, dpt2, tt2, dsim2, dreal2, active2, exit2,
-                      sgn2, kmah2) + cross
+                      sgn2, kmah2, comps2) + cross
             if history:
                 # rows FREEZE after exit (unlike the parity engine's zero
                 # rows, RT_bench.py:800-805) — frozen rows interpolate
@@ -311,15 +446,17 @@ def _build_dynamic_fn(op_name: str, max_size: int, mode: str,
                       jnp.zeros(theta0.shape + (6,), dtype))
         else:
             cross0 = ()
+        comps0 = (jnp.zeros_like(pt0.pos), zeros,
+                  jnp.zeros_like(pt0.pos), zeros, zeros)
         carry0 = (pt0, dpt0, zeros, zeros, zeros, active0, exit0, sgn0,
-                  kmah0) + cross0
+                  kmah0, comps0) + cross0
         steps = jnp.arange(1, max_size, dtype=jnp.int32)
         finalc, rows = jax.lax.scan(body, carry0, steps)
         (ptf, dptf, ttf, dsimf, drealf, _, exitf, _, kmahf) = finalc[:9]
         if cross_fan:
-            return CrossingFan(depths=finalc[10], counts=finalc[9])
+            return CrossingFan(depths=finalc[11], counts=finalc[10])
         if cross_pick:
-            return CrossingPick(state=finalc[10], found=finalc[9] > 0)
+            return CrossingPick(state=finalc[11], found=finalc[10] > 0)
 
         qf = jnp.sum(dptf.pos * _perp(ptf.angle), axis=-1)
         if history:

@@ -102,7 +102,7 @@ def _crossing_vals(hist: np.ndarray, last: np.ndarray, xr: float,
     d = x - xr
     n_steps, n_rays = x.shape
     step_ok = np.arange(n_steps - 1)[:, None] < last[None, :]
-    hit = step_ok & (d[:-1] * d[1:] < 0)                    # (S-1, R)
+    hit = step_ok & ((d[:-1] < 0) != (d[1:] < 0))          # (S-1, R)
     counts = hit.sum(0)
     m = max(int(counts.max()) if n_rays else 0, 1)
     out = np.full((n_rays, m, len(cols)), np.nan)
@@ -143,7 +143,7 @@ def _pick_crossings(h: np.ndarray, last: np.ndarray, xr: np.ndarray,
     if n_steps < 2:
         return np.zeros((n_cand, h.shape[2])), np.zeros(n_cand, bool)
     step_ok = np.arange(n_steps - 1)[:, None] < last[None, :]
-    hit = step_ok & (d[:-1] * d[1:] < 0)                     # (S-1, J)
+    hit = step_ok & ((d[:-1] < 0) != (d[1:] < 0))           # (S-1, J)
     cum = np.cumsum(hit, 0)
     counts = cum[-1]
     found = counts > 0

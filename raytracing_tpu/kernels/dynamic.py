@@ -201,11 +201,21 @@ def _make_dynamic_kernel(field: str, op: str, steps: int, box, strat=None):
             c = 1.0 - d2 * 0.5 * (1.0 - d2 * (1.0 / 12.0))
             return ax * c - ay * s, ax * s + ay * c
 
+        def kadd(old, inc, comp):
+            # Kahan on a TRUE increment (engine/dynamic.kadd): kills the
+            # per-step carry rounding of the paraxial accumulators, whose
+            # ~sqrt(steps) random walk was the measured 2.3e-5 amplitude
+            # floor (docs/PRECISION.md round-4 addendum)
+            y2 = inc - comp
+            t = old + y2
+            return t, (t - old) - y2
+
         def body(i, carry):
             in_limit = i.astype(jnp.float32) < limit
             x, y, cx, cy, ux, uy = carry[:6]
             fvals = carry[6:6 + nf]
-            (tt, dsim, active, dpx, dpy, dth, sgn, kmah) = carry[6 + nf:]
+            (tt, dsim, active, dpx, dpy, dth, sgn, kmah,
+             kdx, kdy, kdt, ktt) = carry[6 + nf:]
             if split:
                 n, gx, gy, gnx, gny, hxx, hxy, hyy = fvals
             else:
@@ -249,8 +259,8 @@ def _make_dynamic_kernel(field: str, op: str, steps: int, box, strat=None):
             dy = ddy - cy
             ny2 = y + dy
             cy2 = (ny2 - y) - dy
-            dpx2 = dpx + ddpx
-            dpy2 = dpy + ddpy
+            dpx2, kdx2 = kadd(dpx, ddpx, kdx)
+            dpy2, kdy2 = kadd(dpy, ddpy, kdy)
 
             fvals2 = nag(nx2, ny2)
             if split:
@@ -280,7 +290,7 @@ def _make_dynamic_kernel(field: str, op: str, steps: int, box, strat=None):
                 dcross2 = (-dth1 * (ux1 * gx2 + uy1 * gy2)
                            + ux1 * dgy2 - uy1 * dgx2)
                 dk2 = ds * (dcross2 - cross2 * dn2 * inv_n2) * inv_n2
-                ndth = dth + (dk1 + dk2) * 0.5
+                ndth, kdt2 = kadd(dth, (dk1 + dk2) * 0.5, kdt)
             else:
                 half = ds * 0.5
                 sx = n * ux + (gx + gx2) * half
@@ -290,15 +300,17 @@ def _make_dynamic_kernel(field: str, op: str, steps: int, box, strat=None):
                 nuy = sy * inv
                 dsx = dn * ux + n * dux + (dgx + dgx2) * half
                 dsy = dn * uy + n * duy + (dgy + dgy2) * half
-                # dth' = (ds_vec . u'_perp) |s|^-1
+                # dth' = (ds_vec . u'_perp) |s|^-1 — recomputed fresh,
+                # not accumulated: no compensation applies
                 ndth = (dsx * (-nuy) + dsy * nux) * inv
+                kdt2 = kdt
 
             if second_order:
                 dist = jnp.sqrt(ddx * ddx + ddy * ddy)
-                ntt = tt + dist * (n + n2) * 0.5
+                ntt, ktt2 = kadd(tt, dist * (n + n2) * 0.5, ktt)
                 ndsim = dsim + dist
             else:
-                ntt = tt + ds * (n + n2) * 0.5
+                ntt, ktt2 = kadd(tt, ds * (n + n2) * 0.5, ktt)
                 ndsim = dsim + ds
 
             # -- caustic bookkeeping (engine/dynamic.py body) -------------
@@ -323,16 +335,19 @@ def _make_dynamic_kernel(field: str, op: str, steps: int, box, strat=None):
                             for new, old in zip(fvals2, fvals))
                     + (sel(ntt, tt), sel(ndsim, dsim), nactive,
                        sel(dpx2, dpx), sel(dpy2, dpy), sel(ndth, dth),
-                       nsgn, nkmah))
+                       nsgn, nkmah,
+                       sel(kdx2, kdx), sel(kdy2, kdy), sel(kdt2, kdt),
+                       sel(ktt2, ktt)))
 
         fvals0 = nag(x, y)
         carry0 = ((x, y, zero, zero, ux, uy) + tuple(fvals0)
                   + (zero, zero, zero + 1.0,
-                     zero, zero, zero + 1.0, zero, zero))
+                     zero, zero, zero + 1.0, zero, zero,
+                     zero, zero, zero, zero))
         final = jax.lax.fori_loop(0, steps, body, carry0)
         fx, fy, _, _, fux, fuy = final[:6]
         fn = final[6]
-        (ftt, fdsim, fact, fdpx, fdpy, fdth, _, fkmah) = final[6 + nf:]
+        (ftt, fdsim, fact, fdpx, fdpy, fdth, _, fkmah) = final[6 + nf:6 + nf + 8]
         outs = (fx, fy, fux, fuy, fn, ftt, fdsim, fact, fdpx, fdpy,
                 fdth, fkmah)
         for ref, val in zip(out_refs, outs):

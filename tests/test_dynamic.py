@@ -194,3 +194,38 @@ def test_bad_mode_raises():
     with pytest.raises(ValueError, match="mode"):
         trace_dynamic("op1", rt.scenario("interface"), _homog(),
                       delta_s=0.1, mode="full")
+
+
+def test_hand_tangent_matches_jvp_f64():
+    """op6's hand-written compensated tangent recursion (engine/dynamic.
+    hand_tangent) is the SAME derivative as jax.jvp of the discrete step:
+    at f64 the two evaluations must agree to roundoff (the compensation
+    is exact-arithmetic-neutral).  Guards both the derivation and the
+    carry plumbing; the f32 payoff is measured on-chip
+    (benchmarks/eigenray_tpu_probe.py)."""
+    import raytracing_tpu.engine.dynamic as dd
+
+    scen = rt.scenario("fisheye")
+    med = rt.analytic_medium("fisheye")
+    r = 32
+    theta0 = np.pi / 2 + np.linspace(-0.1, 0.1, r)
+    pos0 = np.tile(np.array([[1.0, 0.0]]), (r, 1))
+    args = (pos0, theta0, med, np.float64(scen.gamma),
+            np.float64(2 * np.pi / 300), np.int32(200),
+            np.asarray(tuple(scen.box), np.float64))
+    run_h, _ = dd._build_dynamic_fn.__wrapped__("op6", 201, "metrics",
+                                                "float64")
+    assert dd.HAND_TANGENT
+    dd.HAND_TANGENT = False
+    try:
+        run_j, _ = dd._build_dynamic_fn.__wrapped__("op6", 201, "metrics",
+                                                    "float64")
+    finally:
+        dd.HAND_TANGENT = True
+    rh, rj = run_h(*args), run_j(*args)
+    np.testing.assert_allclose(np.asarray(rh.q), np.asarray(rj.q),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rh.dtheta),
+                               np.asarray(rj.dtheta), rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(rh.kmah), np.asarray(rj.kmah))

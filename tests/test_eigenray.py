@@ -124,3 +124,30 @@ def test_receiver_grid_matches_per_receiver_solves():
                                    np.sort(solo.theta0), atol=1e-9)
         np.testing.assert_allclose(np.sort(mine.traveltime),
                                    np.sort(solo.traveltime), rtol=1e-9)
+
+
+def test_exact_landing_still_counts_as_crossing():
+    """A step that lands EXACTLY on the receiver range is one crossing.
+
+    The compensated position carries make exact landings routine when
+    delta_s and the range are commensurate (50 Kahan-compensated steps of
+    fl(0.02) in a homogeneous axial ray give x == 1.0 bit-exactly); the
+    old ``d0 * d1 < 0`` predicate scored those 0 and the axial arrival
+    vanished (caught by test_parabolic_waveguide_multipath).  Both the
+    device scans (engine/dynamic.trace_crossings_*) and the host twins
+    (engine/eigenray._crossing_vals/_pick_crossings) use the
+    sign-transition form now."""
+    from raytracing_tpu.engine.eigenray import _crossing_depths
+
+    eig = find_eigenrays("op6", _homog(), source=(0, 0),
+                         receivers=[(1.0, 0.0), (2.0, 0.0)],
+                         delta_s=0.02, max_size=200, box=(-1, 3, -1, 1),
+                         fan=(-0.2, 0.2, 33))
+    assert set(np.asarray(eig.receiver)) == {0, 1}
+    assert np.all(np.asarray(eig.converged))
+    # host twin: a synthetic history whose x hits the range exactly
+    h = np.zeros((4, 1, 7))
+    h[:, 0, 0] = [0.0, 0.5, 1.0, 1.5]     # x lands exactly on 1.0
+    h[:, 0, 1] = [0.0, 0.1, 0.2, 0.3]     # y
+    d = _crossing_depths(h, np.array([3]), 1.0)
+    assert d.shape == (1, 1) and np.isclose(d[0, 0], 0.2)
