@@ -43,6 +43,7 @@ def _workload(n_ranges: int, n_depths: int):
 
 def _solve(samples, y, receivers, n_fan, dtype, on_host, tol):
     import contextlib
+    import os
 
     import jax
 
@@ -53,7 +54,12 @@ def _solve(samples, y, receivers, n_fan, dtype, on_host, tol):
     dev = (jax.default_device(jax.local_devices(backend="cpu")[0])
            if f64 else contextlib.nullcontext())
     with jax.enable_x64(f64), dev:
-        medium = rt.c1_stratified_from_samples(samples, y, dtype=dtype)
+        if not f64 and os.environ.get("RT_EIG_DF32", "0") == "1":
+            # split-word-evaluated profile: correctly-rounded f32 of the
+            # f64 interpolant on ANY backend (engine/df_grid.DfEvalProfile)
+            medium = rt.df_eval_profile_medium(samples, y)
+        else:
+            medium = rt.c1_stratified_from_samples(samples, y, dtype=dtype)
     t0 = time.perf_counter()
     eig = rt.find_eigenrays(
         "op6", medium, source=(0.0, -1.0), receivers=receivers,
@@ -134,6 +140,48 @@ def main():
         "kmah_match_frac": float(np.mean(dkmah)) if dkmah else None,
     }
     print(json.dumps(out), flush=True)
+
+    # --- attribute the amplitude deviation ------------------------------
+    # Each backend solves y(theta) = y_r on ITS OWN f32/f64 landing curve,
+    # so matched arrivals sit at slightly different theta0 — and the raw
+    # amplitude comparison silently includes dq/dtheta0 times that offset
+    # (a property of the BVP, not an arithmetic error: both arrivals are
+    # valid eigenrays of their curves).  Re-evaluating the f64 pipeline AT
+    # the accelerator's launch angles isolates the arithmetic term.
+    import jax
+
+    from raytracing_tpu import config as _cfg
+    from raytracing_tpu.engine.dynamic import (spreading_amplitude,
+                                               trace_crossings_pick)
+
+    tth, trec = np.asarray(tpu.theta0), np.asarray(tpu.receiver)
+    # this workload's rays cross each range once (monotone x), so every
+    # arrival is crossing ordinal 0
+    with jax.enable_x64(True), jax.default_device(
+            jax.local_devices(backend="cpu")[0]):
+        med64 = rt.c1_stratified_from_samples(samples, y, dtype=np.float64)
+        scen = _cfg.ScenarioConfig(
+            name="probe", key="-", field="", gamma=1.0,
+            ray_count=len(tth), theta0=tth.astype(np.float64),
+            pos0=np.tile([[0.0, -1.0]], (len(tth), 1)), s_max=0.0,
+            box=(-1.0, float(receivers[:, 0].max()) + 2.0, -3.0, 0.0))
+        cp = trace_crossings_pick(
+            "op6", scen, med64, delta_s=0.01,
+            xr=receivers[trec, 0].astype(np.float64),
+            ordk=np.zeros(len(tth), np.int32), dtype=np.float64,
+            pos0=scen.pos0, theta0=scen.theta0,
+            max_size=int(receivers[:, 0].max() / 0.01 * 1.2))
+        n0, _ = med64.n_and_grad(np.float64(0.0), np.float64(-1.0))
+        amp64_at_tpu = np.asarray(spreading_amplitude(
+            np.asarray(cp.state)[:, 3], np.asarray(cp.state)[:, 5],
+            np.full(len(tth), float(np.asarray(n0)))))
+    da_eq = np.abs(np.asarray(tpu.amplitude) - amp64_at_tpu) / amp64_at_tpu
+    da_eq = da_eq[np.asarray(cp.found)]
+    print(json.dumps({
+        "leg": "amp-at-equal-theta",
+        "amplitude_max_rel": float(np.max(da_eq)),
+        "amplitude_p95_rel": float(np.percentile(da_eq, 95))}),
+        flush=True)
 
 
 if __name__ == "__main__":

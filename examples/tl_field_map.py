@@ -47,7 +47,14 @@ out_png = sys.argv[4] if len(sys.argv) > 4 else None
 depth = np.linspace(-3.0, 0.0, 121)
 eta = 2.0 * (depth + 1.0)
 c = 1.49 * (1.0 + 0.0057 * (eta - 1.0 + np.exp(-eta)))
-medium = rt.c1_stratified_from_samples(c.min() / c, depth, dtype=DTYPE)
+if ON_TPU:
+    # split-word-evaluated profile: every n_and_grad is the correctly-
+    # rounded f32 of the f64 interpolant on ANY backend — the accuracy-
+    # grade medium for on-chip eigenray work (engine/df_grid.DfEvalProfile;
+    # measured amplitude p95 1.07e-5 -> 7.2e-6, logs_r4/28)
+    medium = rt.df_eval_profile_medium(c.min() / c, depth)
+else:
+    medium = rt.c1_stratified_from_samples(c.min() / c, depth, dtype=DTYPE)
 
 ranges = np.linspace(4.0, 40.0, n_ranges)
 depths = np.linspace(-2.5, -0.2, n_depths)

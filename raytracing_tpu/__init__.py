@@ -28,6 +28,7 @@ from raytracing_tpu.engine.diff import (  # noqa: F401
 from raytracing_tpu.engine.df_grid import (  # noqa: F401
     df_c1_medium_from_samples,
     df_c1_profile_from_samples,
+    df_eval_profile_medium,
     df_grid_medium_from_samples,
     df_grid_trace,
 )
@@ -89,6 +90,7 @@ __all__ = [
     "c1_medium_from_samples", "stratified_medium_from_samples",
     "c1_stratified_from_samples", "df_grid_medium_from_samples",
     "df_c1_medium_from_samples", "df_c1_profile_from_samples",
+    "df_eval_profile_medium",
     "df_grid_trace",
     "DiffTrace", "ParametricMedium", "parametric_grid_medium",
     "parametric_profile_medium", "trace_diff",

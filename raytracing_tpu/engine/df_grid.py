@@ -429,3 +429,60 @@ def df_grid_trace(pos0, theta0, delta_s, medium, *,
         return np.asarray(h, np.float64) + np.asarray(l, np.float64)
 
     return np.stack([comb(st[0], st[1]), comb(st[2], st[3])], axis=-1)
+
+
+# -- df32-evaluated media behind the plain n_and_grad surface ----------------
+@struct.dataclass
+class DfEvalProfile:
+    """An ordinary f32 ``n_and_grad`` medium, evaluated via df32 tables.
+
+    The dynamic/eigenray scan keeps single-f32 positions (the compensated
+    carries hold their ACCUMULATION at the increment level,
+    engine/dynamic.hand_step), so the remaining backend-dependent error is
+    the per-evaluation table arithmetic: f32 cell coefficients plus
+    whatever fma/ordering the compiler picks — measured as the gap between
+    the CPU-f32 amplitude floor (8.1e-6) and the TPU run (3.4e-5 max,
+    logs_r4/25).  This facade evaluates the f64-grade split-word profile
+    (``DfC1Profile`` tables) at f32 query points and rounds ONCE to f32 —
+    the returned (n, gy) are the correctly-rounded values of the f64
+    interpolant, identical on every backend, killing both the coefficient
+    quantization and the fma variance.  Positions enter with a zero lo
+    word: the facade does not (cannot) recover sub-f32 position detail —
+    that is the landing-curve floor proper, ~ulp(|pos|) per eval,
+    non-accumulating under the compensated carries.
+
+    Drop-in for the scan/dynamic/eigenray tiers (``n_and_grad``,
+    ``n``); NOT a kernel-tier medium (no Hermite node table).
+    """
+
+    prof: DfC1Profile
+
+    @property
+    def dtype(self):
+        return np.float32
+
+    def n_and_grad(self, x, y):
+        nag = _make_df_profile_nag(self.prof)
+        zero = jnp.zeros_like(jnp.asarray(y, jnp.float32))
+        (nh, nl), (gxh, _), (gyh, gyl) = nag(
+            jnp.asarray(x, jnp.float32), zero,
+            jnp.asarray(y, jnp.float32), zero)
+        # hi + lo collapses to the correctly-rounded f32 of the f64 value
+        # (the pair is normalized; adding lo folds the half-ulp cases in)
+        return nh + nl, (gxh, gyh + gyl)
+
+    def n(self, x, y):
+        return self.n_and_grad(x, y)[0]
+
+
+def df_eval_profile_medium(samples, y) -> DfEvalProfile:
+    """f32 scan-tier medium whose evaluations are f64-grade (df32 tables).
+
+    Built straight from USER-measured (samples, y) like
+    ``c1_stratified_from_samples`` — same not-a-knot cubic, same
+    validation — but the cells stay split-word so every ``n_and_grad``
+    call returns the correctly-rounded f32 of the float64 interpolant on
+    any backend.  The accuracy-grade medium for TPU eigenray/TL work
+    (RT_TL_TPU paths); docs/PRECISION.md round-4 addendum 2.
+    """
+    return DfEvalProfile(prof=df_c1_profile_from_samples(samples, y))

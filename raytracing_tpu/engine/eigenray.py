@@ -358,13 +358,25 @@ def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
     # trace_crossings_pick — so an iteration reads back (J, 6) scalars)
     state = np.zeros((len(th), 6))
     fcur = np.full(len(th), np.inf)
+    best_th = th.copy()
+    best_f = np.full(len(th), np.inf)
     for _ in range(int(iters)):
         st, found = pick(th, xr, ordk)
         state = np.where(found[:, None], st, state)
         fcur = np.where(found, st[:, _CY] - yr, np.nan)
+        # keep the best-|residual| angle seen: the loop's LAST update may
+        # move past the evaluation it was judged on (a proposal or a
+        # bisection jump), and near-axial roots whose rays land EXACTLY
+        # on the receiver range oscillate at the sub-tol level — the
+        # safeguarded-root-finding rule is to RETURN the best iterate,
+        # never the last probe (stalls at ~1e-6 in the SOFAR example
+        # otherwise, tests/test_examples.py::test_transmission_loss)
+        better = found & (np.abs(fcur) < np.abs(best_f))
+        best_th = np.where(better, th, best_th)
+        best_f = np.where(better, fcur, best_f)
         # convergence check BEFORE any update: the final evaluation must
         # see the angle these residuals belong to, not the next proposal
-        if np.all(np.isfinite(fcur)) and np.abs(fcur).max() < tol:
+        if np.all(np.isfinite(best_f)) and np.abs(best_f).max() < tol:
             break
         lost = np.isnan(fcur)
         # bracket bookkeeping on real signs only; a vanished crossing says
@@ -381,7 +393,8 @@ def _find_eigenrays(op_name, medium, *, source, receivers, delta_s,
         use = ~lost & np.isfinite(prop) & (prop > lo) & (prop < hi)
         th = np.where(use, prop, np.where(lost, 0.5 * (lo + th), mid))
 
-    # --- final evaluation at the converged angles ---------------------------
+    # --- final evaluation at the best-seen angles ---------------------------
+    th = np.where(np.isfinite(best_f), best_th, th)
     rows, ok = pick(th, xr, ordk)
     y_err = np.where(ok, rows[:, _CY] - yr, np.inf)
     n0, _ = medium.n_and_grad(source[0], source[1])

@@ -204,3 +204,39 @@ def test_df_c1_profile_matches_f64_scan():
 def jnp_arr(a):
     import jax.numpy as jnp
     return jnp.asarray(a)
+
+
+def test_df_eval_profile_facade():
+    """DfEvalProfile: an f32 n_and_grad surface whose values are the
+    correctly-rounded f32 of the f64 interpolant — and a drop-in medium
+    for the dynamic/eigenray scan (jvp-able, freezes/crossings intact)."""
+    import numpy as np
+
+    import raytracing_tpu as rt
+    from raytracing_tpu.engine.eigenray import find_eigenrays
+
+    depth = np.linspace(-3.0, 0.0, 61)
+    c = 1.5 - 0.1 * np.exp(-((depth + 1.5) ** 2))
+    m = rt.df_eval_profile_medium(c.min() / c, depth)
+    import jax
+
+    with jax.enable_x64(True):
+        m64 = rt.c1_stratified_from_samples(c.min() / c, depth,
+                                            dtype=np.float64)
+        y = np.linspace(-2.9, -0.1, 500)
+        n32, (gx32, gy32) = m.n_and_grad(np.zeros_like(y, np.float32),
+                                         y.astype(np.float32))
+        n64, (_, gy64) = m64.n_and_grad(np.zeros_like(y), y)
+        # correctly-rounded: within 1 ulp of the f64 value
+        assert np.abs(np.asarray(n32, np.float64)
+                      - np.asarray(n64)).max() < 1.2e-7
+        assert np.all(np.asarray(gx32) == 0.0)
+    # the dynamic tier's jvp of n_and_grad crosses the df arithmetic
+    eig = find_eigenrays("op6", m, source=(0.0, -1.5),
+                         receivers=[(3.0, -1.5)], delta_s=0.01,
+                         max_size=400, box=(-1.0, 4.0, -3.0, 0.0),
+                         fan=(-0.2, 0.2, 33), tol=2e-6,
+                         dtype=np.float32, on_host=True)
+    assert len(np.asarray(eig.theta0)) >= 1
+    assert bool(np.asarray(eig.converged).all())
+    assert np.all(np.isfinite(np.asarray(eig.amplitude)))
