@@ -393,9 +393,28 @@ def _eigenrays_request(body: dict) -> dict:
     y = _finite("y", np.asarray(body.get("y", ()), np.float64))
     x = (_finite("x", np.asarray(body["x"], np.float64))
          if "x" in body else None)
-    with jax.enable_x64(True):    # f64 tables need x64 at build time
-        medium, default_box, kind = medium_from_samples(
-            samples, x, y, family=family, dtype=np.float64)
+    # "on_device": solve on the server's accelerator in f32 with the
+    # split-word-evaluated profile (engine/df_grid.DfEvalProfile —
+    # correctly-rounded f32 of the f64 interpolant; measured floors in
+    # docs/PRECISION.md round-4 addendum 2) instead of host/f64.  The
+    # history-free crossing scans make this the serving-scale path: only
+    # O(receivers) scalars cross the device link per Newton iteration.
+    on_device = bool(body.get("on_device", False))
+    if on_device:
+        if samples.ndim != 1 or x is not None:
+            raise ValueError("on_device eigenrays run the split-word "
+                             "PROFILE evaluator; post a 1-D 'samples' + "
+                             "'y' (2-D grids stay on the host/f64 path)")
+        from raytracing_tpu.engine.df_grid import df_eval_profile_medium
+
+        medium = df_eval_profile_medium(samples, y)
+        # profiles are x-independent: unbounded in x (medium_from_samples)
+        default_box = (-1e30, 1e30, float(y[0]), float(y[-1]))
+        kind = "df32-profile"
+    else:
+        with jax.enable_x64(True):    # f64 tables need x64 at build time
+            medium, default_box, kind = medium_from_samples(
+                samples, x, y, family=family, dtype=np.float64)
 
     op = canonical(str(body.get("op", "op6")))
     if op in GOLDEN_OPS:
@@ -448,11 +467,13 @@ def _eigenrays_request(body: dict) -> dict:
     # bounds the Newton stage: looping paths multiply crossings, and each
     # bracket candidate re-traces full f64 history every iteration — the
     # fan*steps cap alone would not bound that.
+    kw = (dict(dtype=np.float32, on_host=False, tol=2e-6)
+          if on_device else {})
     eig = er.find_eigenrays(
         op, medium, source=source, receivers=receivers, delta_s=delta_s,
         max_size=steps + 1, box=box,
         fan=(float(th[0]), float(th[1]), n_fan),
-        max_arrivals=max(16, MAX_EIGEN_ELEMS // max(steps, 1) // 8))
+        max_arrivals=max(16, MAX_EIGEN_ELEMS // max(steps, 1) // 8), **kw)
     dt = time.perf_counter() - t0
 
     k = len(receivers)

@@ -354,7 +354,7 @@ def test_trace_samples_conservation_report(server):
                        {"samples": Z, "x": gx, "y": gy, "delta_s": 0.01,
                         "steps": 10, "report_conservation": True,
                         "launch": {"x": 0.0, "y": [-0.1, 0.1]}})
-    assert code == 400 and "profile" in body["error"]
+    assert code == 400 and "PROFILE" in body["error"]
 
 
 def test_trace_samples_conservation_perpendicular_fan(server):
@@ -560,3 +560,29 @@ def test_trace3d_samples_rejections(server):
     code, body = _post(server + "/v1/trace3d_samples",
                        dict(base, box=[0, 1, 0, 1]))
     assert code == 400 and "box" in body["error"]
+
+
+def test_eigenrays_on_device(server):
+    """on_device=true: the split-word-evaluated profile + f32 device solve
+    (engine/df_grid.DfEvalProfile; host CPU doubles as the 'device' under
+    the test conftest) returns the same arrival structure as host/f64."""
+    import numpy as np
+    y = np.linspace(-1.5, 1.5, 61)
+    col = 1.2 - 0.25 * y * y
+    req = {"samples": col.tolist(), "y": y.tolist(), "op": "op6",
+           "delta_s": 0.02, "steps": 520, "box": [-1.0, 10.0, -1.5, 1.5],
+           "source": [0.0, 0.0], "receivers": [[8.0, 0.0], [8.0, 0.3]],
+           "fan": {"theta": [-0.45, 0.45], "count": 96},
+           "on_device": True}
+    code, body = _post(server + "/v1/eigenrays", req)
+    assert code == 200, body
+    assert body["medium_kind"] == "df32-profile"
+    arr = body["arrivals"]
+    assert len(arr) >= 2 and all(a["converged"] for a in arr)
+    assert all(abs(a["y_err"]) < 1e-4 for a in arr)   # f32 grade
+    # 2-D grids stay on the host path
+    req2 = dict(req)
+    req2["samples"] = np.ones((8, 9)).tolist()
+    req2["x"] = np.linspace(0, 1, 9).tolist()
+    code, body = _post(server + "/v1/eigenrays", req2)
+    assert code == 400 and "PROFILE" in body["error"]
