@@ -413,6 +413,25 @@ def fast_dynamic(op_name: str, scen: config.ScenarioConfig, medium, *,
                     steps=int(steps), box=tuple(scen.box),
                     block_rays=block_rays, interpret=interpret),
                 "dynamic-kernel-strat")
+        else:
+            med2 = medium
+            if isinstance(med2, GridMedium):
+                med2 = _as_hermite(med2)
+            if (isinstance(med2, HermiteGridMedium)
+                    and med2.nx - 1 >= 11 and med2.ny - 1 >= 11):
+                # tiled-window dynamic kernel: paraxial tangents over the
+                # 2-D parity tables (segmented.grid_trace_dynamic_tiled);
+                # blocks capped at 1024 rays like the kinematic tier
+                from raytracing_tpu.engine.segmented import \
+                    grid_trace_dynamic_tiled
+
+                tb = min(block_rays, 1024)
+                kernel, eng = (
+                    lambda p, t, tb=tb, med2=med2: grid_trace_dynamic_tiled(
+                        op, p, t, jnp.float32(delta_s), med2,
+                        steps=int(steps), box=tuple(scen.box),
+                        block_rays=tb, interpret=interpret),
+                    "dynamic-kernel-tiled")
     if kernel is not None:
         r = len(theta0)
         pad = (-r) % block_rays
@@ -421,10 +440,15 @@ def fast_dynamic(op_name: str, scen: config.ScenarioConfig, medium, *,
         if pad:
             pos0 = jnp.concatenate([pos0, jnp.tile(pos0[-1:], (pad, 1))])
             theta0 = jnp.concatenate([theta0, jnp.tile(theta0[-1:], pad)])
-        res = kernel(pos0, theta0)
-        if pad:
-            res = DynFinal(*(v[:r] for v in res))
-        return res, eng
+        try:
+            res = kernel(pos0, theta0)
+        except RuntimeError:
+            res = None   # batch too dispersed for tiling -> scan tier
+        if res is not None:
+            if pad:
+                res = DynFinal(*(v[:r] for v in res))
+            return res, eng
+        pos0, theta0 = pos0[:r], theta0[:r]
 
     d = trace_dynamic(op, scen, medium, delta_s=float(delta_s),
                       mode="metrics", dtype=np.float32,

@@ -1655,3 +1655,216 @@ def grid_trace(op: str, pos0, theta0, delta_s, medium, *, steps: int, box,
         meta=meta, stats=with_stats, n_state=n_state)
     out = [s.reshape(-1) for s in state]
     return _final_from_state(op, out, with_stats)
+
+
+# -- 2-D grid media: tiled-window DYNAMIC kernel ------------------------------
+def _dyn_tiled_segments_inner(state, nodes3d, delta_s, limit, offset0,
+                              n_seg, *, op, segment, box, block_rays,
+                              interpret, meta, tile_shape, pack=1):
+    """Chain tiled DYNAMIC kernel launches; re-center windows between.
+
+    The paraxial twin of :func:`_tiled_run_segments_inner` for the
+    18-component dynamic state (kinematics + Kahan compensations +
+    (dpos, dangle) tangents + their compensations + caustic bookkeeping;
+    kernels/dynamic._make_dynamic_kernel ``resume``).  Reuses the window
+    machinery verbatim — :func:`_window_bases` placement/containment,
+    :func:`_refresh_windows` coherent slices (packed or not) — with
+    legacy symmetric margins (travel per coordinate <= segment * ds; no
+    drift prediction: the dynamic tier's production steps are fine
+    relative to the cell, so window pressure is low).
+    """
+    from raytracing_tpu.kernels.dynamic import _make_dynamic_kernel
+
+    x0, y0, inv_hx, inv_hy, nx, ny = meta
+    th, tw = tile_shape
+    r = state[0].shape[0] * LANES
+    rows = block_rays // LANES
+    nblocks = r // block_rays
+    nchunks = -(-th * tw // LANES)
+    if pack > 1 and (LANES % pack or tw % pack):
+        raise ValueError(f"pack {pack} must divide LANES and tw={tw}")
+    n_ch = nchunks * 36
+    shape2 = state[0].shape
+    kernel = _make_dynamic_kernel("", op, segment, tuple(box),
+                                  tile=meta + tile_shape, resume=True)
+    blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((1, n_ch, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    base_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[tile_spec, base_spec] + [blk] * 18
+                 + [blk, pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[blk] * 18,
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 18,
+        cost_estimate=pl.CostEstimate(
+            flops=600 * r * segment,
+            bytes_accessed=(2 * 18 * r + nblocks * n_ch * LANES) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )
+    travel = segment * delta_s
+    margin_x = jnp.ceil(travel * inv_hx)
+    margin_y = jnp.ceil(travel * inv_hy)
+    if pack > 1:
+        c36, ncx_pad = _cells_packed(nodes3d, pack)
+    else:
+        c36, ncx_pad = _cells36(nodes3d), None
+    zero = jnp.zeros(shape2, jnp.float32)
+
+    def seg_body(k, carry):
+        st, flag = carry
+        flag, tiles, bases = _refresh_windows(
+            st, flag, c36, meta, th, tw, nblocks, block_rays,
+            margin_x, margin_y, nchunks, n_ch, None, None,
+            pack, ncx_pad)
+        offset = offset0 + k.astype(jnp.float32) * segment
+        ds_vec = jnp.stack([delta_s, limit, offset])
+        args = (tiles, bases) + st + (zero, ds_vec)
+        return tuple(call(*args)), flag
+
+    state, flag = jax.lax.fori_loop(
+        0, n_seg, seg_body, (tuple(state), jnp.float32(-np.inf)))
+    return state, flag
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "op", "segment", "box", "block_rays", "interpret", "meta",
+    "tile_shape", "pack"))
+def _dyn_tiled_segments(*args, **kw):
+    return _dyn_tiled_segments_inner(*args, **kw)
+
+
+def grid_trace_dynamic_tiled(op: str, pos0, theta0, delta_s, medium, *,
+                             steps: int, box, segment: int | None = None,
+                             block_rays: int = 1024,
+                             tile_shape: tuple = (11, 11),
+                             refreshes_per_round: int = 32,
+                             interpret: bool = False, sort: bool = True,
+                             pack: int | str = "auto"):
+    """Kernel-tier DYNAMIC tracing through a 2-D sampled-spline medium.
+
+    The paraxial twin of :func:`grid_trace_tiled` for the smooth op
+    subset (kernels/dynamic.DYN_FUSED_OPS): hand-derived tangents with
+    compensated carries run INSIDE the tiled-window kernel, with the
+    in-cell derivatives of the 2-D Hermite tables (bilinear-n tangent +
+    the full 2x2 gradient Jacobian — the gx/gy surfaces are independent
+    bicubics, RT_bench.py:455-458) supplied by
+    ``kernels.dynamic._tile_nag_h``.  Windows re-center between
+    segments; a containment violation re-sorts and replays from the
+    round's checkpoint exactly like the kinematic tier.  Returns a
+    ``DynFinal`` (engine fast_dynamic routes 2-D grid media here).
+
+    No golden ops (tangents vanish a.e.), no op7 (windowed fd solver),
+    no Welford stats, single-device (shard with fast_trace_sharded-style
+    wrappers if needed).
+    """
+    from raytracing_tpu.kernels.dynamic import DYN_FUSED_OPS, DynFinal
+    from raytracing_tpu.media.hermite import HermiteGridMedium
+
+    if op not in DYN_FUSED_OPS:
+        raise ValueError(f"dynamic tiled kernel supports {DYN_FUSED_OPS}, "
+                         f"got {op!r}")
+    if not isinstance(medium, HermiteGridMedium):
+        raise ValueError("grid_trace_dynamic_tiled needs a "
+                         f"HermiteGridMedium (36-float parity cells), got "
+                         f"{type(medium).__name__}")
+    th, tw = tile_shape
+    r = pos0.shape[0]
+    if r % block_rays:
+        raise ValueError(f"rays {r} not a multiple of block {block_rays}")
+    if medium.nx - 1 < tw or medium.ny - 1 < th:
+        raise ValueError(f"medium grid {medium.ny}x{medium.nx} nodes is "
+                         f"smaller than the {tile_shape}-cell window")
+    meta = (float(medium.x0), float(medium.y0), float(medium.inv_hx),
+            float(medium.inv_hy), int(medium.nx), int(medium.ny))
+    pitch = min(1.0 / meta[2], 1.0 / meta[3])
+    if pack == "auto":
+        pack = 4 if float(delta_s) > 0.25 * pitch else 1
+
+    def _pk(tile):
+        if pack == 1:
+            return tile
+        t, w = tile
+        nch = -(-t * w // LANES)
+        w2 = -(-w // pack) * pack
+        return (min(t, (nch * LANES) // w2), w2)
+
+    if segment is None:
+        cap = max(1.0, float(min(_pk((th, tw))[0],
+                                 _pk((th, tw))[1] - (pack - 1)) - 1 - 4))
+        segment = max(1, min(64, int(cap * 0.5 * pitch / float(delta_s))))
+
+    pos0 = jnp.asarray(pos0, jnp.float32)
+    theta0 = jnp.asarray(theta0, jnp.float32)
+    # 18-component launch state: source fixed (dpos0 = 0), dth0 = 1
+    zeros = jnp.zeros(r, jnp.float32)
+    ones = jnp.ones(r, jnp.float32)
+    comps = [pos0[:, 0], pos0[:, 1], zeros, zeros,
+             jnp.cos(theta0), jnp.sin(theta0), zeros, zeros, ones,
+             zeros, zeros, ones, zeros, zeros,
+             zeros, zeros, zeros, zeros]
+    orig_idx = jnp.arange(r, dtype=jnp.int32)
+
+    def apply_perm(comps, orig_idx):
+        perm = _sort_perm(comps[0], comps[1], meta)
+        return [c[perm] for c in comps], orig_idx[perm]
+
+    if sort:
+        comps, orig_idx = apply_perm(comps, orig_idx)
+    state = tuple(c.reshape(-1, LANES) for c in comps)
+    nodes3d = jnp.asarray(medium.nodes, jnp.float32).reshape(
+        medium.ny, medium.nx, 9)
+    limit = jnp.float32(steps)
+    tile_pk = _pk((th, tw))
+
+    def attempt(state, seg, n_run, done_steps):
+        return _dyn_tiled_segments(
+            state, nodes3d, jnp.float32(delta_s), limit,
+            jnp.float32(done_steps), jnp.int32(n_run), op=op, segment=seg,
+            box=tuple(box), block_rays=block_rays, interpret=interpret,
+            meta=meta, tile_shape=tile_pk, pack=pack)
+
+    seg0 = seg = segment
+    round_refreshes = refreshes_per_round
+    done_steps = 0
+    while done_steps < steps:
+        n_run = min(round_refreshes, -(-(steps - done_steps) // seg))
+        nstate, flag = attempt(state, seg, n_run, done_steps)
+        if not (float(flag) <= 0.0):
+            comps = [s.reshape(-1) for s in state]
+            comps, orig_idx = apply_perm(comps, orig_idx)
+            state = tuple(c.reshape(-1, LANES) for c in comps)
+            nstate, flag = attempt(state, seg, 1, done_steps)
+            while not (float(flag) <= 0.0):
+                if seg == 1:
+                    raise RuntimeError(
+                        "grid_trace_dynamic_tiled: a freshly sorted ray "
+                        "block exceeds the window at segment=1 — use "
+                        "trace_dynamic (scan tier)")
+                seg = max(1, seg // 2)
+                nstate, flag = attempt(state, seg, 1, done_steps)
+            state = nstate
+            done_steps += seg
+            round_refreshes = 1
+        else:
+            state = nstate
+            done_steps += n_run * seg
+            if round_refreshes < refreshes_per_round:
+                round_refreshes *= 2
+            elif seg < seg0:
+                seg = min(seg0, seg * 2)
+
+    flat = [s.reshape(-1) for s in state]
+    out = [jnp.zeros(r, f.dtype).at[orig_idx].set(f) for f in flat]
+    (x, y, _, _, ux, uy, tt, dsim, active, dpx, dpy, dth,
+     _, kmah) = out[:14]
+    # q needs n at the exit point for the amplitude; evaluate once
+    n_exit = medium.n(x, y)
+    q = dpx * (-uy) + dpy * ux
+    return DynFinal(pos=jnp.stack([x, y], -1),
+                    tangent=jnp.stack([ux, uy], -1), n=n_exit,
+                    traveltime=tt, dist_sim=dsim, active=active > 0.5,
+                    q=q, dtheta=dth, kmah=kmah.astype(jnp.int32))

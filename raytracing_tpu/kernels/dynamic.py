@@ -88,14 +88,18 @@ def _field_fn_h(field: str):
             n2 = n * n
             c = -2.0 * n2
             n3_8 = 8.0 * n2 * n
-            return (n, c * x, c * y,
-                    c + n3_8 * x * x, n3_8 * x * y, c + n3_8 * y * y)
+            gx, gy = c * x, c * y
+            hxx = c + n3_8 * x * x
+            hxy = n3_8 * x * y
+            hyy = c + n3_8 * y * y
+            return n, gx, gy, gx, gy, hxx, hxy, hxy, hyy
     elif field == "vert_heterogeneous":
         def f(x, y):
             n = 1.0 / (18.0 + 2.0 * y)
             zero = jnp.zeros_like(x)
             n2 = n * n
-            return n, zero, -2.0 * n2, zero, zero, 8.0 * n2 * n
+            gy = -2.0 * n2
+            return n, zero, gy, zero, gy, zero, zero, zero, 8.0 * n2 * n
     else:  # interface
         def f(x, y):
             # overflow-safe two-branch logistic (media/fields._sigmoid):
@@ -110,7 +114,7 @@ def _field_fn_h(field: str):
             gy = -(_SQRT2 - 1.0) * d / THCK_PARAM
             hyy = (-(_SQRT2 - 1.0) * d * (1.0 - 2.0 * sig)
                    / (THCK_PARAM * THCK_PARAM))
-            return n, zero, gy, zero, zero, hyy
+            return n, zero, gy, zero, gy, zero, zero, zero, hyy
     return f
 
 
@@ -156,7 +160,7 @@ def _strat_nag_h(tables, y0: float, inv_hy: float, ny: int):
             n = c0 + uy * (c1 + uy * (c2 + uy * c3))
             gy = (c1 + uy * (2.0 * c2 + uy * 3.0 * c3)) * inv_hy
             hyy = (2.0 * c2 + 6.0 * c3 * uy) * (inv_hy * inv_hy)
-            return n, zero, gy, zero, gy, zero, zero, hyy
+            return n, zero, gy, zero, gy, zero, zero, zero, hyy
         # parity: bilinear n + cubic gy cells (gy already in physical
         # units, media/spline.py:137 — only the chain rule d(uy)/dy
         # = inv_hy enters its derivative)
@@ -165,12 +169,126 @@ def _strat_nag_h(tables, y0: float, inv_hy: float, ny: int):
         gy = c0 + uy * (c1 + uy * (c2 + uy * c3))
         hyy = (c1 + uy * (2.0 * c2 + uy * 3.0 * c3)) * inv_hy
         gny = (zhi - zlo) * inv_hy
-        return n, zero, gy, zero, gny, zero, zero, hyy
+        return n, zero, gy, zero, gny, zero, zero, zero, hyy
 
     return nag
 
 
-def _make_dynamic_kernel(field: str, op: str, steps: int, box, strat=None):
+def _tile_nag_h(T, bix, biy, meta, tw_dyn=None):
+    """n / grad / n-tangent / Hessian from a 2-D per-cell tile window.
+
+    The dynamic twin of :func:`kernels.fused._tile_nag` (same VMEM window
+    layout, same flat-cell gather, same containment contract) extended
+    with the in-cell derivatives the paraxial recurrences need:
+
+    * ``(gnx, gny)`` — the derivative of the bilinear n channel itself
+      (the parity 2-D table fits n bilinear and (gx, gy) as two
+      independent bicubics, RT_bench.py:455-458 — the scan tier's exact
+      jvp differentiates n as the bilinear);
+    * the full 2x2 gradient Jacobian ``(hxx, hxy, hyx, hyy)`` — the
+      in-cell partials of the two INDEPENDENT bicubic Hermite surfaces
+      (hyx != hxy in general), the live 2-D form of the reference's dead
+      Hessian splines (RT_bench.py:459-462).
+
+    Returns ``nag(x, y) -> 9-channel fvals`` in the kernel layout.
+    """
+    x0, y0, inv_hx, inv_hy, nx, ny, th, tw = meta
+    twf = float(tw) if tw_dyn is None else tw_dyn
+    nchunks = (len(T) + 35) // 36
+
+    def nag(x, y):
+        fx = jnp.clip((x - x0) * inv_hx, 0.0, float(nx - 1))
+        fy = jnp.clip((y - y0) * inv_hy, 0.0, float(ny - 1))
+        ix = jnp.minimum(jnp.floor(fx), float(nx - 2))
+        iy = jnp.minimum(jnp.floor(fy), float(ny - 2))
+        u = fx - ix
+        v = fy - iy
+        lx = ix - bix
+        ly = iy - biy
+        t = (ly * twf + lx).astype(jnp.int32)
+        if nchunks == 1:
+            lane = t
+
+            def corners(ch):
+                return tuple(
+                    jnp.take_along_axis(T[ch * 4 + c], lane, axis=1)
+                    for c in range(4))
+        else:
+            lane = jnp.bitwise_and(t, jnp.int32(LANES - 1))
+            chk = jnp.right_shift(t, jnp.int32(7))
+
+            def corners(ch):
+                out = []
+                for c in range(4):
+                    val = jnp.zeros_like(x)
+                    for k in range(nchunks):
+                        g = jnp.take_along_axis(T[k * 36 + ch * 4 + c],
+                                                lane, axis=1)
+                        val = jnp.where(chk == k, g, val)
+                    out.append(val)
+                return tuple(out)
+
+        # bilinear n + ITS derivative (the n-channel tangent)
+        z00, z01, z10, z11 = corners(0)
+        n = ((1.0 - v) * ((1.0 - u) * z00 + u * z01)
+             + v * ((1.0 - u) * z10 + u * z11))
+        gnx = ((1.0 - v) * (z01 - z00) + v * (z11 - z10)) * inv_hx
+        gny = ((1.0 - u) * (z10 - z00) + u * (z11 - z01)) * inv_hy
+
+        # bicubic Hermite basis + derivatives (shared by gx and gy)
+        v2 = v * v
+        v3 = v2 * v
+        hv = (2.0 * v3 - 3.0 * v2 + 1.0, v3 - 2.0 * v2 + v,
+              -2.0 * v3 + 3.0 * v2, v3 - v2)
+        dv = (6.0 * v2 - 6.0 * v, 3.0 * v2 - 4.0 * v + 1.0,
+              -6.0 * v2 + 6.0 * v, 3.0 * v2 - 2.0 * v)
+        u2 = u * u
+        u3 = u2 * u
+        hu = (2.0 * u3 - 3.0 * u2 + 1.0, u3 - 2.0 * u2 + u,
+              -2.0 * u3 + 3.0 * u2, u3 - u2)
+        du = (6.0 * u2 - 6.0 * u, 3.0 * u2 - 4.0 * u + 1.0,
+              -6.0 * u2 + 6.0 * u, 3.0 * u2 - 2.0 * u)
+
+        def hermite_d(ch0):
+            """(value, d/du, d/dv) of one Hermite surface — the corner
+            fetches are shared by all three (fused._hermite_blend's
+            expressions with basis weights swapped for derivatives)."""
+            f00, f01, f10, f11 = corners(ch0)
+            fv00, fv01, fv10, fv11 = corners(ch0 + 1)
+            fu00, fu01, fu10, fu11 = corners(ch0 + 2)
+            fw00, fw01, fw10, fw11 = corners(ch0 + 3)
+
+            def along_u(wu):
+                c0 = f00 * hv[0] + fv00 * hv[1] + f10 * hv[2] + fv10 * hv[3]
+                c1 = f01 * hv[0] + fv01 * hv[1] + f11 * hv[2] + fv11 * hv[3]
+                c2 = (fu00 * hv[0] + fw00 * hv[1]
+                      + fu10 * hv[2] + fw10 * hv[3])
+                c3 = (fu01 * hv[0] + fw01 * hv[1]
+                      + fu11 * hv[2] + fw11 * hv[3])
+                return c0 * wu[0] + c1 * wu[2] + c2 * wu[1] + c3 * wu[3]
+
+            def along_v(wv):
+                c0 = f00 * wv[0] + fv00 * wv[1] + f10 * wv[2] + fv10 * wv[3]
+                c1 = f01 * wv[0] + fv01 * wv[1] + f11 * wv[2] + fv11 * wv[3]
+                c2 = (fu00 * wv[0] + fw00 * wv[1]
+                      + fu10 * wv[2] + fw10 * wv[3])
+                c3 = (fu01 * wv[0] + fw01 * wv[1]
+                      + fu11 * wv[2] + fw11 * wv[3])
+                return c0 * hu[0] + c1 * hu[2] + c2 * hu[1] + c3 * hu[3]
+
+            return along_u(hu), along_u(du), along_v(dv)
+
+        gx, gx_u, gx_v = hermite_d(1)
+        gy, gy_u, gy_v = hermite_d(5)
+        return (n, gx, gy, gnx, gny,
+                gx_u * inv_hx, gx_v * inv_hy,
+                gy_u * inv_hx, gy_v * inv_hy)
+
+    return nag
+
+
+def _make_dynamic_kernel(field: str, op: str, steps: int, box, strat=None,
+                         tile=None, resume: bool = False):
     """Build the fused dynamic step kernel (kernels/fused.py structure).
 
     ``strat`` = (y0, inv_hy, ny) switches the field evaluation from the
@@ -178,21 +296,53 @@ def _make_dynamic_kernel(field: str, op: str, steps: int, box, strat=None):
     (``_strat_nag_h``), and splits the n-channel tangent from the
     ray-equation gradient (the parity stratified family is gradient-
     inconsistent by reference design, docs/PARITY.md).
+
+    ``tile`` = meta + (th, tw) evaluates from a per-BLOCK 2-D cell window
+    in VMEM (``_tile_nag_h`` — kernels/fused's tiled-window contract with
+    Hessian channels), and ``resume`` makes the kernel segmentable: the
+    FULL dynamic state (18 components: kinematics + Kahan compensations +
+    paraxial tangents + their compensations + caustic bookkeeping) reads
+    from input refs and writes back, with the global step offset in the
+    scalar bundle — the engine chains bounded launches and re-centers the
+    windows between them (engine/segmented.grid_trace_dynamic_tiled).
     """
-    split = strat is not None
-    nf = 8 if split else 6      # field values carried between steps
+    if tile is not None and not resume:
+        raise ValueError("tiled dynamic kernels are segment-resumable only")
+    # field values carried between steps: one uniform 9-channel layout
+    # (n, gx, gy, gnx, gny, hxx, hxy, hyx, hyy) — gn is the n-channel's
+    # OWN derivative (parity stratified/2-D tables are gradient-
+    # inconsistent by reference design, docs/PARITY.md), and the Hessian
+    # rows are independent (2-D parity tables fit gx and gy as separate
+    # bicubics, so d(gx)/dy != d(gy)/dx in general)
+    nf = 9
     second_order = op in ("op6", "op8")
     rk2 = op in ("op2", "op6")
     limx_i, limx_s, limy_i, limy_s = [float(v) for v in box]
 
     def kernel_impl(nag, *refs):
-        (x_ref, y_ref, ux_ref, uy_ref, zero_ref, ds_ref), out_refs = \
-            refs[:6], refs[6:]
-        x, y = x_ref[...], y_ref[...]
-        ux, uy = ux_ref[...], uy_ref[...]
-        zero = zero_ref[...]
-        ds = ds_ref[0]
-        limit = ds_ref[1]
+        if resume:
+            in_refs, zero_ref, ds_ref = refs[:18], refs[18], refs[19]
+            out_refs = refs[20:]
+            vals = [r[...] for r in in_refs]
+            (x, y, cx0, cy0, ux, uy, tt0, dsim0, act0, dpx0, dpy0, dth0,
+             sgn0, kmah0, kdx0, kdy0, kdt0, ktt0) = vals
+            zero = zero_ref[...]
+            ds = ds_ref[0]
+            limit = ds_ref[1]
+            offset = ds_ref[2]       # steps applied before this segment
+        else:
+            (x_ref, y_ref, ux_ref, uy_ref, zero_ref, ds_ref), out_refs = \
+                refs[:6], refs[6:]
+            x, y = x_ref[...], y_ref[...]
+            ux, uy = ux_ref[...], uy_ref[...]
+            zero = zero_ref[...]
+            ds = ds_ref[0]
+            limit = ds_ref[1]
+            offset = 0.0
+            cx0 = cy0 = tt0 = dsim0 = sgn0 = kmah0 = zero
+            kdx0 = kdy0 = kdt0 = ktt0 = dpx0 = dpy0 = zero
+            act0 = zero + 1.0
+            dth0 = zero + 1.0
 
         def rot(ax, ay, d):
             # degree-5 small-angle rotation (kernels/fused.py RK2 note)
@@ -211,21 +361,17 @@ def _make_dynamic_kernel(field: str, op: str, steps: int, box, strat=None):
             return t, (t - old) - y2
 
         def body(i, carry):
-            in_limit = i.astype(jnp.float32) < limit
+            in_limit = i.astype(jnp.float32) + offset < limit
             x, y, cx, cy, ux, uy = carry[:6]
             fvals = carry[6:6 + nf]
             (tt, dsim, active, dpx, dpy, dth, sgn, kmah,
              kdx, kdy, kdt, ktt) = carry[6 + nf:]
-            if split:
-                n, gx, gy, gnx, gny, hxx, hxy, hyy = fvals
-            else:
-                n, gx, gy, hxx, hxy, hyy = fvals
-                gnx, gny = gx, gy
+            n, gx, gy, gnx, gny, hxx, hxy, hyx, hyy = fvals
 
             # tangent of the carried state at the step's start
             dn = gnx * dpx + gny * dpy
             dgx = hxx * dpx + hxy * dpy
-            dgy = hxy * dpx + hyy * dpy
+            dgy = hyx * dpx + hyy * dpy
             # du = dth * u_perp
             dux = -dth * uy
             duy = dth * ux
@@ -263,14 +409,10 @@ def _make_dynamic_kernel(field: str, op: str, steps: int, box, strat=None):
             dpy2, kdy2 = kadd(dpy, ddpy, kdy)
 
             fvals2 = nag(nx2, ny2)
-            if split:
-                n2, gx2, gy2, gnx2, gny2, hxx2, hxy2, hyy2 = fvals2
-            else:
-                n2, gx2, gy2, hxx2, hxy2, hyy2 = fvals2
-                gnx2, gny2 = gx2, gy2
+            n2, gx2, gy2, gnx2, gny2, hxx2, hxy2, hyx2, hyy2 = fvals2
             dn2 = gnx2 * dpx2 + gny2 * dpy2
             dgx2 = hxx2 * dpx2 + hxy2 * dpy2
-            dgy2 = hxy2 * dpx2 + hyy2 * dpy2
+            dgy2 = hyx2 * dpx2 + hyy2 * dpy2
 
             # -- angle update + its tangent -------------------------------
             if rk2:
@@ -340,20 +482,37 @@ def _make_dynamic_kernel(field: str, op: str, steps: int, box, strat=None):
                        sel(ktt2, ktt)))
 
         fvals0 = nag(x, y)
-        carry0 = ((x, y, zero, zero, ux, uy) + tuple(fvals0)
-                  + (zero, zero, zero + 1.0,
-                     zero, zero, zero + 1.0, zero, zero,
-                     zero, zero, zero, zero))
+        carry0 = ((x, y, cx0, cy0, ux, uy) + tuple(fvals0)
+                  + (tt0, dsim0, act0, dpx0, dpy0, dth0, sgn0, kmah0,
+                     kdx0, kdy0, kdt0, ktt0))
         final = jax.lax.fori_loop(0, steps, body, carry0)
-        fx, fy, _, _, fux, fuy = final[:6]
-        fn = final[6]
-        (ftt, fdsim, fact, fdpx, fdpy, fdth, _, fkmah) = final[6 + nf:6 + nf + 8]
-        outs = (fx, fy, fux, fuy, fn, ftt, fdsim, fact, fdpx, fdpy,
-                fdth, fkmah)
+        if resume:
+            outs = final[:6] + final[6 + nf:]
+        else:
+            fx, fy, _, _, fux, fuy = final[:6]
+            fn = final[6]
+            (ftt, fdsim, fact, fdpx, fdpy,
+             fdth, _, fkmah) = final[6 + nf:6 + nf + 8]
+            outs = (fx, fy, fux, fuy, fn, ftt, fdsim, fact, fdpx, fdpy,
+                    fdth, fkmah)
         for ref, val in zip(out_refs, outs):
             ref[...] = val
 
-    if strat is None:
+    if tile is not None:
+        n_ch = (-(-tile[6] * tile[7] // LANES)) * 36
+
+        def kernel(tile_ref, base_ref, *refs):
+            rows = refs[0].shape[0]
+            tv = tile_ref[0]
+            # hoist the sublane broadcasts (kernels/fused tile kernel)
+            T = [jnp.broadcast_to(tv[i:i + 1, :], (rows, LANES))
+                 for i in range(n_ch)]
+            b = pl.program_id(0)
+            kernel_impl(
+                _tile_nag_h(T, base_ref[b, 0], base_ref[b, 1], tile,
+                            tw_dyn=base_ref[b, 2]),
+                *refs)
+    elif strat is None:
         nag_a = _field_fn_h(field)
 
         def kernel(*refs):

@@ -38,7 +38,13 @@ def test_inlined_hessians_match_autodiff(field):
     pts = [(0.3, 0.4), (-0.5, 0.2), (1.0, -0.1), (0.0, 0.0), (0.2, -0.3)]
     for (x, y) in pts:  # conftest runs x64, so float64 throughout
         h_ad = jax.hessian(n_of)(jnp.asarray([x, y], jnp.float64))
-        n, gx, gy, hxx, hxy, hyy = f(jnp.float64(x), jnp.float64(y))
+        # 9-channel layout: (n, gx, gy, gnx, gny, hxx, hxy, hyx, hyy);
+        # analytic fields are gradient-consistent (gn == g, hyx == hxy)
+        n, gx, gy, gnx, gny, hxx, hxy, hyx, hyy = f(jnp.float64(x),
+                                                    jnp.float64(y))
+        np.testing.assert_array_equal(gnx, gx)
+        np.testing.assert_array_equal(gny, gy)
+        np.testing.assert_array_equal(hyx, hxy)
         np.testing.assert_allclose(hxx, h_ad[0, 0], rtol=1e-9, atol=1e-12)
         np.testing.assert_allclose(hxy, h_ad[0, 1], rtol=1e-9, atol=1e-12)
         np.testing.assert_allclose(hyy, h_ad[1, 1], rtol=1e-9, atol=1e-12)
@@ -235,3 +241,66 @@ def test_interface_sigmoid_tangent_is_finite_and_exact_at_zero():
         assert np.isfinite(float(tan))
     v, t = jax.jvp(_sigmoid, (jnp.float32(0.0),), (jnp.float32(1.0),))
     assert float(v) == 0.5 and float(t) == 0.25
+
+
+@pytest.mark.slow
+def test_dynamic_tiled_matches_scan_jvp():
+    """The tiled-window dynamic kernel (grid_trace_dynamic_tiled) tracks
+    the scan tier's exact jvp on the SAMPLED 2-D fisheye: the in-cell
+    derivative channels (_tile_nag_h — bilinear-n tangent + the full 2x2
+    gradient Jacobian of the independent gx/gy bicubics) are the live 2-D
+    form of the reference's dead Hessian splines (RT_bench.py:459-462).
+    Float-accumulation tolerance (polynomial rotations + Kahan in the
+    kernel vs exact cos/sin in the scan), KMAH exact."""
+    from raytracing_tpu.engine.dynamic import trace_dynamic
+    from raytracing_tpu.engine.segmented import grid_trace_dynamic_tiled
+    from raytracing_tpu.media.hermite import build_hermite_medium
+    from raytracing_tpu.media.spline import build_grid_medium
+
+    scen = rt.scenario("fisheye")
+    med = build_hermite_medium(
+        build_grid_medium("fisheye", scen.box, dtype=np.float32))
+    r = 512
+    theta0 = (np.pi / 2 + np.linspace(-0.05, 0.05, r)).astype(np.float32)
+    pos0 = np.tile(np.array([1.0, 0.0], np.float32), (r, 1))
+    ds = np.float32(2 * np.pi / 4587)
+    g = grid_trace_dynamic_tiled("op6", pos0, theta0, ds, med, steps=400,
+                                 box=tuple(scen.box), interpret=True,
+                                 block_rays=256)
+    d = trace_dynamic("op6", scen, med, delta_s=float(ds), mode="metrics",
+                      dtype=np.float32, pos0=pos0, theta0=theta0,
+                      max_size=401, step_limit=400)
+    np.testing.assert_allclose(np.asarray(g.pos), np.asarray(d.pos),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(g.q), np.asarray(d.q),
+                               rtol=5e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g.dtheta), np.asarray(d.dtheta),
+                               rtol=5e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(g.kmah), np.asarray(d.kmah))
+
+
+@pytest.mark.slow
+def test_fast_dynamic_routes_grid_to_tiled():
+    from raytracing_tpu.engine.fast import fast_dynamic
+    from raytracing_tpu.media.spline import build_grid_medium
+
+    scen = rt.scenario("fisheye")
+    med = build_grid_medium("fisheye", scen.box, dtype=np.float32)
+    r = 300   # ragged: pads to the block internally
+    theta0 = (np.pi / 2 + np.linspace(-0.03, 0.03, r)).astype(np.float32)
+    pos0 = np.tile(np.array([1.0, 0.0], np.float32), (r, 1))
+    res, eng = fast_dynamic("op6", scen, med, delta_s=2 * np.pi / 4587,
+                            pos0=pos0, theta0=theta0, steps=300,
+                            block_rays=256)
+    assert eng == "dynamic-kernel-tiled" and res.q.shape == (r,)
+    assert np.all(np.isfinite(np.asarray(res.q)))
+    # error paths: golden op falls through to the scan tier
+    res5, eng5 = fast_dynamic("op5", scen, med, delta_s=2 * np.pi / 4587,
+                              pos0=pos0, theta0=theta0, steps=50,
+                              block_rays=256)
+    assert eng5 == "dynamic-scan"
+    from raytracing_tpu.engine.segmented import grid_trace_dynamic_tiled
+    with pytest.raises(ValueError, match="supports"):
+        grid_trace_dynamic_tiled("op5", pos0[:256], theta0[:256],
+                                 np.float32(0.001), None, steps=8,
+                                 box=tuple(scen.box), interpret=True)
