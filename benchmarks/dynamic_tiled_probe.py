@@ -90,24 +90,12 @@ def main(argv=None):
         "cold_s": round(cold, 2), "warm_s": round(warm, 3),
         "gsteps_per_sec": round(r * steps / warm / 1e9, 3)}), flush=True)
 
-    # scan-tier comparison point (same workload, jvp)
-    t0 = time.time()
-    d = trace_dynamic("op6", scen, hm, delta_s=float(ds), mode="metrics",
-                      dtype=np.float32, pos0=np.asarray(pos0),
-                      theta0=np.asarray(theta0), max_size=steps + 1,
-                      step_limit=steps)
-    np.asarray(d.q[:1])
-    t0 = time.time()
-    d = trace_dynamic("op6", scen, hm, delta_s=float(ds), mode="metrics",
-                      dtype=np.float32, pos0=np.asarray(pos0),
-                      theta0=np.asarray(theta0), max_size=steps + 1,
-                      step_limit=steps)
-    np.asarray(d.q[:1])
-    warm_scan = time.time() - t0
-    print(json.dumps({
-        "stage": "scan-ref", "warm_s": round(warm_scan, 3),
-        "gsteps_per_sec": round(r * steps / warm_scan / 1e9, 3)}),
-        flush=True)
+    # NO scan-tier leg here: jvp through the gathered 2-D spline at full
+    # size is exactly the known remote-compile/worker hazard (CLAUDE.md —
+    # scan+gather-over-large-table programs; the first run of this probe
+    # crashed the TPU worker on that leg, logs_r4/32).  The scan-tier
+    # baseline for table media is the strat dynamic scan (~0.4-1 G class);
+    # interpret parity at small scale above is the correctness check.
 
 
 if __name__ == "__main__":
