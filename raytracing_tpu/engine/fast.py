@@ -417,7 +417,7 @@ def fast_dynamic(op_name: str, scen: config.ScenarioConfig, medium, *,
             med2 = medium
             if isinstance(med2, GridMedium):
                 med2 = _as_hermite(med2)
-            if (isinstance(med2, HermiteGridMedium)
+            if (isinstance(med2, (HermiteGridMedium, C1GridMedium))
                     and med2.nx - 1 >= 11 and med2.ny - 1 >= 11):
                 # tiled-window dynamic kernel: paraxial tangents over the
                 # 2-D parity tables (segmented.grid_trace_dynamic_tiled);

@@ -1660,7 +1660,8 @@ def grid_trace(op: str, pos0, theta0, delta_s, medium, *, steps: int, box,
 # -- 2-D grid media: tiled-window DYNAMIC kernel ------------------------------
 def _dyn_tiled_segments_inner(state, nodes3d, delta_s, limit, offset0,
                               n_seg, *, op, segment, box, block_rays,
-                              interpret, meta, tile_shape, pack=1):
+                              interpret, meta, tile_shape, pack=1,
+                              tile_channels=36):
     """Chain tiled DYNAMIC kernel launches; re-center windows between.
 
     The paraxial twin of :func:`_tiled_run_segments_inner` for the
@@ -1683,10 +1684,11 @@ def _dyn_tiled_segments_inner(state, nodes3d, delta_s, limit, offset0,
     nchunks = -(-th * tw // LANES)
     if pack > 1 and (LANES % pack or tw % pack):
         raise ValueError(f"pack {pack} must divide LANES and tw={tw}")
-    n_ch = nchunks * 36
+    n_ch = nchunks * tile_channels
     shape2 = state[0].shape
     kernel = _make_dynamic_kernel("", op, segment, tuple(box),
-                                  tile=meta + tile_shape, resume=True)
+                                  tile=meta + tile_shape, resume=True,
+                                  tile_channels=tile_channels)
     blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     tile_spec = pl.BlockSpec((1, n_ch, LANES), lambda i: (i, 0, 0),
@@ -1732,7 +1734,7 @@ def _dyn_tiled_segments_inner(state, nodes3d, delta_s, limit, offset0,
 
 @functools.partial(jax.jit, static_argnames=(
     "op", "segment", "box", "block_rays", "interpret", "meta",
-    "tile_shape", "pack"))
+    "tile_shape", "pack", "tile_channels"))
 def _dyn_tiled_segments(*args, **kw):
     return _dyn_tiled_segments_inner(*args, **kw)
 
@@ -1762,15 +1764,18 @@ def grid_trace_dynamic_tiled(op: str, pos0, theta0, delta_s, medium, *,
     wrappers if needed).
     """
     from raytracing_tpu.kernels.dynamic import DYN_FUSED_OPS, DynFinal
+    from raytracing_tpu.media.c1 import C1GridMedium
     from raytracing_tpu.media.hermite import HermiteGridMedium
 
     if op not in DYN_FUSED_OPS:
         raise ValueError(f"dynamic tiled kernel supports {DYN_FUSED_OPS}, "
                          f"got {op!r}")
-    if not isinstance(medium, HermiteGridMedium):
+    if not isinstance(medium, (HermiteGridMedium, C1GridMedium)):
         raise ValueError("grid_trace_dynamic_tiled needs a "
-                         f"HermiteGridMedium (36-float parity cells), got "
+                         "HermiteGridMedium (36-float parity cells) or "
+                         "C1GridMedium (16-float consistent cells), got "
                          f"{type(medium).__name__}")
+    node_ch = int(medium.nodes.shape[-1])      # 9 parity / 4 C1
     th, tw = tile_shape
     r = pos0.shape[0]
     if r % block_rays:
@@ -1816,7 +1821,7 @@ def grid_trace_dynamic_tiled(op: str, pos0, theta0, delta_s, medium, *,
         comps, orig_idx = apply_perm(comps, orig_idx)
     state = tuple(c.reshape(-1, LANES) for c in comps)
     nodes3d = jnp.asarray(medium.nodes, jnp.float32).reshape(
-        medium.ny, medium.nx, 9)
+        medium.ny, medium.nx, node_ch)
     limit = jnp.float32(steps)
     tile_pk = _pk((th, tw))
 
@@ -1825,7 +1830,8 @@ def grid_trace_dynamic_tiled(op: str, pos0, theta0, delta_s, medium, *,
             state, nodes3d, jnp.float32(delta_s), limit,
             jnp.float32(done_steps), jnp.int32(n_run), op=op, segment=seg,
             box=tuple(box), block_rays=block_rays, interpret=interpret,
-            meta=meta, tile_shape=tile_pk, pack=pack)
+            meta=meta, tile_shape=tile_pk, pack=pack,
+            tile_channels=4 * node_ch)
 
     seg0 = seg = segment
     round_refreshes = refreshes_per_round

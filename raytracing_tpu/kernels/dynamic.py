@@ -287,8 +287,90 @@ def _tile_nag_h(T, bix, biy, meta, tw_dyn=None):
     return nag
 
 
+def _tile_nag_c1_h(T, bix, biy, meta, tw_dyn=None):
+    """C1 twin of :func:`_tile_nag_h`: 16-float cells, symmetric Hessian.
+
+    The consistent-gradient family evaluates n AND its gradient from ONE
+    bicubic patch (media/c1.c1_blend), so the dynamic tier's Hessian is
+    the exact second derivative of that SAME patch — symmetric by
+    construction (hyx == hxy), and gn == g.  4 channels x 4 corners = 16
+    gathers per evaluation, the same 16/36 saving the kinematic C1
+    kernels measured (ARCHITECTURE "C1 consistent-gradient media").
+    """
+    from raytracing_tpu.media.c1 import _hermite1, hermite_dbasis
+    from raytracing_tpu.media.hermite import hermite_basis
+
+    x0, y0, inv_hx, inv_hy, nx, ny, th, tw = meta
+    twf = float(tw) if tw_dyn is None else tw_dyn
+    nchunks = (len(T) + 15) // 16
+
+    def d2basis(t):
+        # second derivatives of (h00, h10, h01, h11)
+        return (12.0 * t - 6.0, 6.0 * t - 4.0,
+                -12.0 * t + 6.0, 6.0 * t - 2.0)
+
+    def nag(x, y):
+        fx = jnp.clip((x - x0) * inv_hx, 0.0, float(nx - 1))
+        fy = jnp.clip((y - y0) * inv_hy, 0.0, float(ny - 1))
+        ix = jnp.minimum(jnp.floor(fx), float(nx - 2))
+        iy = jnp.minimum(jnp.floor(fy), float(ny - 2))
+        u = fx - ix
+        v = fy - iy
+        lx = ix - bix
+        ly = iy - biy
+        t = (ly * twf + lx).astype(jnp.int32)
+        if nchunks == 1:
+            lane = t
+
+            def corners(ch):
+                return tuple(
+                    jnp.take_along_axis(T[ch * 4 + c], lane, axis=1)
+                    for c in range(4))
+        else:
+            lane = jnp.bitwise_and(t, jnp.int32(LANES - 1))
+            chk = jnp.right_shift(t, jnp.int32(7))
+
+            def corners(ch):
+                out = []
+                for c in range(4):
+                    val = jnp.zeros_like(x)
+                    for k in range(nchunks):
+                        g = jnp.take_along_axis(T[k * 16 + ch * 4 + c],
+                                                lane, axis=1)
+                        val = jnp.where(chk == k, g, val)
+                    out.append(val)
+                return tuple(out)
+
+        f = corners(0)
+        fv = corners(1)
+        fu = corners(2)
+        fw = corners(3)
+        hv, dv, ddv = hermite_basis(v), hermite_dbasis(v), d2basis(v)
+        hu, du, ddu = hermite_basis(u), hermite_dbasis(u), d2basis(u)
+
+        def vblend(basis):
+            p0 = _hermite1((f[0], fv[0], f[2], fv[2]), basis)
+            p1 = _hermite1((f[1], fv[1], f[3], fv[3]), basis)
+            m0 = _hermite1((fu[0], fw[0], fu[2], fw[2]), basis)
+            m1 = _hermite1((fu[1], fw[1], fu[3], fw[3]), basis)
+            return p0, m0, p1, m1
+
+        col = vblend(hv)
+        col_dv = vblend(dv)
+        n = _hermite1(col, hu)
+        gx = _hermite1(col, du) * inv_hx
+        gy = _hermite1(col_dv, hu) * inv_hy
+        hxx = _hermite1(col, ddu) * (inv_hx * inv_hx)
+        hxy = _hermite1(col_dv, du) * (inv_hx * inv_hy)
+        hyy = _hermite1(vblend(ddv), hu) * (inv_hy * inv_hy)
+        return n, gx, gy, gx, gy, hxx, hxy, hxy, hyy
+
+    return nag
+
+
 def _make_dynamic_kernel(field: str, op: str, steps: int, box, strat=None,
-                         tile=None, resume: bool = False):
+                         tile=None, resume: bool = False,
+                         tile_channels: int = 36):
     """Build the fused dynamic step kernel (kernels/fused.py structure).
 
     ``strat`` = (y0, inv_hy, ny) switches the field evaluation from the
@@ -499,7 +581,8 @@ def _make_dynamic_kernel(field: str, op: str, steps: int, box, strat=None,
             ref[...] = val
 
     if tile is not None:
-        n_ch = (-(-tile[6] * tile[7] // LANES)) * 36
+        n_ch = (-(-tile[6] * tile[7] // LANES)) * tile_channels
+        tile_nag = _tile_nag_h if tile_channels == 36 else _tile_nag_c1_h
 
         def kernel(tile_ref, base_ref, *refs):
             rows = refs[0].shape[0]
@@ -509,8 +592,8 @@ def _make_dynamic_kernel(field: str, op: str, steps: int, box, strat=None,
                  for i in range(n_ch)]
             b = pl.program_id(0)
             kernel_impl(
-                _tile_nag_h(T, base_ref[b, 0], base_ref[b, 1], tile,
-                            tw_dyn=base_ref[b, 2]),
+                tile_nag(T, base_ref[b, 0], base_ref[b, 1], tile,
+                         tw_dyn=base_ref[b, 2]),
                 *refs)
     elif strat is None:
         nag_a = _field_fn_h(field)

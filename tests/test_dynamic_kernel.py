@@ -304,3 +304,32 @@ def test_fast_dynamic_routes_grid_to_tiled():
         grid_trace_dynamic_tiled("op5", pos0[:256], theta0[:256],
                                  np.float32(0.001), None, steps=8,
                                  box=tuple(scen.box), interpret=True)
+
+
+@pytest.mark.slow
+def test_dynamic_tiled_c1_matches_scan_jvp():
+    """The 16-float C1 tile evaluator (_tile_nag_c1_h): n, gradient AND
+    the symmetric second-derivative matrix all from ONE bicubic patch —
+    scan-jvp parity on the C1 sampled fisheye at float-accumulation
+    tolerance, KMAH exact."""
+    from raytracing_tpu.engine.dynamic import trace_dynamic
+    from raytracing_tpu.engine.segmented import grid_trace_dynamic_tiled
+    from raytracing_tpu.media.c1 import build_c1_medium
+
+    scen = rt.scenario("fisheye")
+    med = build_c1_medium("fisheye", scen.box, dtype=np.float32)
+    r = 512
+    theta0 = (np.pi / 2 + np.linspace(-0.05, 0.05, r)).astype(np.float32)
+    pos0 = np.tile(np.array([1.0, 0.0], np.float32), (r, 1))
+    ds = np.float32(2 * np.pi / 4587)
+    g = grid_trace_dynamic_tiled("op6", pos0, theta0, ds, med, steps=400,
+                                 box=tuple(scen.box), interpret=True,
+                                 block_rays=256)
+    d = trace_dynamic("op6", scen, med, delta_s=float(ds), mode="metrics",
+                      dtype=np.float32, pos0=pos0, theta0=theta0,
+                      max_size=401, step_limit=400)
+    np.testing.assert_allclose(np.asarray(g.pos), np.asarray(d.pos),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(g.q), np.asarray(d.q),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(g.kmah), np.asarray(d.kmah))

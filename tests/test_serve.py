@@ -354,7 +354,7 @@ def test_trace_samples_conservation_report(server):
                        {"samples": Z, "x": gx, "y": gy, "delta_s": 0.01,
                         "steps": 10, "report_conservation": True,
                         "launch": {"x": 0.0, "y": [-0.1, 0.1]}})
-    assert code == 400 and "PROFILE" in body["error"]
+    assert code == 400 and "profile" in body["error"]
 
 
 def test_trace_samples_conservation_perpendicular_fan(server):
