@@ -34,11 +34,17 @@ def main(argv=None):
     ap.add_argument("--rays", type=int, default=1 << 20)
     ap.add_argument("--div", type=int, default=4587)
     ap.add_argument("--steps", type=int, default=0)
+    ap.add_argument("--family", default="parity",
+                    help="parity (36-float cells) or c1 (16-float)")
     args = ap.parse_args(argv)
 
     scen = rt.scenario("fisheye")
-    hm = _as_hermite(build_grid_medium("fisheye", scen.box,
-                                       dtype=np.float32))
+    if args.family == "c1":
+        from raytracing_tpu.media.c1 import build_c1_medium
+        hm = build_c1_medium("fisheye", scen.box, dtype=np.float32)
+    else:
+        hm = _as_hermite(build_grid_medium("fisheye", scen.box,
+                                           dtype=np.float32))
     ds = np.float32(2 * np.pi / args.div)
     steps = args.steps or args.div
 
