@@ -1739,13 +1739,42 @@ def _dyn_tiled_segments(*args, **kw):
     return _dyn_tiled_segments_inner(*args, **kw)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "op", "segment", "box", "block_rays", "interpret", "meta",
+    "tile_shape", "pack", "tile_channels", "mesh", "mesh_axes"))
+def _dyn_tiled_segments_sharded(state, nodes3d, delta_s, limit, offset0,
+                                n_seg, *, mesh, mesh_axes, **kw):
+    """The dynamic round body under ``shard_map`` — the paraxial twin of
+    :func:`_tiled_run_segments_sharded`: rays sharded, windows local,
+    one ``pmax`` of the containment flag per round."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    nst = len(state)
+    spec_state = (P(mesh_axes, None),) * nst
+
+    def body(state, nodes3d, delta_s, limit, offset0, n_seg):
+        out, flag = _dyn_tiled_segments_inner(
+            state, nodes3d, delta_s, limit, offset0, n_seg, **kw)
+        for ax in mesh_axes:
+            flag = jax.lax.pmax(flag, ax)
+        return out, flag
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_state, P(), P(), P(), P(), P()),
+        out_specs=(spec_state, P()),
+        check_vma=False)  # pallas out_shapes carry no vma
+    return fn(tuple(state), nodes3d, delta_s, limit, offset0, n_seg)
+
+
 def grid_trace_dynamic_tiled(op: str, pos0, theta0, delta_s, medium, *,
                              steps: int, box, segment: int | None = None,
                              block_rays: int = 1024,
                              tile_shape: tuple = (11, 11),
                              refreshes_per_round: int = 32,
                              interpret: bool = False, sort: bool = True,
-                             pack: int | str = "auto"):
+                             pack: int | str = "auto", mesh=None):
     """Kernel-tier DYNAMIC tracing through a 2-D sampled-spline medium.
 
     The paraxial twin of :func:`grid_trace_tiled` for the smooth op
@@ -1760,8 +1789,9 @@ def grid_trace_dynamic_tiled(op: str, pos0, theta0, delta_s, medium, *,
     ``DynFinal`` (engine fast_dynamic routes 2-D grid media here).
 
     No golden ops (tangents vanish a.e.), no op7 (windowed fd solver),
-    no Welford stats, single-device (shard with fast_trace_sharded-style
-    wrappers if needed).
+    no Welford stats.  ``mesh`` shards the ray batch across devices with
+    shard-local windows and a pmax'd containment flag, exactly like the
+    kinematic tier's sharded rounds.
     """
     from raytracing_tpu.kernels.dynamic import DYN_FUSED_OPS, DynFinal
     from raytracing_tpu.media.c1 import C1GridMedium
@@ -1780,6 +1810,9 @@ def grid_trace_dynamic_tiled(op: str, pos0, theta0, delta_s, medium, *,
     r = pos0.shape[0]
     if r % block_rays:
         raise ValueError(f"rays {r} not a multiple of block {block_rays}")
+    if mesh is not None and r % (int(mesh.devices.size) * block_rays):
+        raise ValueError(f"ray count {r} must divide by devices*block "
+                         f"({int(mesh.devices.size)}*{block_rays})")
     if medium.nx - 1 < tw or medium.ny - 1 < th:
         raise ValueError(f"medium grid {medium.ny}x{medium.nx} nodes is "
                          f"smaller than the {tile_shape}-cell window")
@@ -1819,19 +1852,45 @@ def grid_trace_dynamic_tiled(op: str, pos0, theta0, delta_s, medium, *,
 
     if sort:
         comps, orig_idx = apply_perm(comps, orig_idx)
-    state = tuple(c.reshape(-1, LANES) for c in comps)
+    if mesh is None:
+        def pin(state):
+            return state
+    else:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        mesh_axes = tuple(mesh.axis_names)
+        row_sharding = NamedSharding(mesh, P(mesh_axes, None))
+
+        def pin(state):
+            return tuple(jax.device_put(s, row_sharding) for s in state)
+    state = pin(tuple(c.reshape(-1, LANES) for c in comps))
     nodes3d = jnp.asarray(medium.nodes, jnp.float32).reshape(
         medium.ny, medium.nx, node_ch)
     limit = jnp.float32(steps)
     tile_pk = _pk((th, tw))
 
     def attempt(state, seg, n_run, done_steps):
-        return _dyn_tiled_segments(
+        kw = dict(op=op, segment=seg, box=tuple(box),
+                  block_rays=block_rays, interpret=interpret, meta=meta,
+                  tile_shape=tile_pk, pack=pack,
+                  tile_channels=4 * node_ch)
+        if mesh is None:
+            return _dyn_tiled_segments(
+                state, nodes3d, jnp.float32(delta_s), limit,
+                jnp.float32(done_steps), jnp.int32(n_run), **kw)
+        return _dyn_tiled_segments_sharded(
             state, nodes3d, jnp.float32(delta_s), limit,
-            jnp.float32(done_steps), jnp.int32(n_run), op=op, segment=seg,
-            box=tuple(box), block_rays=block_rays, interpret=interpret,
-            meta=meta, tile_shape=tile_pk, pack=pack,
-            tile_channels=4 * node_ch)
+            jnp.float32(done_steps), jnp.int32(n_run), mesh=mesh,
+            mesh_axes=mesh_axes, **kw)
+
+    def next_tile(tile):
+        for cand in _SWEEP_TILES:
+            if (cand[0] * cand[1] > tile[0] * tile[1]
+                    and cand[0] <= medium.ny - 1
+                    and cand[1] <= medium.nx - 1):
+                return cand
+        return None
 
     seg0 = seg = segment
     round_refreshes = refreshes_per_round
@@ -1842,15 +1901,23 @@ def grid_trace_dynamic_tiled(op: str, pos0, theta0, delta_s, medium, *,
         if not (float(flag) <= 0.0):
             comps = [s.reshape(-1) for s in state]
             comps, orig_idx = apply_perm(comps, orig_idx)
-            state = tuple(c.reshape(-1, LANES) for c in comps)
+            state = pin(tuple(c.reshape(-1, LANES) for c in comps))
             nstate, flag = attempt(state, seg, 1, done_steps)
             while not (float(flag) <= 0.0):
-                if seg == 1:
-                    raise RuntimeError(
-                        "grid_trace_dynamic_tiled: a freshly sorted ray "
-                        "block exceeds the window at segment=1 — use "
-                        "trace_dynamic (scan tier)")
-                seg = max(1, seg // 2)
+                if seg > 1:
+                    seg = max(1, seg // 2)
+                else:
+                    # grid_trace_tiled's escalation ladder: bigger
+                    # near-square windows (more gather chunks, 2x the
+                    # capacity), sticky for the rest of the run
+                    bigger = next_tile(tile_pk)
+                    if bigger is None:
+                        raise RuntimeError(
+                            "grid_trace_dynamic_tiled: a freshly sorted "
+                            "ray block exceeds the largest window at "
+                            "segment=1 — use trace_dynamic (scan tier)")
+                    tile_pk = _pk(bigger)
+                    seg = seg0
                 nstate, flag = attempt(state, seg, 1, done_steps)
             state = nstate
             done_steps += seg
