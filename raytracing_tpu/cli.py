@@ -333,6 +333,67 @@ def run_eigenrays_file(path: str, op_name: str, *, delta_s: float,
     return eig
 
 
+def run_eigenrays3_file(path: str, op_name: str, *, delta_s: float,
+                        steps: int, source, receivers, fan=None, box=None,
+                        omega=None, family: str = "parity", printer=print):
+    """3-D eigenray arrivals + TL through a measured PROFILE medium.
+
+    CLI counterpart of the ``/v1/eigenrays3`` serving endpoint: the
+    profile lifts to a 3-D stratified medium (media/fields3d.Stratified3D)
+    and ``engine.eigenray3d.find_eigenrays3`` Gauss-Newtons a two-angle
+    launch grid onto each (x, y, z) receiver.
+    """
+    import jax
+
+    from raytracing_tpu.engine import eigenray as er
+    from raytracing_tpu.engine.eigenray3d import find_eigenrays3
+    from raytracing_tpu.engine.trace3d import canonical3
+    from raytracing_tpu.media.fields3d import Stratified3D
+
+    method = canonical3(op_name)
+    with jax.enable_x64(True):   # f64 tables (engine/eigenray.py dtype note)
+        medium2d, default_box, kind = load_samples_medium(
+            path, family, dtype=np.float64)
+    if not samples_is_profile(medium2d):
+        raise SystemExit("--eigenrays3 lifts 1-D PROFILES (n = n(y)); this "
+                         "file holds a 2-D grid — use --eigenrays for the "
+                         "planar pipeline")
+    medium = Stratified3D(medium2d)
+    box = tuple(box) if box else (-1e30, 1e30, default_box[2],
+                                  default_box[3], -1e30, 1e30)
+    fan = tuple(fan) if fan else (-0.3, 0.3, 25, -0.3, 0.3, 25)
+    receivers = np.atleast_2d(np.asarray(receivers, np.float64))
+    eig = find_eigenrays3(
+        method, medium, source=tuple(source), receivers=receivers,
+        delta_s=delta_s, max_size=int(steps), box=box,
+        fan=(float(fan[0]), float(fan[1]), int(fan[2]),
+             float(fan[3]), float(fan[4]), int(fan[5])))
+    printer(f"\n{kind} ({family}) from {path}, lifted to 3-D")
+    printer(f"eigenrays3 {method}: source ({source[0]:g}, {source[1]:g}, "
+            f"{source[2]:g}), fan {int(fan[2])}x{int(fan[5])}, "
+            f"delta_s {delta_s:g} x {steps} steps")
+    k = len(receivers)
+    itl = er.incoherent_tl(eig, n_receivers=k)
+    ctl = er.coherent_tl(eig, float(omega), n_receivers=k) \
+        if omega is not None else None
+    printer(f"{'receiver':>26} {'traveltime':>12} {'amplitude':>10} "
+            f"{'kmah':>5} {'miss':>9}")
+    for i, (rx, ry, rz) in enumerate(receivers):
+        e = eig.for_receiver(i)
+        if not len(e.traveltime):
+            printer(f"({rx:7.3g}, {ry:6.3g}, {rz:6.3g})  no arrivals")
+            continue
+        for tt, a, m, ye in zip(e.traveltime, e.amplitude, e.kmah,
+                                e.miss):
+            printer(f"({rx:7.3g}, {ry:6.3g}, {rz:6.3g}) {tt:12.6f} "
+                    f"{a:10.4f} {int(m):5d} {ye:+9.1e}")
+        line = f"    TL incoherent {itl[i]:7.2f} dB"
+        if ctl is not None and np.isfinite(ctl[i]):
+            line += f"   coherent {ctl[i]:7.2f} dB (omega {omega:g})"
+        printer(line)
+    return eig
+
+
 def samples_is_profile(medium) -> bool:
     from raytracing_tpu.media.c1 import C1StratifiedMedium
     from raytracing_tpu.media.spline import StratifiedGridMedium
@@ -563,11 +624,38 @@ def main(argv=None):
     g.add_argument("--omega", type=float,
                    help="angular frequency (rad per traveltime unit) for "
                         "coherent TL")
+    g.add_argument("--eigenrays3", nargs=3, type=float,
+                   metavar=("SRC_X", "SRC_Y", "SRC_Z"),
+                   help="3-D boundary-value arrivals from this source to "
+                        "every --receiver3 (the profile lifts to a 3-D "
+                        "stratified medium)")
+    g.add_argument("--receiver3", nargs=3, type=float, action="append",
+                   metavar=("X", "Y", "Z"),
+                   help="3-D receiver point (repeatable)")
+    g.add_argument("--fan3", nargs=6, type=float,
+                   metavar=("A_LO", "A_HI", "NA", "B_LO", "B_HI", "NB"),
+                   help="3-D eigenray launch grid around the source->mean-"
+                        "receiver direction (default -0.3 0.3 25 x3)")
     args = p.parse_args(argv)
 
     if args.eigenrays is not None and not args.medium_file:
         p.error("--eigenrays needs --medium-file (measured media; named "
                 "scenarios have analytic eigenray oracles in the tests)")
+    if args.eigenrays3 is not None and not args.medium_file:
+        p.error("--eigenrays3 needs --medium-file (a measured 1-D profile)")
+    if args.medium_file and args.eigenrays3 is not None:
+        need = [("--op", args.op), ("--delta-s-value", args.delta_s_value),
+                ("--steps", args.steps), ("--receiver3", args.receiver3)]
+        missing = [f for f, v in need if v is None]
+        if missing:
+            p.error(f"--eigenrays3 needs {', '.join(missing)}")
+        op = canonical(f"op{int(args.op)}" if args.op.isdigit()
+                       else args.op)
+        return run_eigenrays3_file(
+            args.medium_file, op, delta_s=args.delta_s_value,
+            steps=args.steps, source=args.eigenrays3,
+            receivers=args.receiver3, fan=args.fan3,
+            omega=args.omega, family=args.family)
     if args.medium_file and args.eigenrays is not None:
         if args.calibrate is not None:
             p.error("--eigenrays and --calibrate are mutually exclusive; "

@@ -283,3 +283,37 @@ def test_plot_rays3d(tmp_path):
     assert (tmp_path / "r3.png").stat().st_size > 0
     import matplotlib.pyplot as plt
     plt.close(fig)
+
+
+def test_cli_eigenrays3(capsys, tmp_path):
+    """--eigenrays3 lifts a measured profile to 3-D and reports arrivals
+    + TL per (x, y, z) receiver (the CLI twin of /v1/eigenrays3)."""
+    from raytracing_tpu import cli
+
+    y = np.linspace(-1.5, 1.5, 61)
+    np.savez(tmp_path / "wg.npz", samples=1.2 - 0.25 * y * y, y=y)
+    res = cli.main(["--medium-file", str(tmp_path / "wg.npz"),
+                    "--op", "6", "--delta-s-value", "0.02",
+                    "--steps", "420", "--family", "c1",
+                    "--eigenrays3", "0", "0", "0",
+                    "--receiver3", "6", "0", "0.3",
+                    "--fan3", "-0.4", "0.4", "13", "-0.4", "0.4", "13",
+                    "--omega", "40"])
+    text = capsys.readouterr().out
+    assert "lifted to 3-D" in text and "TL incoherent" in text
+    assert len(np.asarray(res.traveltime)) >= 1
+    assert bool(np.all(np.asarray(res.converged)))
+
+    # a 2-D grid file is rejected with guidance; missing receivers errors
+    Z = np.ones((8, 9))
+    np.savez(tmp_path / "grid.npz", samples=Z,
+             x=np.linspace(0, 1, 9), y=np.linspace(0, 1, 8))
+    with pytest.raises(SystemExit):
+        cli.main(["--medium-file", str(tmp_path / "grid.npz"), "--op", "6",
+                  "--delta-s-value", "0.02", "--steps", "40",
+                  "--eigenrays3", "0", "0.5", "0",
+                  "--receiver3", "1", "0.5", "0"])
+    with pytest.raises(SystemExit):
+        cli.main(["--medium-file", str(tmp_path / "wg.npz"), "--op", "6",
+                  "--delta-s-value", "0.02", "--steps", "40",
+                  "--eigenrays3", "0", "0", "0"])
