@@ -1351,12 +1351,18 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
 
     def _fits_oriented(travel_cells, m, shapes):
         # a direction phi fits iff SOME shape holds both axis projections
-        # plus margins and the 4-cell bbox reserve (x also reserves the
-        # pack-alignment snap, < pack cells); scan the worst phi over
-        # [0, 45deg] (axis symmetry makes that the whole space)
+        # plus margins and the 4-cell bbox reserve; scan the worst phi
+        # over [0, 45deg] (axis symmetry makes that the whole space).
+        # NO pack-alignment reserve here: the bump placement
+        # (_window_bases) recovers the snapped slack whenever the left
+        # margin allows, which is the common case — statically reserving
+        # pack-1 cells made the packed ladder over-grow past the
+        # measured-best 2-chunk class (auto landed on (21, 24) seg=8 at
+        # 0.47 G where (16, 16) seg=6 runs 0.70-0.78 with zero replays);
+        # the verified flag + replay ladder covers the rare worst case
         for k in range(9):
             phi = math.pi / 4.0 * k / 8.0
-            need_x = travel_cells * math.cos(phi) + m + (pack - 1)
+            need_x = travel_cells * math.cos(phi) + m
             need_y = travel_cells * math.sin(phi) + m
             if not any(need_x <= tw_s - 1 - 4 and need_y <= th_s - 1 - 4
                        for th_s, tw_s in shapes):
@@ -1365,8 +1371,7 @@ def grid_trace_tiled(op: str, pos0, theta0, delta_s, medium, *, steps: int,
 
     def _default_segment(tile, shapes=None):
         # capacity is min(tile) cells; ~4 reserved for the unit bbox
-        # (x additionally reserves the pack-alignment snap)
-        cap = max(1.0, float(min(tile[0], tile[1] - (pack - 1)) - 1 - 4))
+        cap = max(1.0, float(min(tile) - 1 - 4))
         # legacy symmetric margins: travel <= cap / 2 on each side
         seg_old = int(cap * 0.5 * pitch / float(delta_s))
         # drift-predicted margins: the prediction span rides in the bbox,
@@ -1831,8 +1836,7 @@ def grid_trace_dynamic_tiled(op: str, pos0, theta0, delta_s, medium, *,
         return (min(t, (nch * LANES) // w2), w2)
 
     if segment is None:
-        cap = max(1.0, float(min(_pk((th, tw))[0],
-                                 _pk((th, tw))[1] - (pack - 1)) - 1 - 4))
+        cap = max(1.0, float(min(_pk((th, tw))) - 1 - 4))
         segment = max(1, min(64, int(cap * 0.5 * pitch / float(delta_s))))
 
     pos0 = jnp.asarray(pos0, jnp.float32)
