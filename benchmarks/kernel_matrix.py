@@ -109,6 +109,18 @@ def main():
     t = best_of(run_tiled_gold, per=1)
     out["tiled_grid_op5"] = round(R * (DIV - 1) / t / 1e9, 2)
 
+    # DYNAMIC tiled kernel: paraxial tangents with compensated carries over
+    # the same 2-D spline window machinery (round 4; measured ~76 % of the
+    # kinematic tiled rate)
+    from raytracing_tpu.engine.segmented import grid_trace_dynamic_tiled
+
+    def run_tiled_dyn():
+        return grid_trace_dynamic_tiled(
+            "op6", pos0, theta0, ds, hmed, steps=DIV - 1,
+            box=tuple(scen.box), block_rays=1024).q
+    t = best_of(run_tiled_dyn, per=1)
+    out["dyn_tiled_op6"] = round(R * (DIV - 1) / t / 1e9, 2)
+
     from raytracing_tpu.kernels.df import _df_core_segmented
 
     def run_df():
