@@ -95,13 +95,25 @@ def find_eigenrays3(method: str, medium, *, source, receivers, delta_s,
     receiver).  See the module docstring for the algorithm and its
     resolution caveats.
     """
+    import contextlib
+
+    import jax
+
     from raytracing_tpu.engine.eigenray import _solve_device
 
+    # the solve is dtype=np.float64 throughout; without a scoped x64
+    # enable (serve daemon / CLI never set it globally) the arrays
+    # silently downcast to f32 and the default tol=1e-9 is unreachable —
+    # mirror find_eigenrays (engine/eigenray.py:220-222)
+    if not jax.config.jax_enable_x64:
+        x64 = jax.enable_x64(True)
+    else:
+        x64 = contextlib.nullcontext()
     # host-side solve over short fan traces with full-history readbacks:
     # route to the CPU backend when the default is a remote TPU (same
     # rationale, scoping, and on_host/RT_EIGENRAY_ON_HOST opt-out as
     # engine/eigenray.find_eigenrays)
-    with _solve_device(on_host):
+    with x64, _solve_device(on_host):
         return _find_eigenrays3(method, medium, source=source,
                                 receivers=receivers, delta_s=delta_s,
                                 max_size=max_size, box=box,

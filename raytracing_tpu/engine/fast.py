@@ -373,10 +373,11 @@ def fast_dynamic(op_name: str, scen: config.ScenarioConfig, medium, *,
     kernel (kernels/dynamic.py — hand-derived paraxial tangents, ~6x the
     scan tier on-chip) for the analytic fields and the sampled stratified
     families, and falls back to the scan tier's exact jvp
-    (engine/dynamic.trace_dynamic) everywhere else (2-D grid media,
-    history mode callers use trace_dynamic directly).  Returns
+    (engine/dynamic.trace_dynamic) everywhere else (history mode callers
+    use trace_dynamic directly); 2-D grid media large enough for an 11x11
+    node window route to the tiled-window dynamic kernel.  Returns
     ``(DynFinal, engine)`` with engine in {"dynamic-kernel",
-    "dynamic-kernel-strat", "dynamic-scan"}.
+    "dynamic-kernel-strat", "dynamic-kernel-tiled", "dynamic-scan"}.
 
     Golden/Newton ops are rejected by the kernels and meaningless on the
     scan tier too (their tangent is zero a.e., engine/dynamic.py "Solver
@@ -457,9 +458,16 @@ def fast_dynamic(op_name: str, scen: config.ScenarioConfig, medium, *,
                       max_size=int(steps) + 1,
                       step_limit=int(steps))
     tangent = jnp.stack([jnp.cos(d.angle), jnp.sin(d.angle)], axis=-1)
+    # "active" = still inside the box, matching the kernel tier: exit_step
+    # alone is ambiguous (a ray exiting exactly at step i == steps also
+    # carries exit_step == steps), so test containment of the final
+    # position (frozen at the exit point for exited rays).
+    bx = jnp.asarray(tuple(scen.box), jnp.float32)
+    active = ((d.pos[:, 0] >= bx[0]) & (d.pos[:, 0] <= bx[1])
+              & (d.pos[:, 1] >= bx[2]) & (d.pos[:, 1] <= bx[3]))
     return (DynFinal(pos=d.pos, tangent=tangent, n=d.n,
                      traveltime=d.traveltime, dist_sim=d.dist_sim,
-                     active=d.exit_step == int(steps), q=d.q,
+                     active=active, q=d.q,
                      dtheta=d.dtheta, kmah=d.kmah),
             "dynamic-scan")
 

@@ -1872,12 +1872,14 @@ def grid_trace_dynamic_tiled(op: str, pos0, theta0, delta_s, medium, *,
     nodes3d = jnp.asarray(medium.nodes, jnp.float32).reshape(
         medium.ny, medium.nx, node_ch)
     limit = jnp.float32(steps)
-    tile_pk = _pk((th, tw))
 
-    def attempt(state, seg, n_run, done_steps):
+    def attempt(state, seg, n_run, done_steps, tile):
+        # The ladder tracks the UNPACKED tile (as grid_trace_tiled does):
+        # packing can shrink the area (_pk((11,11)) = (10,12) at pack=4), so
+        # comparing _SWEEP_TILES against the packed tile loops forever.
         kw = dict(op=op, segment=seg, box=tuple(box),
                   block_rays=block_rays, interpret=interpret, meta=meta,
-                  tile_shape=tile_pk, pack=pack,
+                  tile_shape=_pk(tile), pack=pack,
                   tile_channels=4 * node_ch)
         if mesh is None:
             return _dyn_tiled_segments(
@@ -1897,16 +1899,17 @@ def grid_trace_dynamic_tiled(op: str, pos0, theta0, delta_s, medium, *,
         return None
 
     seg0 = seg = segment
+    tile = (th, tw)
     round_refreshes = refreshes_per_round
     done_steps = 0
     while done_steps < steps:
         n_run = min(round_refreshes, -(-(steps - done_steps) // seg))
-        nstate, flag = attempt(state, seg, n_run, done_steps)
+        nstate, flag = attempt(state, seg, n_run, done_steps, tile)
         if not (float(flag) <= 0.0):
             comps = [s.reshape(-1) for s in state]
             comps, orig_idx = apply_perm(comps, orig_idx)
             state = pin(tuple(c.reshape(-1, LANES) for c in comps))
-            nstate, flag = attempt(state, seg, 1, done_steps)
+            nstate, flag = attempt(state, seg, 1, done_steps, tile)
             while not (float(flag) <= 0.0):
                 if seg > 1:
                     seg = max(1, seg // 2)
@@ -1914,15 +1917,15 @@ def grid_trace_dynamic_tiled(op: str, pos0, theta0, delta_s, medium, *,
                     # grid_trace_tiled's escalation ladder: bigger
                     # near-square windows (more gather chunks, 2x the
                     # capacity), sticky for the rest of the run
-                    bigger = next_tile(tile_pk)
+                    bigger = next_tile(tile)
                     if bigger is None:
                         raise RuntimeError(
                             "grid_trace_dynamic_tiled: a freshly sorted "
                             "ray block exceeds the largest window at "
                             "segment=1 — use trace_dynamic (scan tier)")
-                    tile_pk = _pk(bigger)
+                    tile = bigger
                     seg = seg0
-                nstate, flag = attempt(state, seg, 1, done_steps)
+                nstate, flag = attempt(state, seg, 1, done_steps, tile)
             state = nstate
             done_steps += seg
             round_refreshes = 1

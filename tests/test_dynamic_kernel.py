@@ -333,3 +333,31 @@ def test_dynamic_tiled_c1_matches_scan_jvp():
     np.testing.assert_allclose(np.asarray(g.q), np.asarray(d.q),
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(g.kmah), np.asarray(d.kmah))
+
+
+@pytest.mark.slow
+def test_dynamic_tiled_dispersed_packed_terminates():
+    """Regression (round-5 ADVICE): the PACKED escalation ladder must track
+    the UNPACKED tile.  With pack=4, _pk((11,11)) = (10,12) (area 120) and
+    next_tile((10,12)) = (11,11) (area 121), which re-packs to (10,12) — the
+    old ladder looped forever on a dispersed batch instead of escalating to
+    (16,16) and finally raising the RuntimeError fast_dynamic falls back
+    on.  A genuinely scattered batch must now terminate with that error.
+    The 13x13-node medium admits only the (11, 11) ladder rung, so the
+    (fixed) ladder exhausts after one escalation attempt — the looping
+    code never leaves the first rung at all."""
+    from raytracing_tpu.engine.segmented import grid_trace_dynamic_tiled
+    from raytracing_tpu.media.c1 import c1_medium_from_samples
+
+    ax = np.linspace(-1.5, 1.5, 13)
+    X, Y = np.meshgrid(ax, ax)
+    med = c1_medium_from_samples(1.0 / (1.0 + X ** 2 + Y ** 2), ax, ax,
+                                 dtype=np.float32)
+    rng = np.random.default_rng(7)
+    r = 128
+    pos0 = rng.uniform(-1.4, 1.4, (r, 2)).astype(np.float32)
+    theta0 = rng.uniform(0, 2 * np.pi, r).astype(np.float32)
+    with pytest.raises(RuntimeError, match="scan tier"):
+        grid_trace_dynamic_tiled("op6", pos0, theta0, np.float32(0.003),
+                                 med, steps=50, box=(-1.5, 1.5, -1.5, 1.5),
+                                 block_rays=128, interpret=True, pack=4)
