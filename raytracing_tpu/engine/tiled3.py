@@ -1,0 +1,424 @@
+"""Tiled-window kernel tier for sampled 3-D (tri-Hermite grid3) media.
+
+The 3-D lift of engine/segmented.py's ``grid_trace_tiled``: rays sorted
+along a 3-D Morton curve, each kernel block sharing one (td, th, tw)-CELL
+node window in VMEM refreshed by one coherent row gather per segment,
+evaluated in-kernel by :func:`kernels.fused3d._tile_nag3` (8 corner nodes x
+8 Hermite channels per cell, the layout media/grid3.py pre-staged for
+exactly this path).  This is the production sample -> fit -> trace pipeline
+(RT_bench.py:412-464) at kernel speed in three dimensions — the reference's
+spline-medium story, which its 2-D FITPACK objects cannot express.
+
+Window classes are near-capacity boxes per gather-chunk count:
+(5,5,5) = 125 cells / 1 chunk, (6,6,7) = 252 / 2, (8,8,8) = 512 / 4,
+(10,10,10) = 1000 / 8.  Containment (every ray's cell inside its block's
+window for a whole segment) is verified at each refresh — margins are the
+per-axis worst-case travel ``ceil(segment * ds * inv_h)``, so a trip means
+genuine dispersal, not silent clamping; recovery follows the 2-D ladder
+(re-sort -> halve segments -> bigger windows -> RuntimeError, which
+``engine.fast.fast_trace3`` catches and falls back to the scan tier).
+
+No drift-predicted refresh yet (the 2-D coarse-step lever): the 3-D
+production regime is fine steps where symmetric margins already sustain
+multi-step segments; the tri-Hermite in-cell kappa bound that would make
+predicted margins rigorous is recorded future work (ARCHITECTURE.md).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracing_tpu.kernels.fused3d import (CELL3_CH, LANES, Fused3Final,
+                                            FUSED3_OPS, _make_tile_kernel3)
+
+#: window classes, smallest first — near-capacity boxes per chunk count
+_SWEEP_TILES3 = ((5, 5, 5), (6, 6, 7), (8, 8, 8), (10, 10, 10))
+
+
+def _morton_key3(ix, iy, iz):
+    """Interleave 10-bit cell indices into a 3-D Z-order key (uint32).
+
+    The 3-axis analog of engine/segmented._morton_key: consecutive kernel
+    blocks become spatially compact in ALL THREE axes, which is what keeps
+    each block's node window small.  10 bits per axis covers grids up to
+    1024 cells/axis — beyond that, indices are right-shifted to fit (the
+    sort stays monotone at supercell granularity, which is all the
+    containment machinery needs).
+    """
+    def part(v):
+        v = jnp.bitwise_and(v, jnp.int32(0x3FF))
+        v = jnp.bitwise_and(jnp.bitwise_or(v, jnp.left_shift(v, 16)),
+                            jnp.int32(0x30000FF))
+        v = jnp.bitwise_and(jnp.bitwise_or(v, jnp.left_shift(v, 8)),
+                            jnp.int32(0x300F00F))
+        v = jnp.bitwise_and(jnp.bitwise_or(v, jnp.left_shift(v, 4)),
+                            jnp.int32(0x30C30C3))
+        v = jnp.bitwise_and(jnp.bitwise_or(v, jnp.left_shift(v, 2)),
+                            jnp.int32(0x9249249))
+        return v
+
+    return jnp.bitwise_or(
+        jnp.bitwise_or(part(ix).astype(jnp.uint32),
+                       jnp.left_shift(part(iy).astype(jnp.uint32), 1)),
+        jnp.left_shift(part(iz).astype(jnp.uint32), 2))
+
+
+def _cells3(x, y, z, meta):
+    (x0, y0, z0, inv_hx, inv_hy, inv_hz, nx, ny, nz) = meta[:9]
+    fx = jnp.clip((x - x0) * inv_hx, 0.0, float(nx - 1))
+    fy = jnp.clip((y - y0) * inv_hy, 0.0, float(ny - 1))
+    fz = jnp.clip((z - z0) * inv_hz, 0.0, float(nz - 1))
+    ix = jnp.minimum(jnp.floor(fx), float(nx - 2))
+    iy = jnp.minimum(jnp.floor(fy), float(ny - 2))
+    iz = jnp.minimum(jnp.floor(fz), float(nz - 2))
+    return ix, iy, iz
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def _sort_perm3(x, y, z, meta):
+    """Ray permutation ordering the batch along a 3-D Morton curve."""
+    ix, iy, iz = _cells3(x, y, z, meta)
+    mx = max(int(meta[6]) - 1, int(meta[7]) - 1, int(meta[8]) - 1)
+    shift = max(0, mx.bit_length() - 10)
+    key = _morton_key3(
+        jnp.right_shift(ix.astype(jnp.int32), shift),
+        jnp.right_shift(iy.astype(jnp.int32), shift),
+        jnp.right_shift(iz.astype(jnp.int32), shift))
+    return jnp.argsort(key)
+
+
+def _cells64(nodes4d):
+    """Per-CELL packed node table: (nz, ny, nx, 8) -> (ncells, 64) rows.
+
+    Every cell carries its own 8 corner nodes x 8 Hermite channels at flat
+    index ``ch * 8 + corner`` with corner = dx + 2*dy + 4*dz — exactly what
+    ``kernels.fused3d._tile_nag3`` gathers (the 3-D form of
+    engine/segmented._cells36; same refresh economics: one flat row gather
+    per window lane instead of 8 scattered node reads).
+    """
+    ch = nodes4d.shape[-1]
+    corners = [nodes4d[dz:dz + nodes4d.shape[0] - 1,
+                       dy:dy + nodes4d.shape[1] - 1,
+                       dx:dx + nodes4d.shape[2] - 1]
+               for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+    # stack axis -1: (..., ch, 8corners) -> flat ch*8 + corner; corner list
+    # order is dz-major, so its index is dx + 2*dy + 4*dz as documented
+    return jnp.stack(corners, axis=-1).reshape(-1, 8 * ch)
+
+
+def _window_ids3(bix, biy, biz, td, th, tw, n_lanes, ncx, ncy):
+    """Flat cell ids of each window's lane layout: z-major, then y, x."""
+    j = jnp.arange(n_lanes, dtype=jnp.int32)[None, :]
+    tdv = jnp.asarray(td, jnp.int32).reshape(-1, 1)
+    thv = jnp.asarray(th, jnp.int32).reshape(-1, 1)
+    twv = jnp.asarray(tw, jnp.int32).reshape(-1, 1)
+    jz = jnp.minimum(j // (thv * twv), tdv - 1)   # padding lanes clamp to
+    jy = (j // twv) % thv                         # the window's last plane
+    jx = j % twv
+    return ((biz[:, None] + jz) * ncy + (biy[:, None] + jy)) * ncx \
+        + (bix[:, None] + jx)
+
+
+def _window_bases3(st, flag, meta, td, th, tw, ngroups, group_rays,
+                   margin_x, margin_y, margin_z):
+    """3-D containment check + window placement for G ray groups.
+
+    Each group's cell bounding box plus per-axis margins must fit the
+    (td, th, tw)-cell window; the returned flag accumulates the worst
+    violation (<= 0 means every group fits).  Windows center their slack
+    on the bbox, clipped into the grid.
+    """
+    (x0, y0, z0, inv_hx, inv_hy, inv_hz, nx, ny, nz) = meta
+    ix, iy, iz = _cells3(st[0].reshape(ngroups, group_rays),
+                         st[1].reshape(ngroups, group_rays),
+                         st[2].reshape(ngroups, group_rays), meta)
+    ixm, ixM = jnp.min(ix, axis=1), jnp.max(ix, axis=1)
+    iym, iyM = jnp.min(iy, axis=1), jnp.max(iy, axis=1)
+    izm, izM = jnp.min(iz, axis=1), jnp.max(iz, axis=1)
+    span_x = ixM - ixm
+    span_y = iyM - iym
+    span_z = izM - izm
+    need = jnp.maximum(
+        jnp.maximum(span_x + 2.0 * margin_x - float(tw - 1),
+                    span_y + 2.0 * margin_y - float(th - 1)),
+        span_z + 2.0 * margin_z - float(td - 1))
+    flag = jnp.maximum(flag, jnp.max(need))
+    bix = jnp.clip(ixm - jnp.floor((float(tw) - 1.0 - span_x) * 0.5),
+                   0.0, float(nx - 1 - tw)).astype(jnp.int32)
+    biy = jnp.clip(iym - jnp.floor((float(th) - 1.0 - span_y) * 0.5),
+                   0.0, float(ny - 1 - th)).astype(jnp.int32)
+    biz = jnp.clip(izm - jnp.floor((float(td) - 1.0 - span_z) * 0.5),
+                   0.0, float(nz - 1 - td)).astype(jnp.int32)
+    return flag, bix, biy, biz
+
+
+def _refresh_windows3(st, flag, c64, meta, td, th, tw, nblocks, block_rays,
+                      margin_x, margin_y, margin_z, nchunks, n_ch):
+    """One per-BLOCK 3-D window refresh: (flag', tiles, bases)."""
+    (x0, y0, z0, inv_hx, inv_hy, inv_hz, nx, ny, nz) = meta
+    flag, bix, biy, biz = _window_bases3(
+        st, flag, meta, td, th, tw, nblocks, block_rays,
+        margin_x, margin_y, margin_z)
+    wid = _window_ids3(bix, biy, biz, td, th, tw, nchunks * LANES,
+                       nx - 1, ny - 1)
+    cells = c64[wid]                      # (nblocks, nchunks*LANES, 64)
+    tiles = jnp.transpose(
+        cells.reshape(nblocks, nchunks, LANES, CELL3_CH),
+        (0, 1, 3, 2)).reshape(nblocks, n_ch, LANES)
+    bases = jnp.stack(
+        [bix, biy, biz,
+         jnp.full_like(bix, tw), jnp.full_like(bix, th),
+         jnp.full_like(bix, td)], axis=-1).astype(jnp.float32)
+    return flag, tiles, bases
+
+
+def _tiled3_segments_inner(state, nodes4d, delta_s, limit, offset0, n_seg,
+                           *, op, segment, box, block_rays, interpret,
+                           meta, tile_shape):
+    """Chain tiled 3-D kernel launches; refresh block windows between.
+
+    Same contract as engine/segmented._tiled_run_segments_inner: returns
+    ``(state, flag)`` with ``flag > 0`` meaning some block's bbox plus
+    worst-case travel could not fit its window — the caller must replay
+    from its checkpoint after re-sorting.
+    """
+    (x0, y0, z0, inv_hx, inv_hy, inv_hz, nx, ny, nz) = meta
+    td, th, tw = tile_shape
+    r = state[0].shape[0] * LANES
+    rows = block_rays // LANES
+    nblocks = r // block_rays
+    nchunks = -(-td * th * tw // LANES)
+    n_ch = nchunks * CELL3_CH
+    shape2 = state[0].shape
+    zero = jnp.zeros(shape2, jnp.float32)
+    kernel = _make_tile_kernel3(op, segment, box, meta + tile_shape)
+    blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((1, n_ch, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    base_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[tile_spec, base_spec] + [blk] * 12
+                 + [blk, pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[blk] * 12,
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 12,
+        cost_estimate=pl.CostEstimate(
+            flops=400 * r * segment,
+            bytes_accessed=(2 * 12 * r + nblocks * n_ch * LANES) * 4,
+            transcendentals=2 * r * segment),
+        interpret=interpret,
+    )
+    travel = segment * delta_s
+    margin_x = jnp.ceil(travel * inv_hx)
+    margin_y = jnp.ceil(travel * inv_hy)
+    margin_z = jnp.ceil(travel * inv_hz)
+    c64 = _cells64(nodes4d)
+
+    def seg_body(k, carry):
+        st, flag = carry
+        flag, tiles, bases = _refresh_windows3(
+            st, flag, c64, meta, td, th, tw, nblocks, block_rays,
+            margin_x, margin_y, margin_z, nchunks, n_ch)
+        offset = offset0 + k.astype(jnp.float32) * segment
+        ds_vec = jnp.stack([delta_s, limit, offset])
+        args = (tiles, bases) + st + (zero, ds_vec)
+        return tuple(call(*args)), flag
+
+    return jax.lax.fori_loop(0, n_seg, seg_body,
+                             (tuple(state), jnp.float32(-np.inf)))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "op", "segment", "box", "block_rays", "interpret", "meta",
+    "tile_shape"))
+def _tiled3_segments(*args, **kw):
+    return _tiled3_segments_inner(*args, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "op", "segment", "box", "block_rays", "interpret", "meta", "tile_shape",
+    "mesh", "mesh_axes"))
+def _tiled3_segments_sharded(state, nodes4d, delta_s, limit, offset0,
+                             n_seg, *, mesh, mesh_axes, **kw):
+    """The 3-D round body under shard_map: rays sharded, windows local.
+
+    Kernel blocks never span shards; the only collective is a pmax of the
+    containment flag (the exact contract of engine/segmented
+    ._tiled_run_segments_sharded).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec_state = (P(mesh_axes, None),) * len(state)
+
+    def body(state, nodes4d, delta_s, limit, offset0, n_seg):
+        out, flag = _tiled3_segments_inner(
+            state, nodes4d, delta_s, limit, offset0, n_seg, **kw)
+        for ax in mesh_axes:
+            flag = jax.lax.pmax(flag, ax)
+        return out, flag
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_state, P(), P(), P(), P(), P()),
+        out_specs=(spec_state, P()),
+        check_vma=False)
+    return fn(tuple(state), nodes4d, delta_s, limit, offset0, n_seg)
+
+
+def grid3_trace_tiled(method: str, pos0, dir0, delta_s, medium, *,
+                      steps: int, box, segment: int | None = None,
+                      block_rays: int = 1024, tile_shape: tuple = (5, 5, 5),
+                      refreshes_per_round: int = 32,
+                      interpret: bool = False, sort: bool = True,
+                      mesh=None) -> Fused3Final:
+    """Kernel-tier tracing through a sampled tri-Hermite 3-D medium.
+
+    The production path for measured 3-D fields: Morton-sorted ray blocks
+    share VMEM node windows refreshed between bounded-trip kernel
+    launches, with the 2-D tier's recovery ladder (re-sort -> smaller
+    segments -> bigger windows -> RuntimeError for genuinely dispersed
+    batches, which fast_trace3 catches and routes to the scan tier).
+
+    ``medium`` is a :class:`media.grid3.C1Grid3Medium`; ``method`` one of
+    the vector ops (engine/trace3d.METHODS3).  ``mesh`` shards the ray
+    batch across devices with shard-local windows.  Returns a
+    :class:`kernels.fused3d.Fused3Final` in the caller's ray order.
+    """
+    from raytracing_tpu.engine.trace3d import canonical3
+    from raytracing_tpu.media.grid3 import C1Grid3Medium
+
+    op = canonical3(method)
+    if op not in FUSED3_OPS:
+        raise ValueError(f"3-D tiled kernel supports {FUSED3_OPS}, "
+                         f"got {op!r}")
+    if not isinstance(medium, C1Grid3Medium):
+        raise ValueError("grid3_trace_tiled needs a C1Grid3Medium "
+                         f"(media/grid3.py), got {type(medium).__name__}")
+    if len(box) != 6:
+        raise ValueError(f"box must be 6 floats, got {box!r}")
+    td, th, tw = tile_shape
+    r = pos0.shape[0]
+    if r % block_rays:
+        raise ValueError(f"rays {r} not a multiple of block {block_rays}")
+    if mesh is not None and r % (int(mesh.devices.size) * block_rays):
+        raise ValueError(f"ray count {r} must divide by devices*block "
+                         f"({int(mesh.devices.size)}*{block_rays})")
+    if medium.nx - 1 < tw or medium.ny - 1 < th or medium.nz - 1 < td:
+        raise ValueError(f"medium grid {medium.nz}x{medium.ny}x{medium.nx} "
+                         f"nodes is smaller than the {tile_shape} window")
+    meta = (float(medium.x0), float(medium.y0), float(medium.z0),
+            float(medium.inv_hx), float(medium.inv_hy),
+            float(medium.inv_hz), int(medium.nx), int(medium.ny),
+            int(medium.nz))
+    pitch = min(1.0 / meta[3], 1.0 / meta[4], 1.0 / meta[5])
+    if segment is None:
+        cap = max(1.0, float(min(tile_shape) - 1 - 2))
+        segment = max(1, min(64, int(cap * 0.5 * pitch / float(delta_s))))
+
+    pos0 = jnp.asarray(pos0, jnp.float32)
+    dir0 = jnp.asarray(dir0, jnp.float32)
+    dir0 = dir0 / jnp.linalg.norm(dir0, axis=-1, keepdims=True)
+    zeros = jnp.zeros(r, jnp.float32)
+    ones = jnp.ones(r, jnp.float32)
+    # 12-component state: pos, Kahan comps, tangent, accumulators, active
+    comps = [pos0[:, 0], pos0[:, 1], pos0[:, 2], zeros, zeros, zeros,
+             dir0[:, 0], dir0[:, 1], dir0[:, 2], zeros, zeros, ones]
+    orig_idx = jnp.arange(r, dtype=jnp.int32)
+
+    def apply_perm(comps, orig_idx):
+        perm = _sort_perm3(comps[0], comps[1], comps[2], meta)
+        return [c[perm] for c in comps], orig_idx[perm]
+
+    if sort:
+        comps, orig_idx = apply_perm(comps, orig_idx)
+    if mesh is None:
+        def pin(state):
+            return state
+    else:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        mesh_axes = tuple(mesh.axis_names)
+        row_sharding = NamedSharding(mesh, P(mesh_axes, None))
+
+        def pin(state):
+            return tuple(jax.device_put(s, row_sharding) for s in state)
+    state = pin(tuple(c.reshape(-1, LANES) for c in comps))
+    nodes4d = jnp.asarray(medium.nodes, jnp.float32).reshape(
+        medium.nz, medium.ny, medium.nx, 8)
+    limit = jnp.float32(steps)
+
+    def attempt(state, seg, n_run, done_steps, tile):
+        kw = dict(op=op, segment=seg, box=tuple(box),
+                  block_rays=block_rays, interpret=interpret, meta=meta,
+                  tile_shape=tile)
+        if mesh is None:
+            return _tiled3_segments(
+                state, nodes4d, jnp.float32(delta_s), limit,
+                jnp.float32(done_steps), jnp.int32(n_run), **kw)
+        return _tiled3_segments_sharded(
+            state, nodes4d, jnp.float32(delta_s), limit,
+            jnp.float32(done_steps), jnp.int32(n_run), mesh=mesh,
+            mesh_axes=mesh_axes, **kw)
+
+    def next_tile(tile):
+        for cand in _SWEEP_TILES3:
+            if (cand[0] * cand[1] * cand[2] > tile[0] * tile[1] * tile[2]
+                    and cand[0] <= medium.nz - 1
+                    and cand[1] <= medium.ny - 1
+                    and cand[2] <= medium.nx - 1):
+                return cand
+        return None
+
+    seg0 = seg = segment
+    tile = (td, th, tw)
+    round_refreshes = refreshes_per_round
+    done_steps = 0
+    while done_steps < steps:
+        n_run = min(round_refreshes, -(-(steps - done_steps) // seg))
+        nstate, flag = attempt(state, seg, n_run, done_steps, tile)
+        if not (float(flag) <= 0.0):
+            comps = [s.reshape(-1) for s in state]
+            comps, orig_idx = apply_perm(comps, orig_idx)
+            state = pin(tuple(c.reshape(-1, LANES) for c in comps))
+            nstate, flag = attempt(state, seg, 1, done_steps, tile)
+            while not (float(flag) <= 0.0):
+                if seg > 1:
+                    seg = max(1, seg // 2)
+                else:
+                    bigger = next_tile(tile)
+                    if bigger is None:
+                        raise RuntimeError(
+                            "grid3_trace_tiled: a freshly sorted ray block "
+                            "exceeds the largest window at segment=1 — the "
+                            "batch is too spatially dispersed for 3-D "
+                            "tiling; use trace3d (scan tier)")
+                    tile = bigger
+                    seg = seg0
+                nstate, flag = attempt(state, seg, 1, done_steps, tile)
+            state = nstate
+            done_steps += seg
+            round_refreshes = 1
+        else:
+            state = nstate
+            done_steps += n_run * seg
+            if round_refreshes < refreshes_per_round:
+                round_refreshes *= 2
+            elif seg < seg0:
+                seg = min(seg0, seg * 2)
+
+    flat = [s.reshape(-1) for s in state]
+    out = [jnp.zeros(r, f.dtype).at[orig_idx].set(f) for f in flat]
+    (x, y, z, _, _, _, ux, uy, uz, tt, dsim, active) = out
+    return Fused3Final(pos=jnp.stack([x, y, z], -1),
+                       tangent=jnp.stack([ux, uy, uz], -1),
+                       traveltime=tt, dist_sim=dsim,
+                       active=active > 0.5)

@@ -90,11 +90,106 @@ def _rodrigues3(ux, uy, uz, rx, ry, rz):
             uz * cos + cz * sinc + rz * rdotu * vers)
 
 
-def _make_kernel3(field: str, op: str, steps: int, box):
-    nag = _field3_fn(field)
+def _step_body3(op: str, box, nag, zero, ds, limit, offset=0.0):
+    """The shared per-step fori body over the 16-component 3-D carry.
+
+    One definition of the vector-op physics (position advance, poly-
+    rotation Heun / impulse tangent update, optical-path accumulation,
+    6-face exit) serves BOTH the analytic fused kernel and the tiled
+    sampled-grid3 kernel — identical expressions mean identical
+    trajectories wherever the media agree.  ``offset`` is the global step
+    count before this launch (resume-chained kernels).
+    """
     second_order = op in ("op6", "op8")
     rk2 = op in ("op2", "op6")
     limx_i, limx_s, limy_i, limy_s, limz_i, limz_s = [float(v) for v in box]
+
+    def body(i, carry):
+        in_limit = (i.astype(jnp.float32) + offset) < limit
+        (x, y, z, cx, cy, cz, ux, uy, uz, n, gx, gy, gz, tt, dsim,
+         active) = carry
+
+        # -- position advance (ops/steppers.py in vector form) -------
+        if second_order:
+            gdotu = gx * ux + gy * uy + gz * uz
+            half_fac = ds * ds * 0.5 / n
+            ddx = ux * ds + (gx - gdotu * ux) * half_fac
+            ddy = uy * ds + (gy - gdotu * uy) * half_fac
+            ddz = uz * ds + (gz - gdotu * uz) * half_fac
+        else:
+            ddx, ddy, ddz = ux * ds, uy * ds, uz * ds
+
+        # Kahan-compensated position accumulation
+        tx = ddx - cx
+        nx2 = x + tx
+        cx2 = (nx2 - x) - tx
+        ty = ddy - cy
+        ny2 = y + ty
+        cy2 = (ny2 - y) - ty
+        tz = ddz - cz
+        nz2 = z + tz
+        cz2 = (nz2 - z) - tz
+
+        n2, gx2, gy2, gz2 = nag(nx2, ny2, nz2)
+
+        # -- tangent update -------------------------------------------
+        if rk2:
+            # rotation-vector Heun (engine/trace3d.py), poly rotations
+            inv_n = 1.0 / n
+            gdotu = gx * ux + gy * uy + gz * uz
+            k1x = ds * (gx - gdotu * ux) * inv_n
+            k1y = ds * (gy - gdotu * uy) * inv_n
+            k1z = ds * (gz - gdotu * uz) * inv_n
+            r1x = uy * k1z - uz * k1y
+            r1y = uz * k1x - ux * k1z
+            r1z = ux * k1y - uy * k1x
+            umx, umy, umz = _rodrigues3(ux, uy, uz, r1x, r1y, r1z)
+            inv_n2 = 1.0 / n2
+            gdotm = gx2 * umx + gy2 * umy + gz2 * umz
+            k2x = ds * (gx2 - gdotm * umx) * inv_n2
+            k2y = ds * (gy2 - gdotm * umy) * inv_n2
+            k2z = ds * (gz2 - gdotm * umz) * inv_n2
+            rx = (r1x + (umy * k2z - umz * k2y)) * 0.5
+            ry = (r1y + (umz * k2x - umx * k2z)) * 0.5
+            rz = (r1z + (umx * k2y - umy * k2x)) * 0.5
+            nux, nuy, nuz = _rodrigues3(ux, uy, uz, rx, ry, rz)
+        else:
+            # trapezoidal impulse on p = n u (theta_cost_t's direction)
+            half = ds * 0.5
+            sx = n * ux + (gx + gx2) * half
+            sy = n * uy + (gy + gy2) * half
+            sz = n * uz + (gz + gz2) * half
+            inv = jax.lax.rsqrt(sx * sx + sy * sy + sz * sz)
+            nux, nuy, nuz = sx * inv, sy * inv, sz * inv
+
+        if second_order:
+            dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+            ntt = tt + dist * (n + n2) * 0.5
+            ndsim = dsim + dist
+        else:
+            ntt = tt + ds * (n + n2) * 0.5
+            ndsim = dsim + ds
+
+        out = ((nx2 > limx_s) | (nx2 < limx_i)
+               | (ny2 > limy_s) | (ny2 < limy_i)
+               | (nz2 > limz_s) | (nz2 < limz_i))
+        keep = (active > 0.5) & in_limit
+
+        def sel(new, old):
+            return jnp.where(keep, new, old)
+
+        nactive = jnp.where(keep & out, zero, active)
+        return (sel(nx2, x), sel(ny2, y), sel(nz2, z),
+                sel(cx2, cx), sel(cy2, cy), sel(cz2, cz),
+                sel(nux, ux), sel(nuy, uy), sel(nuz, uz),
+                sel(n2, n), sel(gx2, gx), sel(gy2, gy), sel(gz2, gz),
+                sel(ntt, tt), sel(ndsim, dsim), nactive)
+
+    return body
+
+
+def _make_kernel3(field: str, op: str, steps: int, box):
+    nag = _field3_fn(field)
 
     def kernel(x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, zero_ref,
                ds_ref, *out_refs):
@@ -106,87 +201,7 @@ def _make_kernel3(field: str, op: str, steps: int, box):
         ds = ds_ref[0]
         limit = ds_ref[1]
 
-        def body(i, carry):
-            in_limit = i.astype(jnp.float32) < limit
-            (x, y, z, cx, cy, cz, ux, uy, uz, n, gx, gy, gz, tt, dsim,
-             active) = carry
-
-            # -- position advance (ops/steppers.py in vector form) -------
-            if second_order:
-                gdotu = gx * ux + gy * uy + gz * uz
-                half_fac = ds * ds * 0.5 / n
-                ddx = ux * ds + (gx - gdotu * ux) * half_fac
-                ddy = uy * ds + (gy - gdotu * uy) * half_fac
-                ddz = uz * ds + (gz - gdotu * uz) * half_fac
-            else:
-                ddx, ddy, ddz = ux * ds, uy * ds, uz * ds
-
-            # Kahan-compensated position accumulation
-            tx = ddx - cx
-            nx2 = x + tx
-            cx2 = (nx2 - x) - tx
-            ty = ddy - cy
-            ny2 = y + ty
-            cy2 = (ny2 - y) - ty
-            tz = ddz - cz
-            nz2 = z + tz
-            cz2 = (nz2 - z) - tz
-
-            n2, gx2, gy2, gz2 = nag(nx2, ny2, nz2)
-
-            # -- tangent update -------------------------------------------
-            if rk2:
-                # rotation-vector Heun (engine/trace3d.py), poly rotations
-                inv_n = 1.0 / n
-                gdotu = gx * ux + gy * uy + gz * uz
-                k1x = ds * (gx - gdotu * ux) * inv_n
-                k1y = ds * (gy - gdotu * uy) * inv_n
-                k1z = ds * (gz - gdotu * uz) * inv_n
-                r1x = uy * k1z - uz * k1y
-                r1y = uz * k1x - ux * k1z
-                r1z = ux * k1y - uy * k1x
-                umx, umy, umz = _rodrigues3(ux, uy, uz, r1x, r1y, r1z)
-                inv_n2 = 1.0 / n2
-                gdotm = gx2 * umx + gy2 * umy + gz2 * umz
-                k2x = ds * (gx2 - gdotm * umx) * inv_n2
-                k2y = ds * (gy2 - gdotm * umy) * inv_n2
-                k2z = ds * (gz2 - gdotm * umz) * inv_n2
-                rx = (r1x + (umy * k2z - umz * k2y)) * 0.5
-                ry = (r1y + (umz * k2x - umx * k2z)) * 0.5
-                rz = (r1z + (umx * k2y - umy * k2x)) * 0.5
-                nux, nuy, nuz = _rodrigues3(ux, uy, uz, rx, ry, rz)
-            else:
-                # trapezoidal impulse on p = n u (theta_cost_t's direction)
-                half = ds * 0.5
-                sx = n * ux + (gx + gx2) * half
-                sy = n * uy + (gy + gy2) * half
-                sz = n * uz + (gz + gz2) * half
-                inv = jax.lax.rsqrt(sx * sx + sy * sy + sz * sz)
-                nux, nuy, nuz = sx * inv, sy * inv, sz * inv
-
-            if second_order:
-                dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
-                ntt = tt + dist * (n + n2) * 0.5
-                ndsim = dsim + dist
-            else:
-                ntt = tt + ds * (n + n2) * 0.5
-                ndsim = dsim + ds
-
-            out = ((nx2 > limx_s) | (nx2 < limx_i)
-                   | (ny2 > limy_s) | (ny2 < limy_i)
-                   | (nz2 > limz_s) | (nz2 < limz_i))
-            keep = (active > 0.5) & in_limit
-
-            def sel(new, old):
-                return jnp.where(keep, new, old)
-
-            nactive = jnp.where(keep & out, zero, active)
-            return (sel(nx2, x), sel(ny2, y), sel(nz2, z),
-                    sel(cx2, cx), sel(cy2, cy), sel(cz2, cz),
-                    sel(nux, ux), sel(nuy, uy), sel(nuz, uz),
-                    sel(n2, n), sel(gx2, gx), sel(gy2, gy), sel(gz2, gz),
-                    sel(ntt, tt), sel(ndsim, dsim), nactive)
-
+        body = _step_body3(op, box, nag, zero, ds, limit)
         n, gx, gy, gz = nag(x, y, z)
         carry0 = (x, y, z, cx, cy, cz, ux, uy, uz, n, gx, gy, gz, tt,
                   dsim, active)
@@ -195,6 +210,142 @@ def _make_kernel3(field: str, op: str, steps: int, box):
          fact) = final
         for ref, val in zip(out_refs, (fx, fy, fz, fux, fuy, fuz, ftt,
                                        fdsim, fact)):
+            ref[...] = val
+
+    return kernel
+
+
+#: floats per packed 3-D cell: 8 tri-Hermite channels x 8 corner nodes
+#: (media/grid3.C1Grid3Medium layout, corner index dx + 2*dy + 4*dz)
+CELL3_CH = 64
+
+
+def _tile_nag3(T, bix, biy, biz, meta3, tw_dyn=None, th_dyn=None):
+    """3-D n/grad gathered from a block-shared per-CELL window in VMEM.
+
+    The tri-cubic extension of :func:`kernels.fused._tile_nag`: ``T`` is a
+    list of (rows, LANES) values — one per (chunk, channel) with channel
+    index ``chunk * 64 + ch * 8 + corner`` — holding a (td, th, tw)-CELL
+    window of a :class:`media.grid3.C1Grid3Medium` in per-cell packed
+    form: every cell carries its own 8 corner nodes x 8 Hermite channels
+    (corner = dx + 2*dy + 4*dz, channels (f, f_u, f_v, f_uv, f_w, f_uw,
+    f_vw, f_uvw)).  ``bix/biy/biz`` are the window's base CELL indices
+    (per-block scalars from the SMEM bases table).
+
+    The evaluation IS media/grid3.n_and_grad3's algebra: the w (z) axis
+    collapses each xy corner's z-pair via 1-D Hermite, then the shared
+    2-D C1 blend (media/c1.c1_blend) finishes — identical expressions,
+    so kernel and scan tiers agree to float-accumulation order.  All 64
+    floats of the lane's cell are gathered once per step and reused by
+    both the value (hw) and derivative (dw) z-collapses.
+
+    ``tw_dyn``/``th_dyn``: per-block window width/height as runtime
+    scalars (SMEM bases columns 3/4) so one compiled kernel serves every
+    window shape within its gather-chunk class.
+    """
+    from raytracing_tpu.media.c1 import c1_blend, hermite_dbasis
+    from raytracing_tpu.media.grid3 import _CH2D
+    from raytracing_tpu.media.hermite import hermite_basis
+
+    (x0, y0, z0, inv_hx, inv_hy, inv_hz, nx, ny, nz, td, th, tw) = meta3
+    twf = float(tw) if tw_dyn is None else tw_dyn
+    thf = float(th) if th_dyn is None else th_dyn
+    nchunks = (len(T) + CELL3_CH - 1) // CELL3_CH
+
+    def nag(x, y, z):
+        fx = jnp.clip((x - x0) * inv_hx, 0.0, float(nx - 1))
+        fy = jnp.clip((y - y0) * inv_hy, 0.0, float(ny - 1))
+        fz = jnp.clip((z - z0) * inv_hz, 0.0, float(nz - 1))
+        ix = jnp.minimum(jnp.floor(fx), float(nx - 2))
+        iy = jnp.minimum(jnp.floor(fy), float(ny - 2))
+        iz = jnp.minimum(jnp.floor(fz), float(nz - 2))
+        ux = fx - ix
+        uy = fy - iy
+        uz = fz - iz
+        lx = ix - bix          # in [0, tw-1] by the containment contract
+        ly = iy - biy
+        lz = iz - biz
+        t = ((lz * thf + ly) * twf + lx).astype(jnp.int32)
+        if nchunks == 1:
+            lane = t
+
+            def fetch(ci):
+                return jnp.take_along_axis(T[ci], lane, axis=1)
+        else:
+            lane = jnp.bitwise_and(t, jnp.int32(LANES - 1))
+            chk = jnp.right_shift(t, jnp.int32(7))
+
+            def fetch(ci):
+                val = jnp.zeros_like(x)
+                for k in range(nchunks):
+                    g = jnp.take_along_axis(T[k * CELL3_CH + ci], lane,
+                                            axis=1)
+                    val = jnp.where(chk == k, g, val)
+                return val
+
+        # gather all 64 floats of the lane's cell once; vals[ch][corner]
+        vals = [[fetch(ch * 8 + c) for c in range(8)] for ch in range(8)]
+        hw = hermite_basis(uz)
+        dw = hermite_dbasis(uz)
+
+        def wblend(basis):
+            def corners(ch2d):
+                b = _CH2D[ch2d]
+                return tuple(
+                    (vals[b][k] * basis[0] + vals[b + 4][k] * basis[1]
+                     + vals[b][k + 4] * basis[2]
+                     + vals[b + 4][k + 4] * basis[3])
+                    for k in range(4))
+            return corners
+
+        n, gx, gy = c1_blend(wblend(hw), ux, uy, inv_hx, inv_hy)
+        gz = c1_blend(wblend(dw), ux, uy, inv_hx, inv_hy)[0] * inv_hz
+        return n, gx, gy, gz
+
+    return nag
+
+
+def _make_tile_kernel3(op: str, segment: int, box, meta3):
+    """Resumable tiled-window 3-D kernel: 12 state refs in/out.
+
+    Refs: ``(tile, bases) + state + (zero, ds)`` -> 12 out refs with
+    state = (x, y, z, cx, cy, cz, ux, uy, uz, tt, dsim, active).  ``ds``
+    is the (3,) SMEM bundle (delta_s, limit, offset); ``bases`` the full
+    (nblocks, 6) SMEM table of (bix, biy, biz, tw, th, td) rows, indexed
+    2-D by program id (Mosaic rejects SMEM sub-ref views, CLAUDE.md).
+    n/grad re-evaluate from the fresh window at segment start.
+    """
+    td, th, tw = meta3[9], meta3[10], meta3[11]
+    n_ch = (-(-td * th * tw // LANES)) * CELL3_CH
+
+    def kernel(tile_ref, base_ref, *refs):
+        in_refs, zero_ref, ds_ref = refs[:12], refs[12], refs[13]
+        out_refs = refs[14:]
+        rows = in_refs[0].shape[0]
+        tv = tile_ref[0]
+        # hoist the sublane broadcasts out of the step loop (loop-invariant
+        # window; same trick as the 2-D tiled kernel)
+        T = [jnp.broadcast_to(tv[i:i + 1, :], (rows, LANES))
+             for i in range(n_ch)]
+        b = pl.program_id(0)
+        nag = _tile_nag3(T, base_ref[b, 0], base_ref[b, 1], base_ref[b, 2],
+                         meta3, tw_dyn=base_ref[b, 3], th_dyn=base_ref[b, 4])
+        (x, y, z, cx, cy, cz, ux, uy, uz, tt, dsim, active) = [
+            r[...] for r in in_refs]
+        zero = zero_ref[...]
+        ds = ds_ref[0]
+        limit = ds_ref[1]
+        offset = ds_ref[2]
+
+        body = _step_body3(op, box, nag, zero, ds, limit, offset=offset)
+        n, gx, gy, gz = nag(x, y, z)
+        carry0 = (x, y, z, cx, cy, cz, ux, uy, uz, n, gx, gy, gz, tt,
+                  dsim, active)
+        final = jax.lax.fori_loop(0, segment, body, carry0)
+        (fx, fy, fz, fcx, fcy, fcz, fux, fuy, fuz, _, _, _, _, ftt,
+         fdsim, fact) = final
+        for ref, val in zip(out_refs, (fx, fy, fz, fcx, fcy, fcz,
+                                       fux, fuy, fuz, ftt, fdsim, fact)):
             ref[...] = val
 
     return kernel

@@ -42,8 +42,41 @@ def _fisheye3_grad(x, y, z):
     return c * x, c * y, c * z
 
 
+def _vert3(x, y, z):
+    return 1.0 / (18.0 + 2.0 * y) + 0.0 * x
+
+
+def _vert3_grad(x, y, z):
+    n = 1.0 / (18.0 + 2.0 * y)
+    zero = jnp.zeros_like(x)
+    return zero, -2.0 * n * n, zero
+
+
+def _interface3(x, y, z):
+    from raytracing_tpu.media.fields import _SQRT2, _sigmoid
+
+    from raytracing_tpu import config
+    return (_SQRT2 - (_SQRT2 - 1.0) * _sigmoid(y / config.THCK_PARAM)
+            + 0.0 * x)
+
+
+def _interface3_grad(x, y, z):
+    from raytracing_tpu.media.fields import _SQRT2, _sigmoid
+
+    from raytracing_tpu import config
+    sig = _sigmoid(y / config.THCK_PARAM)
+    zero = jnp.zeros_like(x)
+    return (zero,
+            -(_SQRT2 - 1.0) * sig * (1.0 - sig) / config.THCK_PARAM,
+            zero)
+
+
+#: stratified reference fields lift with dn/dz = 0 (RT_bench.py:104-116
+#: in vector form; the same twins the fused 3-D kernels inline)
 FIELDS3 = {
     "fisheye": (_fisheye3, _fisheye3_grad),
+    "vert_heterogeneous": (_vert3, _vert3_grad),
+    "interface": (_interface3, _interface3_grad),
 }
 
 

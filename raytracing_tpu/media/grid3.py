@@ -156,6 +156,25 @@ class C1Grid3Medium:
         return self.n_and_grad3(x, y, z)[0]
 
 
+def nodes3_f64(F: np.ndarray) -> np.ndarray:
+    """Float64 Hermite node table (nz, ny, nx, 8) of validated samples.
+
+    One definition of the tensor-product tangent pipeline, shared by the
+    f32 medium builder below and the split-word (df32) twin
+    (engine/df_grid3.py) so the two can never drift.  Channel order as in
+    the module docstring: index = kx + 2*ky + 4*kz with bit k = one
+    derivative in that axis.
+    """
+    fu = _axis_tangents(F, 2)
+    fv = _axis_tangents(F, 1)
+    fw = _axis_tangents(F, 0)
+    fuv = _axis_tangents(fu, 1)
+    fuw = _axis_tangents(fu, 0)
+    fvw = _axis_tangents(fv, 0)
+    fuvw = _axis_tangents(fuv, 0)
+    return np.stack([F, fu, fv, fuv, fw, fuw, fvw, fuvw], axis=-1)
+
+
 def c1_medium3_from_samples(F, x, y, z, *, dtype=np.float32) -> C1Grid3Medium:
     """Tri-Hermite 3-D medium from USER-measured index samples.
 
@@ -168,15 +187,8 @@ def c1_medium3_from_samples(F, x, y, z, *, dtype=np.float32) -> C1Grid3Medium:
     pipeline (RT_bench.py:412-464) implies but cannot express beyond 2-D.
     """
     F, x, y, z, hx, hy, hz = check_uniform_grid3(F, x, y, z)
-
-    fu = _axis_tangents(F, 2)
-    fv = _axis_tangents(F, 1)
-    fw = _axis_tangents(F, 0)
-    fuv = _axis_tangents(fu, 1)
-    fuw = _axis_tangents(fu, 0)
-    fvw = _axis_tangents(fv, 0)
-    fuvw = _axis_tangents(fuv, 0)
-    nodes = np.stack([F, fu, fv, fuv, fw, fuw, fvw, fuvw], axis=-1)
+    nodes = nodes3_f64(F)
+    fu, fv, fw = nodes[..., 1], nodes[..., 2], nodes[..., 4]
 
     inv_hx, inv_hy, inv_hz = 1.0 / hx, 1.0 / hy, 1.0 / hz
     g_nodes = np.sqrt((fu * inv_hx) ** 2 + (fv * inv_hy) ** 2
