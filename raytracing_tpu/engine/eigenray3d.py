@@ -3,10 +3,11 @@
 The 3-D twin of :mod:`engine.eigenray`.  A receiver in 3-D is hit by
 tuning TWO launch angles, so bracketing becomes seeding (local minima of
 the miss over a launch-direction grid) and the scalar Newton becomes a
-2x2 solve — whose Jacobian is free and exact: with ``full_history``
-tangents from :func:`engine.dynamic3d.trace_dynamic3`, the derivative of
-the crossing-plane miss ``m = (y - yr, z - zr)`` w.r.t. the two launch
-angles is
+2x2 solve — whose Jacobian is free and exact: with the on-device crossing
+records of :func:`engine.dynamic3d.trace_crossings_pick3` (interpolated
+tangents at the range plane — no trajectory history is ever read back,
+the 2-D tier's round-4 shape), the derivative of the crossing-plane miss
+``m = (y - yr, z - zr)`` w.r.t. the two launch angles is
 
     M[i, j] = dpos_i/da_j - dpos_x/da_j * (u_i / u_x),   i in {y, z}
 
@@ -16,12 +17,15 @@ exactly as the 2-D solver's ``q / cos(angle)`` — engine/eigenray.py).
 Stages:
 
 1. one dynamic fan over an (alpha, beta) grid of directions around
-   ``center_dir``; for every receiver and range-crossing ordinal, grid
-   cells that locally minimize |m|^2 seed one candidate each (multipath =
-   several minima; arrivals finer than the grid pitch, or whose seed sits
-   on the fan edge, are not found — widen/densify the fan);
+   ``center_dir``, recording (y, z) landings per range/ordinal ON DEVICE
+   (:func:`engine.dynamic3d.trace_crossings_fan3` — (F, NR, 8, 2) comes
+   back, never a history); for every receiver and range-crossing ordinal,
+   grid cells that locally minimize |m|^2 seed one candidate each
+   (multipath = several minima; arrivals finer than the grid pitch, or
+   whose seed sits on the fan edge, are not found — widen/densify);
 2. damped Gauss-Newton on all candidates of all receivers at once, one
-   batched dynamic trace per iteration, steps clamped to the grid pitch;
+   crossing-pick trace per iteration (O(candidates x 15) readback),
+   steps clamped to the grid pitch;
 3. final evaluation: travel time, |det Q| amplitude, KMAH and residual
    miss per arrival.  The result duck-types :class:`engine.eigenray.
    Eigenrays` where it matters, so ``pressure`` / ``coherent_tl`` /
@@ -36,19 +40,11 @@ from typing import Any, NamedTuple
 
 import numpy as np
 
-from raytracing_tpu.engine.dynamic3d import (DYN3_COLS, DYN3_FULL_COLS,
+from raytracing_tpu.engine.dynamic3d import (CROSS3_COLS,
                                              _transverse_frame,
                                              spreading_amplitude3,
-                                             trace_dynamic3)
-
-_X, _Y, _Z = 0, 1, 2
-_TT = DYN3_COLS.index("traveltime")
-_N = DYN3_COLS.index("n")
-_DETQ = DYN3_COLS.index("detq")
-_KMAH = DYN3_COLS.index("kmah")
-_U = DYN3_FULL_COLS.index("ux")
-_DPA = DYN3_FULL_COLS.index("dpax")
-_DPB = DYN3_FULL_COLS.index("dpbx")
+                                             trace_crossings_fan3,
+                                             trace_crossings_pick3)
 
 
 class Eigenrays3(NamedTuple):
@@ -86,14 +82,21 @@ def _grid_dirs(center, a, b):
 def find_eigenrays3(method: str, medium, *, source, receivers, delta_s,
                     max_size: int, box=None, center_dir=None,
                     fan=(-0.3, 0.3, 25, -0.3, 0.3, 25), iters: int = 12,
-                    tol: float = 1e-9,
-                    on_host: bool | None = None) -> Eigenrays3:
+                    tol: float = 1e-9, dtype=np.float64,
+                    on_host: bool | None = None,
+                    mesh=None) -> Eigenrays3:
     """Every fan-resolved 3-D ray path from ``source`` to each receiver.
 
     ``fan`` = (a_lo, a_hi, n_a, b_lo, b_hi, n_b): the launch-direction
     grid around ``center_dir`` (default: from the source toward the mean
-    receiver).  See the module docstring for the algorithm and its
-    resolution caveats.
+    receiver).  ``mesh``: a Mesh with a "rays" axis — every crossing
+    trace's launch batch is padded to it and sharded over it (the 2-D
+    solver's launch contract, engine/eigenray.py).  ``dtype`` is the
+    solve precision: f64 default; pass np.float32 for on-chip work with
+    an f32 medium — the accuracy-grade combination is the split-word
+    facade ``df_eval_medium3_from_samples`` (engine/df_grid3.py), whose
+    evaluations stay f64-grade under an f32 solve.  See the module
+    docstring for the algorithm and its resolution caveats.
     """
     import contextlib
 
@@ -101,11 +104,10 @@ def find_eigenrays3(method: str, medium, *, source, receivers, delta_s,
 
     from raytracing_tpu.engine.eigenray import _solve_device
 
-    # the solve is dtype=np.float64 throughout; without a scoped x64
-    # enable (serve daemon / CLI never set it globally) the arrays
-    # silently downcast to f32 and the default tol=1e-9 is unreachable —
-    # mirror find_eigenrays (engine/eigenray.py:220-222)
-    if not jax.config.jax_enable_x64:
+    # an f64 solve without a scoped x64 enable (serve daemon / CLI never
+    # set it globally) silently downcasts to f32 and the default tol=1e-9
+    # is unreachable — mirror find_eigenrays (engine/eigenray.py:220-222)
+    if np.dtype(dtype).itemsize == 8 and not jax.config.jax_enable_x64:
         x64 = jax.enable_x64(True)
     else:
         x64 = contextlib.nullcontext()
@@ -118,12 +120,13 @@ def find_eigenrays3(method: str, medium, *, source, receivers, delta_s,
                                 receivers=receivers, delta_s=delta_s,
                                 max_size=max_size, box=box,
                                 center_dir=center_dir, fan=fan, iters=iters,
-                                tol=tol)
+                                tol=tol, dtype=np.dtype(dtype).type,
+                                mesh=mesh)
 
 
 def _find_eigenrays3(method, medium, *, source, receivers, delta_s,
                      max_size, box, center_dir, fan, iters,
-                     tol) -> Eigenrays3:
+                     tol, dtype=np.float64, mesh=None) -> Eigenrays3:
     source = np.asarray(source, np.float64)
     receivers = np.atleast_2d(np.asarray(receivers, np.float64))
     if center_dir is None:
@@ -136,26 +139,48 @@ def _find_eigenrays3(method, medium, *, source, receivers, delta_s,
     dirs, _, _ = _grid_dirs(center_dir, a, b)
     dirs_flat = dirs.reshape(-1, 3)
 
-    def run(dir_batch, full):
-        pos0 = np.tile(source, (len(dir_batch), 1))
-        res = trace_dynamic3(method, medium, pos0=pos0, dir0=dir_batch,
-                             delta_s=delta_s, steps=int(max_size), box=box,
-                             mode="history", full_history=full)
-        return np.asarray(res.history), np.asarray(res.exit_step)
+    def launch(dir_batch, *per_ray):
+        """(pos0, dir0, extras) padded to the mesh's ray axis and sharded
+        over it when a mesh is given (the 2-D solver's launch contract,
+        engine/eigenray.py); returns the true count k to slice the pad."""
+        k = len(dir_batch)
+        if mesh is None:
+            return k, np.tile(source, (k, 1)), dir_batch, per_ray
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
 
-    hist, last = run(dirs_flat, full=False)
+        ndev = int(mesh.shape["rays"])
+        pad = (-k) % ndev
+        if pad:
+            dir_batch = np.concatenate(
+                [dir_batch, np.repeat(dir_batch[-1:], pad, axis=0)])
+            per_ray = tuple(np.concatenate([v, np.repeat(v[-1:], pad)])
+                            for v in per_ray)
+        rows = NamedSharding(mesh, PartitionSpec("rays", None))
+        rays = NamedSharding(mesh, PartitionSpec("rays"))
+        pos0 = jax.device_put(np.tile(source, (k + pad, 1)), rows)
+        dir_batch = jax.device_put(np.asarray(dir_batch), rows)
+        per_ray = tuple(jax.device_put(np.asarray(v), rays)
+                        for v in per_ray)
+        return k, pos0, dir_batch, per_ray
 
-    # --- seed scan: grid-local minima of the miss per (receiver, ordinal),
-    # vectorized per unique range (engine/eigenray.py shares the crossing
-    # machinery): one numpy pass serves every receiver at that range and
-    # every ordinal at once, so full 3-D receiver grids stay cheap.
-    from raytracing_tpu.engine.eigenray import _crossing_vals
+    # --- seed scan over ON-DEVICE crossing records (trace_crossings_fan3):
+    # every fan ray's (y, z) landing per receiver range and crossing
+    # ordinal comes back as (F, NRu, max_ord, 2) — no trajectory history
+    # is ever materialized (the 2-D tier's round-4 shape, VERDICT r4).
+    # Grid-local minima of the miss per (receiver, ordinal) seed one
+    # Gauss-Newton candidate each.
+    uniq_xr, xr_inv = np.unique(receivers[:, 0], return_inverse=True)
+    kf, fan_pos0, fan_dir0, _ = launch(dirs_flat)
+    fanres = trace_crossings_fan3(
+        method, medium, pos0=fan_pos0, dir0=fan_dir0, delta_s=delta_s,
+        steps=int(max_size), box=box, ranges=uniq_xr, max_ord=8,
+        dtype=dtype)
+    depths = np.asarray(fanres.depths)[:kf]      # (F, NRu, 8, 2)
 
     cand_dir, cand_rec, cand_ord = [], [], []
-    uniq_xr, xr_inv = np.unique(receivers[:, 0], return_inverse=True)
-    for ui, xru in enumerate(uniq_xr):
-        yz = _crossing_vals(hist, last, xru, (_Y, _Z), _X)
-        yz = yz.reshape(int(n_a), int(n_b), -1, 2)   # fan grid x ordinal
+    for ui in range(len(uniq_xr)):
+        yz = depths[:, ui].reshape(int(n_a), int(n_b), -1, 2)
         for ri in np.where(xr_inv == ui)[0]:
             m2 = ((yz[..., 0] - receivers[ri, 1]) ** 2
                   + (yz[..., 1] - receivers[ri, 2]) ** 2)
@@ -182,21 +207,34 @@ def _find_eigenrays3(method, medium, *, source, receivers, delta_s,
     tgt = receivers[rec, 1:3]
 
     # --- damped Gauss-Newton, all candidates in one trace per iteration --
-    # (each candidate follows its seeded crossing ORDINAL — _pick_crossings
-    # in engine/eigenray.py, shared; nearest-miss picking could hop to a
-    # different crossing of a looping path mid-polish)
+    # (each candidate follows its seeded crossing ORDINAL — hopping to the
+    # nearest miss could jump crossings of a looping path mid-polish).
+    # Each iteration reads back ONE (J, 15) crossing-state block
+    # (trace_crossings_pick3) instead of a full history.
     import jax.numpy as jnp
 
-    from raytracing_tpu.engine.eigenray import _pick_crossings
+    cY, cZ, cTT, cN, cDETQ, cKMAH = (CROSS3_COLS.index(k) for k in
+                                     ("y", "z", "traveltime", "n",
+                                      "detq", "kmah"))
+    cU = CROSS3_COLS.index("ux")
+    cDPA = CROSS3_COLS.index("dpax")
+    cDPB = CROSS3_COLS.index("dpbx")
+
+    def run_pick(dir_batch):
+        k, p0, d0, (xr_s, ordk_s) = launch(dir_batch, xr, ordk)
+        res = trace_crossings_pick3(
+            method, medium, pos0=p0, dir0=d0, delta_s=delta_s,
+            steps=int(max_size), box=box, xr=xr_s, ordk=ordk_s,
+            dtype=dtype)
+        return np.asarray(res.state)[:k], np.asarray(res.found)[:k]
 
     miss = np.full(len(u), np.inf)
     for _ in range(int(iters)):
-        h, l = run(u, full=True)
-        st, found = _pick_crossings(h, l, xr, ordk, _X, _KMAH)
-        m = st[:, [_Y, _Z]] - tgt                           # (J, 2)
+        st, found = run_pick(u)
+        m = st[:, [cY, cZ]] - tgt                           # (J, 2)
         miss = np.where(found, np.linalg.norm(m, axis=1), np.inf)
-        uc = st[:, _U:_U + 3]
-        dpa, dpb = st[:, _DPA:_DPA + 3], st[:, _DPB:_DPB + 3]
+        uc = st[:, cU:cU + 3]
+        dpa, dpb = st[:, cDPA:cDPA + 3], st[:, cDPB:cDPB + 3]
         ux = np.where(np.abs(uc[:, 0]) > 1e-9, uc[:, 0],
                       np.copysign(1e-9, uc[:, 0]))
         m00 = dpa[:, 1] - dpa[:, 0] * uc[:, 1] / ux
@@ -228,15 +266,14 @@ def _find_eigenrays3(method, medium, *, source, receivers, delta_s,
         u /= np.linalg.norm(u, axis=1, keepdims=True)
 
     # --- final evaluation --------------------------------------------------
-    h, l = run(u, full=True)
-    rows, ok = _pick_crossings(h, l, xr, ordk, _X, _KMAH)
-    miss = np.where(ok, np.linalg.norm(rows[:, [_Y, _Z]] - tgt, axis=1),
+    rows, ok = run_pick(u)
+    miss = np.where(ok, np.linalg.norm(rows[:, [cY, cZ]] - tgt, axis=1),
                     np.inf)
     n0, _ = medium.n_and_grad3(*(np.asarray(v) for v in source))
     n0 = np.full(len(u), float(np.asarray(n0)))
-    amp = np.asarray(spreading_amplitude3(rows[:, _DETQ], rows[:, _N], n0))
+    amp = np.asarray(spreading_amplitude3(rows[:, cDETQ], rows[:, cN], n0))
 
-    order = np.lexsort((rows[:, _TT], rec))
+    order = np.lexsort((rows[:, cTT], rec))
     order = order[ok[order]]
     # dedup below the fan's resolving power; the travel-time guard keeps
     # same-direction arrivals of different crossing ordinals distinct
@@ -245,14 +282,14 @@ def _find_eigenrays3(method, medium, *, source, receivers, delta_s,
     for j in order:
         if not any(rec[j] == rec[i]
                    and np.linalg.norm(u[j] - u[i]) < 1e-3 * pitch
-                   and abs(rows[j, _TT] - rows[i, _TT])
-                   < 1e-6 * (1.0 + abs(rows[i, _TT]))
+                   and abs(rows[j, cTT] - rows[i, cTT])
+                   < 1e-6 * (1.0 + abs(rows[i, cTT]))
                    for i in dedup):
             dedup.append(j)
     order = np.asarray(dedup, int)
     return Eigenrays3(
-        receiver=rec[order], dir0=u[order], traveltime=rows[order, _TT],
-        miss=miss[order], detq=rows[order, _DETQ],
-        kmah=rows[order, _KMAH].astype(np.int32), amplitude=amp[order],
-        n=rows[order, _N], n0=n0[order],
+        receiver=rec[order], dir0=u[order], traveltime=rows[order, cTT],
+        miss=miss[order], detq=rows[order, cDETQ],
+        kmah=rows[order, cKMAH].astype(np.int32), amplitude=amp[order],
+        n=rows[order, cN], n0=n0[order],
         converged=miss[order] < max(tol * 1e3, 1e-6))

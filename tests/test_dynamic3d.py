@@ -129,3 +129,55 @@ def test_metrics_matches_history_and_errors():
         trace_dynamic3("op1", med, mode="full", **kw)
     with pytest.raises(ValueError, match="planar"):
         trace_dynamic3("op5", med, **kw)
+
+
+def test_crossing_records_match_host_scan():
+    """On-device crossing recorders (cross_fan / cross_pick) reproduce the
+    host-side full-history machinery BIT-exactly: same linear
+    interpolation between the same bracketing steps (to XLA fusion
+    reassociation, ~1 ulp), same ordinal bookkeeping, same last-crossing
+    fallback (engine/eigenray.py _crossing_vals / _pick_crossings) — the
+    shape that removes the full-history readback from the 3-D eigenray
+    solver."""
+    from raytracing_tpu.engine import eigenray as eig
+    from raytracing_tpu.engine.dynamic3d import (CROSS3_COLS,
+                                                 DYN3_FULL_COLS,
+                                                 trace_crossings_fan3,
+                                                 trace_crossings_pick3)
+
+    med = Custom3D(lambda x, y, z: 1.5 - 0.5 * y * y + 0.0 * x)
+    r = 24
+    th = np.linspace(-0.4, 0.4, r)
+    dirs = np.stack([np.cos(th), np.sin(th), np.full(r, 0.05)], -1)
+    pos0 = np.zeros((r, 3))
+    kw = dict(pos0=pos0, dir0=dirs, delta_s=0.02, steps=1200,
+              box=(-1, 26, -1.5, 1.5, -2, 2))
+
+    res = trace_dynamic3("op6", med, mode="history", full_history=True,
+                         **kw)
+    hist, last = np.asarray(res.history), np.asarray(res.exit_step)
+
+    fan = trace_crossings_fan3("op6", med, ranges=np.array([10.0, 20.0]),
+                               max_ord=8, **kw)
+    yz_host = eig._crossing_vals(hist, last, 10.0, (1, 2), 0)
+    d = np.asarray(fan.depths)[:, 0, :yz_host.shape[1], :]
+    mask = np.isfinite(yz_host)
+    np.testing.assert_array_equal(np.isfinite(yz_host), np.isfinite(d))
+    np.testing.assert_allclose(np.where(mask, yz_host, 0.0),
+                               np.where(mask, d, 0.0),
+                               rtol=1e-12, atol=1e-14)
+
+    xr = np.full(r, 10.0)
+    ordk = np.zeros(r, np.int32)
+    pick = trace_crossings_pick3("op6", med, xr=xr, ordk=ordk, **kw)
+    st, found = np.asarray(pick.state), np.asarray(pick.found)
+    hs, hf = eig._pick_crossings(hist, last, xr, ordk, 0,
+                                 DYN3_FULL_COLS.index("kmah"))
+    np.testing.assert_array_equal(found, hf)
+    colmap = {"y": 1, "z": 2, "traveltime": 3, "n": 4, "detq": 5,
+              "kmah": 6, "ux": 7, "uy": 8, "uz": 9, "dpax": 10,
+              "dpay": 11, "dpaz": 12, "dpbx": 13, "dpby": 14, "dpbz": 15}
+    for ci, name in enumerate(CROSS3_COLS):
+        np.testing.assert_allclose(st[found, ci],
+                                   hs[found, colmap[name]],
+                                   rtol=1e-12, atol=1e-14, err_msg=name)
