@@ -131,6 +131,70 @@ def main():
                                   rem=DIV % 512)[0]
     out["df32_rk4"] = round(R * DIV / best_of(run_df) / 1e9, 2)
 
+    # ---- every remaining production kernel family gets a canonical row
+    # (VERDICT r4 weak #2: logs-only numbers are invisible to regression
+    # tracking) ----------------------------------------------------------
+
+    # fused analytic DYNAMIC kernel (kernels/dynamic.py, hand tangents)
+    from raytracing_tpu.kernels.dynamic import (dynamic_trace_final,
+                                                dynamic_trace_final_strat)
+
+    def run_dyn():
+        return dynamic_trace_final(pos0, theta0, ds, field="fisheye",
+                                   op="op6", steps=DIV,
+                                   box=tuple(scen.box)).q
+    out["dyn_op6"] = round(R * DIV / best_of(run_dyn) / 1e9, 2)
+
+    # stratified-table DYNAMIC kernel (1-D sampled medium)
+    def run_dyn_strat():
+        return dynamic_trace_final_strat(vpos, vth, np.float32(0.0193),
+                                         smed, op="op6", steps=2000,
+                                         box=tuple(aniso.box)).q
+    out["dyn_strat_op6"] = round(R * 2000 / best_of(run_dyn_strat) / 1e9, 2)
+
+    # fused 3-D kinematic kernel (kernels/fused3d.py, analytic fisheye)
+    from raytracing_tpu.kernels.fused3d import fused3d_trace_final
+
+    pos3 = jax.device_put(np.stack(
+        [np.ones(R), np.zeros(R), np.zeros(R)], -1).astype(np.float32))
+    dir3 = jax.device_put(np.stack(
+        [np.zeros(R), np.ones(R), np.full(R, 1e-3)], -1).astype(np.float32))
+    box3 = (-1.5, 1.5, -1.5, 1.5, -1.5, 1.5)
+    D3 = 600
+
+    def run_f3():
+        return fused3d_trace_final(pos3, dir3, np.float32(2 * np.pi / D3),
+                                   field="fisheye", op="op6", steps=D3,
+                                   box=box3).pos
+    out["fused3d_op6"] = round(R * D3 / best_of(run_f3) / 1e9, 2)
+
+    # fused 3-D DYNAMIC kernel (kernels/dynamic3d.py, two hand tangents)
+    from raytracing_tpu.kernels.dynamic3d import dynamic3d_trace_final
+
+    def run_d3():
+        return dynamic3d_trace_final(pos3, dir3, np.float32(2 * np.pi / D3),
+                                     field="fisheye", op="op6", steps=D3,
+                                     box=box3).detq
+    out["dyn3_op6"] = round(R * D3 / best_of(run_d3) / 1e9, 2)
+
+    # 3-D tiled-window kernel over a sampled tri-Hermite grid3 medium
+    # (engine/tiled3.py — the 3-D sample->fit->trace production path)
+    from raytracing_tpu.engine.tiled3 import grid3_trace_tiled
+    from raytracing_tpu.media.grid3 import c1_medium3_from_samples
+
+    ax3 = np.arange(-1.75, 1.7501, 0.05)
+    X3, Y3, Z3 = np.meshgrid(ax3, ax3, ax3, indexing="ij")
+    med3 = c1_medium3_from_samples(
+        1.0 / (1.0 + X3 ** 2 + Y3 ** 2 + Z3 ** 2), ax3, ax3, ax3,
+        dtype=np.float32)
+
+    def run_t3():
+        return grid3_trace_tiled("op6", pos3, dir3,
+                                 np.float32(2 * np.pi / D3), med3,
+                                 steps=D3, box=box3, block_rays=1024).pos
+    t = best_of(run_t3, per=1)
+    out["tiled3_grid_op6"] = round(R * D3 / t / 1e9, 2)
+
     with open("benchmarks/kernel_matrix.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))

@@ -32,6 +32,10 @@ from raytracing_tpu.engine.df_grid import (  # noqa: F401
     df_grid_medium_from_samples,
     df_grid_trace,
 )
+from raytracing_tpu.engine.df_grid3 import (  # noqa: F401
+    df_c1_medium3_from_samples,
+    df_eval_medium3_from_samples,
+)
 from raytracing_tpu.engine.dynamic import (  # noqa: F401
     DynamicResult,
     spreading_amplitude,
@@ -91,6 +95,7 @@ __all__ = [
     "c1_stratified_from_samples", "df_grid_medium_from_samples",
     "df_c1_medium_from_samples", "df_c1_profile_from_samples",
     "df_eval_profile_medium",
+    "df_c1_medium3_from_samples", "df_eval_medium3_from_samples",
     "df_grid_trace",
     "DiffTrace", "ParametricMedium", "parametric_grid_medium",
     "parametric_profile_medium", "trace_diff",

@@ -472,6 +472,67 @@ def fast_dynamic(op_name: str, scen: config.ScenarioConfig, medium, *,
             "dynamic-scan")
 
 
+def fast_dynamic3(method: str, medium, *, pos0, dir0, delta_s, steps: int,
+                  box, block_rays: int = 1024,
+                  interpret: bool | None = None):
+    """Metrics-only 3-D DYNAMIC trace through the fastest available path.
+
+    Routes to the fused 3-D dynamic kernel (kernels/dynamic3d.py —
+    hand-derived two-tangent recurrences with the frame-free
+    ``det Q = (dpa x dpb) . u``) for the analytic fields, and falls back
+    to the scan tier's exact jvp (engine/dynamic3d.trace_dynamic3)
+    everywhere else — sampled grid3 / Custom3D / Stratified3D media,
+    history callers.  Returns ``(Dyn3Final, engine)`` with engine in
+    {"dynamic3-kernel", "dynamic3-scan"}.
+    """
+    from raytracing_tpu.engine.dynamic3d import trace_dynamic3
+    from raytracing_tpu.engine.trace3d import canonical3
+    from raytracing_tpu.kernels.dynamic3d import (DYN3_FUSED_FIELDS,
+                                                  DYN3_FUSED_OPS, Dyn3Final,
+                                                  dynamic3d_trace_final)
+    from raytracing_tpu.media.fields3d import Analytic3D
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    block_rays = max(128, -(-int(block_rays) // 128) * 128)
+    method = canonical3(method)
+    if box is None or len(tuple(box)) != 6:
+        raise ValueError(f"fast_dynamic3 needs a 6-face box, got {box!r}")
+
+    if (method in DYN3_FUSED_OPS and isinstance(medium, Analytic3D)
+            and medium.field in DYN3_FUSED_FIELDS):
+        r = len(dir0)
+        pad = (-r) % block_rays
+        pos0 = jnp.asarray(pos0, jnp.float32)
+        dir0 = jnp.asarray(dir0, jnp.float32)
+        if pad:
+            pos0 = jnp.concatenate([pos0, jnp.tile(pos0[-1:], (pad, 1))])
+            dir0 = jnp.concatenate([dir0, jnp.tile(dir0[-1:], (pad, 1))])
+        res = dynamic3d_trace_final(
+            pos0, dir0, jnp.float32(delta_s), field=medium.field,
+            op=method, steps=int(steps), box=tuple(box),
+            block_rays=block_rays, interpret=interpret)
+        if pad:
+            res = Dyn3Final(*(v[:r] for v in res))
+        return res, "dynamic3-kernel"
+
+    d = trace_dynamic3(method, medium, pos0=pos0, dir0=dir0,
+                       delta_s=float(delta_s), steps=int(steps),
+                       box=tuple(box), mode="metrics", dtype=np.float32)
+    # "active" = never left the box (kernel semantics): containment of the
+    # final position, not the budget-folding scan flag
+    bx = jnp.asarray(tuple(box), jnp.float32)
+    active = ((d.pos[:, 0] >= bx[0]) & (d.pos[:, 0] <= bx[1])
+              & (d.pos[:, 1] >= bx[2]) & (d.pos[:, 1] <= bx[3])
+              & (d.pos[:, 2] >= bx[4]) & (d.pos[:, 2] <= bx[5]))
+    return (Dyn3Final(pos=d.pos, tangent=d.unitv,
+                      traveltime=d.traveltime, dist_sim=d.dist_real,
+                      active=active, detq=d.detq, kmah=d.kmah, n=d.n,
+                      min_absdet=d.min_absdet,
+                      min_absdet_step=d.min_absdet_step),
+            "dynamic3-scan")
+
+
 def fast_trace3(method: str, medium, *, pos0, dir0, delta_s, steps: int,
                 box, block_rays: int = 4096,
                 interpret: bool | None = None):
@@ -480,16 +541,20 @@ def fast_trace3(method: str, medium, *, pos0, dir0, delta_s, steps: int,
     The 3-D twin of :func:`fast_trace`: routes (method, medium) to the
     fused 3-D kernel (kernels/fused3d.py — measured 6.3 G vs the 1.3 G
     3-D scan tier on-chip, benchmarks/logs_r4/07) when the vector op and
-    the analytic field are in its coverage, and falls back to the scan
-    tier (engine/trace3d.trace3d, mode="metrics") for everything else —
-    Custom3D / Stratified3D / sampled grid3 media, op7's windowed family,
-    history/stats callers.  Returns ``(Fused3Final, engine)`` with engine
-    in {"fused3d", "scan3d"}.
+    the analytic field are in its coverage, to the tiled-window kernel
+    (engine/tiled3.grid3_trace_tiled) for sampled tri-Hermite
+    C1Grid3Medium — the production sample->fit->trace path,
+    RT_bench.py:412-464 — and falls back to the scan tier
+    (engine/trace3d.trace3d, mode="metrics") for everything else —
+    Custom3D / Stratified3D media, dispersed batches the tiling ladder
+    rejects, history/stats callers.  Returns ``(Fused3Final, engine)``
+    with engine in {"fused3d", "grid3-tiled", "scan3d"}.
     """
     from raytracing_tpu.engine.trace3d import canonical3, trace3d
     from raytracing_tpu.kernels.fused3d import (
         FUSED3_FIELDS, FUSED3_OPS, Fused3Final, fused3d_trace_final)
     from raytracing_tpu.media.fields3d import Analytic3D
+    from raytracing_tpu.media.grid3 import C1Grid3Medium
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -498,30 +563,62 @@ def fast_trace3(method: str, medium, *, pos0, dir0, delta_s, steps: int,
     if box is None or len(tuple(box)) != 6:
         raise ValueError(f"fast_trace3 needs a 6-face box, got {box!r}")
 
-    if (method in FUSED3_OPS and isinstance(medium, Analytic3D)
-            and medium.field in FUSED3_FIELDS):
+    kernel = None
+    eng = None
+    if method in FUSED3_OPS:
+        if (isinstance(medium, Analytic3D)
+                and medium.field in FUSED3_FIELDS):
+            kernel, eng = (
+                lambda p, d: fused3d_trace_final(
+                    p, d, jnp.float32(delta_s), field=medium.field,
+                    op=method, steps=int(steps), box=tuple(box),
+                    block_rays=block_rays, interpret=interpret),
+                "fused3d")
+        elif (isinstance(medium, C1Grid3Medium)
+                and medium.nx - 1 >= 5 and medium.ny - 1 >= 5
+                and medium.nz - 1 >= 5):
+            from raytracing_tpu.engine.tiled3 import grid3_trace_tiled
+
+            tb = min(block_rays, 1024)
+            kernel, eng = (
+                lambda p, d, tb=tb: grid3_trace_tiled(
+                    method, p, d, jnp.float32(delta_s), medium,
+                    steps=int(steps), box=tuple(box), block_rays=tb,
+                    interpret=interpret),
+                "grid3-tiled")
+    if kernel is not None:
         r = len(dir0)
-        pad = (-r) % block_rays
+        bk = block_rays if eng == "fused3d" else min(block_rays, 1024)
+        pad = (-r) % bk
         pos0 = jnp.asarray(pos0, jnp.float32)
         dir0 = jnp.asarray(dir0, jnp.float32)
         if pad:
             pos0 = jnp.concatenate([pos0, jnp.tile(pos0[-1:], (pad, 1))])
             dir0 = jnp.concatenate([dir0, jnp.tile(dir0[-1:], (pad, 1))])
-        res = fused3d_trace_final(
-            pos0, dir0, jnp.float32(delta_s), field=medium.field,
-            op=method, steps=int(steps), box=tuple(box),
-            block_rays=block_rays, interpret=interpret)
-        if pad:
-            res = Fused3Final(*(v[:r] for v in res))
-        return res, "fused3d"
+        try:
+            res = kernel(pos0, dir0)
+        except RuntimeError:
+            res = None   # batch too dispersed for 3-D tiling -> scan tier
+        if res is not None:
+            if pad:
+                res = Fused3Final(*(v[:r] for v in res))
+            return res, eng
+        pos0, dir0 = pos0[:r], dir0[:r]
 
     t = trace3d(method, medium, pos0=pos0, dir0=dir0,
                 delta_s=float(delta_s), steps=int(steps), box=tuple(box),
                 mode="metrics", dtype=np.float32)
     st = t.final
+    # "active" = never left the box, matching the kernel tiers: the scan's
+    # own flag also folds in step-budget exhaustion (False for every ray at
+    # i == step_limit), so test containment of the final position instead.
+    bx = jnp.asarray(tuple(box), jnp.float32)
+    active = ((st.pos[:, 0] >= bx[0]) & (st.pos[:, 0] <= bx[1])
+              & (st.pos[:, 1] >= bx[2]) & (st.pos[:, 1] <= bx[3])
+              & (st.pos[:, 2] >= bx[4]) & (st.pos[:, 2] <= bx[5]))
     return (Fused3Final(pos=st.pos, tangent=st.unitv,
                         traveltime=st.traveltime, dist_sim=st.dist_sim,
-                        active=st.active),
+                        active=active),
             "scan3d")
 
 
