@@ -32,11 +32,20 @@ then x, with the Hermite basis polynomials themselves evaluated in df —
 so the result is the f64 polynomial's value, not an f32 re-association
 of it.  Scan-tier only (vmapped HBM gathers, 128 hi/lo channel reads per
 point): its purpose is the accuracy artifact, not throughput.
+
+The facade's ``n_and_grad3`` carries a ``custom_jvp``: the dynamic /
+eigenray tiers push tangents through every medium eval, and AD through
+the df contraction is both catastrophically slow to compile (tens of
+minutes on XLA:CPU) and exactly the scan+gather graph class the TPU
+tunnel must never compile.  The rule returns the closed-form tangent of
+the same tricubic — dn = g . dp (df-grade g, free) and dg = H dp with a
+compact plain-f32 Hessian contraction (:func:`_hess3`).
 """
 from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -229,6 +238,115 @@ def _make_df_nag3(med: DfC1Medium3):
     return nag
 
 
+def _b_val(t):
+    """Plain Hermite value basis b[k][d]: channel bit k, corner d."""
+    t2 = t * t
+    t3 = t2 * t
+    return ((2.0 * t3 - 3.0 * t2 + 1.0, -2.0 * t3 + 3.0 * t2),
+            (t3 - 2.0 * t2 + t, t3 - t2))
+
+
+def _b_d1(t):
+    t2 = t * t
+    return ((6.0 * t2 - 6.0 * t, -6.0 * t2 + 6.0 * t),
+            (3.0 * t2 - 4.0 * t + 1.0, 3.0 * t2 - 2.0 * t))
+
+
+def _b_d2(t):
+    return ((12.0 * t - 6.0, 6.0 - 12.0 * t),
+            (6.0 * t - 4.0, 6.0 * t - 2.0))
+
+
+def _hess3(med: DfC1Medium3, x, y, z):
+    """Plain-f32 Hessian of the tri-Hermite interpolant (6 components).
+
+    Tangent-grade only: the dynamic tier's paraxial tangents are first
+    derivatives of the ray map, so f32 rounding here perturbs dq at
+    O(eps) RELATIVE — unlike the primal n/grad, which integrate and need
+    the df words.  Uses the hi node words (the correctly-rounded f32 of
+    the f64 table) and the SAME cell selection as the df contraction
+    (``_df_cell_coord``), so primal and tangent never straddle a cell
+    boundary differently.
+    """
+    zero = jnp.zeros_like(x)
+    ix, uxh, _ = _df_cell_coord(x, zero, med.x0h, med.x0l,
+                                med.ihxh, med.ihxl, med.nx)
+    iy, uyh, _ = _df_cell_coord(y, zero, med.y0h, med.y0l,
+                                med.ihyh, med.ihyl, med.ny)
+    iz, uzh, _ = _df_cell_coord(z, zero, med.z0h, med.z0l,
+                                med.ihzh, med.ihzl, med.nz)
+    ixi, iyi, izi = (v.astype(jnp.int32) for v in (ix, iy, iz))
+    flat = (izi * med.ny + iyi) * med.nx + ixi
+    sy, sz = med.nx, med.nx * med.ny
+    nodes = [med.Nh[flat + dz * sz + dy * sy + dx]
+             for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+
+    def contract(bx, by, bz):
+        acc = None
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    nd = nodes[dx + 2 * dy + 4 * dz]
+                    for kz in (0, 1):
+                        wzy = bz[kz][dz]
+                        for ky in (0, 1):
+                            wy = wzy * by[ky][dy]
+                            for kx in (0, 1):
+                                t = nd[..., kx + 2 * ky + 4 * kz] \
+                                    * (wy * bx[kx][dx])
+                                acc = t if acc is None else acc + t
+        return acc
+
+    bx, dx_, d2x = _b_val(uxh), _b_d1(uxh), _b_d2(uxh)
+    by, dy_, d2y = _b_val(uyh), _b_d1(uyh), _b_d2(uyh)
+    bz, dz_, d2z = _b_val(uzh), _b_d1(uzh), _b_d2(uzh)
+    ihx = jnp.float32(med.ihxh)
+    ihy = jnp.float32(med.ihyh)
+    ihz = jnp.float32(med.ihzh)
+    return (contract(d2x, by, bz) * (ihx * ihx),
+            contract(dx_, dy_, bz) * (ihx * ihy),
+            contract(dx_, by, dz_) * (ihx * ihz),
+            contract(bx, d2y, bz) * (ihy * ihy),
+            contract(bx, dy_, dz_) * (ihy * ihz),
+            contract(bx, by, d2z) * (ihz * ihz))
+
+
+@jax.custom_jvp
+def _df_nag3_eval(med: DfC1Medium3, x, y, z):
+    """(n, gx, gy, gz) via the df contraction, rounded once to f32."""
+    nag = _make_df_nag3(med)
+    zero = jnp.zeros_like(x)
+    (nh, nl), (gxh, gxl), (gyh, gyl), (gzh, gzl) = nag(
+        x, zero, y, zero, z, zero)
+    return nh + nl, gxh + gxl, gyh + gyl, gzh + gzl
+
+
+@_df_nag3_eval.defjvp
+def _df_nag3_eval_jvp(primals, tangents):
+    """Analytic tangent: dn = g . dp, dg = H dp (plain-f32 Hessian).
+
+    WITHOUT this rule, ``jax.jvp`` differentiates THROUGH the df
+    contraction — a graph ~20x the primal's that XLA:CPU takes tens of
+    minutes to compile per dynamic-trace variant (and that lands in the
+    scan+gather-over-large-table class the TPU tunnel must never
+    compile, CLAUDE.md).  The rule replaces it with the closed-form
+    derivative of the SAME tricubic polynomial: the gradient the primal
+    already computes at df grade plus a compact plain-f32 Hessian
+    contraction — exactly the accuracy split the dynamic tier wants
+    (primal integrals at f64 grade, tangents at f32 grade).  Table
+    tangents are ignored: node words are constants in every use.
+    """
+    med, x, y, z = primals
+    _, dx, dy, dz = tangents
+    n, gx, gy, gz = _df_nag3_eval(med, x, y, z)
+    hxx, hxy, hxz, hyy, hyz, hzz = _hess3(med, x, y, z)
+    dn = gx * dx + gy * dy + gz * dz
+    dgx = hxx * dx + hxy * dy + hxz * dz
+    dgy = hxy * dx + hyy * dy + hyz * dz
+    dgz = hxz * dx + hyz * dy + hzz * dz
+    return (n, gx, gy, gz), (dn, dgx, dgy, dgz)
+
+
 @struct.dataclass
 class DfEvalMedium3:
     """An ordinary f32 ``n_and_grad3`` medium, evaluated via df32 tables.
@@ -252,14 +370,10 @@ class DfEvalMedium3:
         return np.float32
 
     def n_and_grad3(self, x, y, z):
-        nag = _make_df_nag3(self.med)
-        x = jnp.asarray(x, jnp.float32)
-        y = jnp.asarray(y, jnp.float32)
-        z = jnp.asarray(z, jnp.float32)
-        zero = jnp.zeros_like(x)
-        (nh, nl), (gxh, gxl), (gyh, gyl), (gzh, gzl) = nag(
-            x, zero, y, zero, z, zero)
-        return nh + nl, (gxh + gxl, gyh + gyl, gzh + gzl)
+        n, gx, gy, gz = _df_nag3_eval(
+            self.med, jnp.asarray(x, jnp.float32),
+            jnp.asarray(y, jnp.float32), jnp.asarray(z, jnp.float32))
+        return n, (gx, gy, gz)
 
     def n3(self, x, y, z):
         return self.n_and_grad3(x, y, z)[0]

@@ -134,34 +134,69 @@ def test_facade_drops_into_trace3d():
     assert d < 5e-6
 
 
-@pytest.mark.slow
-def test_eigenray3_through_facade():
-    """find_eigenrays3 at dtype f32 through the facade: per-arrival
-    amplitude within ~1e-4 relative of the all-f64 solve (the 2-D
-    logs_r4/28 shape — theta0 root shift dominates, not arithmetic)."""
+def test_eigenray3_f32_solve_plain_medium():
+    """find_eigenrays3's dtype=np.float32 plumbing end-to-end: an f32
+    solve over a plain f32 grid3 medium finds the SAME arrival as the
+    all-f64 one (tt to f32 grade).  The receiver must sit INSIDE the
+    fan's landing disk: a +-0.35 rad fisheye fan from (1,0,0) lands
+    within ~+-0.035 in (y, z) at the x=-0.9 plane (the field focuses),
+    so (0.02, 0.01) is reachable while (0.1, 0.05) is provably not
+    (0 arrivals by design)."""
     from raytracing_tpu.engine.eigenray3d import find_eigenrays3
 
     F, ax = _samples(21)
-    m = df_eval_medium3_from_samples(F, ax, ax, ax)
-    # the receiver must sit INSIDE the fan's landing disk: a +-0.35 rad
-    # fisheye fan from (1,0,0) lands within ~+-0.035 in (y, z) at the
-    # x=-0.9 plane (the field focuses), so (0.02, 0.01) is reachable
-    # while e.g. (0.1, 0.05) is provably not (0 arrivals by design)
     kw = dict(source=(1.0, 0.0, 0.0), receivers=[(-0.9, 0.02, 0.01)],
               delta_s=2 * np.pi / 500, max_size=1200,
               box=(-1.4, 1.4, -1.4, 1.4, -1.4, 1.4),
-              fan=(-0.35, 0.35, 13, -0.35, 0.35, 13), iters=8, tol=1e-6)
-    # dtype f32 solve + facade medium: works on any backend incl. the chip
-    eig32 = find_eigenrays3("op6", m, dtype=np.float32, **kw)
+              fan=(-0.35, 0.35, 13, -0.35, 0.35, 13), iters=8, tol=3e-6)
+    m32 = c1_medium3_from_samples(F, ax, ax, ax, dtype=np.float32)
+    eig32 = find_eigenrays3("op6", m32, dtype=np.float32, **kw)
     with jax.enable_x64(True):
         m64 = c1_medium3_from_samples(F, ax, ax, ax, dtype=np.float64)
         eig64 = find_eigenrays3("op6", m64, **kw)
-    assert len(np.asarray(eig32.traveltime)) >= 1
     assert len(np.asarray(eig32.traveltime)) == len(
-        np.asarray(eig64.traveltime))
+        np.asarray(eig64.traveltime)) >= 1
     tt32 = np.sort(np.asarray(eig32.traveltime))
     tt64 = np.sort(np.asarray(eig64.traveltime))
-    assert np.abs(tt32 - tt64).max() < 1e-5 * (1.0 + np.abs(tt64).max())
-    a32 = np.sort(np.abs(np.asarray(eig32.amplitude)))
-    a64 = np.sort(np.abs(np.asarray(eig64.amplitude)))
-    assert np.abs(a32 / a64 - 1.0).max() < 5e-3
+    # plain-f32 tables: coefficient quantization floors this at ~1e-5;
+    # the df facade (below) removes that floor at equal launch
+    assert np.abs(tt32 - tt64).max() < 5e-5 * (1.0 + np.abs(tt64).max())
+
+
+@pytest.mark.slow
+def test_facade_pick_rows_f64_grade():
+    """Crossing-pick rows through the facade at f32 match the all-f64
+    rows AT EQUAL LAUNCH DIRECTION — the 2-D tier's attribution
+    methodology (VERDICT r4: per-arrival deviations are dominated by the
+    theta0 root shift through dq/dtheta0, NOT arithmetic; compare at
+    equal launch).  This is the f64-substitute claim for on-chip 3-D
+    eigenray work, testable on any backend."""
+    from raytracing_tpu.engine.dynamic3d import (CROSS3_COLS,
+                                                 trace_crossings_pick3)
+
+    F, ax = _samples(21)
+    m = df_eval_medium3_from_samples(F, ax, ax, ax)
+    r = 8
+    th = np.linspace(-0.03, 0.03, r)
+    dir0 = np.stack([-np.cos(th), np.sin(th), np.full(r, 0.01)], -1)
+    pos0 = np.tile([[1.0, 0.0, 0.0]], (r, 1))
+    kw = dict(pos0=pos0, dir0=dir0, delta_s=2 * np.pi / 500, steps=700,
+              box=(-1.4, 1.4, -1.4, 1.4, -1.4, 1.4),
+              xr=np.full(r, -0.9), ordk=np.zeros(r, np.int32))
+    p32 = trace_crossings_pick3("op6", m, dtype=np.float32, **kw)
+    with jax.enable_x64(True):
+        m64 = c1_medium3_from_samples(F, ax, ax, ax, dtype=np.float64)
+        p64 = trace_crossings_pick3("op6", m64, dtype=np.float64, **kw)
+    f32s = np.asarray(p32.found)
+    assert f32s.all() and np.asarray(p64.found).all()
+    s32 = np.asarray(p32.state, np.float64)
+    s64 = np.asarray(p64.state)
+    iTT = CROSS3_COLS.index("traveltime")
+    iDQ = CROSS3_COLS.index("detq")
+    iY, iZ = CROSS3_COLS.index("y"), CROSS3_COLS.index("z")
+    assert np.abs(s32[:, iTT] / s64[:, iTT] - 1.0).max() < 2e-6
+    assert np.abs(s32[:, [iY, iZ]] - s64[:, [iY, iZ]]).max() < 1e-5
+    # det Q is a DERIVED second-derivative quantity: f32 tangent carries
+    # floor it at ~1e-4 relative; the plain-f32 medium's inconsistent
+    # gradients are 10-100x worse on the same rays
+    assert np.abs(s32[:, iDQ] / s64[:, iDQ] - 1.0).max() < 5e-4
