@@ -155,12 +155,159 @@ def _drodrigues3(u, du, r, dr):
         for i in range(3))
 
 
-def _make_dyn_kernel3(field: str, op: str, steps: int, box):
-    """Fused 3-D dynamic kernel: kinematics + two hand tangents."""
-    nag = _field3_fn_h(field)
+def _dyn_step_body3(op: str, box, eval_h, zero, ds, limit, offset=0.0):
+    """Shared per-step fori body over the 16-slot 3-D dynamic carry.
+
+    The paraxial twin of :func:`kernels.fused3d._step_body3`: ONE
+    definition of the kinematic step + both hand-derived launch tangents
+    (module docstring) serves the analytic fused dynamic kernel AND the
+    tiled sampled-grid3 dynamic kernel — ``eval_h(pos3) -> (n, gx, gy,
+    gz, hxx, hxy, hxz, hyy, hyz, hzz)`` is the only seam (inlined
+    analytic Hessians vs the VMEM window contraction
+    :func:`_tile_nag3_h`).  ``offset`` is the global step count before
+    this launch (resume-chained kernels); the caustic bookkeeping
+    (past-source guard, focus locator step index) runs on the GLOBAL
+    step so segmented chains match one unsegmented launch.
+    """
     second_order = op in ("op6", "op8")
     rk2 = op in ("op2", "op6")
     limx_i, limx_s, limy_i, limy_s, limz_i, limz_s = [float(v) for v in box]
+
+    def hdot(h, v):
+        hxx, hxy, hxz, hyy, hyz, hzz = h
+        return (hxx * v[0] + hxy * v[1] + hxz * v[2],
+                hxy * v[0] + hyy * v[1] + hyz * v[2],
+                hxz * v[0] + hyz * v[1] + hzz * v[2])
+
+    def tangent_quants(g, h, u, dp, du):
+        """(dn, dg, dt) for the transverse-force t = g - (g.u) u."""
+        dn = _dot(*g, *dp)
+        dg = hdot(h, dp)
+        gu = _dot(*g, *u)
+        dgu = _dot(*dg, *u) + _dot(*g, *du)
+        dt = tuple(dg[i] - dgu * u[i] - gu * du[i] for i in range(3))
+        return dn, dg, dt
+
+    def body(i, carry):
+        gi = i.astype(jnp.float32) + offset
+        in_limit = gi < limit
+        (pos, u, dpa, dua, dpb, dub, n, g, h, tt, dsim, active,
+         sgn, kmah, mind, minstep) = carry
+
+        gu = _dot(*g, *u)
+        t = tuple(g[k] - gu * u[k] for k in range(3))
+        if second_order:
+            half_fac = ds * ds * 0.5 / n
+            D = tuple(u[k] * ds + t[k] * half_fac for k in range(3))
+        else:
+            D = tuple(u[k] * ds for k in range(3))
+        pos2 = tuple(pos[k] + D[k] for k in range(3))
+        out10 = eval_h(pos2)
+        n2, g2 = out10[0], out10[1:4]
+        h2 = out10[4:]
+
+        def advance(dp, du):
+            dn, dg, dt = tangent_quants(g, h, u, dp, du)
+            if second_order:
+                dD = tuple(du[k] * ds
+                           + (dt[k] / (2.0 * n)
+                              - t[k] * dn / (2.0 * n * n)) * ds * ds
+                           for k in range(3))
+            else:
+                dD = tuple(du[k] * ds for k in range(3))
+            dp2 = tuple(dp[k] + dD[k] for k in range(3))
+            dn2 = _dot(*g2, *dp2)
+            dg2 = hdot(h2, dp2)
+
+            if rk2:
+                inv_n = 1.0 / n
+                k1 = tuple(ds * t[k] * inv_n for k in range(3))
+                dk1 = tuple(ds * (dt[k] * inv_n
+                                  - t[k] * dn * inv_n * inv_n)
+                            for k in range(3))
+                r1 = _cross(*u, *k1)
+                dr1 = tuple(p + q for p, q in zip(
+                    _cross(*du, *k1), _cross(*u, *dk1)))
+                um = _rodrigues3v(u, r1)
+                dum = _drodrigues3(u, du, r1, dr1)
+                inv_n2 = 1.0 / n2
+                gum = _dot(*g2, *um)
+                t2v = tuple(g2[k] - gum * um[k] for k in range(3))
+                dgum = _dot(*dg2, *um) + _dot(*g2, *dum)
+                dt2 = tuple(dg2[k] - dgum * um[k] - gum * dum[k]
+                            for k in range(3))
+                k2 = tuple(ds * t2v[k] * inv_n2 for k in range(3))
+                dk2 = tuple(ds * (dt2[k] * inv_n2
+                                  - t2v[k] * dn2 * inv_n2 * inv_n2)
+                            for k in range(3))
+                r2 = _cross(*um, *k2)
+                dr2 = tuple(p + q for p, q in zip(
+                    _cross(*dum, *k2), _cross(*um, *dk2)))
+                rho = tuple((r1[k] + r2[k]) * 0.5 for k in range(3))
+                drho = tuple((dr1[k] + dr2[k]) * 0.5 for k in range(3))
+                u2 = _rodrigues3v(u, rho)
+                du2 = _drodrigues3(u, du, rho, drho)
+            else:
+                half = ds * 0.5
+                s = tuple(n * u[k] + (g[k] + g2[k]) * half
+                          for k in range(3))
+                dsv = tuple(dn * u[k] + n * du[k]
+                            + (dg[k] + dg2[k]) * half
+                            for k in range(3))
+                inv = jax.lax.rsqrt(_dot(*s, *s))
+                u2 = tuple(s[k] * inv for k in range(3))
+                proj = _dot(*dsv, *u2)
+                du2 = tuple((dsv[k] - proj * u2[k]) * inv
+                            for k in range(3))
+            return dp2, du2, u2
+
+        dpa2, dua2, u2 = advance(dpa, dua)
+        dpb2, dub2, _ = advance(dpb, dub)
+
+        if second_order:
+            dist = jnp.sqrt(_dot(*D, *D))
+            ntt = tt + dist * (n + n2) * 0.5
+            ndsim = dsim + dist
+        else:
+            ntt = tt + ds * (n + n2) * 0.5
+            ndsim = dsim + ds
+
+        det = _dot(*_cross(*dpa2, *dpb2), *u2)
+        s_new = jnp.sign(det)
+        flip = ((active > 0.5) & (sgn != 0.0) & (s_new != 0.0)
+                & (s_new != sgn))
+        kmah2 = kmah + jnp.where(flip, zero + 1.0, zero)
+        sgn2 = jnp.where((active > 0.5) & (s_new != 0.0), s_new, sgn)
+        past_src = gi > 4.0
+        better = (active > 0.5) & past_src & (jnp.abs(det) < mind)
+        mind2 = jnp.where(better, jnp.abs(det), mind)
+        minstep2 = jnp.where(better, zero + gi, minstep)
+
+        outb = ((pos2[0] > limx_s) | (pos2[0] < limx_i)
+                | (pos2[1] > limy_s) | (pos2[1] < limy_i)
+                | (pos2[2] > limz_s) | (pos2[2] < limz_i))
+        keep = (active > 0.5) & in_limit
+
+        def sel(new, old):
+            if isinstance(new, tuple):
+                return tuple(jnp.where(keep, a, b)
+                             for a, b in zip(new, old))
+            return jnp.where(keep, new, old)
+
+        nactive = jnp.where(keep & outb, zero, active)
+        return (sel(pos2, pos), sel(u2, u),
+                sel(dpa2, dpa), sel(dua2, dua),
+                sel(dpb2, dpb), sel(dub2, dub),
+                sel(n2, n), sel(g2, g), sel(h2, h),
+                sel(ntt, tt), sel(ndsim, dsim), nactive,
+                sel(sgn2, sgn), sel(kmah2, kmah), mind2, minstep2)
+
+    return body
+
+
+def _make_dyn_kernel3(field: str, op: str, steps: int, box):
+    """Fused 3-D dynamic kernel: kinematics + two hand tangents."""
+    nag = _field3_fn_h(field)
 
     def kernel(x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref,
                e1x_ref, e1y_ref, e1z_ref, e2x_ref, e2y_ref, e2z_ref,
@@ -177,135 +324,7 @@ def _make_dyn_kernel3(field: str, op: str, steps: int, box):
         def eval_h(p):
             return nag(p[0], p[1], p[2])
 
-        def hdot(h, v):
-            hxx, hxy, hxz, hyy, hyz, hzz = h
-            return (hxx * v[0] + hxy * v[1] + hxz * v[2],
-                    hxy * v[0] + hyy * v[1] + hyz * v[2],
-                    hxz * v[0] + hyz * v[1] + hzz * v[2])
-
-        def tangent_quants(g, h, u, dp, du):
-            """(dn, dg, dt) for the transverse-force t = g - (g.u) u."""
-            dn = _dot(*g, *dp)
-            dg = hdot(h, dp)
-            gu = _dot(*g, *u)
-            dgu = _dot(*dg, *u) + _dot(*g, *du)
-            dt = tuple(dg[i] - dgu * u[i] - gu * du[i] for i in range(3))
-            return dn, dg, dt
-
-        def body(i, carry):
-            in_limit = i.astype(jnp.float32) < limit
-            (pos, u, dpa, dua, dpb, dub, n, g, h, tt, dsim, active,
-             sgn, kmah, mind, minstep) = carry
-
-            gu = _dot(*g, *u)
-            t = tuple(g[k] - gu * u[k] for k in range(3))
-            if second_order:
-                half_fac = ds * ds * 0.5 / n
-                D = tuple(u[k] * ds + t[k] * half_fac for k in range(3))
-            else:
-                D = tuple(u[k] * ds for k in range(3))
-            pos2 = tuple(pos[k] + D[k] for k in range(3))
-            out10 = eval_h(pos2)
-            n2, g2 = out10[0], out10[1:4]
-            h2 = out10[4:]
-
-            def advance(dp, du):
-                dn, dg, dt = tangent_quants(g, h, u, dp, du)
-                if second_order:
-                    dD = tuple(du[k] * ds
-                               + (dt[k] / (2.0 * n)
-                                  - t[k] * dn / (2.0 * n * n)) * ds * ds
-                               for k in range(3))
-                else:
-                    dD = tuple(du[k] * ds for k in range(3))
-                dp2 = tuple(dp[k] + dD[k] for k in range(3))
-                dn2 = _dot(*g2, *dp2)
-                dg2 = hdot(h2, dp2)
-
-                if rk2:
-                    inv_n = 1.0 / n
-                    k1 = tuple(ds * t[k] * inv_n for k in range(3))
-                    dk1 = tuple(ds * (dt[k] * inv_n
-                                      - t[k] * dn * inv_n * inv_n)
-                                for k in range(3))
-                    r1 = _cross(*u, *k1)
-                    dr1 = tuple(p + q for p, q in zip(
-                        _cross(*du, *k1), _cross(*u, *dk1)))
-                    um = _rodrigues3v(u, r1)
-                    dum = _drodrigues3(u, du, r1, dr1)
-                    inv_n2 = 1.0 / n2
-                    gum = _dot(*g2, *um)
-                    t2v = tuple(g2[k] - gum * um[k] for k in range(3))
-                    dgum = _dot(*dg2, *um) + _dot(*g2, *dum)
-                    dt2 = tuple(dg2[k] - dgum * um[k] - gum * dum[k]
-                                for k in range(3))
-                    k2 = tuple(ds * t2v[k] * inv_n2 for k in range(3))
-                    dk2 = tuple(ds * (dt2[k] * inv_n2
-                                      - t2v[k] * dn2 * inv_n2 * inv_n2)
-                                for k in range(3))
-                    r2 = _cross(*um, *k2)
-                    dr2 = tuple(p + q for p, q in zip(
-                        _cross(*dum, *k2), _cross(*um, *dk2)))
-                    rho = tuple((r1[k] + r2[k]) * 0.5 for k in range(3))
-                    drho = tuple((dr1[k] + dr2[k]) * 0.5 for k in range(3))
-                    u2 = _rodrigues3v(u, rho)
-                    du2 = _drodrigues3(u, du, rho, drho)
-                else:
-                    half = ds * 0.5
-                    s = tuple(n * u[k] + (g[k] + g2[k]) * half
-                              for k in range(3))
-                    dsv = tuple(dn * u[k] + n * du[k]
-                                + (dg[k] + dg2[k]) * half
-                                for k in range(3))
-                    inv = jax.lax.rsqrt(_dot(*s, *s))
-                    u2 = tuple(s[k] * inv for k in range(3))
-                    proj = _dot(*dsv, *u2)
-                    du2 = tuple((dsv[k] - proj * u2[k]) * inv
-                                for k in range(3))
-                return dp2, du2, u2
-
-            dpa2, dua2, u2 = advance(dpa, dua)
-            dpb2, dub2, _ = advance(dpb, dub)
-
-            if second_order:
-                dist = jnp.sqrt(_dot(*D, *D))
-                ntt = tt + dist * (n + n2) * 0.5
-                ndsim = dsim + dist
-            else:
-                ntt = tt + ds * (n + n2) * 0.5
-                ndsim = dsim + ds
-
-            det = _dot(*_cross(*dpa2, *dpb2), *u2)
-            s_new = jnp.sign(det)
-            flip = ((active > 0.5) & (sgn != 0.0) & (s_new != 0.0)
-                    & (s_new != sgn))
-            kmah2 = kmah + jnp.where(flip, zero + 1.0, zero)
-            sgn2 = jnp.where((active > 0.5) & (s_new != 0.0), s_new, sgn)
-            past_src = i > 4
-            better = (active > 0.5) & past_src & (jnp.abs(det) < mind)
-            mind2 = jnp.where(better, jnp.abs(det), mind)
-            minstep2 = jnp.where(better, zero + i.astype(jnp.float32),
-                                 minstep)
-
-            outb = ((pos2[0] > limx_s) | (pos2[0] < limx_i)
-                    | (pos2[1] > limy_s) | (pos2[1] < limy_i)
-                    | (pos2[2] > limz_s) | (pos2[2] < limz_i))
-            keep = (active > 0.5) & in_limit
-
-            def sel(new, old):
-                if isinstance(new, tuple):
-                    return tuple(jnp.where(keep, a, b)
-                                 for a, b in zip(new, old))
-                return jnp.where(keep, new, old)
-
-            nactive = jnp.where(keep & outb, zero, active)
-            return (sel(pos2, pos), sel(u2, u),
-                    sel(dpa2, dpa), sel(dua2, dua),
-                    sel(dpb2, dpb), sel(dub2, dub),
-                    sel(n2, n), sel(g2, g), sel(h2, h),
-                    sel(ntt, tt), sel(ndsim, dsim), nactive,
-                    sel(sgn2, sgn), sel(kmah2, kmah), mind2, minstep2)
-
+        body = _dyn_step_body3(op, box, eval_h, zero, ds, limit)
         out10 = eval_h(pos)
         n0, g0, h0 = out10[0], out10[1:4], out10[4:]
         big = zero + jnp.float32(np.finfo(np.float32).max)
