@@ -92,12 +92,48 @@ def canary_dyn3():
                       "detq_rel_vs_scan": rel}), flush=True)
 
 
+def canary_dyntiled3():
+    """First Mosaic compile of the 25-state dynamic tiled-window kernel
+    (engine/tiled3.grid3_trace_dynamic_tiled) — tiny trips, staged
+    before any full-size row."""
+    from raytracing_tpu.engine.tiled3 import grid3_trace_dynamic_tiled
+
+    ax = np.arange(-1.75, 1.7501, 0.05)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    med3 = rt.c1_medium3_from_samples(
+        1.0 / (1.0 + X ** 2 + Y ** 2 + Z ** 2), ax, ax, ax,
+        dtype=np.float32)
+    pos3, dir3 = _launch()
+    ds = np.float32(2 * np.pi / 600)
+    interp = jax.default_backend() == "cpu"
+    t0 = time.perf_counter()
+    g = grid3_trace_dynamic_tiled("op6", pos3, dir3, ds, med3, steps=16,
+                                  box=BOX3, block_rays=1024,
+                                  interpret=interp)
+    np.asarray(g.detq[:1])
+    cold = time.perf_counter() - t0
+    s = rt.trace_dynamic3("op6", med3, pos0=np.asarray(pos3),
+                          dir0=np.asarray(dir3), delta_s=float(ds),
+                          steps=16, box=BOX3, dtype=np.float32,
+                          mode="metrics")
+    dq = np.asarray(g.detq, np.float64)
+    sq = np.asarray(s.detq, np.float64)
+    rel = float(np.max(np.abs(dq - sq)
+                       / np.maximum(np.abs(sq), 1e-6)))
+    kmah_ok = bool(np.array_equal(np.asarray(g.kmah), np.asarray(s.kmah)))
+    print(json.dumps({"canary": "dyntiled3", "cold_s": round(cold, 2),
+                      "detq_rel_vs_scan": rel, "kmah_match": kmah_ok}),
+          flush=True)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("tiled3", "all"):
         canary_tiled3()
     if which in ("dyn3", "all"):
         canary_dyn3()
+    if which in ("dyntiled3", "all"):
+        canary_dyntiled3()
 
 
 if __name__ == "__main__":

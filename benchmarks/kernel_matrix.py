@@ -195,6 +195,17 @@ def main():
     t = best_of(run_t3, per=1)
     out["tiled3_grid_op6"] = round(R * D3 / t / 1e9, 2)
 
+    # 3-D DYNAMIC tiled-window kernel (round 5: the paraxial twin — both
+    # launch tangents + the exact patch Hessian inside the window kernel)
+    from raytracing_tpu.engine.tiled3 import grid3_trace_dynamic_tiled
+
+    def run_dt3():
+        return grid3_trace_dynamic_tiled(
+            "op6", pos3, dir3, np.float32(2 * np.pi / D3), med3,
+            steps=D3, box=box3, block_rays=1024).detq
+    t = best_of(run_dt3, per=1)
+    out["dyn3_tiled_op6"] = round(R * D3 / t / 1e9, 2)
+
     with open("benchmarks/kernel_matrix.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))

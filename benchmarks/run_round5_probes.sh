@@ -96,4 +96,16 @@ stage 09_eig3_full       python benchmarks/eigenray3_tpu_probe.py
 # -- VERDICT #5: the eigenray TL-map host/chip crossover ------------------
 stage 10_crossover       python benchmarks/eigenray_crossover_probe.py
 
+# -- round-5 second wave: the 3-D DYNAMIC tiled kernel --------------------
+# tiny canary BEFORE the full-size matrix row (first Mosaic compile of the
+# 25-state window kernel), plus the honest same-medium scan baselines the
+# tiled3 rows were missing (bounded trips: the scan+gather hazard class)
+stage 11_canary_dyntiled3 python benchmarks/canary3d.py dyntiled3
+stage 12_grid3_scan       python benchmarks/grid3_scan_probe.py
+stage 13_kernel_matrix2   python benchmarks/kernel_matrix.py
+
+# -- operating-point sweep: is the tiled3 row refresh-bound? --------------
+stage 14_tiled3_sweep     python benchmarks/tiled3_sweep.py
+stage 15_dyn3_tiled_sweep python benchmarks/tiled3_sweep.py --dynamic
+
 echo "=== QUEUE DONE $(date -u +%H:%M:%S)" | tee -a "$LOG/QUEUE.log"

@@ -159,6 +159,17 @@ def _pick_crossings(h: np.ndarray, last: np.ndarray, xr: np.ndarray,
     return out, found
 
 
+#: Measured routing threshold (benchmarks/logs_r5/10_crossover.log, the
+#: VERDICT-r4 crossover probe): on the remote v5e with the persistent
+#: compile cache warm, the WARM on-chip f32/df32 TL solve beats host/f64
+#: from the smallest measured size up — 80 receivers: 1.72x, 1280: 7.8x,
+#: 10^4: 11.0x (cold compiles amortize after one call).  float32 solves
+#: with at least this many receivers therefore default to the
+#: accelerator backend; float64 solves always stay host (TPUs have no
+#: native f64).  Explicit ``on_host=...`` or RT_EIGENRAY_ON_HOST wins.
+EIGENRAY_TPU_MIN_RECEIVERS = 80
+
+
 def _solve_device(on_host):
     """Device scope for the host-coordinated eigenray solves.
 
@@ -212,6 +223,7 @@ def find_eigenrays(op_name: str, medium, *, source, receivers, delta_s,
     build sampled media with ``dtype=np.float64`` for eigenray work.
     """
     import contextlib
+    import os
 
     import jax
 
@@ -221,6 +233,15 @@ def find_eigenrays(op_name: str, medium, *, source, receivers, delta_s,
         x64 = jax.enable_x64(True)
     else:
         x64 = contextlib.nullcontext()
+    # measured routing (EIGENRAY_TPU_MIN_RECEIVERS): f32 solves at TL-map
+    # scale default to the accelerator — unless the caller or environment
+    # said otherwise
+    if (on_host is None and "RT_EIGENRAY_ON_HOST" not in os.environ
+            and np.dtype(dtype).itemsize == 4
+            and jax.default_backend() != "cpu"
+            and np.asarray(receivers).shape[0]
+            >= EIGENRAY_TPU_MIN_RECEIVERS):
+        on_host = False
     # The solve is a host-side Newton driving ~iters short fan traces with
     # full histories read back each time.  On a remote TPU backend that is
     # all tunnel round-trips — and TPUs have no native f64, which eigenray

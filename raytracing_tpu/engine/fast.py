@@ -479,11 +479,14 @@ def fast_dynamic3(method: str, medium, *, pos0, dir0, delta_s, steps: int,
 
     Routes to the fused 3-D dynamic kernel (kernels/dynamic3d.py —
     hand-derived two-tangent recurrences with the frame-free
-    ``det Q = (dpa x dpb) . u``) for the analytic fields, and falls back
-    to the scan tier's exact jvp (engine/dynamic3d.trace_dynamic3)
-    everywhere else — sampled grid3 / Custom3D / Stratified3D media,
+    ``det Q = (dpa x dpb) . u``) for the analytic fields, to the
+    tiled-window dynamic kernel (engine/tiled3.grid3_trace_dynamic_tiled
+    — the same tangents over VMEM windows of the tri-Hermite table) for
+    sampled C1Grid3Medium, and falls back to the scan tier's exact jvp
+    (engine/dynamic3d.trace_dynamic3) everywhere else — Custom3D /
+    Stratified3D media, dispersed batches the window ladder rejects,
     history callers.  Returns ``(Dyn3Final, engine)`` with engine in
-    {"dynamic3-kernel", "dynamic3-scan"}.
+    {"dynamic3-kernel", "dynamic3-kernel-tiled", "dynamic3-scan"}.
     """
     from raytracing_tpu.engine.dynamic3d import trace_dynamic3
     from raytracing_tpu.engine.trace3d import canonical3
@@ -491,6 +494,7 @@ def fast_dynamic3(method: str, medium, *, pos0, dir0, delta_s, steps: int,
                                                   DYN3_FUSED_OPS, Dyn3Final,
                                                   dynamic3d_trace_final)
     from raytracing_tpu.media.fields3d import Analytic3D
+    from raytracing_tpu.media.grid3 import C1Grid3Medium
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -499,22 +503,49 @@ def fast_dynamic3(method: str, medium, *, pos0, dir0, delta_s, steps: int,
     if box is None or len(tuple(box)) != 6:
         raise ValueError(f"fast_dynamic3 needs a 6-face box, got {box!r}")
 
-    if (method in DYN3_FUSED_OPS and isinstance(medium, Analytic3D)
-            and medium.field in DYN3_FUSED_FIELDS):
+    kernel = None
+    eng = None
+    if method in DYN3_FUSED_OPS:
+        if (isinstance(medium, Analytic3D)
+                and medium.field in DYN3_FUSED_FIELDS):
+            kernel, eng = (
+                lambda p, d: dynamic3d_trace_final(
+                    p, d, jnp.float32(delta_s), field=medium.field,
+                    op=method, steps=int(steps), box=tuple(box),
+                    block_rays=block_rays, interpret=interpret),
+                "dynamic3-kernel")
+        elif (isinstance(medium, C1Grid3Medium)
+                and medium.nx - 1 >= 5 and medium.ny - 1 >= 5
+                and medium.nz - 1 >= 5):
+            from raytracing_tpu.engine.tiled3 import \
+                grid3_trace_dynamic_tiled
+
+            tb = min(block_rays, 1024)
+            kernel, eng = (
+                lambda p, d, tb=tb: grid3_trace_dynamic_tiled(
+                    method, p, d, jnp.float32(delta_s), medium,
+                    steps=int(steps), box=tuple(box), block_rays=tb,
+                    interpret=interpret),
+                "dynamic3-kernel-tiled")
+    if kernel is not None:
         r = len(dir0)
-        pad = (-r) % block_rays
+        bk = block_rays if eng == "dynamic3-kernel" else min(block_rays,
+                                                             1024)
+        pad = (-r) % bk
         pos0 = jnp.asarray(pos0, jnp.float32)
         dir0 = jnp.asarray(dir0, jnp.float32)
         if pad:
             pos0 = jnp.concatenate([pos0, jnp.tile(pos0[-1:], (pad, 1))])
             dir0 = jnp.concatenate([dir0, jnp.tile(dir0[-1:], (pad, 1))])
-        res = dynamic3d_trace_final(
-            pos0, dir0, jnp.float32(delta_s), field=medium.field,
-            op=method, steps=int(steps), box=tuple(box),
-            block_rays=block_rays, interpret=interpret)
-        if pad:
-            res = Dyn3Final(*(v[:r] for v in res))
-        return res, "dynamic3-kernel"
+        try:
+            res = kernel(pos0, dir0)
+        except RuntimeError:
+            res = None   # batch too dispersed for 3-D tiling -> scan tier
+        if res is not None:
+            if pad:
+                res = Dyn3Final(*(v[:r] for v in res))
+            return res, eng
+        pos0, dir0 = pos0[:r], dir0[:r]
 
     d = trace_dynamic3(method, medium, pos0=pos0, dir0=dir0,
                        delta_s=float(delta_s), steps=int(steps),

@@ -179,14 +179,19 @@ def _refresh_windows3(st, flag, c64, meta, td, th, tw, nblocks, block_rays,
 
 def _tiled3_segments_inner(state, nodes4d, delta_s, limit, offset0, n_seg,
                            *, op, segment, box, block_rays, interpret,
-                           meta, tile_shape):
+                           meta, tile_shape, dynamic=False):
     """Chain tiled 3-D kernel launches; refresh block windows between.
 
     Same contract as engine/segmented._tiled_run_segments_inner: returns
     ``(state, flag)`` with ``flag > 0`` meaning some block's bbox plus
     worst-case travel could not fit its window — the caller must replay
-    from its checkpoint after re-sorting.
+    from its checkpoint after re-sorting.  ``dynamic`` switches the
+    12-component kinematic kernel for the 25-component paraxial one
+    (kernels/dynamic3d._make_dyn_tile_kernel3); the refresh/containment
+    machinery is state-width-agnostic (both layouts lead with x, y, z).
     """
+    from raytracing_tpu.kernels.dynamic3d import _make_dyn_tile_kernel3
+
     (x0, y0, z0, inv_hx, inv_hy, inv_hz, nx, ny, nz) = meta
     td, th, tw = tile_shape
     r = state[0].shape[0] * LANES
@@ -194,9 +199,11 @@ def _tiled3_segments_inner(state, nodes4d, delta_s, limit, offset0, n_seg,
     nblocks = r // block_rays
     nchunks = -(-td * th * tw // LANES)
     n_ch = nchunks * CELL3_CH
+    n_state = len(state)
     shape2 = state[0].shape
     zero = jnp.zeros(shape2, jnp.float32)
-    kernel = _make_tile_kernel3(op, segment, box, meta + tile_shape)
+    make = _make_dyn_tile_kernel3 if dynamic else _make_tile_kernel3
+    kernel = make(op, segment, box, meta + tile_shape)
     blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     tile_spec = pl.BlockSpec((1, n_ch, LANES), lambda i: (i, 0, 0),
@@ -205,13 +212,13 @@ def _tiled3_segments_inner(state, nodes4d, delta_s, limit, offset0, n_seg,
     call = pl.pallas_call(
         kernel,
         grid=(nblocks,),
-        in_specs=[tile_spec, base_spec] + [blk] * 12
+        in_specs=[tile_spec, base_spec] + [blk] * n_state
                  + [blk, pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[blk] * 12,
-        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 12,
+        out_specs=[blk] * n_state,
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * n_state,
         cost_estimate=pl.CostEstimate(
-            flops=400 * r * segment,
-            bytes_accessed=(2 * 12 * r + nblocks * n_ch * LANES) * 4,
+            flops=(1300 if dynamic else 400) * r * segment,
+            bytes_accessed=(2 * n_state * r + nblocks * n_ch * LANES) * 4,
             transcendentals=2 * r * segment),
         interpret=interpret,
     )
@@ -237,14 +244,14 @@ def _tiled3_segments_inner(state, nodes4d, delta_s, limit, offset0, n_seg,
 
 @functools.partial(jax.jit, static_argnames=(
     "op", "segment", "box", "block_rays", "interpret", "meta",
-    "tile_shape"))
+    "tile_shape", "dynamic"))
 def _tiled3_segments(*args, **kw):
     return _tiled3_segments_inner(*args, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "op", "segment", "box", "block_rays", "interpret", "meta", "tile_shape",
-    "mesh", "mesh_axes"))
+    "dynamic", "mesh", "mesh_axes"))
 def _tiled3_segments_sharded(state, nodes4d, delta_s, limit, offset0,
                              n_seg, *, mesh, mesh_axes, **kw):
     """The 3-D round body under shard_map: rays sharded, windows local.
@@ -320,17 +327,52 @@ def grid3_trace_tiled(method: str, pos0, dir0, delta_s, medium, *,
             int(medium.nz))
     pitch = min(1.0 / meta[3], 1.0 / meta[4], 1.0 / meta[5])
     if segment is None:
-        cap = max(1.0, float(min(tile_shape) - 1 - 2))
-        segment = max(1, min(64, int(cap * 0.5 * pitch / float(delta_s))))
+        segment = _default_segment3(tile_shape, pitch, delta_s)
 
-    pos0 = jnp.asarray(pos0, jnp.float32)
-    dir0 = jnp.asarray(dir0, jnp.float32)
-    dir0 = dir0 / jnp.linalg.norm(dir0, axis=-1, keepdims=True)
+    # 12-component state: pos, Kahan comps, tangent, accumulators, active
+    pos0, dir0 = _as_f32_rays(pos0, dir0)
     zeros = jnp.zeros(r, jnp.float32)
     ones = jnp.ones(r, jnp.float32)
-    # 12-component state: pos, Kahan comps, tangent, accumulators, active
     comps = [pos0[:, 0], pos0[:, 1], pos0[:, 2], zeros, zeros, zeros,
              dir0[:, 0], dir0[:, 1], dir0[:, 2], zeros, zeros, ones]
+    out = _drive_tiled3(
+        comps, medium, meta, op=op, delta_s=delta_s, steps=steps,
+        box=box, segment=segment, block_rays=block_rays,
+        tile_shape=(td, th, tw), refreshes_per_round=refreshes_per_round,
+        interpret=interpret, sort=sort, mesh=mesh, dynamic=False,
+        err_name="grid3_trace_tiled")
+    (x, y, z, _, _, _, ux, uy, uz, tt, dsim, active) = out
+    return Fused3Final(pos=jnp.stack([x, y, z], -1),
+                       tangent=jnp.stack([ux, uy, uz], -1),
+                       traveltime=tt, dist_sim=dsim,
+                       active=active > 0.5)
+
+
+def _as_f32_rays(pos0, dir0):
+    pos0 = jnp.asarray(pos0, jnp.float32)
+    dir0 = jnp.asarray(dir0, jnp.float32)
+    return pos0, dir0 / jnp.linalg.norm(dir0, axis=-1, keepdims=True)
+
+
+def _default_segment3(tile_shape, pitch, delta_s):
+    """Worst-case-travel segment cap — one definition for both tiers."""
+    cap = max(1.0, float(min(tile_shape) - 1 - 2))
+    return max(1, min(64, int(cap * 0.5 * pitch / float(delta_s))))
+
+
+def _drive_tiled3(comps, medium, meta, *, op, delta_s, steps, box, segment,
+                  block_rays, tile_shape, refreshes_per_round, interpret,
+                  sort, mesh, dynamic, err_name):
+    """Morton sort + segment chain + escalation ladder + unsort.
+
+    The state-width-agnostic driver shared by the kinematic and dynamic
+    3-D tiled tiers: ``comps`` is any list of per-ray components whose
+    first three are (x, y, z).  Recovery follows the 2-D ladder
+    (re-sort -> halve segments -> bigger windows -> RuntimeError, which
+    engine.fast catches and routes to the scan tier).  Returns the flat
+    components in the caller's original ray order.
+    """
+    r = comps[0].shape[0]
     orig_idx = jnp.arange(r, dtype=jnp.int32)
 
     def apply_perm(comps, orig_idx):
@@ -359,7 +401,7 @@ def grid3_trace_tiled(method: str, pos0, dir0, delta_s, medium, *,
     def attempt(state, seg, n_run, done_steps, tile):
         kw = dict(op=op, segment=seg, box=tuple(box),
                   block_rays=block_rays, interpret=interpret, meta=meta,
-                  tile_shape=tile)
+                  tile_shape=tile, dynamic=dynamic)
         if mesh is None:
             return _tiled3_segments(
                 state, nodes4d, jnp.float32(delta_s), limit,
@@ -379,7 +421,7 @@ def grid3_trace_tiled(method: str, pos0, dir0, delta_s, medium, *,
         return None
 
     seg0 = seg = segment
-    tile = (td, th, tw)
+    tile = tile_shape
     round_refreshes = refreshes_per_round
     done_steps = 0
     while done_steps < steps:
@@ -397,10 +439,10 @@ def grid3_trace_tiled(method: str, pos0, dir0, delta_s, medium, *,
                     bigger = next_tile(tile)
                     if bigger is None:
                         raise RuntimeError(
-                            "grid3_trace_tiled: a freshly sorted ray block "
+                            f"{err_name}: a freshly sorted ray block "
                             "exceeds the largest window at segment=1 — the "
                             "batch is too spatially dispersed for 3-D "
-                            "tiling; use trace3d (scan tier)")
+                            "tiling; use the scan tier")
                     tile = bigger
                     seg = seg0
                 nstate, flag = attempt(state, seg, 1, done_steps, tile)
@@ -416,9 +458,100 @@ def grid3_trace_tiled(method: str, pos0, dir0, delta_s, medium, *,
                 seg = min(seg0, seg * 2)
 
     flat = [s.reshape(-1) for s in state]
-    out = [jnp.zeros(r, f.dtype).at[orig_idx].set(f) for f in flat]
-    (x, y, z, _, _, _, ux, uy, uz, tt, dsim, active) = out
-    return Fused3Final(pos=jnp.stack([x, y, z], -1),
-                       tangent=jnp.stack([ux, uy, uz], -1),
-                       traveltime=tt, dist_sim=dsim,
-                       active=active > 0.5)
+    return [jnp.zeros(r, f.dtype).at[orig_idx].set(f) for f in flat]
+
+
+def grid3_trace_dynamic_tiled(method: str, pos0, dir0, delta_s, medium, *,
+                              steps: int, box, segment: int | None = None,
+                              block_rays: int = 1024,
+                              tile_shape: tuple = (5, 5, 5),
+                              refreshes_per_round: int = 32,
+                              interpret: bool = False, sort: bool = True,
+                              mesh=None):
+    """Kernel-tier DYNAMIC tracing through a sampled tri-Hermite medium.
+
+    The paraxial twin of :func:`grid3_trace_tiled` for the smooth vector
+    ops (kernels/dynamic3d.DYN3_FUSED_OPS): both hand-derived launch
+    tangents run INSIDE the tiled-window kernel, with n / grad / the
+    exact symmetric Hessian of the SAME tricubic patch supplied by
+    ``kernels.dynamic3d._tile_nag3_h`` — the 3-D form of the 2-D
+    C1 dynamic tiled kernel (engine/segmented.grid_trace_dynamic_tiled
+    with 16-float cells), and the boundary-value extension of the
+    reference's production sample->fit->trace pipeline
+    (RT_bench.py:412-464 + the trazar dynamics it never lifted to 3-D).
+
+    Point-source launch (dpos = 0, du = the e1/e2 transverse frame of
+    engine/dynamic3d._transverse_frame), so ``detq``/``kmah``/the focus
+    locator match ``trace_dynamic3``'s exact-jvp metrics.  Windows
+    re-center between segments; recovery follows the kinematic ladder.
+    Returns a :class:`kernels.dynamic3d.Dyn3Final` in the caller's ray
+    order (engine.fast.fast_dynamic3 routes sampled grid3 media here).
+    """
+    from raytracing_tpu.engine.dynamic3d import _transverse_frame
+    from raytracing_tpu.engine.trace3d import canonical3
+    from raytracing_tpu.kernels.dynamic3d import (DYN3_FUSED_OPS,
+                                                  Dyn3Final)
+    from raytracing_tpu.media.grid3 import C1Grid3Medium
+
+    op = canonical3(method)
+    if op not in DYN3_FUSED_OPS:
+        raise ValueError(f"3-D dynamic tiled kernel supports "
+                         f"{DYN3_FUSED_OPS}, got {op!r}")
+    if not isinstance(medium, C1Grid3Medium):
+        raise ValueError("grid3_trace_dynamic_tiled needs a C1Grid3Medium "
+                         f"(media/grid3.py), got {type(medium).__name__}")
+    if len(box) != 6:
+        raise ValueError(f"box must be 6 floats, got {box!r}")
+    td, th, tw = tile_shape
+    r = pos0.shape[0]
+    if r % block_rays:
+        raise ValueError(f"rays {r} not a multiple of block {block_rays}")
+    if mesh is not None and r % (int(mesh.devices.size) * block_rays):
+        raise ValueError(f"ray count {r} must divide by devices*block "
+                         f"({int(mesh.devices.size)}*{block_rays})")
+    if medium.nx - 1 < tw or medium.ny - 1 < th or medium.nz - 1 < td:
+        raise ValueError(f"medium grid {medium.nz}x{medium.ny}x{medium.nx} "
+                         f"nodes is smaller than the {tile_shape} window")
+    meta = (float(medium.x0), float(medium.y0), float(medium.z0),
+            float(medium.inv_hx), float(medium.inv_hy),
+            float(medium.inv_hz), int(medium.nx), int(medium.ny),
+            int(medium.nz))
+    pitch = min(1.0 / meta[3], 1.0 / meta[4], 1.0 / meta[5])
+    if segment is None:
+        segment = _default_segment3(tile_shape, pitch, delta_s)
+
+    pos0, dir0 = _as_f32_rays(pos0, dir0)
+    e1, e2 = _transverse_frame(dir0)
+    zeros = jnp.zeros(r, jnp.float32)
+    ones = jnp.ones(r, jnp.float32)
+    big = jnp.full(r, np.finfo(np.float32).max, jnp.float32)
+    # 25-component launch state (kernels/dynamic3d.DYN3_TILE_STATE):
+    # source fixed (dpa = dpb = 0), dua/dub = the transverse frame
+    comps = ([pos0[:, 0], pos0[:, 1], pos0[:, 2],
+              dir0[:, 0], dir0[:, 1], dir0[:, 2],
+              zeros, zeros, zeros,
+              e1[:, 0], e1[:, 1], e1[:, 2],
+              zeros, zeros, zeros,
+              e2[:, 0], e2[:, 1], e2[:, 2],
+              zeros, zeros, ones, zeros, zeros, big, zeros])
+    out = _drive_tiled3(
+        comps, medium, meta, op=op, delta_s=delta_s, steps=steps,
+        box=box, segment=segment, block_rays=block_rays,
+        tile_shape=(td, th, tw), refreshes_per_round=refreshes_per_round,
+        interpret=interpret, sort=sort, mesh=mesh, dynamic=True,
+        err_name="grid3_trace_dynamic_tiled")
+    (x, y, z, ux, uy, uz, dpax, dpay, dpaz, _, _, _,
+     dpbx, dpby, dpbz, _, _, _, tt, dsim, active, _, kmah,
+     mind, minstep) = out
+    # frame-free det Q = (dpa x dpb) . u (kernels/dynamic3d docstring);
+    # n at the exit point evaluates once from the same patch algebra
+    detq = ((dpay * dpbz - dpaz * dpby) * ux
+            + (dpaz * dpbx - dpax * dpbz) * uy
+            + (dpax * dpby - dpay * dpbx) * uz)
+    n_exit = medium.n_and_grad3(x, y, z)[0]
+    return Dyn3Final(pos=jnp.stack([x, y, z], -1),
+                     tangent=jnp.stack([ux, uy, uz], -1),
+                     traveltime=tt, dist_sim=dsim, active=active > 0.5,
+                     detq=detq, kmah=kmah.astype(jnp.int32), n=n_exit,
+                     min_absdet=mind,
+                     min_absdet_step=minstep.astype(jnp.int32))

@@ -296,18 +296,14 @@ def _tile_nag_c1_h(T, bix, biy, meta, tw_dyn=None):
     construction (hyx == hxy), and gn == g.  4 channels x 4 corners = 16
     gathers per evaluation, the same 16/36 saving the kinematic C1
     kernels measured (ARCHITECTURE "C1 consistent-gradient media").
+    The blend itself is media/c1.c1_blend_h — the ONE Hessian-grade C1
+    definition, shared with the 3-D window evaluator _tile_nag3_h.
     """
-    from raytracing_tpu.media.c1 import _hermite1, hermite_dbasis
-    from raytracing_tpu.media.hermite import hermite_basis
+    from raytracing_tpu.media.c1 import c1_blend_h
 
     x0, y0, inv_hx, inv_hy, nx, ny, th, tw = meta
     twf = float(tw) if tw_dyn is None else tw_dyn
     nchunks = (len(T) + 15) // 16
-
-    def d2basis(t):
-        # second derivatives of (h00, h10, h01, h11)
-        return (12.0 * t - 6.0, 6.0 * t - 4.0,
-                -12.0 * t + 6.0, 6.0 * t - 2.0)
 
     def nag(x, y):
         fx = jnp.clip((x - x0) * inv_hx, 0.0, float(nx - 1))
@@ -341,28 +337,8 @@ def _tile_nag_c1_h(T, bix, biy, meta, tw_dyn=None):
                     out.append(val)
                 return tuple(out)
 
-        f = corners(0)
-        fv = corners(1)
-        fu = corners(2)
-        fw = corners(3)
-        hv, dv, ddv = hermite_basis(v), hermite_dbasis(v), d2basis(v)
-        hu, du, ddu = hermite_basis(u), hermite_dbasis(u), d2basis(u)
-
-        def vblend(basis):
-            p0 = _hermite1((f[0], fv[0], f[2], fv[2]), basis)
-            p1 = _hermite1((f[1], fv[1], f[3], fv[3]), basis)
-            m0 = _hermite1((fu[0], fw[0], fu[2], fw[2]), basis)
-            m1 = _hermite1((fu[1], fw[1], fu[3], fw[3]), basis)
-            return p0, m0, p1, m1
-
-        col = vblend(hv)
-        col_dv = vblend(dv)
-        n = _hermite1(col, hu)
-        gx = _hermite1(col, du) * inv_hx
-        gy = _hermite1(col_dv, hu) * inv_hy
-        hxx = _hermite1(col, ddu) * (inv_hx * inv_hx)
-        hxy = _hermite1(col_dv, du) * (inv_hx * inv_hy)
-        hyy = _hermite1(vblend(ddv), hu) * (inv_hy * inv_hy)
+        n, gx, gy, hxx, hxy, hyy = c1_blend_h(corners, u, v,
+                                              inv_hx, inv_hy)
         return n, gx, gy, gx, gy, hxx, hxy, hxy, hyy
 
     return nag

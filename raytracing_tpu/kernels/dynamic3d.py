@@ -62,7 +62,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from raytracing_tpu.config import THCK_PARAM
-from raytracing_tpu.kernels.fused3d import LANES, _rot_coeffs
+from raytracing_tpu.kernels.fused3d import CELL3_CH, LANES, _rot_coeffs
 from raytracing_tpu.media.fields import _sigmoid
 
 #: analytic fields with inlined 3-D Hessians
@@ -191,6 +191,12 @@ def _dyn_step_body3(op: str, box, eval_h, zero, ds, limit, offset=0.0):
     def body(i, carry):
         gi = i.astype(jnp.float32) + offset
         in_limit = gi < limit
+        # the scan tier labels steps 1-based (engine/dynamic3d feeds
+        # arange(1, ...)); the post-step det below belongs to step gi+1
+        # in that convention — admit and record with the SAME labels or
+        # the focus locator's first admitted sample is one step late
+        # (which flips the argmin for rays refocusing near the end)
+        gstep = gi + 1.0
         (pos, u, dpa, dua, dpb, dub, n, g, h, tt, dsim, active,
          sgn, kmah, mind, minstep) = carry
 
@@ -278,10 +284,14 @@ def _dyn_step_body3(op: str, box, eval_h, zero, ds, limit, offset=0.0):
                 & (s_new != sgn))
         kmah2 = kmah + jnp.where(flip, zero + 1.0, zero)
         sgn2 = jnp.where((active > 0.5) & (s_new != 0.0), s_new, sgn)
-        past_src = gi > 4.0
-        better = (active > 0.5) & past_src & (jnp.abs(det) < mind)
+        # in_limit gate: chained segments can overrun `limit` (n_seg *
+        # segment > steps); the frozen iterations still COMPUTE det of
+        # the hypothetical next step, which must not reach the locator
+        past_src = gstep > 4.0
+        better = ((active > 0.5) & in_limit & past_src
+                  & (jnp.abs(det) < mind))
         mind2 = jnp.where(better, jnp.abs(det), mind)
-        minstep2 = jnp.where(better, zero + gi, minstep)
+        minstep2 = jnp.where(better, zero + gstep, minstep)
 
         outb = ((pos2[0] > limx_s) | (pos2[0] < limx_i)
                 | (pos2[1] > limy_s) | (pos2[1] < limy_i)
@@ -336,6 +346,119 @@ def _make_dyn_kernel3(field: str, op: str, steps: int, box):
         fdet = _dot(*_cross(*fdpa, *fdpb), *fu)
         outs = fpos + fu + (ftt, fdsim, fact, fdet, fkmah, fn,
                             fmind, fminstep)
+        for ref, val in zip(out_refs, outs):
+            ref[...] = val
+
+    return kernel
+
+
+def _tile_nag3_h(T, bix, biy, biz, meta3, tw_dyn=None, th_dyn=None):
+    """n / grad / Hessian of the tri-Hermite patch from a VMEM window.
+
+    The dynamic twin of :func:`kernels.fused3d._tile_nag3` (same 64-float
+    per-cell window layout, same gather, same containment contract)
+    extended with the exact second derivatives of the SAME tricubic
+    patch that the paraxial recurrences need — the 3-D form of
+    :func:`kernels.dynamic._tile_nag_c1_h`: because grid3 media are
+    C1-consistent by construction (media/grid3.py), the Hessian is
+    symmetric and ``gn == g``.
+
+    Evaluation: the z axis collapses with the value, derivative AND
+    second-derivative 1-D Hermite bases; the hw patch takes the shared
+    2-D Hessian blend (media/c1.c1_blend_h), the dw patch the gradient
+    blend (its x/y derivatives ARE hxz/hyz), the ddw patch the value
+    blend (hzz).  All 64 floats of the lane's cell are gathered once and
+    reused by all three collapses.
+
+    Returns ``nag(x, y, z) -> (n, gx, gy, gz, hxx, hxy, hxz, hyy, hyz,
+    hzz)`` — exactly :func:`_dyn_step_body3`'s ``eval_h`` contract.
+    """
+    from raytracing_tpu.kernels.fused3d import _tile_cell_locate3
+    from raytracing_tpu.media.c1 import (c1_blend, c1_blend_h,
+                                         hermite_d2basis, hermite_dbasis)
+    from raytracing_tpu.media.hermite import hermite_basis
+
+    (inv_hx, inv_hy, inv_hz) = meta3[3:6]
+    locate = _tile_cell_locate3(T, bix, biy, biz, meta3, tw_dyn, th_dyn)
+
+    def nag(x, y, z):
+        ux, uy, uz, wblend = locate(x, y, z)
+        hw = hermite_basis(uz)
+        dw = hermite_dbasis(uz)
+        ddw = hermite_d2basis(uz)
+        n, gx, gy, hxx, hxy, hyy = c1_blend_h(wblend(hw), ux, uy,
+                                              inv_hx, inv_hy)
+        gzv, hxzv, hyzv = c1_blend(wblend(dw), ux, uy, inv_hx, inv_hy)
+        hzz = c1_blend(wblend(ddw), ux, uy, inv_hx, inv_hy)[0] \
+            * (inv_hz * inv_hz)
+        return (n, gx, gy, gzv * inv_hz,
+                hxx, hxy, hxzv * inv_hz, hyy, hyzv * inv_hz, hzz)
+
+    return nag
+
+
+#: per-ray dynamic state chained between tiled 3-D segments: pos(3) +
+#: u(3) + dpa(3) + dua(3) + dpb(3) + dub(3) + (tt, dsim, active, sgn,
+#: kmah, mind, minstep)
+DYN3_TILE_STATE = 25
+
+
+def _make_dyn_tile_kernel3(op: str, segment: int, box, meta3):
+    """Resumable tiled-window 3-D DYNAMIC kernel: 25 state refs in/out.
+
+    The paraxial twin of :func:`kernels.fused3d._make_tile_kernel3`:
+    refs ``(tile, bases) + state + (zero, ds)`` -> 25 out refs with the
+    :data:`DYN3_TILE_STATE` layout.  ``ds`` is the (3,) SMEM bundle
+    (delta_s, limit, offset) — the offset keeps the caustic bookkeeping
+    on the GLOBAL step across segment chains (module docstring of
+    :func:`_dyn_step_body3`); ``bases`` the (nblocks, 6) SMEM window
+    table indexed 2-D by program id (Mosaic rejects SMEM sub-ref views,
+    CLAUDE.md).  n/grad/Hessian re-evaluate from the fresh window at
+    segment start — the same table floats the previous segment's last
+    step read, so chained launches are bit-identical to one long one.
+    """
+    td, th, tw = meta3[9], meta3[10], meta3[11]
+    n_ch = (-(-td * th * tw // LANES)) * CELL3_CH
+
+    def kernel(tile_ref, base_ref, *refs):
+        in_refs = refs[:DYN3_TILE_STATE]
+        zero_ref, ds_ref = refs[DYN3_TILE_STATE], refs[DYN3_TILE_STATE + 1]
+        out_refs = refs[DYN3_TILE_STATE + 2:]
+        rows = in_refs[0].shape[0]
+        tv = tile_ref[0]
+        T = [jnp.broadcast_to(tv[i:i + 1, :], (rows, LANES))
+             for i in range(n_ch)]
+        b = pl.program_id(0)
+        nagh = _tile_nag3_h(T, base_ref[b, 0], base_ref[b, 1],
+                            base_ref[b, 2], meta3,
+                            tw_dyn=base_ref[b, 3], th_dyn=base_ref[b, 4])
+        vals = [r[...] for r in in_refs]
+        pos = tuple(vals[0:3])
+        u = tuple(vals[3:6])
+        dpa = tuple(vals[6:9])
+        dua = tuple(vals[9:12])
+        dpb = tuple(vals[12:15])
+        dub = tuple(vals[15:18])
+        tt, dsim, active, sgn, kmah, mind, minstep = vals[18:]
+        zero = zero_ref[...]
+        ds = ds_ref[0]
+        limit = ds_ref[1]
+        offset = ds_ref[2]
+
+        def eval_h(p):
+            return nagh(p[0], p[1], p[2])
+
+        body = _dyn_step_body3(op, box, eval_h, zero, ds, limit,
+                               offset=offset)
+        out10 = eval_h(pos)
+        n0, g0, h0 = out10[0], out10[1:4], out10[4:]
+        carry0 = (pos, u, dpa, dua, dpb, dub, n0, g0, h0, tt, dsim,
+                  active, sgn, kmah, mind, minstep)
+        final = jax.lax.fori_loop(0, segment, body, carry0)
+        (fpos, fu, fdpa, fdua, fdpb, fdub, _, _, _, ftt, fdsim, fact,
+         fsgn, fkmah, fmind, fminstep) = final
+        outs = (fpos + fu + fdpa + fdua + fdpb + fdub
+                + (ftt, fdsim, fact, fsgn, fkmah, fmind, fminstep))
         for ref, val in zip(out_refs, outs):
             ref[...] = val
 

@@ -244,15 +244,40 @@ def _tile_nag3(T, bix, biy, biz, meta3, tw_dyn=None, th_dyn=None):
     window shape within its gather-chunk class.
     """
     from raytracing_tpu.media.c1 import c1_blend, hermite_dbasis
-    from raytracing_tpu.media.grid3 import _CH2D
     from raytracing_tpu.media.hermite import hermite_basis
+
+    (inv_hx, inv_hy, inv_hz) = meta3[3:6]
+    locate = _tile_cell_locate3(T, bix, biy, biz, meta3, tw_dyn, th_dyn)
+
+    def nag(x, y, z):
+        ux, uy, uz, wblend = locate(x, y, z)
+        hw = hermite_basis(uz)
+        dw = hermite_dbasis(uz)
+        n, gx, gy = c1_blend(wblend(hw), ux, uy, inv_hx, inv_hy)
+        gz = c1_blend(wblend(dw), ux, uy, inv_hx, inv_hy)[0] * inv_hz
+        return n, gx, gy, gz
+
+    return nag
+
+
+def _tile_cell_locate3(T, bix, biy, biz, meta3, tw_dyn=None, th_dyn=None):
+    """Shared cell-locate + 64-float gather for 3-D window evaluators.
+
+    Returns ``locate(x, y, z) -> (ux, uy, uz, wblend)`` where ``wblend``
+    is the z-collapse closure of :func:`_tile_nag3`'s docstring: given a
+    1-D Hermite basis in uz, it yields the 2-D corner accessor feeding
+    media/c1's blends.  One definition serves the kinematic evaluator
+    above and the Hessian-grade dynamic one
+    (kernels/dynamic3d._tile_nag3_h).
+    """
+    from raytracing_tpu.media.grid3 import _CH2D
 
     (x0, y0, z0, inv_hx, inv_hy, inv_hz, nx, ny, nz, td, th, tw) = meta3
     twf = float(tw) if tw_dyn is None else tw_dyn
     thf = float(th) if th_dyn is None else th_dyn
     nchunks = (len(T) + CELL3_CH - 1) // CELL3_CH
 
-    def nag(x, y, z):
+    def locate(x, y, z):
         fx = jnp.clip((x - x0) * inv_hx, 0.0, float(nx - 1))
         fy = jnp.clip((y - y0) * inv_hy, 0.0, float(ny - 1))
         fz = jnp.clip((z - z0) * inv_hz, 0.0, float(nz - 1))
@@ -285,8 +310,6 @@ def _tile_nag3(T, bix, biy, biz, meta3, tw_dyn=None, th_dyn=None):
 
         # gather all 64 floats of the lane's cell once; vals[ch][corner]
         vals = [[fetch(ch * 8 + c) for c in range(8)] for ch in range(8)]
-        hw = hermite_basis(uz)
-        dw = hermite_dbasis(uz)
 
         def wblend(basis):
             def corners(ch2d):
@@ -298,11 +321,9 @@ def _tile_nag3(T, bix, biy, biz, meta3, tw_dyn=None, th_dyn=None):
                     for k in range(4))
             return corners
 
-        n, gx, gy = c1_blend(wblend(hw), ux, uy, inv_hx, inv_hy)
-        gz = c1_blend(wblend(dw), ux, uy, inv_hx, inv_hy)[0] * inv_hz
-        return n, gx, gy, gz
+        return ux, uy, uz, wblend
 
-    return nag
+    return locate
 
 
 def _make_tile_kernel3(op: str, segment: int, box, meta3):

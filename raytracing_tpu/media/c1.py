@@ -53,6 +53,12 @@ def hermite_dbasis(t):
             -6.0 * t2 + 6.0 * t, 3.0 * t2 - 2.0 * t)
 
 
+def hermite_d2basis(t):
+    """Second derivatives (h00'', h10'', h01'', h11'') of the basis at t."""
+    return (12.0 * t - 6.0, 6.0 * t - 4.0,
+            -12.0 * t + 6.0, 6.0 * t - 2.0)
+
+
 def _hermite1(c, h):
     """Blend one corner-column stack c = (c0, c1) pairs with basis h."""
     h0, g0, h1, g1 = h
@@ -90,6 +96,42 @@ def c1_blend(corners, u, v, inv_hx, inv_hy):
     gu = _hermite1(col, du)
     gv = _hermite1(vblend(dv), hu)
     return n, gu * inv_hx, gv * inv_hy
+
+
+def c1_blend_h(corners, u, v, inv_hx, inv_hy):
+    """(n, gx, gy, hxx, hxy, hyy) — :func:`c1_blend` plus the Hessian.
+
+    Because the C1 family evaluates n AND grad n from ONE bicubic patch,
+    its Hessian is the exact second derivative of that same patch —
+    symmetric by construction.  One shared definition serves the 2-D
+    dynamic tiled kernel (kernels/dynamic._tile_nag_c1_h) and the 3-D
+    dynamic window evaluator (kernels/dynamic3d._tile_nag3_h, where the
+    z-collapsed tri-Hermite patch is exactly a C1 2-D patch), so kernel
+    and scan-jvp tiers agree to float-accumulation order.
+    """
+    f = corners(0)
+    fv = corners(1)
+    fu = corners(2)
+    fw = corners(3)
+    hv, dv, ddv = hermite_basis(v), hermite_dbasis(v), hermite_d2basis(v)
+    hu, du, ddu = hermite_basis(u), hermite_dbasis(u), hermite_d2basis(u)
+
+    def vblend(basis):
+        p0 = _hermite1((f[0], fv[0], f[2], fv[2]), basis)
+        p1 = _hermite1((f[1], fv[1], f[3], fv[3]), basis)
+        m0 = _hermite1((fu[0], fw[0], fu[2], fw[2]), basis)
+        m1 = _hermite1((fu[1], fw[1], fu[3], fw[3]), basis)
+        return p0, m0, p1, m1
+
+    col = vblend(hv)
+    col_dv = vblend(dv)
+    n = _hermite1(col, hu)
+    gx = _hermite1(col, du) * inv_hx
+    gy = _hermite1(col_dv, hu) * inv_hy
+    hxx = _hermite1(col, ddu) * (inv_hx * inv_hx)
+    hxy = _hermite1(col_dv, du) * (inv_hx * inv_hy)
+    hyy = _hermite1(vblend(ddv), hu) * (inv_hy * inv_hy)
+    return n, gx, gy, hxx, hxy, hyy
 
 
 @struct.dataclass
