@@ -108,4 +108,11 @@ stage 13_kernel_matrix2   python benchmarks/kernel_matrix.py
 stage 14_tiled3_sweep     python benchmarks/tiled3_sweep.py
 stage 15_dyn3_tiled_sweep python benchmarks/tiled3_sweep.py --dynamic
 
+# -- round-2 sweep: drift-predicted placement + exact in-kernel
+# containment (new Mosaic programs: tiny canary again first) --------------
+stage 16_canary_drift     python benchmarks/canary3d.py all
+stage 17_tiled3_sweep2    python benchmarks/tiled3_sweep.py
+stage 18_dyn3_sweep2      python benchmarks/tiled3_sweep.py --dynamic
+stage 19_kernel_matrix3   python benchmarks/kernel_matrix.py
+
 echo "=== QUEUE DONE $(date -u +%H:%M:%S)" | tee -a "$LOG/QUEUE.log"

@@ -35,20 +35,21 @@ enable_persistent_cache()
 
 BOX3 = (-1.5, 1.5, -1.5, 1.5, -1.5, 1.5)
 
-#: (tile_shape, segment, block_rays) — segment ~= worst-case containment
-#: for the window class at the kernel_matrix step (ds = 2pi/600, pitch
-#: 0.05: ~4.8 cells/step margin base), stepped a little past the
-#: symmetric-margin cap to let the containment flag adjudicate
+#: (tile_shape, segment, block_rays).  Round-1 sweep (logs_r5/14, the
+#: pre-drift isotropic margins): best (5,5,5) seg=8 @ 0.983 G; every
+#: multi-chunk window lost on per-step gather selects; seg past the
+#: margin cap collapsed to replay storms.  Round-2 sweep (drift-
+#: predicted placement + exact in-kernel containment): push the 1-chunk
+#: window's segment through the full drifted budget.
 CONFIGS = (
-    ((5, 5, 5), None, 1024),       # the matrix row's auto default
+    ((5, 5, 5), None, 1024),       # auto default (drift-predicted: 14)
     ((5, 5, 5), 8, 1024),
-    ((6, 6, 7), 8, 1024),
-    ((6, 6, 7), 12, 1024),
-    ((8, 8, 8), 16, 1024),
-    ((8, 8, 8), 24, 1024),
-    ((10, 10, 10), 32, 1024),
-    ((6, 6, 7), 8, 2048),
-    ((8, 8, 8), 16, 2048),
+    ((5, 5, 5), 12, 1024),
+    ((5, 5, 5), 16, 1024),
+    ((5, 5, 5), 20, 1024),
+    ((5, 5, 5), 14, 2048),
+    ((6, 6, 7), 20, 1024),
+    ((6, 6, 7), 28, 1024),
 )
 
 

@@ -11,17 +11,24 @@ spline-medium story, which its 2-D FITPACK objects cannot express.
 
 Window classes are near-capacity boxes per gather-chunk count:
 (5,5,5) = 125 cells / 1 chunk, (6,6,7) = 252 / 2, (8,8,8) = 512 / 4,
-(10,10,10) = 1000 / 8.  Containment (every ray's cell inside its block's
-window for a whole segment) is verified at each refresh — margins are the
-per-axis worst-case travel ``ceil(segment * ds * inv_h)``, so a trip means
-genuine dispersal, not silent clamping; recovery follows the 2-D ladder
-(re-sort -> halve segments -> bigger windows -> RuntimeError, which
-``engine.fast.fast_trace3`` catches and falls back to the scan tier).
+(10,10,10) = 1000 / 8.  The measured operating point is the 1-chunk
+(5,5,5) window: every extra gather chunk costs more per step than its
+larger window saves in refreshes (benchmarks/logs_r5/14).
 
-No drift-predicted refresh yet (the 2-D coarse-step lever): the 3-D
-production regime is fine steps where symmetric margins already sustain
-multi-step segments; the tri-Hermite in-cell kappa bound that would make
-predicted margins rigorous is recorded future work (ARCHITECTURE.md).
+Containment is EXACT, not bounded (round-5 design): windows are placed
+by predicted drift — each block's window covers the union of its cell
+bbox and that bbox shifted by (mean tangent x segment travel), spending
+the whole window budget along the motion direction — and the kernel
+measures the true per-step window excess of every ray
+(kernels/fused3d._window_excess3), so a positive flag means some ray
+actually read clamped garbage and the round replays from its
+checkpoint.  This replaces the isotropic worst-case margin (which
+capped flag-free segments at ~2 cells of travel) without needing the
+in-cell tri-Hermite kappa bound a rigorous a-priori prediction would:
+optimistic placement costs a bounded replay, never correctness.
+Recovery follows the 2-D ladder (re-sort -> halve segments -> bigger
+windows -> RuntimeError, which ``engine.fast`` catches and falls back
+to the scan tier).
 """
 from __future__ import annotations
 
@@ -125,45 +132,59 @@ def _window_ids3(bix, biy, biz, td, th, tw, n_lanes, ncx, ncy):
 
 
 def _window_bases3(st, flag, meta, td, th, tw, ngroups, group_rays,
-                   margin_x, margin_y, margin_z):
-    """3-D containment check + window placement for G ray groups.
+                   u_idx, travel):
+    """Drift-predicted 3-D window placement for G ray groups.
 
-    Each group's cell bounding box plus per-axis margins must fit the
-    (td, th, tw)-cell window; the returned flag accumulates the worst
-    violation (<= 0 means every group fits).  Windows center their slack
-    on the bbox, clipped into the grid.
+    Round-5 design: instead of inflating every axis by the isotropic
+    worst-case travel (which caps flag-free segments at ~2 cells of
+    travel), each group's window covers the UNION of its current cell
+    bounding box and that box shifted by the group's predicted drift
+    (mean tangent x travel, per axis) — the full window budget rides in
+    the direction the block actually moves.  Placement is a PREDICTION,
+    not a bound: the kernel measures exact per-step containment
+    (kernels/fused3d._window_excess3) and the engine replays from its
+    checkpoint on violation, so curvature/spread beyond the prediction
+    costs a replay, never correctness.  The returned flag accumulates
+    only the upfront impossibility (union bbox larger than the window
+    budget; <= 0 means every group was placed).
     """
     (x0, y0, z0, inv_hx, inv_hy, inv_hz, nx, ny, nz) = meta
     ix, iy, iz = _cells3(st[0].reshape(ngroups, group_rays),
                          st[1].reshape(ngroups, group_rays),
                          st[2].reshape(ngroups, group_rays), meta)
-    ixm, ixM = jnp.min(ix, axis=1), jnp.max(ix, axis=1)
-    iym, iyM = jnp.min(iy, axis=1), jnp.max(iy, axis=1)
-    izm, izM = jnp.min(iz, axis=1), jnp.max(iz, axis=1)
-    span_x = ixM - ixm
-    span_y = iyM - iym
-    span_z = izM - izm
+    drifts = []
+    for k, inv_h in ((0, inv_hx), (1, inv_hy), (2, inv_hz)):
+        u = st[u_idx + k].reshape(ngroups, group_rays)
+        drifts.append(jnp.mean(u, axis=1) * travel * inv_h)
+
+    def union(imn, imx, drift):
+        return imn + jnp.minimum(drift, 0.0), imx + jnp.maximum(drift, 0.0)
+
+    lox, hix = union(jnp.min(ix, axis=1), jnp.max(ix, axis=1), drifts[0])
+    loy, hiy = union(jnp.min(iy, axis=1), jnp.max(iy, axis=1), drifts[1])
+    loz, hiz = union(jnp.min(iz, axis=1), jnp.max(iz, axis=1), drifts[2])
+    span_x = hix - lox
+    span_y = hiy - loy
+    span_z = hiz - loz
     need = jnp.maximum(
-        jnp.maximum(span_x + 2.0 * margin_x - float(tw - 1),
-                    span_y + 2.0 * margin_y - float(th - 1)),
-        span_z + 2.0 * margin_z - float(td - 1))
+        jnp.maximum(span_x - float(tw - 1), span_y - float(th - 1)),
+        span_z - float(td - 1))
     flag = jnp.maximum(flag, jnp.max(need))
-    bix = jnp.clip(ixm - jnp.floor((float(tw) - 1.0 - span_x) * 0.5),
+    bix = jnp.clip(jnp.floor(lox - (float(tw) - 1.0 - span_x) * 0.5),
                    0.0, float(nx - 1 - tw)).astype(jnp.int32)
-    biy = jnp.clip(iym - jnp.floor((float(th) - 1.0 - span_y) * 0.5),
+    biy = jnp.clip(jnp.floor(loy - (float(th) - 1.0 - span_y) * 0.5),
                    0.0, float(ny - 1 - th)).astype(jnp.int32)
-    biz = jnp.clip(izm - jnp.floor((float(td) - 1.0 - span_z) * 0.5),
+    biz = jnp.clip(jnp.floor(loz - (float(td) - 1.0 - span_z) * 0.5),
                    0.0, float(nz - 1 - td)).astype(jnp.int32)
     return flag, bix, biy, biz
 
 
 def _refresh_windows3(st, flag, c64, meta, td, th, tw, nblocks, block_rays,
-                      margin_x, margin_y, margin_z, nchunks, n_ch):
+                      u_idx, travel, nchunks, n_ch):
     """One per-BLOCK 3-D window refresh: (flag', tiles, bases)."""
     (x0, y0, z0, inv_hx, inv_hy, inv_hz, nx, ny, nz) = meta
     flag, bix, biy, biz = _window_bases3(
-        st, flag, meta, td, th, tw, nblocks, block_rays,
-        margin_x, margin_y, margin_z)
+        st, flag, meta, td, th, tw, nblocks, block_rays, u_idx, travel)
     wid = _window_ids3(bix, biy, biz, td, th, tw, nchunks * LANES,
                        nx - 1, ny - 1)
     cells = c64[wid]                      # (nblocks, nchunks*LANES, 64)
@@ -214,8 +235,9 @@ def _tiled3_segments_inner(state, nodes4d, delta_s, limit, offset0, n_seg,
         grid=(nblocks,),
         in_specs=[tile_spec, base_spec] + [blk] * n_state
                  + [blk, pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[blk] * n_state,
-        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * n_state,
+        out_specs=[blk] * (n_state + 1),
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)]
+                  * (n_state + 1),
         cost_estimate=pl.CostEstimate(
             flops=(1300 if dynamic else 400) * r * segment,
             bytes_accessed=(2 * n_state * r + nblocks * n_ch * LANES) * 4,
@@ -223,20 +245,22 @@ def _tiled3_segments_inner(state, nodes4d, delta_s, limit, offset0, n_seg,
         interpret=interpret,
     )
     travel = segment * delta_s
-    margin_x = jnp.ceil(travel * inv_hx)
-    margin_y = jnp.ceil(travel * inv_hy)
-    margin_z = jnp.ceil(travel * inv_hz)
+    u_idx = 3 if dynamic else 6      # tangent slots in the state layout
     c64 = _cells64(nodes4d)
 
     def seg_body(k, carry):
         st, flag = carry
         flag, tiles, bases = _refresh_windows3(
             st, flag, c64, meta, td, th, tw, nblocks, block_rays,
-            margin_x, margin_y, margin_z, nchunks, n_ch)
+            u_idx, travel, nchunks, n_ch)
         offset = offset0 + k.astype(jnp.float32) * segment
         ds_vec = jnp.stack([delta_s, limit, offset])
         args = (tiles, bases) + st + (zero, ds_vec)
-        return tuple(call(*args)), flag
+        outs = call(*args)
+        # the kernel's exact containment measurement: any positive lane
+        # means clamped-garbage reads this segment -> caller replays
+        flag = jnp.maximum(flag, jnp.max(outs[-1]))
+        return tuple(outs[:-1]), flag
 
     return jax.lax.fori_loop(0, n_seg, seg_body,
                              (tuple(state), jnp.float32(-np.inf)))
@@ -355,9 +379,18 @@ def _as_f32_rays(pos0, dir0):
 
 
 def _default_segment3(tile_shape, pitch, delta_s):
-    """Worst-case-travel segment cap — one definition for both tiers."""
-    cap = max(1.0, float(min(tile_shape) - 1 - 2))
-    return max(1, min(64, int(cap * 0.5 * pitch / float(delta_s))))
+    """Default steps between window refreshes — one definition, both tiers.
+
+    Drift-predicted placement (round 5, _window_bases3) budgets the FULL
+    window depth along the motion direction, so the default spends
+    min(tile)-2 cells of travel per segment (one cell of slack for span
+    + curvature drift-prediction error); the exact in-kernel containment
+    measurement turns any optimism into a bounded replay, not an error.
+    The pre-drift formula ((min-3) * 0.5 cells) measured 0.77 G on the
+    kernel-matrix row; segment=8 alone measured 0.98 G
+    (benchmarks/logs_r5/14)."""
+    cap = max(1.0, float(min(tile_shape) - 2))
+    return max(1, min(64, int(cap * pitch / float(delta_s))))
 
 
 def _drive_tiled3(comps, medium, meta, *, op, delta_s, steps, box, segment,

@@ -352,7 +352,8 @@ def _make_dyn_kernel3(field: str, op: str, steps: int, box):
     return kernel
 
 
-def _tile_nag3_h(T, bix, biy, biz, meta3, tw_dyn=None, th_dyn=None):
+def _tile_nag3_h(T, bix, biy, biz, meta3, tw_dyn=None, th_dyn=None,
+                 td_dyn=None):
     """n / grad / Hessian of the tri-Hermite patch from a VMEM window.
 
     The dynamic twin of :func:`kernels.fused3d._tile_nag3` (same 64-float
@@ -379,7 +380,8 @@ def _tile_nag3_h(T, bix, biy, biz, meta3, tw_dyn=None, th_dyn=None):
     from raytracing_tpu.media.hermite import hermite_basis
 
     (inv_hx, inv_hy, inv_hz) = meta3[3:6]
-    locate = _tile_cell_locate3(T, bix, biy, biz, meta3, tw_dyn, th_dyn)
+    locate = _tile_cell_locate3(T, bix, biy, biz, meta3, tw_dyn, th_dyn,
+                                td_dyn)
 
     def nag(x, y, z):
         ux, uy, uz, wblend = locate(x, y, z)
@@ -404,10 +406,12 @@ DYN3_TILE_STATE = 25
 
 
 def _make_dyn_tile_kernel3(op: str, segment: int, box, meta3):
-    """Resumable tiled-window 3-D DYNAMIC kernel: 25 state refs in/out.
+    """Resumable tiled-window 3-D DYNAMIC kernel: 25 state refs in, 26 out.
 
     The paraxial twin of :func:`kernels.fused3d._make_tile_kernel3`:
-    refs ``(tile, bases) + state + (zero, ds)`` -> 25 out refs with the
+    refs ``(tile, bases) + state + (zero, ds)`` -> 25 state out refs
+    plus the per-lane max window excess (the exact in-kernel containment
+    measurement, :func:`kernels.fused3d._window_excess3`), with the
     :data:`DYN3_TILE_STATE` layout.  ``ds`` is the (3,) SMEM bundle
     (delta_s, limit, offset) — the offset keeps the caustic bookkeeping
     on the GLOBAL step across segment chains (module docstring of
@@ -417,6 +421,8 @@ def _make_dyn_tile_kernel3(op: str, segment: int, box, meta3):
     segment start — the same table floats the previous segment's last
     step read, so chained launches are bit-identical to one long one.
     """
+    from raytracing_tpu.kernels.fused3d import _window_excess3
+
     td, th, tw = meta3[9], meta3[10], meta3[11]
     n_ch = (-(-td * th * tw // LANES)) * CELL3_CH
 
@@ -431,7 +437,13 @@ def _make_dyn_tile_kernel3(op: str, segment: int, box, meta3):
         b = pl.program_id(0)
         nagh = _tile_nag3_h(T, base_ref[b, 0], base_ref[b, 1],
                             base_ref[b, 2], meta3,
-                            tw_dyn=base_ref[b, 3], th_dyn=base_ref[b, 4])
+                            tw_dyn=base_ref[b, 3], th_dyn=base_ref[b, 4],
+                            td_dyn=base_ref[b, 5])
+        exc = _window_excess3(base_ref[b, 0], base_ref[b, 1],
+                              base_ref[b, 2], meta3,
+                              tw_dyn=base_ref[b, 3],
+                              th_dyn=base_ref[b, 4],
+                              td_dyn=base_ref[b, 5])
         vals = [r[...] for r in in_refs]
         pos = tuple(vals[0:3])
         u = tuple(vals[3:6])
@@ -448,17 +460,23 @@ def _make_dyn_tile_kernel3(op: str, segment: int, box, meta3):
         def eval_h(p):
             return nagh(p[0], p[1], p[2])
 
-        body = _dyn_step_body3(op, box, eval_h, zero, ds, limit,
-                               offset=offset)
+        inner = _dyn_step_body3(op, box, eval_h, zero, ds, limit,
+                                offset=offset)
+
+        def body(i, carry):
+            new = inner(i, carry[:-1])
+            v = exc(*new[0])
+            return new + (jnp.maximum(carry[-1], v),)
+
         out10 = eval_h(pos)
         n0, g0, h0 = out10[0], out10[1:4], out10[4:]
         carry0 = (pos, u, dpa, dua, dpb, dub, n0, g0, h0, tt, dsim,
-                  active, sgn, kmah, mind, minstep)
+                  active, sgn, kmah, mind, minstep, exc(*pos))
         final = jax.lax.fori_loop(0, segment, body, carry0)
         (fpos, fu, fdpa, fdua, fdpb, fdub, _, _, _, ftt, fdsim, fact,
-         fsgn, fkmah, fmind, fminstep) = final
+         fsgn, fkmah, fmind, fminstep, fviol) = final
         outs = (fpos + fu + fdpa + fdua + fdpb + fdub
-                + (ftt, fdsim, fact, fsgn, fkmah, fmind, fminstep))
+                + (ftt, fdsim, fact, fsgn, fkmah, fmind, fminstep, fviol))
         for ref, val in zip(out_refs, outs):
             ref[...] = val
 

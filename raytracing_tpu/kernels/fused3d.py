@@ -220,7 +220,8 @@ def _make_kernel3(field: str, op: str, steps: int, box):
 CELL3_CH = 64
 
 
-def _tile_nag3(T, bix, biy, biz, meta3, tw_dyn=None, th_dyn=None):
+def _tile_nag3(T, bix, biy, biz, meta3, tw_dyn=None, th_dyn=None,
+               td_dyn=None):
     """3-D n/grad gathered from a block-shared per-CELL window in VMEM.
 
     The tri-cubic extension of :func:`kernels.fused._tile_nag`: ``T`` is a
@@ -247,7 +248,8 @@ def _tile_nag3(T, bix, biy, biz, meta3, tw_dyn=None, th_dyn=None):
     from raytracing_tpu.media.hermite import hermite_basis
 
     (inv_hx, inv_hy, inv_hz) = meta3[3:6]
-    locate = _tile_cell_locate3(T, bix, biy, biz, meta3, tw_dyn, th_dyn)
+    locate = _tile_cell_locate3(T, bix, biy, biz, meta3, tw_dyn, th_dyn,
+                                td_dyn)
 
     def nag(x, y, z):
         ux, uy, uz, wblend = locate(x, y, z)
@@ -260,7 +262,8 @@ def _tile_nag3(T, bix, biy, biz, meta3, tw_dyn=None, th_dyn=None):
     return nag
 
 
-def _tile_cell_locate3(T, bix, biy, biz, meta3, tw_dyn=None, th_dyn=None):
+def _tile_cell_locate3(T, bix, biy, biz, meta3, tw_dyn=None, th_dyn=None,
+                       td_dyn=None):
     """Shared cell-locate + 64-float gather for 3-D window evaluators.
 
     Returns ``locate(x, y, z) -> (ux, uy, uz, wblend)`` where ``wblend``
@@ -275,6 +278,7 @@ def _tile_cell_locate3(T, bix, biy, biz, meta3, tw_dyn=None, th_dyn=None):
     (x0, y0, z0, inv_hx, inv_hy, inv_hz, nx, ny, nz, td, th, tw) = meta3
     twf = float(tw) if tw_dyn is None else tw_dyn
     thf = float(th) if th_dyn is None else th_dyn
+    tdf = float(td) if td_dyn is None else td_dyn
     nchunks = (len(T) + CELL3_CH - 1) // CELL3_CH
 
     def locate(x, y, z):
@@ -287,9 +291,13 @@ def _tile_cell_locate3(T, bix, biy, biz, meta3, tw_dyn=None, th_dyn=None):
         ux = fx - ix
         uy = fy - iy
         uz = fz - iz
-        lx = ix - bix          # in [0, tw-1] by the containment contract
-        ly = iy - biy
-        lz = iz - biz
+        # clamp into the window: rays normally stay inside (the engine
+        # replays any segment whose exact in-kernel excess went positive,
+        # _window_excess3), but a mid-segment escape must read DEFINED
+        # garbage, not index out of the gather range
+        lx = jnp.clip(ix - bix, 0.0, twf - 1.0)
+        ly = jnp.clip(iy - biy, 0.0, thf - 1.0)
+        lz = jnp.clip(iz - biz, 0.0, tdf - 1.0)
         t = ((lz * thf + ly) * twf + lx).astype(jnp.int32)
         if nchunks == 1:
             lane = t
@@ -326,14 +334,49 @@ def _tile_cell_locate3(T, bix, biy, biz, meta3, tw_dyn=None, th_dyn=None):
     return locate
 
 
-def _make_tile_kernel3(op: str, segment: int, box, meta3):
-    """Resumable tiled-window 3-D kernel: 12 state refs in/out.
+def _window_excess3(bix, biy, biz, meta3, tw_dyn=None, th_dyn=None,
+                    td_dyn=None):
+    """Exact per-ray window excess (in cells) for a query position.
 
-    Refs: ``(tile, bases) + state + (zero, ds)`` -> 12 out refs with
-    state = (x, y, z, cx, cy, cz, ux, uy, uz, tt, dsim, active).  ``ds``
-    is the (3,) SMEM bundle (delta_s, limit, offset); ``bases`` the full
-    (nblocks, 6) SMEM table of (bix, biy, biz, tw, th, td) rows, indexed
-    2-D by program id (Mosaic rejects SMEM sub-ref views, CLAUDE.md).
+    The measurement that replaced the isotropic worst-case-travel margin
+    (round 5): the engine places windows by PREDICTED drift (mean
+    tangent x travel) and the kernel tracks ``max(exc(pos))`` over every
+    step it actually takes — positive means some ray read clamped
+    garbage and the engine must replay the segment from its checkpoint
+    (engine/tiled3._drive_tiled3).  Exactness makes aggressive
+    placement safe without an in-cell curvature bound: violations are
+    detected, not bounded a priori.
+    """
+    (x0, y0, z0, inv_hx, inv_hy, inv_hz, nx, ny, nz, td, th, tw) = meta3
+    twf = float(tw) if tw_dyn is None else tw_dyn
+    thf = float(th) if th_dyn is None else th_dyn
+    tdf = float(td) if td_dyn is None else td_dyn
+
+    def exc(x, y, z):
+        fx = jnp.clip((x - x0) * inv_hx, 0.0, float(nx - 1))
+        fy = jnp.clip((y - y0) * inv_hy, 0.0, float(ny - 1))
+        fz = jnp.clip((z - z0) * inv_hz, 0.0, float(nz - 1))
+        lx = jnp.minimum(jnp.floor(fx), float(nx - 2)) - bix
+        ly = jnp.minimum(jnp.floor(fy), float(ny - 2)) - biy
+        lz = jnp.minimum(jnp.floor(fz), float(nz - 2)) - biz
+        ex = jnp.maximum(lx - (twf - 1.0), -lx)
+        ey = jnp.maximum(ly - (thf - 1.0), -ly)
+        ez = jnp.maximum(lz - (tdf - 1.0), -lz)
+        return jnp.maximum(jnp.maximum(ex, ey), ez)
+
+    return exc
+
+
+def _make_tile_kernel3(op: str, segment: int, box, meta3):
+    """Resumable tiled-window 3-D kernel: 12 state refs in, 13 out.
+
+    Refs: ``(tile, bases) + state + (zero, ds)`` -> 12 state out refs
+    plus the per-lane max window EXCESS (the exact in-kernel containment
+    measurement, :func:`_window_excess3`), with state = (x, y, z, cx,
+    cy, cz, ux, uy, uz, tt, dsim, active).  ``ds`` is the (3,) SMEM
+    bundle (delta_s, limit, offset); ``bases`` the full (nblocks, 6)
+    SMEM table of (bix, biy, biz, tw, th, td) rows, indexed 2-D by
+    program id (Mosaic rejects SMEM sub-ref views, CLAUDE.md).
     n/grad re-evaluate from the fresh window at segment start.
     """
     td, th, tw = meta3[9], meta3[10], meta3[11]
@@ -350,7 +393,13 @@ def _make_tile_kernel3(op: str, segment: int, box, meta3):
              for i in range(n_ch)]
         b = pl.program_id(0)
         nag = _tile_nag3(T, base_ref[b, 0], base_ref[b, 1], base_ref[b, 2],
-                         meta3, tw_dyn=base_ref[b, 3], th_dyn=base_ref[b, 4])
+                         meta3, tw_dyn=base_ref[b, 3],
+                         th_dyn=base_ref[b, 4], td_dyn=base_ref[b, 5])
+        exc = _window_excess3(base_ref[b, 0], base_ref[b, 1],
+                              base_ref[b, 2], meta3,
+                              tw_dyn=base_ref[b, 3],
+                              th_dyn=base_ref[b, 4],
+                              td_dyn=base_ref[b, 5])
         (x, y, z, cx, cy, cz, ux, uy, uz, tt, dsim, active) = [
             r[...] for r in in_refs]
         zero = zero_ref[...]
@@ -358,15 +407,22 @@ def _make_tile_kernel3(op: str, segment: int, box, meta3):
         limit = ds_ref[1]
         offset = ds_ref[2]
 
-        body = _step_body3(op, box, nag, zero, ds, limit, offset=offset)
+        inner = _step_body3(op, box, nag, zero, ds, limit, offset=offset)
+
+        def body(i, carry):
+            new = inner(i, carry[:-1])
+            v = exc(new[0], new[1], new[2])
+            return new + (jnp.maximum(carry[-1], v),)
+
         n, gx, gy, gz = nag(x, y, z)
         carry0 = (x, y, z, cx, cy, cz, ux, uy, uz, n, gx, gy, gz, tt,
-                  dsim, active)
+                  dsim, active, exc(x, y, z))
         final = jax.lax.fori_loop(0, segment, body, carry0)
         (fx, fy, fz, fcx, fcy, fcz, fux, fuy, fuz, _, _, _, _, ftt,
-         fdsim, fact) = final
+         fdsim, fact, fviol) = final
         for ref, val in zip(out_refs, (fx, fy, fz, fcx, fcy, fcz,
-                                       fux, fuy, fuz, ftt, fdsim, fact)):
+                                       fux, fuy, fuz, ftt, fdsim, fact,
+                                       fviol)):
             ref[...] = val
 
     return kernel
