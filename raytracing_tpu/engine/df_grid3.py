@@ -238,23 +238,29 @@ def _make_df_nag3(med: DfC1Medium3):
     return nag
 
 
+def _regroup(basis):
+    """(h00, h10, h01, h11) -> b[k][d]: channel bit k, corner d."""
+    h00, h10, h01, h11 = basis
+    return ((h00, h01), (h10, h11))
+
+
 def _b_val(t):
-    """Plain Hermite value basis b[k][d]: channel bit k, corner d."""
-    t2 = t * t
-    t3 = t2 * t
-    return ((2.0 * t3 - 3.0 * t2 + 1.0, -2.0 * t3 + 3.0 * t2),
-            (t3 - 2.0 * t2 + t, t3 - t2))
+    """media/c1's canonical Hermite bases regrouped — ONE polynomial
+    definition (c1.hermite_basis/_dbasis/_d2basis) shared with every
+    primal tier, so a truncation fix there cannot leave these tangents
+    evaluating a different polynomial."""
+    from raytracing_tpu.media.hermite import hermite_basis
+    return _regroup(hermite_basis(t))
 
 
 def _b_d1(t):
-    t2 = t * t
-    return ((6.0 * t2 - 6.0 * t, -6.0 * t2 + 6.0 * t),
-            (3.0 * t2 - 4.0 * t + 1.0, 3.0 * t2 - 2.0 * t))
+    from raytracing_tpu.media.c1 import hermite_dbasis
+    return _regroup(hermite_dbasis(t))
 
 
 def _b_d2(t):
-    return ((12.0 * t - 6.0, 6.0 - 12.0 * t),
-            (6.0 * t - 4.0, 6.0 * t - 2.0))
+    from raytracing_tpu.media.c1 import hermite_d2basis
+    return _regroup(hermite_d2basis(t))
 
 
 def _hess3(med: DfC1Medium3, x, y, z):

@@ -81,6 +81,10 @@ class Dynamic3Result(NamedTuple):
     n: Any            # (R,)
     traveltime: Any   # (R,)
     dist_real: Any    # (R,)
+    dist_sim: Any     # (R,) sum of per-step |D| (== dist_real for
+                      # first-order position updates; larger for the
+                      # second-order op6/op8 step — the kernel tiers'
+                      # dist_sim semantics, kernels/fused3d)
     exit_step: Any    # (R,) int32
     Q: Any            # (R, 2, 2) paraxial Jacobian in the transported frame
     detq: Any         # (R,) det Q
@@ -170,9 +174,10 @@ def _build_dynamic3_fn(method: str, max_size: int, box, mode: str,
             return jnp.stack(cols, -1)      # (R, 2, 2): rows e_i, cols alpha_j
 
         def body(carry, i):
-            (pt, ta, tb, tt, dreal, active, exit_step, e1c, e2c, sgn,
-             kmah, mind, minstep) = carry[:13]
-            cross = carry[13:]
+            (pt, ta, tb, tt, dreal, dsim, active, exit_step, e1c, e2c,
+             sgn, kmah, mind, minstep) = carry[:14]
+            cross = carry[14:]
+            frame0 = (e1c, e2c)    # pre-step frame (e1c/e2c rebind below)
             pt_a, ta_n = jax.jvp(lambda p: step(p, i), (pt,), (ta,))
             _, tb_n = jax.jvp(lambda p: step(p, i), (pt,), (tb,))
 
@@ -185,6 +190,7 @@ def _build_dynamic3_fn(method: str, max_size: int, box, mode: str,
             tb2 = sel(active, tb_n, tb)
             tt2 = jnp.where(active, tt_n, tt)
             dreal2 = jnp.where(active, dreal + delta_s, dreal)
+            dsim2 = jnp.where(active, dsim + dist, dsim)
 
             # Gram-Schmidt transport of the transverse frame (smooth: the
             # sign of det Q cannot flip from a frame jump)
@@ -249,7 +255,7 @@ def _build_dynamic3_fn(method: str, max_size: int, box, mode: str,
                 frac = jnp.where(hit, d0 / jnp.where(hit, x0 - x1, 1.0),
                                  0.0)
                 # pre-step det Q in the PRE-step frame (the lerp partner)
-                Q0 = q_of(pt, (ta, tb), carry[7:9])
+                Q0 = q_of(pt, (ta, tb), frame0)
                 det0 = (Q0[..., 0, 0] * Q0[..., 1, 1]
                         - Q0[..., 0, 1] * Q0[..., 1, 0])
 
@@ -275,8 +281,8 @@ def _build_dynamic3_fn(method: str, max_size: int, box, mode: str,
                 cross = (cnt + hit.astype(jnp.int32),
                          jnp.where(take[:, None], row, rec))
 
-            carry2 = (pt2, ta2, tb2, tt2, dreal2, active2, exit2, e1c, e2c,
-                      sgn2, kmah2, mind2, minstep2) + cross
+            carry2 = (pt2, ta2, tb2, tt2, dreal2, dsim2, active2, exit2,
+                      e1c, e2c, sgn2, kmah2, mind2, minstep2) + cross
             if history:
                 cols = [pt2[0][..., 0], pt2[0][..., 1], pt2[0][..., 2],
                         tt2, pt2[2], det, kmah2.astype(dtype)]
@@ -301,7 +307,8 @@ def _build_dynamic3_fn(method: str, max_size: int, box, mode: str,
                       jnp.zeros(n_src.shape + (len(CROSS3_COLS),), dtype))
         else:
             cross0 = ()
-        carry0 = (pt0, t1, t2, zeros, zeros, active0, exit0, e1, e2,
+        carry0 = (pt0, t1, t2, zeros, zeros, zeros, active0, exit0, e1,
+                  e2,
                   jnp.zeros_like(n_src, dtype=jnp.int8),
                   jnp.zeros_like(n_src, dtype=jnp.int32),
                   jnp.full_like(n_src, np.inf),
@@ -309,11 +316,11 @@ def _build_dynamic3_fn(method: str, max_size: int, box, mode: str,
         steps = jnp.arange(1, max_size, dtype=jnp.int32)
         finalc, rows = jax.lax.scan(body, carry0, steps)
         if cross_fan:
-            return Crossing3Fan(depths=finalc[14], counts=finalc[13])
+            return Crossing3Fan(depths=finalc[15], counts=finalc[14])
         if cross_pick:
-            return Crossing3Pick(state=finalc[14], found=finalc[13] > 0)
-        (ptf, taf, tbf, ttf, drealf, _, exitf, e1f, e2f, _, kmahf, mindf,
-         minstepf) = finalc[:13]
+            return Crossing3Pick(state=finalc[15], found=finalc[14] > 0)
+        (ptf, taf, tbf, ttf, drealf, dsimf, _, exitf, e1f, e2f, _, kmahf,
+         mindf, minstepf) = finalc[:14]
 
         Qf = q_of(ptf, (taf, tbf), (e1f, e2f))
         detf = (Qf[..., 0, 0] * Qf[..., 1, 1]
@@ -331,6 +338,7 @@ def _build_dynamic3_fn(method: str, max_size: int, box, mode: str,
             hist = None
         return Dynamic3Result(pos=ptf[0], unitv=ptf[1], n=ptf[2],
                               traveltime=ttf, dist_real=drealf,
+                              dist_sim=dsimf,
                               exit_step=exitf, Q=Qf, detq=detf,
                               kmah=kmahf, min_absdet=mindf,
                               min_absdet_step=minstepf, n0=n_src,

@@ -84,7 +84,7 @@ def find_eigenrays3(method: str, medium, *, source, receivers, delta_s,
                     fan=(-0.3, 0.3, 25, -0.3, 0.3, 25), iters: int = 12,
                     tol: float = 1e-9, dtype=np.float64,
                     on_host: bool | None = None,
-                    mesh=None) -> Eigenrays3:
+                    mesh=None, max_ord: int = 8) -> Eigenrays3:
     """Every fan-resolved 3-D ray path from ``source`` to each receiver.
 
     ``fan`` = (a_lo, a_hi, n_a, b_lo, b_hi, n_b): the launch-direction
@@ -95,8 +95,12 @@ def find_eigenrays3(method: str, medium, *, source, receivers, delta_s,
     solve precision: f64 default; pass np.float32 for on-chip work with
     an f32 medium — the accuracy-grade combination is the split-word
     facade ``df_eval_medium3_from_samples`` (engine/df_grid3.py), whose
-    evaluations stay f64-grade under an f32 solve.  See the module
-    docstring for the algorithm and its resolution caveats.
+    evaluations stay f64-grade under an f32 solve.  ``max_ord`` caps
+    the range-crossing ordinals the on-device records resolve (the 2-D
+    solver's knob, engine/eigenray.py): looping/ducting paths that
+    cross a receiver range more than ``max_ord`` times need it raised
+    or their later arrivals are not seeded.  See the module docstring
+    for the algorithm and its resolution caveats.
     """
     import contextlib
 
@@ -121,12 +125,13 @@ def find_eigenrays3(method: str, medium, *, source, receivers, delta_s,
                                 max_size=max_size, box=box,
                                 center_dir=center_dir, fan=fan, iters=iters,
                                 tol=tol, dtype=np.dtype(dtype).type,
-                                mesh=mesh)
+                                mesh=mesh, max_ord=max_ord)
 
 
 def _find_eigenrays3(method, medium, *, source, receivers, delta_s,
                      max_size, box, center_dir, fan, iters,
-                     tol, dtype=np.float64, mesh=None) -> Eigenrays3:
+                     tol, dtype=np.float64, mesh=None,
+                     max_ord: int = 8) -> Eigenrays3:
     source = np.asarray(source, np.float64)
     receivers = np.atleast_2d(np.asarray(receivers, np.float64))
     if center_dir is None:
@@ -174,9 +179,9 @@ def _find_eigenrays3(method, medium, *, source, receivers, delta_s,
     kf, fan_pos0, fan_dir0, _ = launch(dirs_flat)
     fanres = trace_crossings_fan3(
         method, medium, pos0=fan_pos0, dir0=fan_dir0, delta_s=delta_s,
-        steps=int(max_size), box=box, ranges=uniq_xr, max_ord=8,
-        dtype=dtype)
-    depths = np.asarray(fanres.depths)[:kf]      # (F, NRu, 8, 2)
+        steps=int(max_size), box=box, ranges=uniq_xr,
+        max_ord=int(max_ord), dtype=dtype)
+    depths = np.asarray(fanres.depths)[:kf]      # (F, NRu, max_ord, 2)
 
     cand_dir, cand_rec, cand_ord = [], [], []
     for ui in range(len(uniq_xr)):

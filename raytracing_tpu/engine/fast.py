@@ -472,6 +472,37 @@ def fast_dynamic(op_name: str, scen: config.ScenarioConfig, medium, *,
             "dynamic-scan")
 
 
+#: scan fallback trip-count bound on the TPU backend for LARGE-table
+#: media: compiling scan+gather-over-large-table programs with many
+#: steps has wedged the single-lane remote compile helper for 40 min -
+#: 4.5 h (CLAUDE.md hazards).  Bounded trips are measured safe
+#: (benchmarks/grid3_scan_probe.py runs 24 steps); beyond this, refuse
+#: loudly instead of silently compiling the hazard class.
+GRID3_SCAN_TPU_MAX_STEPS = 256
+
+
+def _guard_grid3_scan_fallback(medium, steps, interpret):
+    """Refuse the grid3 scan fallback where it would wedge the chip.
+
+    Reached only when the tiled-window ladder rejected the batch as too
+    dispersed; on the TPU backend a long scan+gather trace over the
+    tri-Hermite table is the documented compile-wedge class, so fail
+    with guidance rather than hang the remote helper for hours.
+    """
+    from raytracing_tpu.media.grid3 import C1Grid3Medium
+
+    if (not interpret and jax.default_backend() == "tpu"
+            and isinstance(medium, C1Grid3Medium)
+            and int(steps) > GRID3_SCAN_TPU_MAX_STEPS):
+        raise RuntimeError(
+            f"batch too dispersed for 3-D tiling, and the scan fallback "
+            f"over a sampled grid3 medium at {steps} steps is the "
+            f"scan+gather compile-wedge class on the TPU backend "
+            f"(bound: {GRID3_SCAN_TPU_MAX_STEPS}).  Pre-sort the batch "
+            f"into spatially compact chunks, trace in <= "
+            f"{GRID3_SCAN_TPU_MAX_STEPS}-step pieces, or run on CPU.")
+
+
 def fast_dynamic3(method: str, medium, *, pos0, dir0, delta_s, steps: int,
                   box, block_rays: int = 1024,
                   interpret: bool | None = None):
@@ -539,13 +570,16 @@ def fast_dynamic3(method: str, medium, *, pos0, dir0, delta_s, steps: int,
             dir0 = jnp.concatenate([dir0, jnp.tile(dir0[-1:], (pad, 1))])
         try:
             res = kernel(pos0, dir0)
-        except RuntimeError:
+        except RuntimeError as e:
+            if "dispersed" not in str(e):
+                raise    # OOM / XLA failures are not a routing decision
             res = None   # batch too dispersed for 3-D tiling -> scan tier
         if res is not None:
             if pad:
                 res = Dyn3Final(*(v[:r] for v in res))
             return res, eng
         pos0, dir0 = pos0[:r], dir0[:r]
+        _guard_grid3_scan_fallback(medium, steps, interpret)
 
     d = trace_dynamic3(method, medium, pos0=pos0, dir0=dir0,
                        delta_s=float(delta_s), steps=int(steps),
@@ -557,7 +591,7 @@ def fast_dynamic3(method: str, medium, *, pos0, dir0, delta_s, steps: int,
               & (d.pos[:, 1] >= bx[2]) & (d.pos[:, 1] <= bx[3])
               & (d.pos[:, 2] >= bx[4]) & (d.pos[:, 2] <= bx[5]))
     return (Dyn3Final(pos=d.pos, tangent=d.unitv,
-                      traveltime=d.traveltime, dist_sim=d.dist_real,
+                      traveltime=d.traveltime, dist_sim=d.dist_sim,
                       active=active, detq=d.detq, kmah=d.kmah, n=d.n,
                       min_absdet=d.min_absdet,
                       min_absdet_step=d.min_absdet_step),
@@ -628,13 +662,16 @@ def fast_trace3(method: str, medium, *, pos0, dir0, delta_s, steps: int,
             dir0 = jnp.concatenate([dir0, jnp.tile(dir0[-1:], (pad, 1))])
         try:
             res = kernel(pos0, dir0)
-        except RuntimeError:
+        except RuntimeError as e:
+            if "dispersed" not in str(e):
+                raise    # OOM / XLA failures are not a routing decision
             res = None   # batch too dispersed for 3-D tiling -> scan tier
         if res is not None:
             if pad:
                 res = Fused3Final(*(v[:r] for v in res))
             return res, eng
         pos0, dir0 = pos0[:r], dir0[:r]
+        _guard_grid3_scan_fallback(medium, steps, interpret)
 
     t = trace3d(method, medium, pos0=pos0, dir0=dir0,
                 delta_s=float(delta_s), steps=int(steps), box=tuple(box),

@@ -304,34 +304,22 @@ def _tiled3_segments_sharded(state, nodes4d, delta_s, limit, offset0,
     return fn(tuple(state), nodes4d, delta_s, limit, offset0, n_seg)
 
 
-def grid3_trace_tiled(method: str, pos0, dir0, delta_s, medium, *,
-                      steps: int, box, segment: int | None = None,
-                      block_rays: int = 1024, tile_shape: tuple = (5, 5, 5),
-                      refreshes_per_round: int = 32,
-                      interpret: bool = False, sort: bool = True,
-                      mesh=None) -> Fused3Final:
-    """Kernel-tier tracing through a sampled tri-Hermite 3-D medium.
+def _prep_tiled3(method, pos0, medium, *, box, delta_s, segment,
+                 block_rays, tile_shape, mesh, ops, fname):
+    """Shared validation + meta/segment derivation for both tiled tiers.
 
-    The production path for measured 3-D fields: Morton-sorted ray blocks
-    share VMEM node windows refreshed between bounded-trip kernel
-    launches, with the 2-D tier's recovery ladder (re-sort -> smaller
-    segments -> bigger windows -> RuntimeError for genuinely dispersed
-    batches, which fast_trace3 catches and routes to the scan tier).
-
-    ``medium`` is a :class:`media.grid3.C1Grid3Medium`; ``method`` one of
-    the vector ops (engine/trace3d.METHODS3).  ``mesh`` shards the ray
-    batch across devices with shard-local windows.  Returns a
-    :class:`kernels.fused3d.Fused3Final` in the caller's ray order.
+    One definition of the entry contract (the 2-D tier's kinematic and
+    dynamic preambles drifted once — the round-5 ADVICE ladder bug class
+    — so the 3-D pair shares it).  Returns ``(op, meta, segment)``.
     """
     from raytracing_tpu.engine.trace3d import canonical3
     from raytracing_tpu.media.grid3 import C1Grid3Medium
 
     op = canonical3(method)
-    if op not in FUSED3_OPS:
-        raise ValueError(f"3-D tiled kernel supports {FUSED3_OPS}, "
-                         f"got {op!r}")
+    if op not in ops:
+        raise ValueError(f"{fname} supports {ops}, got {op!r}")
     if not isinstance(medium, C1Grid3Medium):
-        raise ValueError("grid3_trace_tiled needs a C1Grid3Medium "
+        raise ValueError(f"{fname} needs a C1Grid3Medium "
                          f"(media/grid3.py), got {type(medium).__name__}")
     if len(box) != 6:
         raise ValueError(f"box must be 6 floats, got {box!r}")
@@ -352,6 +340,34 @@ def grid3_trace_tiled(method: str, pos0, dir0, delta_s, medium, *,
     pitch = min(1.0 / meta[3], 1.0 / meta[4], 1.0 / meta[5])
     if segment is None:
         segment = _default_segment3(tile_shape, pitch, delta_s)
+    return op, meta, segment
+
+
+def grid3_trace_tiled(method: str, pos0, dir0, delta_s, medium, *,
+                      steps: int, box, segment: int | None = None,
+                      block_rays: int = 1024, tile_shape: tuple = (5, 5, 5),
+                      refreshes_per_round: int = 32,
+                      interpret: bool = False, sort: bool = True,
+                      mesh=None) -> Fused3Final:
+    """Kernel-tier tracing through a sampled tri-Hermite 3-D medium.
+
+    The production path for measured 3-D fields: Morton-sorted ray blocks
+    share VMEM node windows refreshed between bounded-trip kernel
+    launches, with the 2-D tier's recovery ladder (re-sort -> smaller
+    segments -> bigger windows -> RuntimeError for genuinely dispersed
+    batches, which fast_trace3 catches and routes to the scan tier).
+
+    ``medium`` is a :class:`media.grid3.C1Grid3Medium`; ``method`` one of
+    the vector ops (engine/trace3d.METHODS3).  ``mesh`` shards the ray
+    batch across devices with shard-local windows.  Returns a
+    :class:`kernels.fused3d.Fused3Final` in the caller's ray order.
+    """
+    op, meta, segment = _prep_tiled3(
+        method, pos0, medium, box=box, delta_s=delta_s, segment=segment,
+        block_rays=block_rays, tile_shape=tile_shape, mesh=mesh,
+        ops=FUSED3_OPS, fname="grid3_trace_tiled")
+    td, th, tw = tile_shape
+    r = pos0.shape[0]
 
     # 12-component state: pos, Kahan comps, tangent, accumulators, active
     pos0, dir0 = _as_f32_rays(pos0, dir0)
@@ -521,37 +537,15 @@ def grid3_trace_dynamic_tiled(method: str, pos0, dir0, delta_s, medium, *,
     order (engine.fast.fast_dynamic3 routes sampled grid3 media here).
     """
     from raytracing_tpu.engine.dynamic3d import _transverse_frame
-    from raytracing_tpu.engine.trace3d import canonical3
     from raytracing_tpu.kernels.dynamic3d import (DYN3_FUSED_OPS,
                                                   Dyn3Final)
-    from raytracing_tpu.media.grid3 import C1Grid3Medium
 
-    op = canonical3(method)
-    if op not in DYN3_FUSED_OPS:
-        raise ValueError(f"3-D dynamic tiled kernel supports "
-                         f"{DYN3_FUSED_OPS}, got {op!r}")
-    if not isinstance(medium, C1Grid3Medium):
-        raise ValueError("grid3_trace_dynamic_tiled needs a C1Grid3Medium "
-                         f"(media/grid3.py), got {type(medium).__name__}")
-    if len(box) != 6:
-        raise ValueError(f"box must be 6 floats, got {box!r}")
+    op, meta, segment = _prep_tiled3(
+        method, pos0, medium, box=box, delta_s=delta_s, segment=segment,
+        block_rays=block_rays, tile_shape=tile_shape, mesh=mesh,
+        ops=DYN3_FUSED_OPS, fname="grid3_trace_dynamic_tiled")
     td, th, tw = tile_shape
     r = pos0.shape[0]
-    if r % block_rays:
-        raise ValueError(f"rays {r} not a multiple of block {block_rays}")
-    if mesh is not None and r % (int(mesh.devices.size) * block_rays):
-        raise ValueError(f"ray count {r} must divide by devices*block "
-                         f"({int(mesh.devices.size)}*{block_rays})")
-    if medium.nx - 1 < tw or medium.ny - 1 < th or medium.nz - 1 < td:
-        raise ValueError(f"medium grid {medium.nz}x{medium.ny}x{medium.nx} "
-                         f"nodes is smaller than the {tile_shape} window")
-    meta = (float(medium.x0), float(medium.y0), float(medium.z0),
-            float(medium.inv_hx), float(medium.inv_hy),
-            float(medium.inv_hz), int(medium.nx), int(medium.ny),
-            int(medium.nz))
-    pitch = min(1.0 / meta[3], 1.0 / meta[4], 1.0 / meta[5])
-    if segment is None:
-        segment = _default_segment3(tile_shape, pitch, delta_s)
 
     pos0, dir0 = _as_f32_rays(pos0, dir0)
     e1, e2 = _transverse_frame(dir0)

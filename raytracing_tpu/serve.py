@@ -363,7 +363,12 @@ def _trace_samples_request(body: dict) -> dict:
     return resp
 
 
-MAX_EIGEN_ELEMS = 4_000_000    # fan_count * steps bound: f64 history RAM
+# fan_count * steps bound.  Historically the f64 full-history RAM cap;
+# both solvers are history-free now (round-4 2-D, round-5 3-D: on-device
+# crossing records, (F, NR, max_ord, 2) readbacks), so this is a
+# per-request COMPUTE budget — ~64M fan ray-steps is seconds of chip or
+# host time — not a memory wall.
+MAX_EIGEN_ELEMS = 64_000_000
 MAX_RECEIVERS = 128
 MAX_FAN = 1024
 
@@ -451,7 +456,7 @@ def _eigenrays_request(body: dict) -> dict:
     if not 1 <= steps * n_fan <= MAX_EIGEN_ELEMS:
         raise ValueError(
             f"steps * fan count must be in [1, {MAX_EIGEN_ELEMS}] "
-            f"(f64 history memory bound), got {steps * n_fan}")
+            f"(per-request compute bound), got {steps * n_fan}")
     box = tuple(float(v) for v in body.get("box", default_box))
     if len(box) != 4 or not np.all(np.isfinite(box)) or \
             not (box[0] < box[1] and box[2] < box[3]):
@@ -713,7 +718,7 @@ def _eigenrays3_request(body: dict) -> dict:
     if not 1 <= steps * n_fan <= MAX_EIGEN_ELEMS:
         raise ValueError(
             f"steps * fan grid size must be in [1, {MAX_EIGEN_ELEMS}] "
-            f"(f64 full-history memory bound), got {steps * n_fan}")
+            f"(per-request compute bound), got {steps * n_fan}")
     center = body.get("center_dir")
     if center is not None:
         center = _finite("center_dir", np.asarray(center, np.float64))

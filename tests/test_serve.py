@@ -464,10 +464,10 @@ def test_eigenrays3_rejects_bad_shapes(server):
     code, body = _post(server + "/v1/eigenrays3",
                        dict(base, samples=[[1.0, 1.1], [1.0, 1.1]]))
     assert code == 400 and "PROFILES" in body["error"]
-    # budget bound: fan grid * steps capped
+    # budget bound: fan grid * steps capped (64M compute bound, round 5)
     code, body = _post(server + "/v1/eigenrays3",
                        dict(base, steps=100000,
-                            fan={"count": [64, 64]}))
+                            fan={"count": [32, 32]}))
     assert code == 400 and "bound" in body["error"]
 
 
@@ -487,9 +487,10 @@ def test_eigenrays_rejects_golden_and_bad_shapes(server):
     code, body = _post(server + "/v1/eigenrays",
                        dict(base, fan={"theta": [0.5, -0.5]}))
     assert code == 400
-    # budget bound: fan * steps capped
+    # budget bound: fan * steps capped (the history-free solvers turned
+    # the old 4M f64-history RAM cap into a 64M compute bound, round 5)
     code, body = _post(server + "/v1/eigenrays",
-                       dict(base, steps=100000,
+                       dict(base, steps=1000000,
                             fan={"theta": [-0.3, 0.3], "count": 512}))
     assert code == 400 and "bound" in body["error"]
 
