@@ -2,7 +2,14 @@
 
 Run:  python benchmarks/kernel_matrix.py  (TPU host; ~3 min after compiles)
 Writes benchmarks/kernel_matrix.json.
+
+``--only PREFIX[,PREFIX...]`` re-measures only the rows whose name starts
+with a given prefix and MERGES them into the existing JSON (all other
+rows kept verbatim).  Use after a change that touches a known subset of
+kernel families — a full cold regen costs ~25 Mosaic compiles through
+the single-lane tunnel, which a targeted refresh avoids.
 """
+import argparse
 import json
 import time
 
@@ -33,6 +40,13 @@ def best_of(fn, reps=3, per=3):
     return min(ts)
 
 
+ONLY = ()   # row-name prefixes; empty = measure everything
+
+
+def want(name):
+    return not ONLY or any(name.startswith(p) for p in ONLY)
+
+
 def main():
     scen = rt.scenario("fisheye")
     theta0 = jax.device_put(np.full(R, np.pi / 2, np.float32))
@@ -51,10 +65,13 @@ def main():
                                    np.float32(2 * np.pi / DIV),
                                    steps=1 * (DIV + 1) - 1)[0]
 
-    t = best_of(spec)
-    out["specialized_op1"] = round(R * DIV / t / 1e9, 2)
+    if want("specialized_op1"):
+        t = best_of(spec)
+        out["specialized_op1"] = round(R * DIV / t / 1e9, 2)
 
     for op in ["op1", "op2", "op3", "op4", "op6", "op7", "op8"]:
+        if not want(f"fused_{op}"):
+            continue
         def run(op=op):
             return fused_trace_final(pos0, theta0, ds, field="fisheye",
                                      op=op, steps=DIV, box=tuple(scen.box)).pos
@@ -66,6 +83,8 @@ def main():
     vpos = jax.device_put(
         np.stack([np.full(R, -2.0), np.full(R, -2.0)], -1).astype(np.float32))
     for op in ["op5", "op9", "op10", "op11", "op10n", "op11n"]:
+        if not want(f"golden_{op}"):
+            continue
         def run(op=op):
             return golden_trace_final(vpos, vth, np.float32(0.0193),
                                       np.float32(3.0),
@@ -83,7 +102,9 @@ def main():
                                   np.float32(3.0), field=aniso.field,
                                   op="op11", steps=2000,
                                   box=tuple(aniso.box), medium=smed).pos
-    out["golden_strat_op11"] = round(R * 2000 / best_of(run_gs) / 1e9, 2)
+    if want("golden_strat_op11"):
+        out["golden_strat_op11"] = round(
+            R * 2000 / best_of(run_gs) / 1e9, 2)
 
     # 2-D sampled-spline medium via the tiled window kernel (per-cell packed
     # windows, Morton-sorted blocks) — the reference's production pipeline
@@ -98,16 +119,18 @@ def main():
         return grid_trace_tiled("op1", pos0, theta0, ds, hmed,
                                 steps=DIV - 1, box=tuple(scen.box)).pos
     # internal host round-loop syncs per round; time single calls
-    t = best_of(run_tiled, per=1)
-    out["tiled_grid_op1"] = round(R * (DIV - 1) / t / 1e9, 2)
+    if want("tiled_grid_op1"):
+        t = best_of(run_tiled, per=1)
+        out["tiled_grid_op1"] = round(R * (DIV - 1) / t / 1e9, 2)
 
     # golden family on the 2-D spline (closed-form minimizer + window
     # gathers): iso op5 on the sampled fisheye medium
     def run_tiled_gold():
         return grid_trace_tiled("op5", pos0, theta0, ds, hmed,
                                 steps=DIV - 1, box=tuple(scen.box)).pos
-    t = best_of(run_tiled_gold, per=1)
-    out["tiled_grid_op5"] = round(R * (DIV - 1) / t / 1e9, 2)
+    if want("tiled_grid_op5"):
+        t = best_of(run_tiled_gold, per=1)
+        out["tiled_grid_op5"] = round(R * (DIV - 1) / t / 1e9, 2)
 
     # DYNAMIC tiled kernel: paraxial tangents with compensated carries over
     # the same 2-D spline window machinery (round 4; measured ~76 % of the
@@ -118,8 +141,9 @@ def main():
         return grid_trace_dynamic_tiled(
             "op6", pos0, theta0, ds, hmed, steps=DIV - 1,
             box=tuple(scen.box), block_rays=1024).q
-    t = best_of(run_tiled_dyn, per=1)
-    out["dyn_tiled_op6"] = round(R * (DIV - 1) / t / 1e9, 2)
+    if want("dyn_tiled_op6"):
+        t = best_of(run_tiled_dyn, per=1)
+        out["dyn_tiled_op6"] = round(R * (DIV - 1) / t / 1e9, 2)
 
     from raytracing_tpu.kernels.df import _df_core_segmented
 
@@ -129,7 +153,8 @@ def main():
         return _df_core_segmented(pos0, theta0, ds, field="fisheye",
                                   segment=512, n_full=DIV // 512,
                                   rem=DIV % 512)[0]
-    out["df32_rk4"] = round(R * DIV / best_of(run_df) / 1e9, 2)
+    if want("df32_rk4"):
+        out["df32_rk4"] = round(R * DIV / best_of(run_df) / 1e9, 2)
 
     # ---- every remaining production kernel family gets a canonical row
     # (VERDICT r4 weak #2: logs-only numbers are invisible to regression
@@ -143,14 +168,17 @@ def main():
         return dynamic_trace_final(pos0, theta0, ds, field="fisheye",
                                    op="op6", steps=DIV,
                                    box=tuple(scen.box)).q
-    out["dyn_op6"] = round(R * DIV / best_of(run_dyn) / 1e9, 2)
+    if want("dyn_op6"):
+        out["dyn_op6"] = round(R * DIV / best_of(run_dyn) / 1e9, 2)
 
     # stratified-table DYNAMIC kernel (1-D sampled medium)
     def run_dyn_strat():
         return dynamic_trace_final_strat(vpos, vth, np.float32(0.0193),
                                          smed, op="op6", steps=2000,
                                          box=tuple(aniso.box)).q
-    out["dyn_strat_op6"] = round(R * 2000 / best_of(run_dyn_strat) / 1e9, 2)
+    if want("dyn_strat_op6"):
+        out["dyn_strat_op6"] = round(
+            R * 2000 / best_of(run_dyn_strat) / 1e9, 2)
 
     # fused 3-D kinematic kernel (kernels/fused3d.py, analytic fisheye)
     from raytracing_tpu.kernels.fused3d import fused3d_trace_final
@@ -166,7 +194,8 @@ def main():
         return fused3d_trace_final(pos3, dir3, np.float32(2 * np.pi / D3),
                                    field="fisheye", op="op6", steps=D3,
                                    box=box3).pos
-    out["fused3d_op6"] = round(R * D3 / best_of(run_f3) / 1e9, 2)
+    if want("fused3d_op6"):
+        out["fused3d_op6"] = round(R * D3 / best_of(run_f3) / 1e9, 2)
 
     # fused 3-D DYNAMIC kernel (kernels/dynamic3d.py, two hand tangents)
     from raytracing_tpu.kernels.dynamic3d import dynamic3d_trace_final
@@ -175,7 +204,8 @@ def main():
         return dynamic3d_trace_final(pos3, dir3, np.float32(2 * np.pi / D3),
                                      field="fisheye", op="op6", steps=D3,
                                      box=box3).detq
-    out["dyn3_op6"] = round(R * D3 / best_of(run_d3) / 1e9, 2)
+    if want("dyn3_op6"):
+        out["dyn3_op6"] = round(R * D3 / best_of(run_d3) / 1e9, 2)
 
     # 3-D tiled-window kernel over a sampled tri-Hermite grid3 medium
     # (engine/tiled3.py — the 3-D sample->fit->trace production path)
@@ -192,8 +222,9 @@ def main():
         return grid3_trace_tiled("op6", pos3, dir3,
                                  np.float32(2 * np.pi / D3), med3,
                                  steps=D3, box=box3, block_rays=1024).pos
-    t = best_of(run_t3, per=1)
-    out["tiled3_grid_op6"] = round(R * D3 / t / 1e9, 2)
+    if want("tiled3_grid_op6"):
+        t = best_of(run_t3, per=1)
+        out["tiled3_grid_op6"] = round(R * D3 / t / 1e9, 2)
 
     # 3-D DYNAMIC tiled-window kernel (round 5: the paraxial twin — both
     # launch tangents + the exact patch Hessian inside the window kernel)
@@ -203,8 +234,18 @@ def main():
         return grid3_trace_dynamic_tiled(
             "op6", pos3, dir3, np.float32(2 * np.pi / D3), med3,
             steps=D3, box=box3, block_rays=1024).detq
-    t = best_of(run_dt3, per=1)
-    out["dyn3_tiled_op6"] = round(R * D3 / t / 1e9, 2)
+    if want("dyn3_tiled_op6"):
+        t = best_of(run_dt3, per=1)
+        out["dyn3_tiled_op6"] = round(R * D3 / t / 1e9, 2)
+
+    if ONLY:   # targeted refresh: merge over the existing table
+        try:
+            with open("benchmarks/kernel_matrix.json") as f:
+                merged = json.load(f)
+        except FileNotFoundError:
+            merged = {}
+        merged.update(out)
+        out = merged
 
     with open("benchmarks/kernel_matrix.json", "w") as f:
         json.dump(out, f, indent=1)
@@ -212,4 +253,11 @@ def main():
 
 
 if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="",
+                    help="comma-separated row-name prefixes to re-measure "
+                         "and merge (default: full regen)")
+    ns = ap.parse_args()
+    if ns.only:
+        ONLY = tuple(p for p in ns.only.split(",") if p)
     main()

@@ -113,6 +113,9 @@ stage 15_dyn3_tiled_sweep python benchmarks/tiled3_sweep.py --dynamic
 stage 16_canary_drift     python benchmarks/canary3d.py all
 stage 17_tiled3_sweep2    python benchmarks/tiled3_sweep.py
 stage 18_dyn3_sweep2      python benchmarks/tiled3_sweep.py --dynamic
-stage 19_kernel_matrix3   python benchmarks/kernel_matrix.py
+# targeted refresh: c718d44 (drift placement) only changes the tiled3
+# families; a full cold regen (~25 Mosaic compiles, cache lost with the
+# session VM) would burn the remaining tunnel budget for identical rows
+stage 19_kernel_matrix3   python benchmarks/kernel_matrix.py --only tiled3,dyn3_tiled
 
 echo "=== QUEUE DONE $(date -u +%H:%M:%S)" | tee -a "$LOG/QUEUE.log"

@@ -43,13 +43,9 @@ BOX3 = (-1.5, 1.5, -1.5, 1.5, -1.5, 1.5)
 #: window's segment through the full drifted budget.
 CONFIGS = (
     ((5, 5, 5), None, 1024),       # auto default (drift-predicted: 14)
-    ((5, 5, 5), 8, 1024),
-    ((5, 5, 5), 12, 1024),
-    ((5, 5, 5), 16, 1024),
+    ((5, 5, 5), 8, 1024),          # round-1 best, for same-session A/B
     ((5, 5, 5), 20, 1024),
     ((5, 5, 5), 14, 2048),
-    ((6, 6, 7), 20, 1024),
-    ((6, 6, 7), 28, 1024),
 )
 
 
