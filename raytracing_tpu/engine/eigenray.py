@@ -162,9 +162,10 @@ def _pick_crossings(h: np.ndarray, last: np.ndarray, xr: np.ndarray,
 #: Measured routing threshold (benchmarks/logs_r5/10_crossover.log, the
 #: VERDICT-r4 crossover probe): on the remote v5e with the persistent
 #: compile cache warm, the WARM on-chip f32/df32 TL solve beats host/f64
-#: from the smallest measured size up — 80 receivers: 1.72x, 1280: 7.8x,
-#: 10^4: 11.0x (cold compiles amortize after one call).  float32 solves
-#: with at least this many receivers therefore default to the
+#: at every measured size — 80 receivers: 2.05x, 1280: 6.9x, 5120: 14x,
+#: 10^4: 8.8x (cold compiles amortize after one call; arrival counts and
+#: convergence match the host solve exactly at all five sizes).  float32
+#: solves with at least this many receivers therefore default to the
 #: accelerator backend; float64 solves always stay host (TPUs have no
 #: native f64).  Explicit ``on_host=...`` or RT_EIGENRAY_ON_HOST wins.
 EIGENRAY_TPU_MIN_RECEIVERS = 80
