@@ -19,6 +19,11 @@ import jax
 import raytracing_tpu as rt
 from raytracing_tpu.kernels.fused import fused_trace_final
 from raytracing_tpu.kernels.golden import golden_trace_final
+from raytracing_tpu.utils.cache import enable_persistent_cache
+
+# the matrix measures WARM steady-state rates; caching compiles only
+# saves tunnel time on re-runs (disable with RT_NO_CACHE=1)
+enable_persistent_cache()
 
 R = 1 << 20
 DIV = 4587
